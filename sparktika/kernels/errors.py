@@ -1,0 +1,28 @@
+"""Kernel guard exceptions. Each maps to a row status in the pipeline,
+mirroring the reference's failure-isolation contract (a poisoned document
+becomes an empty/flagged result, never a crashed run —
+ref: client/TikaRunner.java:142-147, test/TikaProcessTest.java:182-203).
+"""
+
+
+class KernelError(Exception):
+    """Base: parse failed; row gets status='failed'."""
+
+
+class DepthLimitError(KernelError):
+    """DOM nesting exceeded max_depth (ref zipBombMaxDepth=200)."""
+
+
+class InflateRatioError(KernelError):
+    """Decompression ratio exceeded max_inflate_ratio (ref ratio=200)."""
+
+
+class DeadlineError(KernelError):
+    """Cooperative per-doc deadline exceeded; row gets status='timeout'
+    (ref: abortAfterMs, client/TikaRunner.java:74-109)."""
+
+
+class WriteLimitReached(Exception):
+    """Signal (not an error): output char cap hit; parse stops, output is
+    exactly the cap, row gets status='truncated'
+    (ref: main/TikaBodyContentHandler.java:100-115)."""

@@ -1,0 +1,186 @@
+"""Per-document extraction dispatch: bytes -> ExtractResult.
+
+The pure-Python core of the engine's `mapInPandas` stage. One call =
+one parse transaction, mirroring the reference's per-document contract
+(client sends (baseUri, contentType, bytes), receives (metadata, text)
+— ref: client/TikaProcessPool.java:110-135), with these status
+semantics replacing fork-kill isolation (ref: SURVEY.md O19/O20):
+
+  ok / truncated / timeout / failed / skipped_oversize / unsupported
+
+Failures become rows, never exceptions: a bomb or poisoned doc degrades
+to an empty flagged result exactly like the reference's empty-Metadata
+soft landing (ref: client/TikaRunner.java:142-147,
+test/TikaProcessTest.java:182-203).
+
+Metadata keys reuse the reference's reserved field names where they
+exist (ref: main/TikaConstants.java:12-27): resource_name, parsing_time,
+write_limit_reached.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from . import boilerplate, charset, mime, pdf
+from .errors import DeadlineError, DepthLimitError, InflateRatioError, KernelError
+from .htmlparse import Link, parse_html
+
+STATUS_OK = "ok"
+STATUS_TRUNCATED = "truncated"
+STATUS_TIMEOUT = "timeout"
+STATUS_FAILED = "failed"
+STATUS_OVERSIZE = "skipped_oversize"
+STATUS_UNSUPPORTED = "unsupported"
+
+
+@dataclass
+class ExtractResult:
+    url: str
+    content_type_declared: str | None
+    content_type_detected: str
+    charset_detected: str | None
+    text_extracted: str | None
+    main_text: str | None
+    title: str | None
+    links: list[Link]
+    metadata: dict[str, list[str]]
+    status: str
+    error: str | None
+    parse_ms: int
+    n_bytes_in: int
+    n_chars_out: int
+    write_limit_reached: bool = False
+
+
+def _cap_text(text: str, max_chars: int) -> tuple[str, bool]:
+    """Apply the write-limit semantics to already-assembled text (plain-text
+    path); cap is exact (SURVEY.md O5)."""
+    if max_chars != -1 and len(text) > max_chars:
+        return text[:max_chars], True
+    return text, False
+
+
+def extract_document(
+    url: str,
+    content_type: str | None,
+    data: bytes | None,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> ExtractResult:
+    t0 = time.monotonic()
+    deadline = t0 + cfg.timeout_ms / 1000.0 if cfg.timeout_ms > 0 else None
+    data = data or b""
+    n_bytes = len(data)
+    declared = content_type or None
+
+    def res(**kw) -> ExtractResult:
+        base = dict(
+            url=url,
+            content_type_declared=declared,
+            content_type_detected=kw.pop("detected", mime.OCTET_STREAM),
+            charset_detected=None,
+            text_extracted=None,
+            main_text=None,
+            title=None,
+            links=[],
+            metadata={},
+            status=STATUS_FAILED,
+            error=None,
+            parse_ms=int((time.monotonic() - t0) * 1000),
+            n_bytes_in=n_bytes,
+            n_chars_out=0,
+        )
+        base.update(kw)
+        md = base["metadata"]
+        md.setdefault("resource_name", [url.rsplit("/", 1)[-1] or url])
+        md.setdefault("Content-Type", [base["content_type_detected"]])
+        md["parsing_time"] = [str(base["parse_ms"])]
+        md["write_limit_reached"] = [str(base.get("write_limit_reached", False)).lower()]
+        if base["text_extracted"] is not None:
+            base["n_chars_out"] = len(base["text_extracted"])
+        return ExtractResult(**base)
+
+    # size cap BEFORE any parsing (the Spark plan additionally filters these
+    # rows out pre-shuffle; this is the kernel-level backstop)
+    if n_bytes > cfg.max_bytes:
+        return res(status=STATUS_OVERSIZE,
+                   error=f"document size {n_bytes} exceeds cap {cfg.max_bytes}",
+                   detected=mime.detect_mime(data[:1024], declared, url))
+
+    detected = mime.detect_mime(data, declared, url)
+
+    try:
+        if detected == "text/html" or detected == "application/xml":
+            cs = charset.detect_charset(data, is_html=True)
+            text, cs = charset.decode(data, cs, is_html=True)
+            r = parse_html(
+                text,
+                base_uri=url,
+                max_chars=cfg.max_chars,
+                max_depth=cfg.max_depth,
+                extract_links=cfg.extract_links,
+                collapse_anchor_whitespace=cfg.collapse_anchor_whitespace,
+                collect_blocks=cfg.extract_main_text,
+                deadline=deadline,
+            )
+            mtext = boilerplate.main_text(r.blocks) if cfg.extract_main_text else None
+            md: dict[str, list[str]] = {
+                "Content-Type": [f"text/html; charset={cs}"],
+                "Content-Encoding": [cs],
+            }
+            if r.title:
+                md["title"] = [r.title]
+                md["dc:title"] = [r.title]
+            if r.links:
+                md["n-links"] = [str(len(r.links))]
+            status = STATUS_TRUNCATED if r.write_limit_reached else STATUS_OK
+            return res(detected="text/html", charset_detected=cs,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       main_text=mtext, title=r.title, links=r.links,
+                       metadata=md, status=status,
+                       write_limit_reached=r.write_limit_reached)
+
+        if detected == "application/pdf":
+            r = pdf.extract_pdf(
+                data,
+                max_inflate_ratio=cfg.max_inflate_ratio,
+                max_inflate_bytes=cfg.max_inflate_bytes,
+                deadline=deadline,
+            )
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {"Content-Type": ["application/pdf"]}
+            for k, v in r.metadata.items():
+                md[k if ":" in k else f"pdf:{k}"] = [v]
+            title = r.metadata.get("Title")
+            if title:
+                md["dc:title"] = [title]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, text_extracted=text if cfg.parse_content else None,
+                       title=title, metadata=md, status=status,
+                       write_limit_reached=limited)
+
+        if detected.startswith("text/"):
+            cs = charset.detect_charset(data, is_html=False)
+            text, cs = charset.decode(data, cs, is_html=False)
+            text, limited = _cap_text(text, cfg.max_chars)
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, charset_detected=cs,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata={"Content-Type": [f"{detected}; charset={cs}"],
+                                 "Content-Encoding": [cs]},
+                       status=status, write_limit_reached=limited)
+
+        # recognized-but-unparsed (zip, OLE2, images, ...) and unknown binary
+        return res(detected=detected, status=STATUS_UNSUPPORTED,
+                   error=f"no parser for {detected}")
+
+    except DeadlineError as e:
+        return res(detected=detected, status=STATUS_TIMEOUT, error=str(e))
+    except (DepthLimitError, InflateRatioError, KernelError) as e:
+        return res(detected=detected, status=STATUS_FAILED,
+                   error=f"{type(e).__name__}: {e}")
+    except Exception as e:  # absolute backstop: a poisoned doc never kills a task
+        return res(detected=detected, status=STATUS_FAILED,
+                   error=f"{type(e).__name__}: {e}")

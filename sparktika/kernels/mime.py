@@ -1,0 +1,130 @@
+"""MIME detection from magic bytes + content sniffing.
+
+From-scratch equivalent of the reference's auto-detection step
+(ref: main/TikaForkMain.java:72 DefaultDetector;
+main/ConfigurableAutoDetectParser.java:137-141 — the detected type
+OVERWRITES the declared Content-Type). Detection order:
+
+  1. binary magic prefixes (PDF, OLE2, ZIP/OOXML, gzip, images, media, ...)
+  2. HTML sniff over the first 1024 bytes (WHATWG-style pattern table)
+  3. XML declaration
+  4. valid UTF-8 / mostly-printable -> text/plain
+  5. fallback application/octet-stream
+
+The declared type is kept as a separate column and only wins when nothing
+is detected (ref: declared-type seeding, main/TikaForkMain.java:325-327).
+"""
+
+from __future__ import annotations
+
+from .charset import detect_bom
+
+OCTET_STREAM = "application/octet-stream"
+
+# (prefix, mime). Order matters: first match wins.
+_MAGIC: tuple[tuple[bytes, str], ...] = (
+    (b"%PDF-", "application/pdf"),
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-tika-msoffice"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"PK\x05\x06", "application/zip"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"BZh", "application/x-bzip2"),
+    (b"\xfd7zXZ\x00", "application/x-xz"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"\x00\x00\x01\x00", "image/vnd.microsoft.icon"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),
+    (b"%!PS", "application/postscript"),
+    (b"{\\rtf", "application/rtf"),
+    (b"WARC/1.0", "application/warc"),
+    (b"\x7fELF", "application/x-executable"),
+    (b"SQLite format 3\x00", "application/x-sqlite3"),
+)
+
+# HTML sniff tags (case-insensitive), per a WHATWG-style table.
+_HTML_TAGS = (
+    b"<!doctype html", b"<html", b"<head", b"<body", b"<script", b"<title",
+    b"<meta", b"<h1", b"<div", b"<p>", b"<p ", b"<table", b"<a href",
+    b"<br", b"<b>", b"<iframe", b"<!--",
+)
+
+
+def _sniff_riff(data: bytes) -> str | None:
+    if data[:4] == b"RIFF" and len(data) >= 12:
+        sub = data[8:12]
+        if sub == b"WEBP":
+            return "image/webp"
+        if sub == b"WAVE":
+            return "audio/x-wav"
+        if sub == b"AVI ":
+            return "video/x-msvideo"
+        return OCTET_STREAM
+    return None
+
+
+def _sniff_mp4(data: bytes) -> str | None:
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand[:3] in (b"M4A",):
+            return "audio/mp4"
+        return "video/mp4"
+    return None
+
+
+def sniff_html(data: bytes) -> bool:
+    head = data[:1024].lstrip(b" \t\r\n\x0c\xef\xbb\xbf").lower()
+    return head.startswith(_HTML_TAGS)
+
+
+def _mostly_text(data: bytes) -> bool:
+    sample = data[:4096]
+    if not sample:
+        return True
+    bad = sum(1 for b in sample if b < 0x09 or (0x0E <= b < 0x20) or b == 0x7F)
+    return bad / len(sample) < 0.02
+
+
+def detect_mime(data: bytes, declared: str | None = None, url: str | None = None) -> str:
+    """Detect MIME type; detected wins over declared (same as reference)."""
+    if not data:
+        return _normalize(declared) or OCTET_STREAM
+    for prefix, mime in _MAGIC:
+        if data.startswith(prefix):
+            return mime
+    riff = _sniff_riff(data)
+    if riff:
+        return riff
+    mp4 = _sniff_mp4(data)
+    if mp4:
+        return mp4
+    if sniff_html(data):
+        return "text/html"
+    head = data[:1024]
+    bom = detect_bom(head)
+    stripped = head[bom[1]:] if bom else head
+    if stripped.lstrip(b" \t\r\n").startswith(b"<?xml"):
+        return "application/xml"
+    declared_n = _normalize(declared)
+    if declared_n and declared_n != OCTET_STREAM:
+        # A declared type survives only when magic found nothing specific
+        # and the payload doesn't contradict it grossly.
+        if declared_n.startswith("text/") and not _mostly_text(data):
+            pass
+        else:
+            return declared_n
+    if bom or _mostly_text(data):
+        return "text/plain"
+    return OCTET_STREAM
+
+
+def _normalize(ct: str | None) -> str | None:
+    if not ct:
+        return None
+    base = ct.split(";", 1)[0].strip().lower()
+    return base or None

@@ -1,0 +1,427 @@
+"""Kernel unit tests — no Spark/JVM. Mirrors the reference's test strategy
+(end-to-end golden outputs per fixture + safety semantics;
+ref: test/TikaProcessTest.java)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from sparktika.config import ExtractConfig
+from sparktika.kernels import charset, mime, pdf, textstats
+from sparktika.kernels.boilerplate import classify_blocks, main_text
+from sparktika.kernels.errors import DepthLimitError, InflateRatioError, WriteLimitReached
+from sparktika.kernels.extract import extract_document
+from sparktika.kernels.htmlparse import parse_html
+from sparktika.kernels.textout import TextWriter
+
+
+# ---------------------------------------------------------------- textout
+
+def test_writer_span_div_separators():
+    """SPAN start -> ' ' and DIV start -> '\\n' only when writeCount > 0;
+    end separators unconditional (ref: TikaBodyContentHandler.java:143-175)."""
+    w = TextWriter()
+    w.start_element("div")   # suppressed: nothing written yet
+    w.start_element("span")  # suppressed
+    w.characters("a")
+    w.end_element("span")    # ' '
+    w.start_element("span")  # ' ' (count>0)
+    w.characters("b")
+    w.end_element("span")
+    w.end_element("div")
+    assert w.getvalue() == "a  b \n"
+
+
+def test_writer_zero_length_stream_no_leading_separator():
+    w = TextWriter()
+    w.start_element("div")
+    w.end_element("div")  # trailing separator is unconditional in the ref
+    assert w.getvalue() == "\n"
+    w2 = TextWriter()
+    w2.start_element("div")
+    assert w2.getvalue() == ""
+
+
+def test_writer_exact_cap():
+    w = TextWriter(5)
+    w.characters("abc")
+    with pytest.raises(WriteLimitReached):
+        w.characters("defg")
+    assert w.getvalue() == "abcde"
+    assert w.limit_reached
+    assert w.count == 5
+
+
+def test_writer_separators_do_not_count_toward_limit():
+    w = TextWriter(2)
+    w.characters("a")
+    w.end_element("div")
+    w.characters("b")  # count now exactly 2: fits
+    assert w.getvalue() == "a\nb"
+    assert not w.limit_reached
+
+
+# ---------------------------------------------------------------- charset
+
+def test_charset_bom_wins_over_meta():
+    data = b"\xef\xbb\xbf<html><meta charset='iso-8859-1'><body>x</body></html>"
+    assert charset.detect_charset(data) == "utf-8"
+
+
+def test_charset_meta_http_equiv():
+    data = b'<html><head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"></head></html>'
+    assert charset.detect_charset(data) == "iso-8859-1"
+
+
+def test_charset_latin1_decode_to_unicode():
+    text, cs = charset.decode("caf\xe9".encode("latin-1"), "iso-8859-1")
+    assert text == "café" and cs == "iso-8859-1"
+
+
+def test_charset_utf8_heuristic_and_cp1252_fallback():
+    assert charset.detect_charset("héllo".encode("utf-8"), is_html=False) == "utf-8"
+    assert charset.detect_charset(b"caf\xe9 au lait", is_html=False) == "windows-1252"
+    text, _ = charset.decode(b"caf\x93quoted\x94", "windows-1252")
+    assert text == "caf“quoted”"
+
+
+# ---------------------------------------------------------------- mime
+
+def test_mime_magic_table():
+    assert mime.detect_mime(b"%PDF-1.3 ...") == "application/pdf"
+    assert mime.detect_mime(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 16) == "application/x-tika-msoffice"
+    assert mime.detect_mime(b"PK\x03\x04" + b"\0" * 16) == "application/zip"
+    assert mime.detect_mime(b"\x89PNG\r\n\x1a\n" + b"\0" * 8) == "image/png"
+
+
+def test_mime_html_sniff_case_insensitive():
+    assert mime.detect_mime(b"  <!DOCTYPE html><html>") == "text/html"
+    assert mime.detect_mime(b"<HTML><body>hi</body>") == "text/html"
+    assert mime.detect_mime(b'<!doctype html public "-//w3c//dtd html 4.0 transitional//en">') == "text/html"
+
+
+def test_mime_detected_overrides_declared():
+    """Detector result wins over the declared type, like the reference
+    (ref: ConfigurableAutoDetectParser.java:137-141)."""
+    assert mime.detect_mime(b"%PDF-1.4", declared="text/html") == "application/pdf"
+
+
+def test_mime_declared_used_when_no_magic():
+    assert mime.detect_mime(b"just some words", declared="text/csv") == "text/csv"
+    assert mime.detect_mime(b"just some words") == "text/plain"
+    assert mime.detect_mime(bytes(range(256)) * 4) == "application/octet-stream"
+
+
+# ---------------------------------------------------------------- html kernel
+
+def test_html_body_only_and_title():
+    html = "<html><head><title>My Title</title><style>p{}</style></head><body>hello</body></html>"
+    r = parse_html(html)
+    assert r.text == "hello"
+    assert r.title == "My Title"
+
+
+def test_html_div_span_separator_semantics():
+    html = "<body><div><span>a</span><span>b</span></div></body>"
+    # div start suppressed (count 0), span start suppressed, 'a', span end ' ',
+    # span start ' ', 'b', span end ' ', div end '\n'
+    assert parse_html(html).text == "a  b \n"
+
+
+def test_html_script_style_discarded_entirely():
+    html = "<body>keep<script>var x='<p>leak</p>';</script><style>.c{}</style>me</body>"
+    r = parse_html(html)
+    assert r.text == "keepme"
+    # discarded script never yields a link (ref behavior: discarded elements
+    # emit no SAX events, so the script link branch is dead code)
+    assert all(l.type != "script" for l in r.links)
+
+
+def test_html_entities():
+    assert parse_html("<body>a &amp; b &lt;tag&gt; &#65;&#x42;</body>").text == "a & b <tag> AB"
+
+
+def test_html_unclosed_p_tag_soup():
+    # each <p> auto-closes the previous one; </body> closes the last; every
+    # </p> emits a newline (Tika XHTML layer parity, see ENDLINE_ELEMENTS)
+    html = "<body>one<p>two<p>three</body>"
+    assert parse_html(html).text == "onetwo\nthree\n"
+
+
+def test_html_links_anchor_collapse():
+    html = '<body><a href="/x" title="T" rel="r" id="i">  some\n  anchor </a></body>'
+    r = parse_html(html, base_uri="https://e.com/p")
+    assert len(r.links) == 1
+    l = r.links[0]
+    assert (l.type, l.target_uri, l.title, l.rel, l.anchor, l.source_uri) == (
+        "a", "/x", "T", "r", "some anchor", "https://e.com/p")
+    assert l.params == {"id": "i"}
+
+
+def test_html_img_alt_feeds_enclosing_anchor_not_body():
+    html = '<body><a href="/x"><img src="i.png" alt="ALT"></a>tail</body>'
+    r = parse_html(html)
+    a = [l for l in r.links if l.type == "a"][0]
+    img = [l for l in r.links if l.type == "img"][0]
+    assert a.anchor == "ALT"          # enclosing anchor receives alt
+    assert img.anchor == "ALT"        # img's own builder pushed before alt chars
+    assert "ALT" not in r.text        # alt never reaches body text
+
+
+def test_html_area_alt_ordering_quirk():
+    """area pushes its builder AFTER emitting alt chars, so its own anchor
+    stays empty (ref: TikaLinkContentHandler.java:160-171)."""
+    html = '<body><a href="/x"><area href="/a" alt="Z"></a></body>'
+    r = parse_html(html)
+    area = [l for l in r.links if l.type == "area"][0]
+    a = [l for l in r.links if l.type == "a"][0]
+    assert area.anchor == ""
+    assert a.anchor == "Z"
+
+
+def test_html_form_get_only_and_input_image_only():
+    html = ('<body><form method="post" action="/p"></form>'
+            '<form method="GET" action="/g"></form>'
+            '<input type="text" src="/t"><input type="image" src="/i" alt="btn">'
+            "</body>")
+    r = parse_html(html)
+    forms = [l for l in r.links if l.type == "form"]
+    inputs = [l for l in r.links if l.type == "input"]
+    assert [f.target_uri for f in forms] == ["/g"]
+    assert [i.target_uri for i in inputs] == ["/i"]
+
+
+def test_html_13_link_kinds():
+    html = (
+        "<body>"
+        '<a href="/a">x</a><img src="/img"><input type="image" src="/in">'
+        '<link href="/l" rel="stylesheet"><form method="get" action="/f"></form>'
+        '<embed src="/e"><source src="/s"><track src="/t"><object data="/o"></object>'
+        '<frame src="/fr"><iframe src="/if"></iframe><area href="/ar">'
+        "</body>"
+    )
+    r = parse_html(html)
+    kinds = sorted({l.type for l in r.links})
+    assert kinds == ["a", "area", "embed", "form", "frame", "iframe", "img",
+                     "input", "link", "object", "source", "track"]
+
+
+def test_html_head_link_collected():
+    html = '<html><head><link href="/css" rel="stylesheet" type="text/css"></head><body>x</body></html>'
+    r = parse_html(html)
+    ls = [l for l in r.links if l.type == "link"]
+    assert len(ls) == 1 and ls[0].target_uri == "/css" and ls[0].params == {"type": "text/css"}
+
+
+def test_html_depth_guard():
+    html = "<body>" + "<div>" * 300 + "x" + "</div>" * 300 + "</body>"
+    with pytest.raises(DepthLimitError):
+        parse_html(html, max_depth=200)
+
+
+def test_html_write_limit_exact_cap():
+    html = "<body><div>" + "x" * 500 + "</div></body>"
+    r = parse_html(html, max_chars=100)
+    assert r.text == "x" * 100
+    assert r.write_limit_reached
+
+
+# ---------------------------------------------------------------- boilerplate
+
+def test_boilerplate_blocks_and_classification():
+    nav = '<div><a href="/1">Home</a> <a href="/2">About</a> <a href="/3">News</a></div>'
+    content = "<p>" + " ".join(["word"] * 50) + "</p>"
+    more = "<p>" + " ".join(["body"] * 30) + "</p>"
+    footer = '<div><a href="/c">Contact</a> <a href="/i">Imprint</a></div>'
+    r = parse_html(f"<body>{nav}{content}{more}{footer}</body>")
+    flags = classify_blocks(r.blocks)
+    texts = [b.text for b, f in zip(r.blocks, flags) if f]
+    assert any("word word" in t for t in texts)
+    assert all("Home" not in t and "Contact" not in t for t in texts)
+    mt = main_text(r.blocks)
+    assert "word word" in mt and "Home" not in mt
+
+
+# ---------------------------------------------------------------- pdf kernel
+
+def _simple_pdf(content: str, flate: bool = False) -> bytes:
+    import zlib as _z
+
+    stream = content.encode("latin-1")
+    head = b"<< /Length %d >>" % len(stream)
+    if flate:
+        stream = _z.compress(stream)
+        head = b"<< /Length %d /Filter /FlateDecode >>" % len(stream)
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+        b"4 0 obj\n" + head + b"\nstream\n" + stream + b"\nendstream\nendobj\n",
+    ]
+    return b"%PDF-1.3\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def test_pdf_single_tj():
+    data = _simple_pdf("BT /F1 12 Tf 72 720 Td (hello pdf world) Tj ET")
+    assert pdf.extract_pdf(data).text == "hello pdf world"
+
+
+def test_pdf_flate_stream():
+    data = _simple_pdf("BT /F1 12 Tf 72 720 Td (compressed text) Tj ET", flate=True)
+    assert pdf.extract_pdf(data).text == "compressed text"
+
+
+def test_pdf_multiline_layout_order():
+    # emitted bottom line first; layout reassembly must sort by y descending
+    content = ("BT /F1 12 Tf 14 TL 72 100 Td (line two) Tj ET\n"
+               "BT /F1 12 Tf 72 200 Td (line one) Tj ET")
+    data = _simple_pdf(content)
+    assert pdf.extract_pdf(data).text == "line one\nline two"
+
+
+def test_pdf_tstar_and_escapes():
+    content = r"BT /F1 12 Tf 14 TL 72 720 Td (a\(b\)c) Tj T* (d\\e) Tj ET"
+    data = _simple_pdf(content)
+    assert pdf.extract_pdf(data).text == "a(b)c\nd\\e"
+
+
+def test_pdf_tj_array_kerning():
+    content = "BT /F1 12 Tf 72 720 Td [(Hel) 10 (lo) -250 (world)] TJ ET"
+    data = _simple_pdf(content)
+    assert pdf.extract_pdf(data).text == "Hello world"
+
+
+def test_pdf_hex_string_and_winansi():
+    content = "BT /F1 12 Tf 72 720 Td <48659C> Tj ET"  # H e œ
+    data = _simple_pdf(content)
+    assert pdf.extract_pdf(data).text == "Heœ"
+
+
+def test_pdf_flate_bomb_guard():
+    import zlib as _z
+
+    bomb = _z.compress(b"\0" * 10_000_000)  # ~10k bytes compressed
+    head = b"<< /Length %d /Filter /FlateDecode >>" % len(bomb)
+    data = (b"%PDF-1.3\n4 0 obj\n" + head + b"\nstream\n" + bomb
+            + b"\nendstream\nendobj\n%%EOF\n")
+    with pytest.raises(InflateRatioError):
+        pdf.extract_pdf(data, max_inflate_ratio=200.0)
+
+
+def test_pdf_info_metadata():
+    data = (b"%PDF-1.3\n1 0 obj\n<< /Title (My Doc) /Producer (sparktika) >>\nendobj\n"
+            + _simple_pdf("BT (x) Tj ET")[9:])
+    r = pdf.extract_pdf(data)
+    assert r.metadata["Title"] == "My Doc"
+    assert r.metadata["Producer"] == "sparktika"
+
+
+# ---------------------------------------------------------------- dispatch
+
+def test_extract_document_html_ok():
+    r = extract_document("https://e.com/a.html", "text/html",
+                         b"<html><head><title>T</title></head><body><div>hi</div></body></html>")
+    assert r.status == "ok"
+    assert r.text_extracted == "hi\n"
+    assert r.content_type_detected == "text/html"
+    assert r.title == "T"
+    assert r.metadata["write_limit_reached"] == ["false"]
+
+
+def test_extract_document_oversize_skipped_before_parse():
+    cfg = ExtractConfig(max_bytes=10)
+    r = extract_document("u", None, b"<html><body>hello world</body></html>", cfg)
+    assert r.status == "skipped_oversize"
+    assert r.text_extracted is None
+
+
+def test_extract_document_truncated():
+    cfg = ExtractConfig(max_chars=5)
+    r = extract_document("u", "text/html", b"<body><div>abcdefghij</div></body>", cfg)
+    assert r.status == "truncated"
+    assert r.text_extracted == "abcde"
+    assert r.write_limit_reached
+
+
+def test_extract_document_depth_bomb_fails_softly():
+    cfg = ExtractConfig(max_depth=50)
+    html = b"<body>" + b"<div>" * 100 + b"x"
+    r = extract_document("u", None, html, cfg)
+    assert r.status == "failed"
+    assert "DepthLimitError" in (r.error or "")
+
+
+def test_extract_document_unsupported_binary():
+    r = extract_document("u", None, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 100)
+    assert r.status == "unsupported"
+    assert r.content_type_detected == "application/x-tika-msoffice"
+
+
+def test_extract_document_plain_text_passthrough():
+    r = extract_document("u", "text/plain", b"test file here\n" * 3)
+    assert r.status == "ok"
+    assert r.text_extracted == "test file here\n" * 3
+
+
+def test_extract_document_latin1_html_to_utf8():
+    html = ('<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1"></head>'
+            "<body>caf\xe9</body></html>").encode("latin-1")
+    r = extract_document("u", "text/html", html)
+    assert r.charset_detected == "iso-8859-1"
+    assert r.text_extracted == "café"
+
+
+def test_extract_document_never_raises():
+    for payload in [b"", None, b"\x00\x01\x02", b"<body>" + b"&" * 1000,
+                    b"%PDF-1.3 garbage"]:
+        r = extract_document("u", None, payload)
+        assert r.status in {"ok", "failed", "unsupported", "truncated"}
+
+
+# ---------------------------------------------------------------- textstats
+
+def test_minhash_similar_docs_agree_more():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words entirely unrelated content here " * 10
+    sa, sb, sc = (textstats.minhash_signature(t) for t in (a, b, c))
+    agree_ab = (sa == sb).mean()
+    agree_ac = (sa == sc).mean()
+    true_ab = textstats.jaccard(textstats.word_shingles(a), textstats.word_shingles(b))
+    assert abs(agree_ab - true_ab) < 0.15  # minhash estimates true jaccard
+    assert agree_ab > agree_ac + 0.2
+
+
+def test_minhash_deterministic():
+    import numpy as np
+    s1 = textstats.minhash_signature("hello world foo bar baz")
+    s2 = textstats.minhash_signature("hello world foo bar baz")
+    assert np.array_equal(s1, s2)
+
+
+def test_simhash_near_duplicates_close():
+    a = "spark is a unified analytics engine for large scale data processing"
+    b = a + " indeed"
+    c = "totally other topic about gardening tulips and roses in spring"
+    ha, hb, hc = (textstats.simhash64(t) for t in (a, b, c))
+    assert textstats.hamming64(ha, hb) < textstats.hamming64(ha, hc)
+
+
+def test_winnowing_fingerprint_properties():
+    fp1 = textstats.winnowing_fingerprint("abcdefghijklmnop" * 4)
+    fp2 = textstats.winnowing_fingerprint("abcdefghijklmnop" * 4)
+    assert fp1 == fp2 and len(fp1) > 0
+    shared = set(textstats.winnowing_fingerprint("x" * 3 + "abcdefghijklmnop" * 4))
+    assert len(shared & set(fp1)) > 0
+
+
+def test_lang_detect_and_quality():
+    assert textstats.detect_lang("the cat and the dog went to a house in the garden") == "en"
+    assert textstats.detect_lang("der hund und die katze ist nicht da") == "de"
+    assert textstats.detect_lang("zzz qqq xxx") == "und"
+    q = textstats.quality_score("the quick brown fox jumps over the lazy dog and runs")
+    assert 0.0 < q <= 1.0
+    assert textstats.quality_score("") == 0.0

@@ -1,0 +1,68 @@
+"""Parity checks against the reference's OWN test fixtures and goldens
+(ref: test/TikaProcessTest.java:124-139). These exercise real-world
+documents (Netscape-era HTML, Adobe Distiller PDF), not our synthetic
+grammar.
+
+Pinned parity:
+- html-sample.html: extracted char count == 2,648 (exact match with the
+  reference golden) and metadata key count == 8 (exact match), 4 anchors.
+- pdf-sample.pdf: >= 95% of the reference's 1,069 golden chars, correct
+  leading text (PDFBox-exact spacing on arbitrary real PDFs is out of v1
+  scope per SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from sparktika.kernels.extract import extract_document
+
+FIXTURES = Path("/root/reference/tika-fork-client/test-files")
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURES.exists(), reason="reference fixtures not available")
+
+
+def test_html_sample_char_and_metadata_golden_parity():
+    data = (FIXTURES / "html-sample.html").read_bytes()
+    r = extract_document("https://example.com/html-sample.html", "text/html", data)
+    assert r.status == "ok"
+    assert r.n_chars_out == 2648  # reference golden (TikaProcessTest.java:138)
+    assert len(r.metadata) == 8   # reference golden (TikaProcessTest.java:136)
+    assert r.title == "BGN 9: Meiotic behavior of a barley-rye hybrid"
+    assert r.charset_detected == "iso-8859-1"
+    anchors = [l for l in r.links if l.type == "a"]
+    assert [l.target_uri for l in anchors] == [
+        "9p19.gif", "9p19.gif", "9toc.html", "http://wheat.pw.usda.gov/ggpages/bgn/"]
+
+
+def test_pdf_sample_text_extraction():
+    data = (FIXTURES / "pdf-sample.pdf").read_bytes()
+    r = extract_document("https://example.com/pdf-sample.pdf", "application/pdf", data)
+    assert r.status == "ok"
+    assert r.text_extracted.startswith("Adobe Acrobat PDF Files")
+    assert r.n_chars_out >= 0.95 * 1069  # reference golden is 1,069 chars
+    assert r.n_chars_out <= 1.05 * 1069
+    assert "universal file format" in r.text_extracted
+
+
+def test_txt_sample_cap_semantics():
+    data = (FIXTURES / "out.txt").read_bytes()
+    from sparktika.config import ExtractConfig
+
+    r = extract_document("u", "text/plain", data, ExtractConfig(max_chars=100))
+    # we pin an EXACT cap (the reference's observed 101 is a commons-io
+    # off-by-one, deliberately not reproduced — SURVEY.md O5)
+    assert r.status == "truncated"
+    assert len(r.text_extracted) == 100
+    assert r.text_extracted == ("test file here\n" * 7)[:100]
+
+
+def test_xls_sample_detected_not_parsed():
+    data = (FIXTURES / "xls-sample.xls").read_bytes()
+    r = extract_document("u", None, data)
+    # OLE2 is detected; the XLS kernel is out of v1 scope (SURVEY.md §2.B)
+    assert r.content_type_detected == "application/x-tika-msoffice"
+    assert r.status == "unsupported"
