@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over sparktika.queries — the engine-owned catalog where each
+Spark implementation lives next to its lockstep DuckDB oracle. Entries
+without an oracle (minhash/simhash LSH, ANN, winnowing, media decode,
+partition lineage) are approximate/seeded/scheduler-dependent by nature
+and are exactness-tested in pytest instead (see tests/).
 """
 
 from __future__ import annotations
@@ -15,24 +15,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over the synthetic Common-Crawl-style
+    corpus at sf0.001 — MIME routing, charset decode, HTML/PDF kernels,
+    safety statuses — returning one row per page."""
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline.extract import extract_pages
+    from sparktika.synth import SYNTH_CONFIG, synth_pages
+
+    pages = synth_pages(spark, "/root/testdata/sf0.001")
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        "url",
+        "content_type_detected",
+        "charset_detected",
+        "status",
+        "n_bytes_in",
+        "n_chars_out",
+        F.sha2(F.coalesce(F.col("text_extracted"), F.lit("")), 256).alias("text_sha"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparktika.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparktika.queries import all_oracles
+
+    return all_oracles()

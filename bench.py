@@ -1,0 +1,126 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+Queries are forced with a noop-format write (full materialization, no
+driver collect skew). Run with SPARK_GRAFT_CPUS=8 and =32 on the same
+input for the N-vs-4N scaling-efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline.extract import extract_pages
+    from sparktika.pipeline.session import build_session
+    from sparktika.pipeline import dedup, resume, similarity
+    from sparktika.synth import SYNTH_CONFIG, synth_pages
+
+    spark = build_session(app_name="sparktika-bench", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus * 2, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    # The driver testdata keeps `documents` small (500-5k rows); amplify it
+    # deterministically (doc_id offsets, same text) to a corpus size where
+    # throughput, not fixed overhead, is measured. No external data.
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
+    pages_path = (f"/tmp/sparktika_bench_pages_{os.path.basename(sf_dir)}"
+                  f"_x{replicate}")
+    if not os.path.exists(pages_path):
+        base = synth_pages(spark, sf_dir, with_meta=True)
+        copies = base
+        for i in range(1, replicate):
+            shifted = base.withColumn(
+                "url", F.concat(F.col("url"), F.lit(f"?rep={i}")))
+            copies = copies.unionByName(shifted)
+        (copies.select("url", "warc_ts", "html", "text", "lang")
+         .repartition(cpus * 4)
+         .write.mode("overwrite").parquet(pages_path))
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    timings: dict[str, float] = {}
+
+    # Warm up executor Python workers + Arrow runners (~30s one-time cost in
+    # this sandbox; a fixed cost that amortizes over a real corpus) so
+    # timings below measure steady-state throughput.
+    _force(extract_pages(pages.limit(cpus * 8), SYNTH_CONFIG))
+
+    def bench(name: str, thunk) -> None:
+        t0 = time.monotonic()
+        thunk()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # q1: the flagship — full extraction (mime+charset+HTML/PDF kernels,
+    # links, boilerplate, safety statuses) over the whole corpus
+    bench("q_extract_full", lambda: _force(
+        extract_pages(pages, SYNTH_CONFIG, num_partitions=cpus * 2)))
+
+    # q2: metadata-only extraction (column-pruned mode, O26)
+    bench("q_extract_meta_only", lambda: _force(
+        extract_pages(pages, SYNTH_CONFIG.with_(parse_content=False,
+                                                extract_main_text=False),
+                      num_partitions=cpus * 2)
+        .select("url", "content_type_detected", "status", "metadata")))
+
+    # q3: newest-per-url window dedup over pages
+    bench("q_dedup_newest_per_url", lambda: _force(
+        resume.newest_per_url(pages).select("url", "warc_ts")))
+
+    # q4: minhash LSH near-dup pairs over documents
+    def q4():
+        sigs = dedup.minhash_signatures(
+            docs.select(F.col("doc_id").alias("key"), "text"), "text", "key")
+        _force(dedup.minhash_lsh_pairs(sigs, threshold=0.8))
+    bench("q_dedup_minhash_lsh", q4)
+
+    # q5: brute-force cosine top-k (broadcast queries, single corpus pass)
+    bench("q_sim_topk", lambda: _force(
+        similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)))
+
+    # q6: relational agg (TPC-H Q1 shape, map-side combine)
+    bench("q_rel_pricing_summary", lambda: _force(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"))))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["q_extract_full"], 1)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "extraction+pipeline wall time (headline queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": docs_per_sec,
+        "n_docs": n_docs,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,205 @@
+"""Deduplication operators for a training-data pipeline, Spark-first.
+
+Five families (each surfaced as a driver-contract query):
+- exact:        sha256(text) groupBy — one shuffle, map-side combinable
+- normalized:   exact over lower+whitespace-collapsed text
+- minhash LSH:  vectorized signature UDF -> band explode -> bucket
+                self-join -> signature-agreement verify. No text ever
+                shuffles: candidates carry only 8-byte band keys and the
+                128x8-byte signature, so the shuffle volume at 100TB is
+                ~1KB/doc regardless of document size.
+- simhash:      64-bit signature, banded into 4x16-bit chunks (any pair
+                within Hamming distance 3 shares >=1 exact chunk by
+                pigeonhole) -> candidate join -> exact Hamming via
+                bit_count(xor) JVM-side.
+- embedding:    cosine near-dup over `embeddings` (see similarity.py).
+
+All signatures come from kernels/textstats.py (deterministic, seeded).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Flag duplicates by content hash; keeper = lowest key per hash."""
+    w = Window.partitionBy("text_sha").orderBy(F.col(key_col).asc())
+    return (
+        df.withColumn("text_sha", F.sha2(F.col(text_col), 256))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+    )
+
+
+def normalize_text_col(c) -> "F.Column":
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    return exact_dedup(
+        df.withColumn("__norm", normalize_text_col(F.col(text_col))),
+        "__norm", key_col,
+    ).drop("__norm")
+
+
+# ---------------------------------------------------------------- minhash LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(key, sig array<bigint>) — Arrow-batched pandas UDF, numpy inside."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def fn(texts: pd.Series) -> pd.Series:
+        from ..kernels.textstats import minhash_signature
+
+        return pd.Series([
+            minhash_signature(t or "", num_perm=num_perm, k=shingle_k)
+            .astype("int64").tolist()  # uint64 -> int64 bit-reinterp for Spark
+            for t in texts
+        ])
+
+    sig_udf = pandas_udf(fn, ArrayType(LongType()))
+    return df.select(F.col(key_col).alias("key"), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified by signature agreement.
+
+    Returns (key_a, key_b, est_jaccard) with key_a < key_b and
+    est_jaccard >= threshold. The band self-join shuffles only
+    (band_id, band_hash, key); signatures join back by key afterwards —
+    at cluster scale both joins hash-partition on small fixed-width keys.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    num_perm_holder = {}
+
+    def band_fn(sig: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..kernels.textstats import minhash_bands
+
+        out = []
+        for s in sig:
+            arr = np.asarray(s, dtype=np.int64).view(np.uint64)
+            out.append([b - (1 << 63) for b in minhash_bands(arr, bands)])
+        return pd.Series(out)
+
+    band_udf = pandas_udf(band_fn, ArrayType(LongType()))
+    banded = sigs.select(
+        "key", "sig", F.posexplode(band_udf("sig")).alias("band_id", "band_hash")
+    )
+    left = banded.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"),
+                         "band_id", "band_hash")
+    right = banded.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"),
+                          "band_id", "band_hash")
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sig_a", "sig_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    n_perm = F.size("sig_a")
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", agree / n_perm)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("key_a", "key_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_keys(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def fn(texts: pd.Series) -> pd.Series:
+        from ..kernels.textstats import simhash64
+
+        return pd.Series([simhash64(t or "") - (1 << 63) for t in texts])
+
+    udf = pandas_udf(fn, LongType())
+    return df.select(F.col(key_col).alias("key"), udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash. Banding: 4 chunks of 16 bits; Hamming<=3
+    guarantees at least one identical chunk (pigeonhole), so the candidate
+    join is exact-equality on (chunk_id, chunk_val) — shuffle-friendly."""
+    chunks = sh.select(
+        "key", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+            for i in range(4)
+        ])).alias("c"),
+    ).select("key", "simhash", "c.chunk_id", "c.chunk_val")
+    left = chunks.select(F.col("key").alias("key_a"), F.col("simhash").alias("sh_a"),
+                         "chunk_id", "chunk_val")
+    right = chunks.select(F.col("key").alias("key_b"), F.col("simhash").alias("sh_b"),
+                          "chunk_id", "chunk_val")
+    return (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sh_a", "sh_b")
+        .dropDuplicates(["key_a", "key_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- n-gram jaccard
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT distinct-token Jaccard via token explode + equi-join — fully
+    JVM-side (no UDFs), expressible in ANSI SQL for the oracle. Quadratic
+    in docs-per-shared-token; at scale use minhash_lsh_pairs and reserve
+    this as the verify stage on candidates."""
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("key").agg(F.count("*").alias("n_tok"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("key").alias("key_a"), F.col("n_tok").alias("n_a")), "key_a")
+        .join(sizes.select(F.col("key").alias("key_b"), F.col("n_tok").alias("n_b")), "key_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("key_a", "key_b", "jaccard")
+    )

@@ -1,0 +1,48 @@
+"""Table IO: Iceberg-first with parquet fallback.
+
+The production deployment (BASELINE.json north rule) reads/writes Iceberg
+(`spark.read.format("iceberg")` / `df.writeTo(...).append()`), which buys
+snapshot-isolated resume, partition pruning and compaction. This sandbox
+has no Iceberg runtime jars, so the helpers probe for the catalog and fall
+back to parquet dirs with the same call shape; the resume contract
+(pipeline/resume.py) only needs "committed rows are listable".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001 — probe only
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    """location = 'catalog.db.table' (Iceberg) or a path (parquet)."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def append_table(df: DataFrame, location: str) -> None:
+    if "/" not in location and iceberg_available(df.sparkSession):
+        df.writeTo(location).append()
+        return
+    df.write.mode("append").parquet(location)
+
+
+def overwrite_table(df: DataFrame, location: str) -> None:
+    if "/" not in location and iceberg_available(df.sparkSession):
+        df.writeTo(location).createOrReplace()
+        return
+    df.write.mode("overwrite").parquet(location)
+
+
+def default_output_dir() -> str:
+    return os.environ.get("SPARKTIKA_OUT", "/tmp/sparktika_out")

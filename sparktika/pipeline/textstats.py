@@ -1,0 +1,107 @@
+"""Text-analysis columns over a documents/pages table, built-ins first.
+
+Everything here that feeds an oracle-checked query is expressed with
+JVM-side built-ins (split/regexp/length arithmetic) so it stays inside
+whole-stage codegen AND can be mirrored in DuckDB SQL. The winnowing
+fingerprint (inherently procedural) is the one pandas-UDF member.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# Marker words per language — shared verbatim with the DuckDB oracle
+# (kernels/textstats.py LANG_MARKERS is the kernel-side equivalent for
+# non-SQL callers).
+LANG_MARKER_SQL = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "los", "las", "es", "una", "que", "por"],
+}
+
+STOPWORDS = sorted({w for ms in LANG_MARKER_SQL.values() for w in ms})
+
+
+def token_count_col(text_col) -> "F.Column":
+    """Whitespace token count, identical semantics to the DuckDB oracle's
+    length(regexp_split_to_array(trim(text), '\\s+'))."""
+    t = F.trim(text_col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count_col(text_col) -> "F.Column":
+    """BPE-ish token count: letter runs + digit runs + single punctuation."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def _marker_hits(text_col, words: list[str]) -> "F.Column":
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), 0))
+
+
+def lang_id_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds score_<lang> columns + lang_pred (argmax, alphabetical tiebreak,
+    'und' when all zero)."""
+    c = F.col(text_col)
+    out = df
+    for lang, words in LANG_MARKER_SQL.items():
+        out = out.withColumn(f"score_{lang}", _marker_hits(c, words))
+    scores = [F.col(f"score_{l}") for l in LANG_MARKER_SQL]
+    best = F.greatest(*scores)
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKER_SQL):  # alphabetical tiebreak
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred)
+
+
+def quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features +
+    composite score — pure arithmetic, oracle-mirrorable."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = token_count_col(c)
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(c), F.lit(stop_pat), 0))
+    mean_wlen = F.when(n_words > 0,
+                       F.length(F.regexp_replace(c, r"\s+", "")) / n_words).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    wlen_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(mean_wlen - 5.0) / 5.0)
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - (n_punct / F.greatest(n_chars, F.lit(1))) * 5.0)
+    stop_score = F.least(F.lit(1.0), (n_stop / F.greatest(n_words, F.lit(1))) * 4.0)
+    return (
+        df.withColumn("n_chars_t", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_words, F.lit(1)), 6))
+        .withColumn(
+            "quality_score",
+            F.round(0.3 * len_score + 0.2 * wlen_score + 0.25 * punct_score + 0.25 * stop_score, 6),
+        )
+    )
+
+
+def fingerprint_md5_col(text_col) -> "F.Column":
+    """Cheap content fingerprint with a SQL-portable definition."""
+    return F.substring(F.md5(text_col), 1, 16)
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """(key, fingerprints array<bigint>) via the winnowing kernel."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def fn(texts: pd.Series) -> pd.Series:
+        from ..kernels.textstats import winnowing_fingerprint
+
+        return pd.Series([
+            [h - (1 << 63) if h >= (1 << 63) else h
+             for h in winnowing_fingerprint(t or "")]
+            for t in texts
+        ])
+
+    udf = pandas_udf(fn, ArrayType(LongType()))
+    return df.select(F.col(key_col).alias("key"), udf(F.col(text_col)).alias("fingerprints"))

@@ -1,0 +1,640 @@
+"""Driver-contract query catalog: name -> (spark_fn, oracle_sql).
+
+Every SQL-expressible operator from SURVEY.md §2 has an entry whose
+DuckDB oracle is kept in LOCKSTEP with the Spark implementation —
+identical column aliases, identical rounding, identical tie-breaks.
+Approximate / hash-seeded / stubbed operators (minhash LSH, simhash,
+LSH ANN, winnowing, media decode) ship without an oracle and get the
+driver's rows-only check; their exactness is covered by pytest instead.
+
+Timestamps are returned as formatted wall-time strings so results are
+session-timezone-agnostic (Spark reads parquet naive timestamps as
+session-local wall time; DuckDB keeps them naive — the wall-time string
+round-trips identically under any session tz).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .config import ExtractConfig
+from .pipeline import dedup, metrics, resume, similarity, textstats
+from .pipeline.extract import extract_pages
+from .synth import PAGES_CTE, SYNTH_CONFIG, synth_pages
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_Q: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _Q[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_pages(spark, sf_dir, with_meta=True)
+
+
+def _with_oracle_cte(select: str) -> str:
+    return "WITH " + PAGES_CTE + select
+
+
+# =====================================================================
+# Extraction family (synthetic Common-Crawl-style corpus)
+# =====================================================================
+
+@_register(
+    "extract_html_text",
+    _with_oracle_cte("""
+SELECT url, text_expected AS text_extracted
+FROM pages2 WHERE kind <= 9 OR kind IN (12, 13)
+"""),
+)
+def extract_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages_meta(spark, sf_dir).filter(
+        (F.col("kind") <= 9) | F.col("kind").isin(12, 13))
+    return extract_pages(pages, SYNTH_CONFIG).select("url", "text_extracted")
+
+
+@_register(
+    "extract_pdf_text",
+    _with_oracle_cte("""
+SELECT url, text_expected AS text_extracted
+FROM pages2 WHERE kind IN (14, 15)
+"""),
+)
+def extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages_meta(spark, sf_dir).filter(F.col("kind").isin(14, 15))
+    return extract_pages(pages, SYNTH_CONFIG).select("url", "text_extracted")
+
+
+@_register(
+    "extract_status_counts",
+    _with_oracle_cte("""
+SELECT status_expected AS status, count(*) AS n_docs
+FROM pages2 GROUP BY 1
+"""),
+)
+def extract_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract_pages(_pages_meta(spark, sf_dir), SYNTH_CONFIG)
+    return ext.groupBy("status").agg(F.count("*").alias("n_docs"))
+
+
+@_register(
+    "extract_mime_route",
+    _with_oracle_cte("""
+SELECT mime_expected AS mime, count(*) AS n_docs
+FROM pages2 GROUP BY 1
+"""),
+)
+def extract_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract_pages(_pages_meta(spark, sf_dir), SYNTH_CONFIG)
+    return ext.groupBy(F.col("content_type_detected").alias("mime")).agg(
+        F.count("*").alias("n_docs"))
+
+
+@_register(
+    "extract_charset",
+    _with_oracle_cte("""
+SELECT CASE WHEN kind = 12 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+       count(*) AS n_docs
+FROM pages2 WHERE kind <= 13 GROUP BY 1
+"""),
+)
+def extract_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages_meta(spark, sf_dir).filter(F.col("kind") <= 13)
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.groupBy(F.col("charset_detected").alias("charset")).agg(
+        F.count("*").alias("n_docs"))
+
+
+@_register(
+    "extract_links",
+    _with_oracle_cte("""
+SELECT p.url, k AS link_no, '/l/' || k AS target_uri,
+       'anchor ' || k || ' of ' || p.doc_id AS anchor
+FROM pages2 p JOIN (SELECT unnest([0, 1, 2]) AS k) t ON t.k <= p.doc_id % 3
+WHERE p.kind IN (10, 11)
+"""),
+)
+def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages_meta(spark, sf_dir).filter(F.col("kind").isin(10, 11))
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return (
+        ext.select("url", F.posexplode("links").alias("pos", "link"))
+        .filter(F.col("link.type") == "a")
+        .select(
+            "url",
+            F.col("pos").cast("long").alias("link_no"),
+            F.col("link.target_uri").alias("target_uri"),
+            F.col("link.anchor").alias("anchor"),
+        )
+    )
+
+
+@_register(
+    "extract_truncation",
+    _with_oracle_cte("""
+SELECT url,
+       CASE WHEN length(text) > 200 THEN 'truncated' ELSE 'ok' END AS status,
+       CASE WHEN length(text) > 200 THEN substr(text, 1, 200)
+            ELSE text || chr(10) END AS text_extracted
+FROM pages2 WHERE kind <= 9
+"""),
+)
+def extract_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = ExtractConfig(max_bytes=SYNTH_CONFIG.max_bytes, max_chars=200)
+    pages = _pages_meta(spark, sf_dir).filter(F.col("kind") <= 9)
+    return extract_pages(pages, cfg).select("url", "status", "text_extracted")
+
+
+@_register(
+    "dedup_newest_per_url",
+    _with_oracle_cte("""
+SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM (SELECT url, warc_ts,
+             row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+      FROM pages2) WHERE rn = 1
+"""),
+)
+def dedup_newest_per_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir)
+    return resume.newest_per_url(pages).select(
+        "url", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"))
+
+
+@_register(
+    "resume_anti_join",
+    _with_oracle_cte("""
+SELECT url FROM pages2
+WHERE url NOT IN (SELECT url FROM pages2 WHERE doc_id % 2 = 0)
+"""),
+)
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages_meta(spark, sf_dir)
+    done = pages.filter(F.col("doc_id") % 2 == 0).select("url")
+    return resume.pending_pages(pages, done).select("url")
+
+
+@_register(
+    "metrics_by_host",
+    _with_oracle_cte("""
+SELECT CAST(host_id AS BIGINT) AS host_id, count(*) AS n_docs,
+       sum(CASE WHEN status_expected = 'ok' THEN 1 ELSE 0 END) AS n_ok
+FROM pages2 GROUP BY 1
+"""),
+)
+def metrics_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract_pages(_pages_meta(spark, sf_dir), SYNTH_CONFIG)
+    return (
+        ext.withColumn(
+            "host_id", F.regexp_extract("url", r"host(\d+)", 1).cast("long"))
+        .groupBy("host_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"))
+    )
+
+
+# rows-only: partition lineage ids are scheduler-dependent, so the oracle
+# is the aggregate invariants checked in pytest instead
+@_register("metrics_partition_lineage")
+def metrics_partition_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract_pages(_pages_meta(spark, sf_dir), SYNTH_CONFIG, num_partitions=8)
+    return metrics.partition_metrics(ext, run_id="driver-run")
+
+
+# =====================================================================
+# Text-analysis family (documents table)
+# =====================================================================
+
+@_register(
+    "text_token_counts",
+    """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS n_tokens_bpe
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        textstats.bpe_ish_token_count_col(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def _lang_oracle() -> str:
+    # single backslash must reach the SQL text: DuckDB string literals do
+    # not process escapes, so '\b' in SQL is the RE2 word boundary
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in textstats.LANG_MARKER_SQL.items()
+    }
+    scores_sql = ", ".join(f"{expr} AS score_{lang}" for lang, expr in score.items())
+    langs_sorted = sorted(textstats.LANG_MARKER_SQL)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs_sorted) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs_sorted) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, {scores_sql} FROM documents)
+SELECT doc_id, {case} AS lang_pred FROM scored
+"""
+
+
+@_register("text_lang_id", _lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id_cols(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _quality_oracle() -> str:
+    stop_pat = "\\b(" + "|".join(textstats.STOPWORDS) + ")\\b"  # -> \b in SQL
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+    length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws
+  FROM documents
+)
+SELECT doc_id, n_words,
+  round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+  round(n_stop / greatest(n_words, 1), 6) AS stopword_ratio,
+  round(0.3 * least(1.0, n_chars / 500.0)
+      + 0.2 * greatest(0.0, 1.0 - abs(CASE WHEN n_words > 0 THEN n_nonws / n_words ELSE 0.0 END - 5.0) / 5.0)
+      + 0.25 * greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1)) * 5.0)
+      + 0.25 * least(1.0, (n_stop / greatest(n_words, 1)) * 4.0), 6) AS quality_score
+FROM q
+"""
+
+
+@_register("text_quality", _quality_oracle())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_cols(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "punct_ratio", "stopword_ratio", "quality_score")
+
+
+@_register(
+    "text_fingerprint_md5",
+    "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.fingerprint_md5_col(F.col("text")).alias("fp"))
+
+
+# rows-only: procedural rolling-hash winnowing; exactness pinned in pytest
+@_register("text_winnowing")
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = textstats.winnowing_fingerprints(_docs(spark, sf_dir))
+    return fps.select("key", F.size("fingerprints").alias("n_fingerprints"))
+
+
+# =====================================================================
+# Dedup family
+# =====================================================================
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id AS key, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS key, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("key"), "text")
+    return d.select(F.col("doc_id").alias("key"), "text").unionByName(copies)
+
+
+@_register(
+    "dedup_exact",
+    "WITH " + _DUP_CORPUS_SQL + """
+SELECT key, sha256(text) AS text_sha,
+       row_number() OVER (PARTITION BY sha256(text) ORDER BY key) > 1 AS is_duplicate
+FROM corpus
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagged = dedup.exact_dedup(_dup_corpus(spark, sf_dir), "text", "key")
+    return flagged.select("key", "text_sha", "is_duplicate")
+
+
+@_register(
+    "dedup_normalized",
+    "WITH " + _DUP_CORPUS_SQL + """
+SELECT key, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_sha
+FROM corpus
+""",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _dup_corpus(spark, sf_dir)
+    return c.select(
+        "key", F.sha2(dedup.normalize_text_col(F.col("text")), 256).alias("norm_sha"))
+
+
+@_register(
+    "dedup_token_jaccard",
+    """
+WITH sub AS (SELECT doc_id AS key, text FROM documents WHERE doc_id % 10 = 0),
+toks AS (
+  SELECT key, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM sub
+),
+toks2 AS (SELECT key, tok FROM toks WHERE tok <> ''),
+sizes AS (SELECT key, count(*) AS n_tok FROM toks2 GROUP BY key),
+inter AS (
+  SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_inter
+  FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.key < b.key
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.key = key_a
+JOIN sizes sb ON sb.key = key_b
+WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.5
+""",
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return dedup.token_jaccard_pairs(sub, "text", "doc_id", min_jaccard=0.5)
+
+
+# rows-only: minhash/simhash are seeded-hash approximations (no SQL oracle);
+# estimator accuracy pinned in pytest
+@_register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_dup_corpus(spark, sf_dir), "text", "key")
+    return dedup.minhash_lsh_pairs(sigs, threshold=0.8)
+
+
+@_register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.simhash_keys(_dup_corpus(spark, sf_dir), "text", "key")
+    return dedup.simhash_near_pairs(sh, max_hamming=3)
+
+
+# =====================================================================
+# Similarity family (embeddings table)
+# =====================================================================
+
+_COS_SQL = """
+(SELECT SUM(x * y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                unnest(b.embedding)::DOUBLE AS y) t)
+/ (sqrt((SELECT SUM(x * x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x) t))
+ * sqrt((SELECT SUM(y * y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y) t)))
+"""
+
+
+@_register(
+    "sim_topk_bruteforce",
+    f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS_SQL}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# rows-only: LSH-bucketed ANN is approximate by construction
+@_register("sim_topk_lsh")
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ann_topk_lsh(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+# =====================================================================
+# Relational family (SURVEY.md §2.B categories over the TPC-H-ish tables)
+# =====================================================================
+
+@_register(
+    "rel_agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def rel_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "rel_join_broadcast_segment_revenue",
+    """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def rel_join_broadcast_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "rel_window_latest_event",
+    """
+SELECT user_id, event_id, event_type
+FROM (SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""",
+)
+def rel_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@_register(
+    "rel_anti_join_inactive_customers",
+    """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def rel_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@_register(
+    "rel_topk_orders",
+    """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@_register(
+    "rel_set_except_unordered_parts",
+    "SELECT p_partkey FROM part EXCEPT SELECT l_partkey AS p_partkey FROM lineitem",
+)
+def rel_set_except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("p_partkey"))
+    return p.subtract(l)  # EXCEPT (distinct) semantics
+
+
+@_register(
+    "rel_string_date_funcs",
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       substr(o_orderpriority, 1, 1) AS prio,
+       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY 1, 2
+""",
+)
+def rel_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+    ).agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+
+
+@_register(
+    "events_hourly_rollup",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-aggregation semantics (the batch twin of the streaming
+    pipeline in sparktika/streaming/windowed.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .streaming.windowed import hourly_rollup
+
+    return hourly_rollup(ev)
+
+
+# =====================================================================
+# Multimodal plumbing (deterministic fake decoder; rows-only)
+# =====================================================================
+
+@_register("media_features_fake")
+def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import extract_media_features
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([
+            hashlib.blake2b(str(int(i)).encode(), digest_size=32).digest() * 8
+            for i in ids
+        ])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        udf(F.col("doc_id")).alias("payload"),
+        F.lit("image/x-fake").alias("media_type"),
+    )
+    feats = extract_media_features(media, use_fake=True)
+    return feats.select("media_id", "width", "height", "n_bytes", "status")
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_Q)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLE)

@@ -1,0 +1,73 @@
+"""Shared batch/streaming transformations + the streaming ingest pipeline.
+
+`hourly_rollup` is written against the DataFrame API only, so the same
+function serves the batch oracle query (events_hourly_rollup) and the
+Structured Streaming job. The streaming variants add a watermark for
+late-data handling and use F.window (which streaming state management
+requires) instead of date_trunc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import ExtractConfig
+from ..pipeline.extract import extract_pages
+from ..pipeline.schema import PAGES_SCHEMA
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1h wall-time rollup; identical results in batch and
+    (after watermark completion) streaming."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def streaming_hourly_rollup(events_stream: DataFrame,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin with watermarked tumbling windows (late rows beyond
+    the watermark are dropped; state is bounded)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def stream_extract_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: ExtractConfig | None = None,
+):
+    """Incremental extraction: readStream over a pages directory ->
+    mapInPandas kernel -> append sink, exactly-once via checkpoint.
+    Returns the StreamingQuery (caller awaits/stops). This is the
+    resumable-ingest path: new corpus drops extract incrementally with
+    no re-scan of processed files."""
+    cfg = cfg or ExtractConfig()
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    extracted = extract_pages(stream, cfg)
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

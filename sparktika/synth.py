@@ -1,0 +1,211 @@
+"""Deterministic synthetic `pages` corpus (no external data, north rule).
+
+Builds a Common-Crawl-shaped pages table — (url, warc_ts, html binary,
+text, lang) per BASELINE.json input_hint — from the driver's `documents`
+parquet, entirely as a function of (doc_id, text). The SAME construction
+is expressed twice and kept in lockstep:
+
+  1. `synth_pages(spark, sf_dir)` — Spark DataFrame (payload bytes via a
+     vectorized pandas UDF; url/ts/skew columns via built-ins)
+  2. `PAGES_CTE` — a DuckDB SQL CTE computing the page attributes AND the
+     expected extraction results, used as the driver's oracle
+
+Document kind = doc_id % 20 (row mix mirrors FIXTURES.md):
+  0-9   simple HTML  <div>{text}</div>                  -> text + "\\n"
+  10,11 link-rich HTML, (doc_id%3)+1 anchors            -> links golden
+  12    iso-8859-1 HTML with meta + non-ASCII token     -> text + " café\\n"
+  13    span/div separator torture                      -> text + "  x \\n"
+  14    PDF, uncompressed content stream                -> text
+  15    PDF, FlateDecode content stream                 -> text
+  16,17 plain text                                      -> text
+  18    unknown binary (OLE2 magic + junk)              -> unsupported
+  19    poison: doc_id%40==19 deep-nest (failed),
+                doc_id%40==39 oversize (skipped_oversize)
+
+Host skew (north rule requires explicit skew handling): host 0 owns 50%
+of all urls, hosts 1-3 own 30%, the tail spreads over ~40 hosts — a
+Zipf-ish head-heavy layout that punishes naive per-host partitioning.
+
+~2% duplicate urls: doc_id % 50 == 1 re-crawls the previous doc's url
+one second later (newest-per-url dedup exercise).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .config import ExtractConfig
+
+# Extraction config used by all synth-corpus queries/tests (oversize cap is
+# small so poison rows stay cheap to generate).
+SYNTH_CONFIG = ExtractConfig(max_bytes=65536, timeout_ms=60_000)
+
+LATIN1_TOKEN = " caf\xe9"  # ' café', encodable in iso-8859-1
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(text: str, flate: bool) -> bytes:
+    stream = f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(text)}) Tj ET".encode("latin-1", "replace")
+    head = b"<< /Length %d >>" % len(stream)
+    if flate:
+        stream = zlib.compress(stream)
+        head = b"<< /Length %d /Filter /FlateDecode >>" % len(stream)
+    return (
+        b"%PDF-1.3\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n" + head + b"\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+
+
+def build_payload(doc_id: int, text: str) -> bytes:
+    kind = doc_id % 20
+    if kind <= 9:
+        return (
+            f"<html><head><title>Doc {doc_id}</title></head>"
+            f"<body><div>{text}</div></body></html>"
+        ).encode("utf-8")
+    if kind in (10, 11):
+        n = doc_id % 3 + 1
+        anchors = "".join(
+            f'<div><a href="/l/{k}" title="t{k}" rel="nofollow">anchor {k} of {doc_id}</a></div>'
+            for k in range(n)
+        )
+        return (
+            f"<html><head><title>Doc {doc_id}</title></head>"
+            f"<body><div>{text}</div>{anchors}</body></html>"
+        ).encode("utf-8")
+    if kind == 12:
+        return (
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1">'
+            f"<title>Doc {doc_id}</title></head>"
+            f"<body><div>{text}{LATIN1_TOKEN}</div></body></html>"
+        ).encode("iso-8859-1")
+    if kind == 13:
+        return (
+            f"<html><head><title>Doc {doc_id}</title></head>"
+            f"<body><div><span>{text}</span><span>x</span></div></body></html>"
+        ).encode("utf-8")
+    if kind == 14:
+        return build_pdf(text, flate=False)
+    if kind == 15:
+        return build_pdf(text, flate=True)
+    if kind in (16, 17):
+        return text.encode("utf-8")
+    if kind == 18:
+        import hashlib
+
+        junk = hashlib.blake2b(str(doc_id).encode(), digest_size=32).digest()
+        return b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + junk * 8
+    # kind == 19: poison
+    if doc_id % 40 == 19:
+        depth = 300  # > default max_depth 200
+        return ("<body>" + "<div>" * depth + text).encode("utf-8")
+    reps = SYNTH_CONFIG.max_bytes // (len(text) + 1) + 1
+    return ((text + " ") * reps).encode("utf-8")
+
+
+def _payload_udf():
+    from pyspark.sql.types import BinaryType
+
+    def fn(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series([build_payload(int(d), t) for d, t in zip(doc_id, text)])
+
+    return pandas_udf(fn, BinaryType())
+
+
+def synth_pages(spark: SparkSession, sf_dir: str, with_meta: bool = False) -> DataFrame:
+    """The synthetic pages table. with_meta=True keeps doc_id/kind columns
+    for tests; the canonical shape is exactly the input_hint's 5 columns."""
+    kind = F.col("doc_id") % 20
+    url_key = F.col("doc_id") - F.when(
+        (F.col("doc_id") % 50 == 1) & (F.col("doc_id") > 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = (
+        docs.select("doc_id", "text", "lang")
+        .withColumn("kind", kind)
+        .withColumn("url_key", url_key)
+        .withColumn(
+            "host_id",
+            F.when(F.col("url_key") % 10 < 5, F.lit(0))
+            .when(F.col("url_key") % 10 < 8, F.col("url_key") % 3 + 1)
+            .otherwise(F.col("url_key") % 50 + 10),
+        )
+        .withColumn(
+            "url",
+            F.format_string("https://host%03d.example.com/p/%08d", "host_id", "url_key"),
+        )
+        .withColumn(
+            "warc_ts",
+            F.expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"),
+        )
+        .withColumn("html", _payload_udf()("doc_id", "text"))
+    )
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    if with_meta:
+        cols += ["doc_id", "kind", "url_key", "host_id"]
+    return base.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side: the same construction + expected extraction results,
+# computed purely in SQL over the pre-registered `documents` view.
+# MUST stay in lockstep with build_payload() and the kernel spec.
+# ---------------------------------------------------------------------------
+
+PAGES_CTE = """
+pages AS (
+  SELECT
+    doc_id,
+    text,
+    lang,
+    doc_id % 20 AS kind,
+    doc_id - CASE WHEN doc_id % 50 = 1 AND doc_id > 0 THEN 1 ELSE 0 END AS url_key,
+    CASE
+      WHEN (doc_id - CASE WHEN doc_id % 50 = 1 AND doc_id > 0 THEN 1 ELSE 0 END) % 10 < 5 THEN 0
+      WHEN (doc_id - CASE WHEN doc_id % 50 = 1 AND doc_id > 0 THEN 1 ELSE 0 END) % 10 < 8
+        THEN (doc_id - CASE WHEN doc_id % 50 = 1 AND doc_id > 0 THEN 1 ELSE 0 END) % 3 + 1
+      ELSE (doc_id - CASE WHEN doc_id % 50 = 1 AND doc_id > 0 THEN 1 ELSE 0 END) % 50 + 10
+    END AS host_id,
+    TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id) SECOND AS warc_ts
+  FROM documents
+),
+pages2 AS (
+  SELECT *,
+    printf('https://host%03d.example.com/p/%08d', host_id::INT, url_key::INT) AS url,
+    CASE
+      WHEN kind = 18 THEN 'unsupported'
+      WHEN kind = 19 AND doc_id % 40 = 19 THEN 'failed'
+      WHEN kind = 19 THEN 'skipped_oversize'
+      ELSE 'ok'
+    END AS status_expected,
+    CASE
+      WHEN kind <= 9  THEN text || chr(10)
+      WHEN kind = 12  THEN text || ' caf' || chr(233) || chr(10)
+      WHEN kind = 13  THEN text || '  x ' || chr(10)
+      WHEN kind IN (14, 15, 16, 17) THEN text
+      ELSE NULL
+    END AS text_expected,
+    CASE
+      WHEN kind <= 13 THEN 'text/html'
+      WHEN kind IN (14, 15) THEN 'application/pdf'
+      WHEN kind IN (16, 17) THEN 'text/plain'
+      WHEN kind = 18 THEN 'application/x-tika-msoffice'
+      WHEN kind = 19 AND doc_id % 40 = 19 THEN 'text/html'
+      WHEN kind = 19 THEN 'text/plain'
+      ELSE NULL
+    END AS mime_expected
+  FROM pages
+)
+"""
