@@ -31,53 +31,50 @@ from ..kernels.extract import extract_document
 from .schema import EXTRACTED_SCHEMA
 
 
-def _result_to_row(r) -> dict:
-    return {
-        "url": r.url,
-        "content_type_declared": r.content_type_declared,
-        "content_type_detected": r.content_type_detected,
-        "charset_detected": r.charset_detected,
-        "text_extracted": r.text_extracted,
-        "main_text": r.main_text,
-        "title": r.title,
-        "links": [
-            {
-                "type": l.type,
-                "source_uri": l.source_uri,
-                "target_uri": l.target_uri,
-                "title": l.title,
-                "anchor": l.anchor,
-                "rel": l.rel,
-                "params": l.params,
-            }
-            for l in r.links
-        ],
-        "metadata": r.metadata,
-        "status": r.status,
-        "error": r.error,
-        "parse_ms": r.parse_ms,
-        "n_bytes_in": r.n_bytes_in,
-        "n_chars_out": r.n_chars_out,
-        "write_limit_reached": r.write_limit_reached,
-    }
+_OUT_COLS = [
+    "url", "content_type_declared", "content_type_detected", "charset_detected",
+    "text_extracted", "main_text", "title", "links", "metadata", "status",
+    "error", "parse_ms", "n_bytes_in", "n_chars_out", "write_limit_reached",
+]
 
 
 def make_extract_fn(cfg: ExtractConfig):
     """Batch-iterator kernel for mapInPandas (the Spark analog of the
     reference's one-doc-per-accept server loop, ref: TikaForkMain.java:118-170,
-    but batch-vectorized and cluster-parallel)."""
+    but batch-vectorized and cluster-parallel). Output batches are built
+    column-wise — per-row dict assembly measurably costs throughput at
+    1k-row Arrow batches."""
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             declared = (
                 pdf["content_type"] if "content_type" in pdf.columns
-                else pd.Series([None] * len(pdf))
+                else [None] * len(pdf)
             )
-            rows = [
-                _result_to_row(extract_document(u, ct, d, cfg))
-                for u, ct, d in zip(pdf["url"], declared, pdf["html"])
-            ]
-            yield pd.DataFrame(rows)
+            cols: dict[str, list] = {c: [] for c in _OUT_COLS}
+            for u, ct, d in zip(pdf["url"], declared, pdf["html"]):
+                r = extract_document(u, ct, d, cfg)
+                cols["url"].append(r.url)
+                cols["content_type_declared"].append(r.content_type_declared)
+                cols["content_type_detected"].append(r.content_type_detected)
+                cols["charset_detected"].append(r.charset_detected)
+                cols["text_extracted"].append(r.text_extracted)
+                cols["main_text"].append(r.main_text)
+                cols["title"].append(r.title)
+                cols["links"].append([
+                    {"type": l.type, "source_uri": l.source_uri,
+                     "target_uri": l.target_uri, "title": l.title,
+                     "anchor": l.anchor, "rel": l.rel, "params": l.params}
+                    for l in r.links
+                ])
+                cols["metadata"].append(r.metadata)
+                cols["status"].append(r.status)
+                cols["error"].append(r.error)
+                cols["parse_ms"].append(r.parse_ms)
+                cols["n_bytes_in"].append(r.n_bytes_in)
+                cols["n_chars_out"].append(r.n_chars_out)
+                cols["write_limit_reached"].append(r.write_limit_reached)
+            yield pd.DataFrame(cols)
 
     return extract_batches
 

@@ -158,6 +158,56 @@ def synth_pages(spark: SparkSession, sf_dir: str, with_meta: bool = False) -> Da
     return base.select(*cols)
 
 
+def build_heavy_payload(doc_id: int, text: str, body_repeat: int = 20) -> bytes:
+    """Bench-only realistic page (~10KB): nav/footer link boilerplate around
+    `body_repeat` paragraph blocks — the size and shape of a typical
+    Common-Crawl page, so extraction throughput is measured on real work.
+    NOT oracle-checked (the canonical build_payload corpus is); correctness
+    of the kernels on this shape is covered by the html kernel tests."""
+    nav = "".join(
+        f'<div class="nav"><a href="/nav/{k}">section {k}</a></div>' for k in range(6))
+    paras = "".join(
+        f"<p>{text} block {i} of doc {doc_id}</p>"
+        + (f'<div><a href="/rel/{doc_id}/{i}">related {i}</a></div>' if i % 4 == 0 else "")
+        for i in range(body_repeat)
+    )
+    footer = "".join(f'<span><a href="/foot/{k}">footer {k}</a></span>' for k in range(8))
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        f'<meta charset="utf-8"><style>.nav{{color:red}}</style>'
+        f"<script>var page={doc_id};</script></head>"
+        f"<body><header>{nav}</header><article>{paras}</article>"
+        f"<footer>{footer}</footer></body></html>"
+    ).encode("utf-8")
+
+
+def synth_pages_heavy(
+    spark: SparkSession, sf_dir: str, body_repeat: int = 20
+) -> DataFrame:
+    """Heavy-page variant of synth_pages for throughput benchmarking."""
+
+    def fn(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series([
+            build_heavy_payload(int(d), t, body_repeat)
+            for d, t in zip(doc_id, text)
+        ])
+
+    from pyspark.sql.types import BinaryType
+
+    udf = pandas_udf(fn, BinaryType())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", "text", "lang")
+        .withColumn("url", F.format_string(
+            "https://host%03d.example.com/h/%08d",
+            (F.col("doc_id") % 40).cast("int"), F.col("doc_id").cast("int")))
+        .withColumn("warc_ts", F.expr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"))
+        .withColumn("html", udf("doc_id", "text"))
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle side: the same construction + expected extraction results,
 # computed purely in SQL over the pre-registered `documents` view.
