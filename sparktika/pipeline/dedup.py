@@ -5,9 +5,9 @@ Five families (each surfaced as a driver-contract query):
 - normalized:   exact over lower+whitespace-collapsed text
 - minhash LSH:  vectorized signature UDF -> band explode -> bucket
                 self-join -> signature-agreement verify. No text ever
-                shuffles: candidates carry only 8-byte band keys and the
-                128x8-byte signature, so the shuffle volume at 100TB is
-                ~1KB/doc regardless of document size.
+                shuffles: the band self-join moves 24B per (doc, band)
+                and signatures rejoin candidates by key (~1KB/doc), so
+                shuffle volume at 100TB is independent of document size.
 - simhash:      64-bit signature, banded into 4x16-bit chunks (any pair
                 within Hamming distance 3 shares >=1 exact chunk by
                 pigeonhole) -> candidate join -> exact Hamming via
@@ -102,18 +102,24 @@ def minhash_lsh_pairs(
         return pd.Series(out)
 
     band_udf = pandas_udf(band_fn, ArrayType(LongType()))
+    # band rows carry ONLY (band_id, band_hash, key) — 24B/band — so the
+    # candidate self-join never shuffles signatures (32KB/doc saved at
+    # bands=32); signatures come back via two slim key-joins afterwards
     banded = sigs.select(
-        "key", "sig", F.posexplode(band_udf("sig")).alias("band_id", "band_hash")
-    )
-    left = banded.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"),
-                         "band_id", "band_hash")
-    right = banded.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"),
-                          "band_id", "band_hash")
+        "key", F.posexplode(band_udf("sig")).alias("band_id", "band_hash"))
+    left = banded.select(F.col("key").alias("key_a"), "band_id", "band_hash")
+    right = banded.select(F.col("key").alias("key_b"), "band_id", "band_hash")
     cand = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "sig_a", "sig_b")
+        .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
+    )
+    cand = (
+        cand.join(sigs.select(F.col("key").alias("key_a"),
+                              F.col("sig").alias("sig_a")), "key_a")
+        .join(sigs.select(F.col("key").alias("key_b"),
+                          F.col("sig").alias("sig_b")), "key_b")
     )
     n_perm = F.size("sig_a")
     agree = F.aggregate(

@@ -59,54 +59,65 @@ def brute_force_topk(
 
 def hyperplane_buckets(
     emb: DataFrame,
-    n_planes: int = 12,
+    n_tables: int = 16,
+    planes_per_table: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
-    """(id, bucket) via random-hyperplane LSH — sign pattern of dot products
-    with `n_planes` seeded Gaussian planes packed into one int."""
+    """(id, vec, table_id, bucket) exploded over `n_tables` independent
+    random-hyperplane LSH tables (sign pattern of `planes_per_table`
+    seeded Gaussian planes per table). Multiple tables are the standard
+    recall lever: a true neighbor needs to collide in ANY table."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import ArrayType, IntegerType
 
     def fn(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
         rng = np.random.RandomState(seed)
-        planes = rng.randn(n_planes, dim)
+        planes = rng.randn(n_tables, planes_per_table, dim)
         out = []
         for v in vecs:
             a = np.asarray(v, dtype=np.float64)
             d = min(a.shape[0], dim)
-            bits = (planes[:, :d] @ a[:d]) > 0
-            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
-        return pd.Series(out, dtype="int32")
+            bits = (planes[:, :, :d] @ a[:d]) > 0  # (tables, planes)
+            weights = 1 << np.arange(planes_per_table)
+            out.append((bits @ weights).astype("int32").tolist())
+        return pd.Series(out)
 
-    udf = pandas_udf(fn, IntegerType())
-    return emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                      udf(F.col(vec_col)).alias("bucket"))
+    udf = pandas_udf(fn, ArrayType(IntegerType()))
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.posexplode(udf(F.col(vec_col))).alias("table_id", "bucket"))
 
 
 def ann_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 12,
+    n_tables: int = 16,
+    planes_per_table: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to same-LSH-bucket pairs.
-    Recall depends on n_planes; the 100TB plan shuffles the corpus once by
-    bucket and broadcasts bucketed queries."""
-    cb = hyperplane_buckets(emb, n_planes, id_col, vec_col)
-    qb = hyperplane_buckets(queries, n_planes, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "bucket")
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
+    """Approximate top-k: exact cosine restricted to pairs sharing an LSH
+    bucket in >=1 of `n_tables` tables. The 100TB plan shuffles the corpus
+    once by (table_id, bucket) and broadcasts the bucketed queries; recall
+    tunes with n_tables (compute) and planes_per_table (selectivity)."""
+    cb = hyperplane_buckets(emb, n_tables, planes_per_table, id_col, vec_col)
+    qb = hyperplane_buckets(queries, n_tables, planes_per_table, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
+        "table_id", "bucket")
+    cand = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6))
+        .select("query_id", "qvec", "id", "vec")
+        .dropDuplicates(["query_id", "id"])
     )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -131,7 +131,7 @@ def extract_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "extract_links",
     _with_oracle_cte("""
-SELECT p.url, k AS link_no, '/l/' || k AS target_uri,
+SELECT p.url, CAST(k AS BIGINT) AS link_no, '/l/' || k AS target_uri,
        'anchor ' || k || ' of ' || p.doc_id AS anchor
 FROM pages2 p JOIN (SELECT unnest([0, 1, 2]) AS k) t ON t.k <= p.doc_id % 3
 WHERE p.kind IN (10, 11)
@@ -200,7 +200,7 @@ def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metrics_by_host",
     _with_oracle_cte("""
 SELECT CAST(host_id AS BIGINT) AS host_id, count(*) AS n_docs,
-       sum(CASE WHEN status_expected = 'ok' THEN 1 ELSE 0 END) AS n_ok
+       CAST(sum(CASE WHEN status_expected = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
 FROM pages2 GROUP BY 1
 """),
 )

@@ -44,9 +44,13 @@ def streaming_hourly_rollup(events_stream: DataFrame,
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over an events parquet directory."""
+    """File-source stream over an events parquet directory. `ts` is cast
+    to TIMESTAMP (watermarks reject TIMESTAMP_NTZ, which Spark 4 infers
+    for naive parquet timestamps); the cast keeps the wall time under the
+    session timezone."""
     schema = spark.read.parquet(events_dir).schema
-    return spark.readStream.schema(schema).parquet(events_dir)
+    df = spark.readStream.schema(schema).parquet(events_dir)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_extract_pages(
