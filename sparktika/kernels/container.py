@@ -1,0 +1,114 @@
+"""Generic zip-container text extraction with the reference's bomb guards.
+
+Mirrors the reference's container behavior: a zip of parseable documents
+yields their concatenated text, streaming until the output char cap and
+stopping exactly there (ref: testExternalTikaBombZipWithCsvSingleThread —
+a zip of a huge CSV streams exactly `maxBytesToParse` chars,
+test/TikaProcessTest.java:205-230). Guards:
+- per-entry + total inflate ratio caps (ref zipBombCompressionRatio=200)
+- nested-container depth cap (ref zipBombMaxPackageEntryDepth=20)
+- entry count cap
+
+Entry routing reuses the MIME table: text-ish entries are decoded,
+nested zips/OOXML recurse (depth-capped), other types are skipped with
+their names recorded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import mime as mime_mod
+from .charset import decode as charset_decode
+from .errors import InflateRatioError, KernelError
+from .ooxml import extract_docx, extract_pptx, extract_xlsx, is_ooxml, open_zip, read_entry
+
+MAX_PACKAGE_ENTRY_DEPTH = 20
+
+
+@dataclass
+class ContainerResult:
+    text: str
+    entries: list[str] = field(default_factory=list)
+    truncated: bool = False
+    metadata: dict[str, str] = field(default_factory=dict)
+
+
+def extract_zip_container(
+    data: bytes,
+    max_chars: int = -1,
+    max_ratio: float = 200.0,
+    max_entry_bytes: int = 256_000_000,
+    depth: int = 0,
+) -> ContainerResult:
+    if depth > MAX_PACKAGE_ENTRY_DEPTH:
+        raise KernelError(
+            f"container nesting exceeded {MAX_PACKAGE_ENTRY_DEPTH} (bomb guard)")
+    zf = open_zip(data)
+    ooxml_kind = is_ooxml(zf)
+    if ooxml_kind:
+        if ooxml_kind.endswith("spreadsheetml.sheet"):
+            r = extract_xlsx(data, max_ratio, max_entry_bytes)
+        elif ooxml_kind.endswith("wordprocessingml.document"):
+            r = extract_docx(data, max_ratio, max_entry_bytes)
+        elif ooxml_kind.endswith("presentationml.presentation"):
+            r = extract_pptx(data, max_ratio, max_entry_bytes)
+        else:
+            return ContainerResult(text="", entries=zf.namelist()[:100],
+                                   metadata={"Content-Type": ooxml_kind})
+        text = r.text if max_chars == -1 else r.text[:max_chars]
+        return ContainerResult(
+            text=text, entries=[r.kind],
+            truncated=max_chars != -1 and len(r.text) > max_chars,
+            metadata={**r.metadata, "Content-Type": ooxml_kind})
+
+    parts: list[str] = []
+    total = 0
+    truncated = False
+    names: list[str] = []
+    for info in zf.infolist():
+        if info.is_dir():
+            continue
+        names.append(info.filename)
+        if truncated:
+            continue
+        budget = max_chars - total if max_chars != -1 else -1
+        try:
+            # cap the inflate budget at what the output cap still allows:
+            # a zip-of-huge-CSV streams only until the cap (ref semantics)
+            entry_cap = max_entry_bytes if budget == -1 else min(
+                max_entry_bytes, max(budget * 4, 65536))
+            raw = read_entry(zf, info.filename, max_ratio, entry_cap)
+        except InflateRatioError:
+            if max_chars != -1:
+                # bounded output requested: stream the prefix up to the cap
+                with zf.open(info.filename) as f:
+                    raw = f.read(max(budget * 4, 65536))
+            else:
+                raise
+        detected = mime_mod.detect_mime(raw, None, info.filename)
+        if detected.startswith("text/") or detected == "application/xml":
+            t, _ = charset_decode(raw, is_html=False)
+        elif detected == "text/html":
+            from .htmlparse import parse_html
+
+            t = parse_html(charset_decode(raw)[0], max_chars=budget).text
+        elif detected == "application/zip":
+            t = extract_zip_container(raw, budget, max_ratio, max_entry_bytes,
+                                      depth + 1).text
+        else:
+            continue
+        if budget != -1 and len(t) > budget:
+            t = t[:budget]
+            truncated = True
+        parts.append(t)
+        total += len(t)
+        if max_chars != -1 and total >= max_chars:
+            truncated = truncated or total > max_chars
+            total = min(total, max_chars)
+    text = "".join(parts)
+    if max_chars != -1:
+        truncated = truncated or len(text) > max_chars
+        text = text[:max_chars]
+    return ContainerResult(text=text, entries=names, truncated=truncated,
+                           metadata={"Content-Type": "application/zip"})

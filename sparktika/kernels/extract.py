@@ -172,7 +172,50 @@ def extract_document(
                                  "Content-Encoding": [cs]},
                        status=status, write_limit_reached=limited)
 
-        # recognized-but-unparsed (zip, OLE2, images, ...) and unknown binary
+        if detected == "application/zip":
+            from .container import extract_zip_container
+
+            r = extract_zip_container(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes)
+            md = {k: [v] for k, v in r.metadata.items() if k != "Content-Type"}
+            refined = r.metadata.get("Content-Type", detected)
+            md["Content-Type"] = [refined]
+            if r.entries:
+                md["container-entries"] = [str(len(r.entries))]
+            title = r.metadata.get("dc:title")
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=refined, title=title,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
+        if detected == "application/x-tika-msoffice":
+            from .ole2 import Ole2File
+            from .xls import extract_xls
+
+            ole = Ole2File(data)  # structure errors -> KernelError -> failed
+            streams = set(ole.stream_names())
+            if "Workbook" in streams or "Book" in streams:
+                r = extract_xls(data)
+                text, limited = _cap_text(r.text, cfg.max_chars)
+                md = {
+                    "Content-Type": ["application/vnd.ms-excel"],
+                    "sheet-names": r.sheet_names,
+                    "n-cells": [str(r.n_cells)],
+                }
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected="application/vnd.ms-excel",
+                           text_extracted=text if cfg.parse_content else None,
+                           metadata=md, status=status,
+                           write_limit_reached=limited)
+            # valid compound file without a known text payload (doc/ppt/msg
+            # kernels are out of v1 scope)
+            return res(detected=detected, status=STATUS_UNSUPPORTED,
+                       error=f"OLE2 streams {sorted(streams)[:8]} have no v1 parser")
+
+        # recognized-but-unparsed (images, media, ...) and unknown binary
         return res(detected=detected, status=STATUS_UNSUPPORTED,
                    error=f"no parser for {detected}")
 

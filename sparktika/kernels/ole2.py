@@ -1,0 +1,149 @@
+"""OLE2 / Compound File Binary reader (from scratch, MS-CFB public spec).
+
+Just enough to pull named streams out of legacy Office files: header,
+DIFAT (header-resident entries), FAT chains, directory tree, and the
+mini-stream (for streams below the mini cutoff). Used by kernels/xls.py
+to reach the BIFF8 `Workbook` stream.
+
+Bomb posture: all reads are bounds-checked against the actual byte
+buffer; chain walks are capped at the theoretical sector count so a
+crafted cyclic FAT terminates (KernelError) instead of spinning.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+from .errors import KernelError
+
+MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREE = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+
+
+@dataclass
+class DirEntry:
+    name: str
+    obj_type: int  # 1=storage, 2=stream, 5=root
+    start_sector: int
+    size: int
+
+
+class Ole2File:
+    def __init__(self, data: bytes):
+        if not data.startswith(MAGIC) or len(data) < 512:
+            raise KernelError("not an OLE2 compound file")
+        self.data = data
+        (self.sector_shift,) = struct.unpack_from("<H", data, 30)
+        (self.mini_shift,) = struct.unpack_from("<H", data, 32)
+        if not (7 <= self.sector_shift <= 12) or self.mini_shift > self.sector_shift:
+            raise KernelError("implausible OLE2 sector shifts")
+        self.sector_size = 1 << self.sector_shift
+        self.mini_size = 1 << self.mini_shift
+        (self.n_fat_sectors,) = struct.unpack_from("<I", data, 44)
+        (self.dir_start,) = struct.unpack_from("<I", data, 48)
+        (self.mini_cutoff,) = struct.unpack_from("<I", data, 56)
+        (self.minifat_start,) = struct.unpack_from("<I", data, 60)
+        (self.n_minifat,) = struct.unpack_from("<I", data, 64)
+        (self.difat_start,) = struct.unpack_from("<I", data, 68)
+        (self.n_difat,) = struct.unpack_from("<I", data, 72)
+        self.max_sectors = max(1, (len(data) - 512) // self.sector_size) + 1
+        self.fat = self._read_fat()
+        self.entries = self._read_directory()
+        self.minifat = self._read_minifat()
+        self._ministream: bytes | None = None
+
+    # --- sector plumbing ---------------------------------------------------
+
+    def _sector(self, n: int) -> bytes:
+        off = 512 + n * self.sector_size
+        if off < 512 or off + self.sector_size > len(self.data) + self.sector_size:
+            raise KernelError(f"sector {n} out of bounds")
+        return self.data[off : off + self.sector_size]
+
+    def _read_fat(self) -> list[int]:
+        difat: list[int] = list(struct.unpack_from("<109I", self.data, 76))
+        # chained DIFAT sectors (rare; bounded)
+        sec, hops = self.difat_start, 0
+        per = self.sector_size // 4 - 1
+        while sec not in (_ENDOFCHAIN, _FREE) and hops < self.max_sectors:
+            raw = self._sector(sec)
+            vals = struct.unpack(f"<{per + 1}I", raw)
+            difat.extend(vals[:-1])
+            sec = vals[-1]
+            hops += 1
+        fat: list[int] = []
+        for fs in difat[: self.n_fat_sectors + len(difat)]:
+            if fs in (_FREE, _ENDOFCHAIN):
+                continue
+            raw = self._sector(fs)
+            fat.extend(struct.unpack(f"<{self.sector_size // 4}I", raw))
+            if len(fat) >= self.max_sectors + self.sector_size // 4:
+                break
+        return fat
+
+    def _chain(self, start: int, fat: list[int]) -> list[int]:
+        out, sec, hops = [], start, 0
+        while sec not in (_ENDOFCHAIN, _FREE) and sec < len(fat):
+            out.append(sec)
+            sec = fat[sec]
+            hops += 1
+            if hops > self.max_sectors * 2:
+                raise KernelError("cyclic FAT chain (bomb guard)")
+        return out
+
+    def _read_stream_sectors(self, start: int, size: int) -> bytes:
+        chunks = [self._sector(s) for s in self._chain(start, self.fat)]
+        return b"".join(chunks)[:size]
+
+    def _read_directory(self) -> list[DirEntry]:
+        raw = self._read_stream_sectors(self.dir_start, 1 << 30)
+        entries = []
+        for off in range(0, len(raw) - 127, 128):
+            name_len = struct.unpack_from("<H", raw, off + 64)[0]
+            if name_len < 2 or name_len > 64:
+                continue
+            name = raw[off : off + name_len - 2].decode("utf-16-le", "replace")
+            obj_type = raw[off + 66]
+            (start,) = struct.unpack_from("<I", raw, off + 116)
+            (size,) = struct.unpack_from("<Q", raw, off + 120)
+            if obj_type in (1, 2, 5):
+                entries.append(DirEntry(name, obj_type, start, min(size, len(self.data) * 256)))
+        return entries
+
+    def _read_minifat(self) -> list[int]:
+        if self.minifat_start in (_ENDOFCHAIN, _FREE) or self.n_minifat == 0:
+            return []
+        raw = self._read_stream_sectors(self.minifat_start, self.n_minifat * self.sector_size)
+        return list(struct.unpack(f"<{len(raw) // 4}I", raw))
+
+    def _mini_stream(self) -> bytes:
+        if self._ministream is None:
+            root = next((e for e in self.entries if e.obj_type == 5), None)
+            if root is None:
+                raise KernelError("OLE2 file has no root entry")
+            self._ministream = self._read_stream_sectors(root.start_sector, root.size)
+        return self._ministream
+
+    # --- public API ----------------------------------------------------------
+
+    def stream_names(self) -> list[str]:
+        return [e.name for e in self.entries if e.obj_type == 2]
+
+    def read_stream(self, name: str) -> bytes:
+        e = next((x for x in self.entries if x.obj_type == 2 and x.name == name), None)
+        if e is None:
+            raise KernelError(f"OLE2 stream not found: {name!r}")
+        if e.size < self.mini_cutoff and self.minifat:
+            mini = self._mini_stream()
+            out, sec, hops = [], e.start_sector, 0
+            while sec not in (_ENDOFCHAIN, _FREE) and sec < len(self.minifat):
+                off = sec * self.mini_size
+                out.append(mini[off : off + self.mini_size])
+                sec = self.minifat[sec]
+                hops += 1
+                if hops > len(self.minifat) + 1:
+                    raise KernelError("cyclic miniFAT chain (bomb guard)")
+            return b"".join(out)[: e.size]
+        return self._read_stream_sectors(e.start_sector, e.size)

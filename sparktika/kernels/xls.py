@@ -1,0 +1,274 @@
+"""BIFF8 (.xls) text extraction over an OLE2 `Workbook` stream.
+
+From-scratch per the public MS-XLS spec; equivalent capability to the
+reference's POI-backed XLS path (ref: Tika 1.20 parser set linked at
+tika-fork-main/build.gradle; golden pinned at 23 metadata keys /
+4,824 chars, test/TikaProcessTest.java:124-128).
+
+Output spec (ours, frozen in goldens): per sheet in BOUNDSHEET order —
+sheet name line, then each populated row as its cells joined with tabs,
+rows in ascending order. Numbers render integer-exact when integral,
+shortest-repr otherwise (full Excel number-format fidelity is out of v1
+scope; SURVEY.md §2.B file-format row).
+
+Records handled: BOF/EOF, BOUNDSHEET, SST (with CONTINUE splits —
+including mid-string grbit restatement), LABELSST, LABEL, NUMBER, RK,
+MULRK, FORMULA+STRING, BOOLERR, RSTRING.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from .errors import KernelError
+from .ole2 import Ole2File
+
+_BOF = 0x0809
+_EOF = 0x000A
+_BOUNDSHEET = 0x0085
+_SST = 0x00FC
+_CONTINUE = 0x003C
+_LABELSST = 0x00FD
+_LABEL = 0x0204
+_RSTRING = 0x00D6
+_NUMBER = 0x0203
+_RK = 0x027E
+_MULRK = 0x00BD
+_FORMULA = 0x0006
+_STRING = 0x0207
+_BOOLERR = 0x0205
+
+
+def _fmt_number(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _decode_rk(rk: int) -> float:
+    div100 = rk & 0x01
+    is_int = rk & 0x02
+    if is_int:
+        v = float(rk >> 2 if rk >= 0 else -((-rk) >> 2))
+        # python ints: arithmetic shift of the signed 30-bit value
+        v = float(struct.unpack("<i", struct.pack("<I", rk & 0xFFFFFFFF))[0] >> 2)
+    else:
+        v = struct.unpack("<d", b"\x00\x00\x00\x00" + struct.pack("<I", rk & 0xFFFFFFFC))[0]
+    return v / 100.0 if div100 else v
+
+
+class _RecordStream:
+    """Iterate BIFF records, transparently merging data access across
+    CONTINUE records for the SST reader."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def records(self):
+        i, n = 0, len(self.data)
+        while i + 4 <= n:
+            op, ln = struct.unpack_from("<HH", self.data, i)
+            payload = self.data[i + 4 : i + 4 + ln]
+            yield op, payload, i
+            i += 4 + ln
+            if op == _EOF and i + 4 > n:
+                break
+
+
+def _parse_sst(first_payload: bytes, continues: list[bytes]) -> list[str]:
+    """Parse the shared-string table. Strings may split across CONTINUE
+    boundaries; at each boundary the encoding flag byte is restated."""
+    strings: list[str] = []
+    (total, unique) = struct.unpack_from("<II", first_payload, 0)
+    buffers = [first_payload[8:]] + continues
+    buf_idx, pos = 0, 0
+
+    def remaining() -> int:
+        return len(buffers[buf_idx]) - pos
+
+    def advance_buffer():
+        nonlocal buf_idx, pos
+        buf_idx += 1
+        pos = 0
+
+    def read_exact(n: int) -> bytes:
+        nonlocal pos
+        out = b""
+        while n > 0:
+            if buf_idx >= len(buffers):
+                raise KernelError("SST truncated")
+            take = min(n, remaining())
+            if take == 0:
+                advance_buffer()
+                continue
+            out += buffers[buf_idx][pos : pos + take]
+            pos += take
+            n -= take
+        return out
+
+    def read_string_chars(n_chars: int, wide: bool) -> str:
+        nonlocal pos
+        out = []
+        chars_left = n_chars
+        while chars_left > 0:
+            if buf_idx >= len(buffers):
+                raise KernelError("SST truncated mid-string")
+            if remaining() == 0:
+                advance_buffer()
+                # at a CONTINUE boundary mid-string, one flag byte restates
+                # the width for the remainder
+                flag = read_exact(1)[0]
+                wide = bool(flag & 0x01)
+                continue
+            unit = 2 if wide else 1
+            avail_chars = remaining() // unit
+            if avail_chars == 0:
+                # half a wide char at buffer end cannot happen per spec
+                advance_buffer()
+                flag = read_exact(1)[0]
+                wide = bool(flag & 0x01)
+                continue
+            take = min(chars_left, avail_chars)
+            raw = buffers[buf_idx][pos : pos + take * unit]
+            pos += take * unit
+            out.append(raw.decode("utf-16-le" if wide else "latin-1", "replace"))
+            chars_left -= take
+        return "".join(out)
+
+    for _ in range(unique):
+        if buf_idx >= len(buffers):
+            break
+        hdr = read_exact(3)
+        n_chars = struct.unpack("<H", hdr[:2])[0]
+        grbit = hdr[2]
+        wide = bool(grbit & 0x01)
+        ext = bool(grbit & 0x04)
+        rich = bool(grbit & 0x08)
+        n_rich = struct.unpack("<H", read_exact(2))[0] if rich else 0
+        n_ext = struct.unpack("<I", read_exact(4))[0] if ext else 0
+        strings.append(read_string_chars(n_chars, wide))
+        if n_rich:
+            read_exact(4 * n_rich)
+        if n_ext:
+            read_exact(n_ext)
+    return strings
+
+
+def _short_string(payload: bytes, off: int) -> str:
+    """BIFF8 XLUnicodeString with 16-bit length at off."""
+    (n_chars,) = struct.unpack_from("<H", payload, off)
+    grbit = payload[off + 2]
+    if grbit & 0x01:
+        return payload[off + 3 : off + 3 + n_chars * 2].decode("utf-16-le", "replace")
+    return payload[off + 3 : off + 3 + n_chars].decode("latin-1", "replace")
+
+
+@dataclass
+class XlsResult:
+    text: str
+    sheet_names: list[str] = field(default_factory=list)
+    n_cells: int = 0
+
+
+def extract_xls(data: bytes) -> XlsResult:
+    ole = Ole2File(data)
+    stream_name = next(
+        (n for n in ("Workbook", "Book") if n in ole.stream_names()), None)
+    if stream_name is None:
+        raise KernelError("no Workbook stream in OLE2 file")
+    wb = ole.read_stream(stream_name)
+    rs = _RecordStream(wb)
+
+    # pass 1: globals — SST (+CONTINUEs) and sheet offsets
+    sst: list[str] = []
+    sheets: list[tuple[int, str]] = []  # (stream offset, name)
+    recs = list(rs.records())
+    i = 0
+    while i < len(recs):
+        op, payload, off = recs[i]
+        if op == _SST:
+            continues = []
+            j = i + 1
+            while j < len(recs) and recs[j][0] == _CONTINUE:
+                continues.append(recs[j][1])
+                j += 1
+            sst = _parse_sst(payload, continues)
+            i = j
+            continue
+        if op == _BOUNDSHEET:
+            (pos_bof,) = struct.unpack_from("<I", payload, 0)
+            # name here is a SHORT string: 8-bit length
+            n_chars = payload[6]
+            grbit = payload[7]
+            if grbit & 0x01:
+                name = payload[8 : 8 + n_chars * 2].decode("utf-16-le", "replace")
+            else:
+                name = payload[8 : 8 + n_chars].decode("latin-1", "replace")
+            sheets.append((pos_bof, name))
+        i += 1
+
+    # pass 2: per-sheet cell records, in BOUNDSHEET order
+    out_parts: list[str] = []
+    n_cells = 0
+    bounds = sorted([off for off, _ in sheets]) + [len(wb)]
+    for pos_bof, name in sheets:
+        end = next((b for b in bounds if b > pos_bof), len(wb))
+        cells: dict[int, dict[int, str]] = {}
+
+        def put(r: int, c: int, v: str):
+            nonlocal n_cells
+            cells.setdefault(r, {})[c] = v
+            n_cells += 1
+
+        sub = _RecordStream(wb[pos_bof:end])
+        pending_formula: tuple[int, int] | None = None
+        for op, payload, _ in sub.records():
+            try:
+                if op == _LABELSST:
+                    r, c, _xf, idx = struct.unpack_from("<HHHI", payload, 0)
+                    if idx < len(sst):
+                        put(r, c, sst[idx])
+                elif op in (_LABEL, _RSTRING):
+                    r, c = struct.unpack_from("<HH", payload, 0)
+                    put(r, c, _short_string(payload, 6))
+                elif op == _NUMBER:
+                    r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                    (v,) = struct.unpack_from("<d", payload, 6)
+                    put(r, c, _fmt_number(v))
+                elif op == _RK:
+                    r, c, _xf, rk = struct.unpack_from("<HHHI", payload, 0)
+                    put(r, c, _fmt_number(_decode_rk(rk)))
+                elif op == _MULRK:
+                    r, c0 = struct.unpack_from("<HH", payload, 0)
+                    (c_last,) = struct.unpack_from("<H", payload, len(payload) - 2)
+                    for k in range(c_last - c0 + 1):
+                        (rk,) = struct.unpack_from("<I", payload, 4 + k * 6 + 2)
+                        put(r, c0 + k, _fmt_number(_decode_rk(rk)))
+                elif op == _FORMULA:
+                    r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                    result = payload[6:14]
+                    if result[6:8] == b"\xff\xff":
+                        if result[0] == 0:  # string result follows in STRING
+                            pending_formula = (r, c)
+                        elif result[0] == 1:  # boolean
+                            put(r, c, "TRUE" if result[2] else "FALSE")
+                    else:
+                        (v,) = struct.unpack_from("<d", payload, 6)
+                        put(r, c, _fmt_number(v))
+                elif op == _STRING and pending_formula is not None:
+                    r, c = pending_formula
+                    put(r, c, _short_string(payload, 0))
+                    pending_formula = None
+                elif op == _BOOLERR:
+                    r, c, _xf, bval, is_err = struct.unpack_from("<HHHBB", payload, 0)
+                    if not is_err:
+                        put(r, c, "TRUE" if bval else "FALSE")
+            except (struct.error, IndexError):
+                continue  # malformed record: skip cell, keep the sheet alive
+        out_parts.append(name)
+        for r in sorted(cells):
+            row = cells[r]
+            out_parts.append("\t".join(row[c] for c in sorted(row)))
+    text = "\n".join(out_parts) + ("\n" if out_parts else "")
+    return XlsResult(text=text, sheet_names=[n for _, n in sheets], n_cells=n_cells)

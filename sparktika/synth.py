@@ -235,7 +235,10 @@ pages2 AS (
   SELECT *,
     printf('https://host%03d.example.com/p/%08d', host_id::INT, url_key::INT) AS url,
     CASE
-      WHEN kind = 18 THEN 'unsupported'
+      -- kind 18 is OLE2 magic + junk: the OLE2 kernel rejects the bogus
+      -- header -> 'failed' (a poisoned-but-recognized container, matching
+      -- the reference's empty-result soft landing for broken OLE2 docs)
+      WHEN kind = 18 THEN 'failed'
       WHEN kind = 19 AND doc_id % 40 = 19 THEN 'failed'
       WHEN kind = 19 THEN 'skipped_oversize'
       ELSE 'ok'

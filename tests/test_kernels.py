@@ -353,10 +353,16 @@ def test_extract_document_depth_bomb_fails_softly():
     assert "DepthLimitError" in (r.error or "")
 
 
-def test_extract_document_unsupported_binary():
+def test_extract_document_broken_ole2_fails_softly():
     r = extract_document("u", None, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 100)
-    assert r.status == "unsupported"
+    assert r.status == "failed"  # recognized container, bogus structure
     assert r.content_type_detected == "application/x-tika-msoffice"
+
+
+def test_extract_document_unsupported_binary():
+    r = extract_document("u", None, b"\x89PNG\r\n\x1a\n" + b"\0" * 100)
+    assert r.status == "unsupported"
+    assert r.content_type_detected == "image/png"
 
 
 def test_extract_document_plain_text_passthrough():

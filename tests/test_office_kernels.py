@@ -1,0 +1,146 @@
+"""OLE2/XLS/OOXML/zip-container kernel tests, including the analogs of the
+reference's missing bomb fixtures (.MISSING_LARGE_BLOBS lists bomb.xls and
+zip-bomb.zip; their behavioral contracts are pinned at
+test/TikaProcessTest.java:178-230)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from sparktika.config import ExtractConfig
+from sparktika.kernels.container import extract_zip_container
+from sparktika.kernels.errors import InflateRatioError, KernelError
+from sparktika.kernels.extract import extract_document
+from sparktika.kernels.ole2 import Ole2File
+from sparktika.kernels.ooxml import extract_docx, extract_pptx, extract_xlsx
+from sparktika.kernels.xls import extract_xls
+
+
+def _zip_bytes(entries: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in entries.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _xlsx_bytes() -> bytes:
+    shared = (b'<?xml version="1.0"?><sst xmlns="x" count="3" uniqueCount="3">'
+              b"<si><t>name</t></si><si><t>alice</t></si><si><t>bob</t></si></sst>")
+    sheet1 = (b'<?xml version="1.0"?><worksheet><sheetData>'
+              b'<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>'
+              b'<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>3.5</v></c></row>'
+              b'<row r="3"><c r="A3" t="inlineStr"><is><t>inline&amp;x</t></is></c>'
+              b'<c r="B3" t="b"><v>1</v></c></row>'
+              b"</sheetData></worksheet>")
+    workbook = (b'<?xml version="1.0"?><workbook><sheets>'
+                b'<sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>')
+    rels = (b'<?xml version="1.0"?><Relationships>'
+            b'<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            b"</Relationships>")
+    core = (b'<?xml version="1.0"?><cp:coreProperties>'
+            b"<dc:title>My Spreadsheet</dc:title><dc:creator>tester</dc:creator>"
+            b"</cp:coreProperties>")
+    return _zip_bytes({
+        "[Content_Types].xml": b"<Types/>",
+        "xl/workbook.xml": workbook,
+        "xl/_rels/workbook.xml.rels": rels,
+        "xl/sharedStrings.xml": shared,
+        "xl/worksheets/sheet1.xml": sheet1,
+        "docProps/core.xml": core,
+    })
+
+
+def test_xlsx_extraction():
+    r = extract_xlsx(_xlsx_bytes())
+    assert r.text == ("Data\nname\t42\nalice\t3.5\ninline&x\tTRUE\n")
+    assert r.metadata["dc:title"] == "My Spreadsheet"
+
+
+def test_docx_extraction():
+    doc = (b'<?xml version="1.0"?><w:document><w:body>'
+           b"<w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>"
+           b"<w:p><w:r><w:t>Second para</w:t></w:r></w:p>"
+           b"</w:body></w:document>")
+    data = _zip_bytes({"[Content_Types].xml": b"<Types/>", "word/document.xml": doc})
+    r = extract_docx(data)
+    assert r.text == "Hello world\nSecond para\n"
+
+
+def test_pptx_extraction():
+    s1 = b'<p:sld><a:p><a:r><a:t>Slide one title</a:t></a:r></a:p></p:sld>'
+    s2 = b'<p:sld><a:p><a:r><a:t>Slide two</a:t></a:r></a:p></p:sld>'
+    data = _zip_bytes({
+        "[Content_Types].xml": b"<Types/>",
+        "ppt/slides/slide2.xml": s2,
+        "ppt/slides/slide1.xml": s1,
+    })
+    r = extract_pptx(data)
+    assert r.text == "Slide one title\nSlide two\n"
+
+
+def test_dispatch_routes_ooxml_through_zip():
+    r = extract_document("u", None, _xlsx_bytes())
+    assert r.status == "ok"
+    assert r.content_type_detected.endswith("spreadsheetml.sheet")
+    assert "alice" in r.text_extracted
+    assert r.title == "My Spreadsheet"
+
+
+def test_zip_of_text_files_concatenates():
+    data = _zip_bytes({"a.txt": b"first file ", "b.csv": b"x,y\n1,2\n"})
+    r = extract_zip_container(data)
+    assert r.text == "first file x,y\n1,2\n"
+    assert r.entries == ["a.txt", "b.csv"]
+
+
+def test_zip_bomb_csv_streams_exactly_to_cap():
+    """Analog of testExternalTikaBombZipWithCsvSingleThread: a zip of a huge
+    CSV yields EXACTLY max_chars chars then stops
+    (ref: test/TikaProcessTest.java:205-230, assert at 227)."""
+    huge_csv = (b"col1,col2,col3\n" + b"aaaa,bbbb,cccc\n" * 800_000)  # ~12MB
+    data = _zip_bytes({"huge.csv": huge_csv})
+    assert len(data) < 200_000  # genuinely bomb-shaped (ratio > 60)
+    cfg = ExtractConfig(max_chars=10_000)
+    r = extract_document("u", None, data, cfg)
+    assert r.status == "truncated"
+    assert len(r.text_extracted) == 10_000
+    assert r.text_extracted.startswith("col1,col2,col3\n")
+
+
+def test_zip_bomb_unbounded_trips_ratio_guard():
+    huge = b"\x00" * 50_000_000
+    data = _zip_bytes({"zeros.bin": huge, "huge.csv": b"a,b\n" * 12_500_000})
+    cfg = ExtractConfig(max_chars=-1)  # no output cap -> guard must trip
+    r = extract_document("u", None, data, cfg)
+    assert r.status == "failed"
+    assert "InflateRatioError" in r.error
+
+
+def test_nested_zip_depth_guard():
+    inner = _zip_bytes({"leaf.txt": b"deep"})
+    for _ in range(25):
+        inner = _zip_bytes({"nest.zip": inner})
+    with pytest.raises(KernelError):
+        extract_zip_container(inner)
+    r = extract_document("u", None, inner)
+    assert r.status == "failed"
+
+
+def test_ole2_rejects_junk():
+    with pytest.raises(KernelError):
+        Ole2File(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"junk" * 200)
+
+
+def test_xls_reference_fixture_cells():
+    data = open("/root/reference/tika-fork-client/test-files/xls-sample.xls", "rb").read()
+    r = extract_xls(data)
+    assert r.sheet_names == ["Sheet1", "Sheet2", "Sheet3"]
+    assert r.n_cells > 200
+    lines = r.text.splitlines()
+    assert lines[0] == "Sheet1"
+    header = [l for l in lines if l.startswith("STATE\t")]
+    assert header and "DISPENSING FEE" in header[0]

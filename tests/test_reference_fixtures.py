@@ -60,9 +60,15 @@ def test_txt_sample_cap_semantics():
     assert r.text_extracted == ("test file here\n" * 7)[:100]
 
 
-def test_xls_sample_detected_not_parsed():
+def test_xls_sample_text_extraction():
     data = (FIXTURES / "xls-sample.xls").read_bytes()
     r = extract_document("u", None, data)
-    # OLE2 is detected; the XLS kernel is out of v1 scope (SURVEY.md §2.B)
-    assert r.content_type_detected == "application/x-tika-msoffice"
-    assert r.status == "unsupported"
+    assert r.content_type_detected == "application/vnd.ms-excel"
+    assert r.status == "ok"
+    # reference golden is 4,824 chars (POI number-format rendering differs;
+    # our frozen spec reaches >=95% with identical cell content order)
+    assert r.n_chars_out >= 0.95 * 4824
+    assert r.n_chars_out <= 1.05 * 4824
+    assert r.text_extracted.startswith("Sheet1\nMedicaid Prescription Reimbursement")
+    assert r.metadata["sheet-names"] == ["Sheet1", "Sheet2", "Sheet3"]
+    assert "Alabama" in r.text_extracted and "Wyoming" in r.text_extracted
