@@ -223,6 +223,101 @@ def metrics_partition_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.partition_metrics(ext, run_id="driver-run")
 
 
+# --- office / container extraction (synthesized payloads, SQL-predictable
+# extracted text; kernels: ooxml.py, container.py) ---------------------
+
+def _office_pages(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """pages-shaped frame whose html is a synthesized xlsx/docx/zip built
+    from (doc_id, text); 1 in 10 docs to keep driver runs quick."""
+    import io
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def zip_bytes(entries: dict[str, bytes]) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name, payload in entries.items():
+                zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
+        return buf.getvalue()
+
+    def build(doc_id: int, text: str) -> bytes:
+        if kind == "xlsx":
+            sheet = (b'<worksheet><sheetData><row r="1">'
+                     b'<c r="A1" t="inlineStr"><is><t>' + text.encode() +
+                     b"</t></is></c></row></sheetData></worksheet>")
+            wb = (b'<workbook><sheets><sheet name="Data" sheetId="1" '
+                  b'r:id="rId1"/></sheets></workbook>')
+            rels = (b'<Relationships><Relationship Id="rId1" Type="t" '
+                    b'Target="worksheets/sheet1.xml"/></Relationships>')
+            return zip_bytes({"[Content_Types].xml": b"<Types/>",
+                              "xl/workbook.xml": wb,
+                              "xl/_rels/workbook.xml.rels": rels,
+                              "xl/worksheets/sheet1.xml": sheet})
+        if kind == "docx":
+            doc = (b"<w:document><w:body><w:p><w:r><w:t>" + text.encode() +
+                   b"</w:t></w:r></w:p></w:body></w:document>")
+            return zip_bytes({"[Content_Types].xml": b"<Types/>",
+                              "word/document.xml": doc})
+        # plain zip of two text entries
+        return zip_bytes({"a.txt": text.encode(),
+                          "b.txt": f" tail of {doc_id}".encode()})
+
+    def fn(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series([build(int(i), t) for i, t in zip(ids, texts)])
+
+    udf = pandas_udf(fn, BinaryType())
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").cast("string").alias("url"), "doc_id", "text")
+        .withColumn("html", udf("doc_id", "text"))
+    )
+
+
+def _office_extract(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from .pipeline.extract import extract_pages as _ep
+
+    pages = _office_pages(spark, sf_dir, kind)
+    return _ep(pages, SYNTH_CONFIG).select("url", "text_extracted")
+
+
+@_register(
+    "extract_xlsx_text",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       'Data' || chr(10) || text || chr(10) AS text_extracted
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _office_extract(spark, sf_dir, "xlsx")
+
+
+@_register(
+    "extract_docx_text",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS url, text || chr(10) AS text_extracted
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def extract_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _office_extract(spark, sf_dir, "docx")
+
+
+@_register(
+    "extract_zip_text",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       text || ' tail of ' || doc_id AS text_extracted
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def extract_zip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _office_extract(spark, sf_dir, "zip")
+
+
 # =====================================================================
 # Text-analysis family (documents table)
 # =====================================================================

@@ -200,3 +200,35 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_extraction_job_end_to_end_with_resume(spark, pages):
+    """The full job: first run extracts everything; an interrupted re-run
+    (simulated by deleting nothing) extracts zero; after adding new pages,
+    only the delta is extracted."""
+    import tempfile
+
+    from sparktika.pipeline.job import run_extraction_job
+
+    tmp = tempfile.mkdtemp(prefix="sparktika_job_")
+    src, out, met = f"{tmp}/pages", f"{tmp}/out", f"{tmp}/metrics"
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    pages.filter(F.col("doc_id") < 200).select(*cols).write.parquet(src)
+
+    m1 = run_extraction_job(spark, src, out, met, SYNTH_CONFIG, num_partitions=4)
+    assert not m1["resumed"]
+    n1 = m1["docs_extracted"]
+    assert n1 > 0
+    assert spark.read.parquet(out).count() == n1
+
+    m2 = run_extraction_job(spark, src, out, met, SYNTH_CONFIG, num_partitions=4)
+    assert m2["resumed"]
+    assert m2["docs_extracted"] == 0
+
+    pages.filter(F.col("doc_id") < 300).select(*cols).write.mode(
+        "overwrite").parquet(src)
+    m3 = run_extraction_job(spark, src, out, met, SYNTH_CONFIG, num_partitions=4)
+    assert m3["resumed"]
+    assert 0 < m3["docs_extracted"] <= 100
+    lineage = spark.read.parquet(met)
+    assert lineage.filter(F.col("run_id") == m1["run_id"]).count() > 0
