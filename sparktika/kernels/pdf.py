@@ -13,8 +13,10 @@ FlateDecode streams) plus our synthesized corpus:
 - strings: (literal with escapes + nesting) and <hex>
 - WinAnsiEncoding byte -> unicode mapping (cp1252-style table)
 - TJ kerning: offsets <= -180/1000 em render as a space
-- layout-order reassembly: spans grouped into lines by y (descending),
-  sorted by x within a line, lines joined with \\n
+- layout reassembly in EMISSION ORDER (PDFTextStripper's default,
+  sortByPosition=false — what the reference's Tika/PDFBox path does):
+  a y-change starts a new line; a same-line x-gap wider than ~0.3em
+  (font-size-aware estimate) inserts a space
 
 /Info dictionary Title/Author/Creator/Producer are returned as metadata.
 """
@@ -187,12 +189,14 @@ def _tokenize_content(data: bytes, deadline: float | None):
                 i += 1
 
 
-def _extract_text_spans(content: bytes, deadline: float | None) -> list[tuple[float, float, str]]:
-    """Run the text operators; return (y, x, text) spans."""
-    spans: list[tuple[float, float, str]] = []
+def _extract_text_spans(content: bytes, deadline: float | None) -> list[tuple[float, float, float, str]]:
+    """Run the text operators; return (y, x, font_size, text) spans in
+    emission order."""
+    spans: list[tuple[float, float, float, str]] = []
     x = y = 0.0           # current text position
     lx = ly = 0.0         # line start
     leading = 0.0
+    size = 12.0           # current font size (Tf)
     stack: list = []      # operand stack (numbers / strings / arrays)
     arrays: list[list] = []
     in_text = False
@@ -200,9 +204,10 @@ def _extract_text_spans(content: bytes, deadline: float | None) -> list[tuple[fl
     def emit(s: str):
         nonlocal x
         if s:
-            spans.append((y, x, s))
-            # crude advance so consecutive Tj on one line keep order
-            x += 6.0 * len(s)
+            spans.append((y, x, size, s))
+            # average Helvetica-ish glyph width ~0.5em: advance estimate so
+            # consecutive same-line spans get gap-based space insertion
+            x += 0.5 * size * len(s)
 
     for tok in _tokenize_content(content, deadline):
         kind = tok[0]
@@ -224,6 +229,8 @@ def _extract_text_spans(content: bytes, deadline: float | None) -> list[tuple[fl
                 x = y = lx = ly = 0.0
             elif op == b"ET":
                 in_text = False
+            elif op == b"Tf" and stack:
+                size = _num(stack[-1]) or size
             elif op == b"TL" and stack:
                 leading = _num(stack[-1])
             elif op == b"Td" and len(stack) >= 2:
@@ -272,24 +279,28 @@ def _num(item) -> float:
     return item[1] if isinstance(item, tuple) and item[0] == "num" else 0.0
 
 
-def assemble_lines(spans: list[tuple[float, float, str]], y_tol: float = 2.0) -> str:
-    """Group spans into lines by y (descending, PDF origin is bottom-left),
-    sort by x within a line, join lines with newlines."""
+def assemble_lines(spans: list[tuple[float, float, float, str]], y_tol: float = 0.5) -> str:
+    """Assemble spans in emission order (PDFTextStripper default): a y
+    change beyond y_tol starts a new line; within a line, an x gap wider
+    than ~0.3em of the current font inserts a single space. Output ends
+    with a newline when any text was emitted."""
     if not spans:
         return ""
-    spans_sorted = sorted(spans, key=lambda s: (-s[0], s[1]))
-    lines: list[list[tuple[float, str]]] = []
-    cur_y: float | None = None
-    for yv, xv, txt in spans_sorted:
-        if cur_y is None or abs(yv - cur_y) > y_tol:
-            lines.append([])
-            cur_y = yv
-        lines[-1].append((xv, txt))
-    out_lines = []
-    for line in lines:
-        line.sort(key=lambda t: t[0])
-        out_lines.append("".join(t[1] for t in line))
-    return "\n".join(out_lines)
+    parts: list[str] = []
+    last_y: float | None = None
+    last_end = 0.0
+    for yv, xv, sz, txt in spans:
+        if last_y is None:
+            pass
+        elif abs(yv - last_y) > y_tol:
+            parts.append("\n")
+        elif xv - last_end > 0.3 * sz and parts and not parts[-1].endswith(" ") \
+                and not txt.startswith(" "):
+            parts.append(" ")
+        parts.append(txt)
+        last_y = yv
+        last_end = xv + 0.5 * sz * len(txt)
+    return "".join(parts) + "\n"
 
 
 def _parse_info(raw: bytes) -> dict[str, str]:

@@ -247,7 +247,8 @@ pages2 AS (
       WHEN kind <= 9  THEN text || chr(10)
       WHEN kind = 12  THEN text || ' caf' || chr(233) || chr(10)
       WHEN kind = 13  THEN text || '  x ' || chr(10)
-      WHEN kind IN (14, 15, 16, 17) THEN text
+      WHEN kind IN (14, 15) THEN text || chr(10)
+      WHEN kind IN (16, 17) THEN text
       ELSE NULL
     END AS text_expected,
     CASE

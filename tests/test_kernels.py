@@ -265,38 +265,46 @@ def _simple_pdf(content: str, flate: bool = False) -> bytes:
 
 def test_pdf_single_tj():
     data = _simple_pdf("BT /F1 12 Tf 72 720 Td (hello pdf world) Tj ET")
-    assert pdf.extract_pdf(data).text == "hello pdf world"
+    assert pdf.extract_pdf(data).text == "hello pdf world\n"
 
 
 def test_pdf_flate_stream():
     data = _simple_pdf("BT /F1 12 Tf 72 720 Td (compressed text) Tj ET", flate=True)
-    assert pdf.extract_pdf(data).text == "compressed text"
+    assert pdf.extract_pdf(data).text == "compressed text\n"
 
 
-def test_pdf_multiline_layout_order():
-    # emitted bottom line first; layout reassembly must sort by y descending
-    content = ("BT /F1 12 Tf 14 TL 72 100 Td (line two) Tj ET\n"
-               "BT /F1 12 Tf 72 200 Td (line one) Tj ET")
+def test_pdf_multiline_emission_order():
+    # emission order is preserved (PDFTextStripper default, which is what
+    # the reference's Tika/PDFBox path produces); a y change = a newline
+    content = ("BT /F1 12 Tf 14 TL 72 200 Td (line one) Tj ET\n"
+               "BT /F1 12 Tf 72 100 Td (line two) Tj ET")
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "line one\nline two"
+    assert pdf.extract_pdf(data).text == "line one\nline two\n"
+
+
+def test_pdf_same_line_gap_inserts_space():
+    content = ("BT /F1 10 Tf 72 500 Td (left) Tj ET\n"
+               "BT /F1 10 Tf 300 500 Td (right) Tj ET")
+    data = _simple_pdf(content)
+    assert pdf.extract_pdf(data).text == "left right\n"
 
 
 def test_pdf_tstar_and_escapes():
     content = r"BT /F1 12 Tf 14 TL 72 720 Td (a\(b\)c) Tj T* (d\\e) Tj ET"
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "a(b)c\nd\\e"
+    assert pdf.extract_pdf(data).text == "a(b)c\nd\\e\n"
 
 
 def test_pdf_tj_array_kerning():
     content = "BT /F1 12 Tf 72 720 Td [(Hel) 10 (lo) -250 (world)] TJ ET"
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "Hello world"
+    assert pdf.extract_pdf(data).text == "Hello world\n"
 
 
 def test_pdf_hex_string_and_winansi():
     content = "BT /F1 12 Tf 72 720 Td <48659C> Tj ET"  # H e œ
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "Heœ"
+    assert pdf.extract_pdf(data).text == "Heœ\n"
 
 
 def test_pdf_flate_bomb_guard():
