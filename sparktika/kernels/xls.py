@@ -40,10 +40,48 @@ _STRING = 0x0207
 _BOOLERR = 0x0205
 
 
+_FORMAT = 0x041E
+_XF = 0x00E0
+
+# BIFF8 builtin number formats (MS-XLS 2.4.126); custom FORMAT records
+# override/extend these.
+_BUILTIN_FORMATS = {
+    0: "General", 1: "0", 2: "0.00", 3: "#,##0", 4: "#,##0.00",
+    5: '"$"#,##0_);("$"#,##0)', 6: '"$"#,##0_);[Red]("$"#,##0)',
+    7: '"$"#,##0.00_);("$"#,##0.00)', 8: '"$"#,##0.00_);[Red]("$"#,##0.00)',
+    9: "0%", 10: "0.00%", 11: "0.00E+00", 12: "# ?/?", 13: "# ??/??",
+    37: "#,##0_);(#,##0)", 38: "#,##0_);[Red](#,##0)",
+    39: "#,##0.00_);(#,##0.00)", 40: "#,##0.00_);[Red](#,##0.00)",
+    48: "##0.0E+0", 49: "@",
+}
+
+
 def _fmt_number(v: float) -> str:
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)
+
+
+def _render_with_format(v: float, fmt: str | None) -> str:
+    """Minimal Excel number-format rendering (the common shapes: currency,
+    fixed decimals, thousands grouping, percent). Unknown/General patterns
+    fall back to the plain rendering."""
+    if not fmt or fmt == "General" or fmt == "@":
+        return _fmt_number(v)
+    section = fmt.split(";")[0]
+    if "E+" in section or "E-" in section or "?/" in section:
+        return _fmt_number(v)
+    import re as _re
+
+    pct = section.rstrip("_) ").endswith("%")
+    currency = '"$"' in section or section.startswith("$")
+    m = _re.search(r"[0#]\.(0+)", section)
+    decimals = len(m.group(1)) if m else 0
+    grouping = "#,##" in section or "0,00" in section
+    val = v * 100.0 if pct else v
+    body = f"{val:,.{decimals}f}" if grouping else f"{val:.{decimals}f}"
+    out = ("$" if currency else "") + body + ("%" if pct else "")
+    return out
 
 
 def _decode_rk(rk: int) -> float:
@@ -180,13 +218,26 @@ def extract_xls(data: bytes) -> XlsResult:
     wb = ole.read_stream(stream_name)
     rs = _RecordStream(wb)
 
-    # pass 1: globals — SST (+CONTINUEs) and sheet offsets
+    # pass 1: globals — SST (+CONTINUEs), sheet offsets, number formats
     sst: list[str] = []
     sheets: list[tuple[int, str]] = []  # (stream offset, name)
+    custom_formats: dict[int, str] = {}
+    xf_ifmts: list[int] = []
     recs = list(rs.records())
     i = 0
     while i < len(recs):
         op, payload, off = recs[i]
+        if op == _FORMAT and len(payload) >= 5:
+            (ifmt, n_chars) = struct.unpack_from("<HH", payload, 0)
+            grbit = payload[4]
+            if grbit & 0x01:
+                custom_formats[ifmt] = payload[5 : 5 + n_chars * 2].decode(
+                    "utf-16-le", "replace")
+            else:
+                custom_formats[ifmt] = payload[5 : 5 + n_chars].decode(
+                    "latin-1", "replace")
+        elif op == _XF and len(payload) >= 4:
+            xf_ifmts.append(struct.unpack_from("<H", payload, 2)[0])
         if op == _SST:
             continues = []
             j = i + 1
@@ -207,6 +258,12 @@ def extract_xls(data: bytes) -> XlsResult:
                 name = payload[8 : 8 + n_chars].decode("latin-1", "replace")
             sheets.append((pos_bof, name))
         i += 1
+
+    def fmt_for(xf: int) -> str | None:
+        if 0 <= xf < len(xf_ifmts):
+            ifmt = xf_ifmts[xf]
+            return custom_formats.get(ifmt, _BUILTIN_FORMATS.get(ifmt))
+        return None
 
     # pass 2: per-sheet cell records, in BOUNDSHEET order
     out_parts: list[str] = []
@@ -233,20 +290,20 @@ def extract_xls(data: bytes) -> XlsResult:
                     r, c = struct.unpack_from("<HH", payload, 0)
                     put(r, c, _short_string(payload, 6))
                 elif op == _NUMBER:
-                    r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                    r, c, xf = struct.unpack_from("<HHH", payload, 0)
                     (v,) = struct.unpack_from("<d", payload, 6)
-                    put(r, c, _fmt_number(v))
+                    put(r, c, _render_with_format(v, fmt_for(xf)))
                 elif op == _RK:
-                    r, c, _xf, rk = struct.unpack_from("<HHHI", payload, 0)
-                    put(r, c, _fmt_number(_decode_rk(rk)))
+                    r, c, xf, rk = struct.unpack_from("<HHHI", payload, 0)
+                    put(r, c, _render_with_format(_decode_rk(rk), fmt_for(xf)))
                 elif op == _MULRK:
                     r, c0 = struct.unpack_from("<HH", payload, 0)
                     (c_last,) = struct.unpack_from("<H", payload, len(payload) - 2)
                     for k in range(c_last - c0 + 1):
-                        (rk,) = struct.unpack_from("<I", payload, 4 + k * 6 + 2)
-                        put(r, c0 + k, _fmt_number(_decode_rk(rk)))
+                        (xf, rk) = struct.unpack_from("<HI", payload, 4 + k * 6)
+                        put(r, c0 + k, _render_with_format(_decode_rk(rk), fmt_for(xf)))
                 elif op == _FORMULA:
-                    r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                    r, c, xf = struct.unpack_from("<HHH", payload, 0)
                     result = payload[6:14]
                     if result[6:8] == b"\xff\xff":
                         if result[0] == 0:  # string result follows in STRING
@@ -255,7 +312,7 @@ def extract_xls(data: bytes) -> XlsResult:
                             put(r, c, "TRUE" if result[2] else "FALSE")
                     else:
                         (v,) = struct.unpack_from("<d", payload, 6)
-                        put(r, c, _fmt_number(v))
+                        put(r, c, _render_with_format(v, fmt_for(xf)))
                 elif op == _STRING and pending_formula is not None:
                     r, c = pending_formula
                     put(r, c, _short_string(payload, 0))
