@@ -223,6 +223,52 @@ def metrics_partition_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.partition_metrics(ext, run_id="driver-run")
 
 
+@_register(
+    "extract_main_text",
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN n_words > 16 THEN 'menu' || chr(10) || text
+            WHEN n_words > 15 THEN 'menu'
+            ELSE '' END AS main_text
+FROM d
+""",
+)
+def extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping through the full Spark path. The page is built
+    so the Boilerpipe NumWordsRules decisions are SQL-predictable:
+    blocks = [intro 'menu' (1 word, no links), content (the doc text),
+    nav (3 links, 6 anchor words, link density 1 -> always boilerplate)];
+    intro is content iff next-block words > 15, content iff its words > 16.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages as _ep
+
+    def fn(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        nav = ('<div><a href="/a">home page</a> <a href="/b">about us</a> '
+               '<a href="/c">contact form</a></div>')
+        return pd.Series([
+            (f"<html><body><div>menu</div><p>{t}</p>{nav}</body></html>").encode()
+            for t in texts
+        ])
+
+    udf = pandas_udf(fn, BinaryType())
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").cast("string").alias("url"), "doc_id", "text")
+        .withColumn("html", udf("doc_id", "text"))
+    )
+    return _ep(pages, SYNTH_CONFIG).select(
+        "url", F.coalesce(F.col("main_text"), F.lit("")).alias("main_text"))
+
+
 # --- office / container extraction (synthesized payloads, SQL-predictable
 # extracted text; kernels: ooxml.py, container.py) ---------------------
 

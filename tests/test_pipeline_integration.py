@@ -232,3 +232,32 @@ def test_extraction_job_end_to_end_with_resume(spark, pages):
     assert 0 < m3["docs_extracted"] <= 100
     lineage = spark.read.parquet(met)
     assert lineage.filter(F.col("run_id") == m1["run_id"]).count() > 0
+
+
+def test_hash_join_verification_full_match(spark, pages):
+    """Byte-identity gate: extraction vs the oracle's expected text must
+    hash-match on every comparable url (the north rule's per-row invariant,
+    here checked through the Spark verify utility itself)."""
+    import duckdb
+
+    from sparktika.pipeline.verify import verify_summary
+    from sparktika.synth import PAGES_CTE
+
+    # verification is defined over the deduped corpus (newest per url) —
+    # re-crawled urls carry different content by construction
+    comparable = resume.newest_per_url(pages.filter(
+        (F.col("kind") <= 9) | F.col("kind").isin(12, 13, 14, 15, 16, 17)))
+    ext = extract_pages(comparable, SYNTH_CONFIG)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    exp_pdf = con.execute(
+        "WITH " + PAGES_CTE +
+        "SELECT url, text_expected FROM pages2 WHERE text_expected IS NOT NULL "
+        "QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1").df()
+    expected = spark.createDataFrame(exp_pdf)
+
+    s = verify_summary(ext, expected)
+    assert s["mismatched"] == 0
+    assert s["match_rate"] == 1.0
+    assert s["joined"] == ext.count()
