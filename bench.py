@@ -32,9 +32,13 @@ def main() -> None:
     from sparktika.pipeline import dedup, resume, similarity
     from sparktika.synth import SYNTH_CONFIG, synth_pages, synth_pages_heavy
 
+    # 256-row Arrow batches: at ~7.5KB/page that is ~2MB in / ~4MB out per
+    # batch. Measured here: 1024-row batches are 3-4x SLOWER at local[32]
+    # (burst allocation convoys); bytes-per-batch, not row count, is the
+    # sizing variable (SURVEY.md §4.1).
     spark = build_session(app_name="sparktika-bench", master=f"local[{cpus}]",
                           shuffle_partitions=max(cpus * 2, 8),
-                          arrow_batch_rows=1024)
+                          arrow_batch_rows=256)
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

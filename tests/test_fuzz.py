@@ -1,0 +1,92 @@
+"""Property-based never-crash tests (hypothesis): the extraction dispatch
+must return a status row for ANY byte payload — the engine-level analog of
+the reference's failure-isolation contract (a poisoned document can never
+kill the run; ref: client/TikaRunner.java:142-147)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from sparktika.config import ExtractConfig
+from sparktika.kernels.charset import decode as charset_decode, detect_charset
+from sparktika.kernels.extract import extract_document
+from sparktika.kernels.htmlparse import parse_html
+from sparktika.kernels.mime import detect_mime
+
+VALID_STATUSES = {"ok", "truncated", "timeout", "failed",
+                  "skipped_oversize", "unsupported"}
+
+_CFG = ExtractConfig(max_bytes=1_000_000, max_chars=50_000, timeout_ms=10_000)
+
+_settings = settings(max_examples=200, deadline=None,
+                     suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(st.binary(max_size=4096))
+@_settings
+def test_extract_document_never_raises_on_random_bytes(payload):
+    r = extract_document("https://fuzz/x", None, payload, _CFG)
+    assert r.status in VALID_STATUSES
+    assert r.n_bytes_in == len(payload)
+
+
+@given(st.binary(max_size=2048), st.sampled_from(
+    [None, "text/html", "application/pdf", "text/plain", "application/zip"]))
+@_settings
+def test_extract_document_never_raises_with_declared_types(payload, declared):
+    r = extract_document("u", declared, payload, _CFG)
+    assert r.status in VALID_STATUSES
+
+
+# HTML-shaped garbage: tags, attrs, entities, brokenness
+_html_chunks = st.lists(
+    st.one_of(
+        st.text(max_size=20),
+        st.sampled_from([
+            "<div>", "</div>", "<span>", "</span>", "<p>", "<a href='x'>",
+            "</a>", "<script>", "</script>", "<!--", "-->", "<![CDATA[",
+            "]]>", "&amp;", "&#x41;", "&#999999999;", "&bogus;", "<", ">",
+            "<img src=", "'>", '">', "<body>", "</body>", "<b", "=''",
+            "<input type=image>", "<form method=post>", "<a", "href",
+        ]),
+    ),
+    max_size=40,
+)
+
+
+@given(_html_chunks)
+@_settings
+def test_parse_html_never_raises_on_tag_soup(chunks):
+    html = "".join(chunks)
+    r = parse_html(html, max_chars=10_000, max_depth=64)
+    assert r.text is not None
+    # leading-separator suppression invariant: output never starts with a
+    # writer-generated separator when the first content wrote at offset 0
+    for l in r.links:
+        assert l.anchor == l.anchor.strip() or l.anchor == ""
+
+
+@given(st.binary(max_size=1024))
+@_settings
+def test_mime_and_charset_total_functions(payload):
+    m = detect_mime(payload)
+    assert isinstance(m, str) and "/" in m
+    cs = detect_charset(payload)
+    text, used = charset_decode(payload, cs)
+    assert isinstance(text, str)
+    # output must always be valid UTF-8-encodable (the UTF-8-out contract)
+    text.encode("utf-8")
+
+
+@given(st.text(max_size=200), st.integers(min_value=0, max_value=50))
+@_settings
+def test_write_limit_exactness_property(text, cap):
+    """For any text and cap, extracted plain text is min(len, cap) chars
+    and a truncated status appears iff the cap actually bit."""
+    payload = text.encode("utf-8")
+    cfg = ExtractConfig(max_chars=cap)
+    r = extract_document("u", "text/plain", payload, cfg)
+    if r.status in ("ok", "truncated"):
+        assert len(r.text_extracted) <= max(cap, 0) or cap == -1
+        if len(text) > cap:
+            assert r.status == "truncated"
