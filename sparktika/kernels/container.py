@@ -81,9 +81,12 @@ def extract_zip_container(
             raw = read_entry(zf, info.filename, max_ratio, entry_cap)
         except InflateRatioError:
             if max_chars != -1:
-                # bounded output requested: stream the prefix up to the cap
+                # bounded output requested: stream only a prefix of the huge
+                # entry. Content beyond the prefix is lost, so the result is
+                # truncated even if the text it yields is under the cap.
                 with zf.open(info.filename) as f:
                     raw = f.read(max(budget * 4, 65536))
+                truncated = True
             else:
                 raise
         detected = mime_mod.detect_mime(raw, None, info.filename)

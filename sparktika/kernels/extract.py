@@ -127,7 +127,7 @@ def extract_document(
             )
             mtext = boilerplate.main_text(r.blocks) if cfg.extract_main_text else None
             md: dict[str, list[str]] = {
-                "Content-Type": [f"text/html; charset={cs}"],
+                "Content-Type": [f"{detected}; charset={cs}"],
                 "Content-Encoding": [cs],
             }
             if r.title:
@@ -136,7 +136,7 @@ def extract_document(
             if r.links:
                 md["n-links"] = [str(len(r.links))]
             status = STATUS_TRUNCATED if r.write_limit_reached else STATUS_OK
-            return res(detected="text/html", charset_detected=cs,
+            return res(detected=detected, charset_detected=cs,
                        text_extracted=r.text if cfg.parse_content else None,
                        main_text=mtext, title=r.title, links=r.links,
                        metadata=md, status=status,

@@ -58,8 +58,8 @@ class Ole2File:
 
     def _sector(self, n: int) -> bytes:
         off = 512 + n * self.sector_size
-        if off < 512 or off + self.sector_size > len(self.data) + self.sector_size:
-            raise KernelError(f"sector {n} out of bounds")
+        if off < 512 or off + self.sector_size > len(self.data):
+            raise KernelError(f"sector {n} out of bounds (truncated file)")
         return self.data[off : off + self.sector_size]
 
     def _read_fat(self) -> list[int]:
@@ -74,9 +74,10 @@ class Ole2File:
             sec = vals[-1]
             hops += 1
         fat: list[int] = []
-        for fs in difat[: self.n_fat_sectors + len(difat)]:
-            if fs in (_FREE, _ENDOFCHAIN):
-                continue
+        # only the first n_fat_sectors DIFAT entries are live; stale slots in
+        # the header array (often zero-filled) must not be read as FAT sectors
+        live = [fs for fs in difat if fs not in (_FREE, _ENDOFCHAIN)]
+        for fs in live[: self.n_fat_sectors]:
             raw = self._sector(fs)
             fat.extend(struct.unpack(f"<{self.sector_size // 4}I", raw))
             if len(fat) >= self.max_sectors + self.sector_size // 4:

@@ -82,10 +82,9 @@ _SHEET_RE = re.compile(
 _REL_RE = re.compile(r'<Relationship\s[^>]*Id="(rId\d+)"[^>]*Target="([^"]*)"|'
                      r'<Relationship\s[^>]*Target="([^"]*)"[^>]*Id="(rId\d+)"')
 _ROW_RE = re.compile(r"<row[\s>].*?</row>", re.DOTALL)
-_CELL_RE = re.compile(
-    r'<c(?:\s+[^>]*?)?(?:\s+r="[A-Z]+\d+")?(?:\s+[^>]*?)?>(.*?)</c>|<c(?:\s[^>]*)?/>',
-    re.DOTALL)
-_C_FULL_RE = re.compile(r'<c\b([^>]*)>(.*?)</c>', re.DOTALL)
+# matches both <c ...>body</c> and self-closing <c .../> (empty cell —
+# must still occupy a column so tab-joined rows stay aligned)
+_C_FULL_RE = re.compile(r'<c\b([^>]*?)(?:/>|>(.*?)</c>)', re.DOTALL)
 _V_RE = re.compile(r"<v>(.*?)</v>", re.DOTALL)
 _IS_RE = re.compile(r"<is>(.*?)</is>", re.DOTALL)
 
@@ -161,6 +160,9 @@ def extract_xlsx(data: bytes, max_ratio: float = 200.0,
             cells: list[str] = []
             for cm in _C_FULL_RE.finditer(row_m.group(0)):
                 attrs, body = cm.group(1), cm.group(2)
+                if body is None:  # self-closing <c/>: empty cell, keep column
+                    cells.append("")
+                    continue
                 t_m = re.search(r'\bt="(\w+)"', attrs)
                 ctype = t_m.group(1) if t_m else "n"
                 if ctype == "s":

@@ -140,6 +140,38 @@ def winnowing_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
     return picks if picks else [hashes[0]]
 
 
+# Character-trigram profiles per language (tiny, derived from the marker
+# stopwords + common orthography; rank-based cosine-free scoring). The
+# n-gram path complements the stopword markers for short/unsegmented text.
+_LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "to ", "of ", " th", "ed ", "is ", "in "),
+    "de": ("der", "die", "und", "ich", "sch", "ein", "cht", "en ", "ung", " de"),
+    "fr": ("les", "des", "ent", "que", "ait", "ion", " de", "la ", "est", "une"),
+    "es": ("los", "las", "que", "ión", "ado", "ent", " de", "el ", "es ", "una"),
+    "it": ("che", "ione", " di", "il ", "la ", "per", "con", "are", "ato", "gli"),
+}
+
+
+def char_trigram_scores(text: str) -> dict[str, int]:
+    """Count profile-trigram hits per language over the lowercased text."""
+    t = " " + text.lower() + " "
+    return {
+        lang: sum(t.count(g) for g in grams)
+        for lang, grams in _LANG_TRIGRAMS.items()
+    }
+
+
+def detect_lang_ngram(text: str) -> str:
+    """Character-n-gram language ID (rank-profile style, cf. Cavnar &
+    Trenkle 1994's n-gram categorization — simplified to profile-hit
+    counts). Returns 'und' when nothing matches."""
+    scores = char_trigram_scores(text)
+    top = max(scores.values()) if scores else 0
+    if top == 0:
+        return "und"
+    return sorted(l for l, s in scores.items() if s == top)[0]
+
+
 def lang_scores(text: str) -> dict[str, int]:
     ws = set(tokens(text.lower()))
     return {lang: sum(1 for m in markers if m in ws)

@@ -88,8 +88,7 @@ def _decode_rk(rk: int) -> float:
     div100 = rk & 0x01
     is_int = rk & 0x02
     if is_int:
-        v = float(rk >> 2 if rk >= 0 else -((-rk) >> 2))
-        # python ints: arithmetic shift of the signed 30-bit value
+        # arithmetic shift of the signed 30-bit value (reinterpret as int32)
         v = float(struct.unpack("<i", struct.pack("<I", rk & 0xFFFFFFFF))[0] >> 2)
     else:
         v = struct.unpack("<d", b"\x00\x00\x00\x00" + struct.pack("<I", rk & 0xFFFFFFFC))[0]

@@ -103,24 +103,51 @@ def extract_pages_with_oversize_shortcircuit(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Variant that never ships oversize payloads through Arrow: the size
-    filter runs JVM-side and oversize rows join the output as pre-built
-    status rows (ref semantics: skipped before parse, SURVEY.md O19)."""
+    filter runs JVM-side; oversize rows keep only their first 1KB (for the
+    same MIME sniff the kernel path performs — the two paths must agree,
+    see test_oversize_shortcircuit_matches_kernel_path) and rejoin the
+    output as status rows (ref semantics: skipped before parse, O19)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from ..kernels.mime import detect_mime
+
+    has_declared = "content_type" in df.columns
+    declared_col = F.col("content_type") if has_declared else F.lit(None).cast("string")
+
+    def sniff(head: pd.Series, declared: pd.Series) -> pd.Series:
+        return pd.Series([
+            detect_mime(h or b"", d) for h, d in zip(head, declared)
+        ])
+
+    sniff_udf = pandas_udf(sniff, StringType())
+
     small = df.filter(F.length("html") <= cfg.max_bytes)
-    big = df.filter(F.length("html") > cfg.max_bytes).select(
-        F.col("url"),
-        F.lit(None).cast("string").alias("content_type_declared"),
-        F.lit("application/octet-stream").alias("content_type_detected"),
-        F.lit(None).cast("string").alias("charset_detected"),
-        F.lit(None).cast("string").alias("text_extracted"),
-        F.lit(None).cast("string").alias("main_text"),
-        F.lit(None).cast("string").alias("title"),
-        F.lit(None).cast("array<struct<type:string,source_uri:string,target_uri:string,title:string,anchor:string,rel:string,params:map<string,string>>>").alias("links"),
-        F.lit(None).cast("map<string,array<string>>").alias("metadata"),
-        F.lit("skipped_oversize").alias("status"),
-        F.format_string("document size %d exceeds cap " + str(cfg.max_bytes), F.length("html")).alias("error"),
-        F.lit(0).cast("long").alias("parse_ms"),
-        F.length("html").cast("long").alias("n_bytes_in"),
-        F.lit(0).cast("long").alias("n_chars_out"),
-        F.lit(False).alias("write_limit_reached"),
+    big = (
+        df.filter(F.length("html") > cfg.max_bytes)
+        .select(
+            F.col("url"),
+            F.length("html").cast("long").alias("n_bytes_in"),
+            F.expr("substring(html, 1, 1024)").alias("__head"),
+            declared_col.alias("content_type_declared"),
+        )
+        .select(
+            F.col("url"),
+            F.col("content_type_declared"),
+            sniff_udf(F.col("__head"), F.col("content_type_declared")).alias("content_type_detected"),
+            F.lit(None).cast("string").alias("charset_detected"),
+            F.lit(None).cast("string").alias("text_extracted"),
+            F.lit(None).cast("string").alias("main_text"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("array<struct<type:string,source_uri:string,target_uri:string,title:string,anchor:string,rel:string,params:map<string,string>>>").alias("links"),
+            F.lit(None).cast("map<string,array<string>>").alias("metadata"),
+            F.lit("skipped_oversize").alias("status"),
+            F.format_string("document size %d exceeds cap " + str(cfg.max_bytes), F.col("n_bytes_in")).alias("error"),
+            F.lit(0).cast("long").alias("parse_ms"),
+            F.col("n_bytes_in"),
+            F.lit(0).cast("long").alias("n_chars_out"),
+            F.lit(False).alias("write_limit_reached"),
+        )
+        .select(*[f.name for f in EXTRACTED_SCHEMA.fields])
     )
     return extract_pages(small, cfg, num_partitions).unionByName(big)

@@ -1,10 +1,15 @@
-"""Checkpoint-resume bookkeeping: anti-join pages against already-extracted urls.
+"""Checkpoint-resume bookkeeping: anti-join pages against committed keys.
 
 The engine's unit of progress is the committed output table snapshot (on a
 real deployment: an Iceberg snapshot; in the sandbox: a parquet dir). A
-re-run extracts only pages whose (url, warc_ts) is not yet present —
-`left_anti` join, which AQE converts to a broadcast anti-join whenever the
-done-set is small, and splits skewed keys otherwise (SURVEY.md §2.B joins).
+re-run extracts only pages whose key is not yet present — `left_anti`
+join, which AQE converts to a broadcast anti-join whenever the done-set is
+small, and splits skewed keys otherwise (SURVEY.md §2.B joins).
+
+Key choice is a policy decision: the default `url` treats a committed url
+as done forever (a post-commit re-crawl is NOT re-extracted — the job's
+semantics); pass `["url", "warc_ts"]` to re-extract newer snapshots of
+already-committed urls.
 """
 
 from __future__ import annotations
@@ -12,9 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def pending_pages(pages: DataFrame, done: DataFrame, key: str = "url") -> DataFrame:
-    """Rows of `pages` not yet present in `done` (by key)."""
-    return pages.join(done.select(key).distinct(), on=key, how="left_anti")
+def pending_pages(pages: DataFrame, done: DataFrame,
+                  key: str | list[str] = "url") -> DataFrame:
+    """Rows of `pages` whose key (single column or composite) is absent
+    from `done`."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return pages.join(done.select(*keys).distinct(), on=keys, how="left_anti")
 
 
 def newest_per_url(pages: DataFrame) -> DataFrame:

@@ -712,6 +712,52 @@ def rel_set_except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "rel_sql_api_shipping_priority",
+    """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def rel_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape exercised through the spark.sql(...) surface
+    (3-way join + agg + top-k), proving the SQL front-end carries the
+    same plans as the DataFrame API."""
+    for t in ("customer", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM v_customer c JOIN v_orders o ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = (SELECT min(c_mktsegment) FROM v_customer)
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """)
+
+
+# rows-only: n-gram lang-id uses kernel trigram profiles (pytest-pinned)
+@_register("text_lang_id_ngram")
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def fn(texts: pd.Series) -> pd.Series:
+        from .kernels.textstats import detect_lang_ngram
+
+        return pd.Series([detect_lang_ngram(t or "") for t in texts])
+
+    udf = pandas_udf(fn, StringType())
+    return _docs(spark, sf_dir).select("doc_id", udf("text").alias("lang_pred"))
+
+
+@_register(
     "rel_string_date_funcs",
     """
 SELECT strftime(o_orderdate, '%Y-%m') AS order_month,

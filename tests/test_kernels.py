@@ -439,3 +439,20 @@ def test_lang_detect_and_quality():
     q = textstats.quality_score("the quick brown fox jumps over the lazy dog and runs")
     assert 0.0 < q <= 1.0
     assert textstats.quality_score("") == 0.0
+
+
+def test_ngram_lang_detection():
+    assert textstats.detect_lang_ngram(
+        "the quick brown fox jumping over the lazy dog of the farm") == "en"
+    assert textstats.detect_lang_ngram(
+        "ich möchte ein schönes buch und die zeitung lesen") == "de"
+    assert textstats.detect_lang_ngram("zzzz qqqq") == "und"
+
+
+def test_xml_keeps_detected_type():
+    """An XML payload parses through the HTML-family kernel but must keep
+    content_type_detected='application/xml' (code-review finding: it was
+    being relabeled text/html)."""
+    r = extract_document("u", None, b'<?xml version="1.0"?><rss><channel><title>t</title></channel></rss>')
+    assert r.content_type_detected == "application/xml"
+    assert r.metadata["Content-Type"][0].startswith("application/xml")

@@ -144,3 +144,21 @@ def test_xls_reference_fixture_cells():
     assert lines[0] == "Sheet1"
     header = [l for l in lines if l.startswith("STATE\t")]
     assert header and "DISPENSING FEE" in header[0]
+
+
+def test_xlsx_self_closing_empty_cells_keep_columns():
+    sheet = (b'<worksheet><sheetData>'
+             b'<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+             b'<c r="B1"/><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>'
+             b"</sheetData></worksheet>")
+    data = _zip_bytes({"[Content_Types].xml": b"<Types/>",
+                       "xl/workbook.xml": b"<workbook><sheets></sheets></workbook>",
+                       "xl/worksheets/sheet1.xml": sheet})
+    r = extract_xlsx(data)
+    assert "a\t\tc" in r.text
+
+
+def test_truncated_ole2_raises_kernel_error_not_struct_error():
+    data = open("/root/reference/tika-fork-client/test-files/xls-sample.xls", "rb").read()
+    with pytest.raises(KernelError):
+        Ole2File(data[:1000])  # truncated mid-FAT

@@ -43,9 +43,12 @@ def test_oversize_shortcircuit_matches_kernel_path(spark, pages):
     rows never reach the Python kernel."""
     kernel_side = extract_pages(pages, SYNTH_CONFIG)
     short_circuit = extract_pages_with_oversize_shortcircuit(pages, SYNTH_CONFIG)
-    a = dict(kernel_side.groupBy("status").count().collect())
-    b = dict(short_circuit.groupBy("status").count().collect())
-    assert {str(k): v for k, v in a.items()} == {str(k): v for k, v in b.items()}
+    keys = ["status", "content_type_detected"]
+    a = {tuple(r[k] for k in keys): r["count"]
+         for r in kernel_side.groupBy(*keys).count().collect()}
+    b = {tuple(r[k] for k in keys): r["count"]
+         for r in short_circuit.groupBy(*keys).count().collect()}
+    assert a == b  # same statuses AND same sniffed mime per row class
 
 
 def test_resume_pending_shrinks_to_zero(spark, pages):
