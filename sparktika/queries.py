@@ -675,12 +675,16 @@ def rel_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_anti_join_inactive_customers",
     """
 SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
 """,
 )
 def rel_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders since 2000 (the cutoff keeps the result
+    non-degenerate at every SF; every customer has SOME order)."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= "2000-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -702,12 +706,19 @@ def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "rel_set_except_unordered_parts",
-    "SELECT p_partkey FROM part EXCEPT SELECT l_partkey AS p_partkey FROM lineitem",
+    """
+SELECT p_partkey FROM part
+EXCEPT
+SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 48
+""",
 )
 def rel_set_except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered in bulk (quantity >= 48 keeps the difference
+    non-empty at every SF; every part appears in SOME lineitem)."""
     p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_partkey").alias("p_partkey"))
+    l = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .filter(F.col("l_quantity") >= 48)
+         .select(F.col("l_partkey").alias("p_partkey")))
     return p.subtract(l)  # EXCEPT (distinct) semantics
 
 
