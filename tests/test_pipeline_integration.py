@@ -264,3 +264,33 @@ def test_hash_join_verification_full_match(spark, pages):
     assert s["mismatched"] == 0
     assert s["match_rate"] == 1.0
     assert s["joined"] == ext.count()
+
+
+def test_salting_defuses_host_byte_skew(spark, pages):
+    """North-rule skew requirement: with a crawl laid out by host (the
+    natural ingest order) one host owning most bytes concentrates work in
+    a few input partitions; salting by xxhash64(url) flattens the
+    per-partition byte load. Pinned: salted max-partition byte share is
+    several times lower than the host-clustered layout's."""
+    from pyspark.sql.functions import spark_partition_id
+
+    # make host000 docs 8x heavier, then lay out the corpus host-clustered
+    skewed = pages.withColumn(
+        "html",
+        F.when(F.col("url").contains("host000"),
+               F.concat(*([F.col("html")] * 8))).otherwise(F.col("html")),
+    ).select("url", "html")
+    clustered = skewed.repartitionByRange(8, "url")  # crawl-order layout
+
+    def max_byte_share(df):
+        rows = (df.withColumn("pid", spark_partition_id())
+                .groupBy("pid").agg(F.sum(F.length("html")).alias("b")).collect())
+        total = sum(r.b for r in rows)
+        return max(r.b for r in rows) / total
+
+    clustered_share = max_byte_share(clustered)
+    salted_share = max_byte_share(clustered.repartition(8, F.xxhash64("url")))
+    # hot layout: ~2.5x the fair 1/8 share; salted: ~1.5x at worst
+    assert clustered_share > 0.28
+    assert salted_share < 0.20
+    assert salted_share < clustered_share / 1.5
