@@ -304,34 +304,37 @@ def parse_html(
     # block segmentation state
     blocks: list[Block] = []
     blk_parts: list[str] = []
-    blk_anchor_chars = 0
+    blk_anchor_parts: list[str] = []
     blk_tag = "body"
 
     def flush_block(tag_for_next: str):
-        nonlocal blk_parts, blk_anchor_chars, blk_tag
+        nonlocal blk_parts, blk_anchor_parts, blk_tag
         raw = "".join(blk_parts)
         textv = _WS_COLLAPSE.sub(" ", raw).strip()
         if textv:
             n_chars = len(textv)
             n_words = len(textv.split())
-            anchor_chars = min(blk_anchor_chars, n_chars)
+            anchor_raw = "".join(blk_anchor_parts)
+            anchor_chars = min(
+                len(_WS_COLLAPSE.sub(" ", anchor_raw).strip()) if anchor_raw else 0,
+                n_chars)
             # approximate anchor words by character share of collapsed text
             n_anchor_words = round(n_words * (anchor_chars / n_chars)) if n_chars else 0
             blocks.append(Block(textv, n_words, n_anchor_words, n_chars,
                                 anchor_chars, blk_tag))
         blk_parts = []
-        blk_anchor_chars = 0
+        blk_anchor_parts = []
         blk_tag = tag_for_next
 
     def emit_chars(chunk: str, to_writer: bool = True):
         """Send characters to writer + link builders (mirrors the SAX tee)."""
-        nonlocal blk_anchor_chars, limit_hit
+        nonlocal limit_hit
         for b in builder_stack:
             b.characters(chunk)
         if collect_blocks and to_writer:
             blk_parts.append(chunk)
             if a_depth > 0:
-                blk_anchor_chars += len(_WS_COLLAPSE.sub(" ", chunk).strip())
+                blk_anchor_parts.append(chunk)
         if to_writer:
             writer.characters(chunk)
 

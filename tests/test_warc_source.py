@@ -1,0 +1,108 @@
+"""WARC kernel + Spark source tests over synthesized archives."""
+
+from __future__ import annotations
+
+import gzip
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from sparktika.kernels.errors import KernelError
+from sparktika.kernels.warc import parse_warc
+
+
+def _warc_record(wtype: str, uri: str | None, payload: bytes,
+                 date: str = "2026-01-01T00:00:00Z") -> bytes:
+    headers = [f"WARC/1.0", f"WARC-Type: {wtype}", f"WARC-Date: {date}"]
+    if uri:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers.append(f"Content-Length: {len(payload)}")
+    return ("\r\n".join(headers) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, ct: str = "text/html", chunked: bool = False) -> bytes:
+    if chunked:
+        chunks = b""
+        for i in range(0, len(body), 16):
+            part = body[i : i + 16]
+            chunks += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+        chunks += b"0\r\n\r\n"
+        return (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+                "Transfer-Encoding: chunked\r\n\r\n").encode() + chunks
+    return (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+def _sample_warc() -> bytes:
+    return (
+        _warc_record("warcinfo", None, b"software: sparktika-test\r\n")
+        + _warc_record("request", "https://a.example/x",
+                       b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n")
+        + _warc_record("response", "https://a.example/x",
+                       _http_response(b"<html><body><div>page one</div></body></html>"))
+        + _warc_record("response", "https://b.example/y",
+                       _http_response(b"chunked body content here", ct="text/plain",
+                                      chunked=True))
+    )
+
+
+def test_parse_warc_plain():
+    recs = list(parse_warc(_sample_warc()))
+    assert [r.target_uri for r in recs] == ["https://a.example/x", "https://b.example/y"]
+    assert recs[0].http_content_type == "text/html"
+    assert b"page one" in recs[0].body
+    assert recs[1].body == b"chunked body content here"  # dechunked
+
+
+def test_parse_warc_gzip_members():
+    raw = _sample_warc()
+    # Common Crawl convention: each record its own gzip member
+    members = []
+    pos = 0
+    while pos < len(raw):
+        end = raw.find(b"\r\n\r\nWARC/1.0", pos)
+        end = len(raw) if end == -1 else end + 4
+        members.append(gzip.compress(raw[pos:end]))
+        pos = end
+    gz = b"".join(members)
+    recs = list(parse_warc(gz))
+    assert len(recs) == 2
+    assert b"page one" in recs[0].body
+
+
+def test_parse_warc_malformed_raises_kernel_error():
+    with pytest.raises(KernelError):
+        list(parse_warc(b"NOT A WARC AT ALL\r\n\r\n"))
+
+
+def test_warc_spark_source_end_to_end():
+    from pyspark.sql import functions as F
+
+    from sparktika.config import ExtractConfig
+    from sparktika.pipeline.extract import extract_pages
+    from sparktika.pipeline.session import build_session
+    from sparktika.pipeline.sources import read_warc_pages
+
+    spark = build_session(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        tmp = Path(tempfile.mkdtemp(prefix="sparktika_warc_"))
+        (tmp / "seg1.warc").write_bytes(_sample_warc())
+        (tmp / "seg2.warc.gz").write_bytes(gzip.compress(_sample_warc()))
+        (tmp / "broken.warc").write_bytes(b"garbage not a warc")
+
+        pages = read_warc_pages(spark, str(tmp))
+        rows = pages.collect()
+        assert len(rows) == 4  # 2 responses x 2 valid archives; broken skipped
+
+        ext = extract_pages(pages, ExtractConfig())
+        out = {r["url"]: r for r in ext.collect()}
+        a = [v for k, v in out.items() if "a.example" in k][0]
+        assert a["status"] == "ok"
+        assert a["text_extracted"] == "page one\n"
+        assert a["content_type_detected"] == "text/html"
+        b = [v for k, v in out.items() if "b.example" in k][0]
+        assert b["text_extracted"] == "chunked body content here"
+    finally:
+        spark.stop()
