@@ -210,7 +210,18 @@ def extract_document(
                            text_extracted=text if cfg.parse_content else None,
                            metadata=md, status=status,
                            write_limit_reached=limited)
-            # valid compound file without a known text payload (doc/ppt/msg
+            if "PowerPoint Document" in streams:
+                from .ppt import extract_ppt
+
+                r = extract_ppt(data)
+                text, limited = _cap_text(r.text, cfg.max_chars)
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected="application/vnd.ms-powerpoint",
+                           text_extracted=text if cfg.parse_content else None,
+                           metadata={"Content-Type": ["application/vnd.ms-powerpoint"],
+                                     "n-text-atoms": [str(r.n_atoms)]},
+                           status=status, write_limit_reached=limited)
+            # valid compound file without a known text payload (doc/msg
             # kernels are out of v1 scope)
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error=f"OLE2 streams {sorted(streams)[:8]} have no v1 parser")

@@ -1,0 +1,63 @@
+"""Legacy PowerPoint (.ppt) text extraction: OLE2 `PowerPoint Document`
+stream record scan (MS-PPT public spec).
+
+PPT files are a tree of records with an 8-byte header
+(versionAndInstance u16, recType u16, recLen u32). Container records
+(recVer == 0xF) nest children; text lives in leaf atoms:
+  0x0FA0 TextCharsAtom  — UTF-16LE text
+  0x0FA8 TextBytesAtom  — latin-1 text
+  0x0FBA CString        — UTF-16LE (titles, notes)
+Output spec (ours): one line per text atom, in stream order.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from .errors import KernelError
+from .ole2 import Ole2File
+
+_TEXT_CHARS = 0x0FA0
+_TEXT_BYTES = 0x0FA8
+_CSTRING = 0x0FBA
+
+
+@dataclass
+class PptResult:
+    text: str
+    n_atoms: int = 0
+    metadata: dict[str, str] = field(default_factory=dict)
+
+
+def _scan(data: bytes, out: list[str], depth: int = 0) -> None:
+    if depth > 32:
+        raise KernelError("PPT record nesting exceeded cap")
+    i, n = 0, len(data)
+    while i + 8 <= n:
+        ver_inst, rec_type, rec_len = struct.unpack_from("<HHI", data, i)
+        i += 8
+        rec_len = min(rec_len, n - i)
+        payload = data[i : i + rec_len]
+        if (ver_inst & 0x000F) == 0x000F:  # container: recurse
+            _scan(payload, out, depth + 1)
+        elif rec_type in (_TEXT_CHARS, _CSTRING):
+            t = payload.decode("utf-16-le", "replace").replace("\r", "\n").strip("\x00")
+            if t.strip():
+                out.append(t)
+        elif rec_type == _TEXT_BYTES:
+            t = payload.decode("latin-1", "replace").replace("\r", "\n")
+            if t.strip():
+                out.append(t)
+        i += rec_len
+
+
+def extract_ppt(data: bytes) -> PptResult:
+    ole = Ole2File(data)
+    if "PowerPoint Document" not in ole.stream_names():
+        raise KernelError("no PowerPoint Document stream")
+    stream = ole.read_stream("PowerPoint Document")
+    parts: list[str] = []
+    _scan(stream, parts)
+    text = "\n".join(parts) + ("\n" if parts else "")
+    return PptResult(text=text, n_atoms=len(parts))
