@@ -1,0 +1,120 @@
+"""Legacy Word (.doc) text extraction: FIB + piece table (MS-DOC public spec).
+
+Covers the Word97+ binary layout:
+- FIB in the `WordDocument` stream: magic 0xA5EC, flag bit selecting the
+  `1Table`/`0Table` stream, fcClx/lcbClx locating the piece table
+- Clx in the table stream: Prc records skipped, Pcdt (0x02) holding a
+  PlcPcd: CP array + PCDs; each PCD's fc encodes compressed (cp1252,
+  fc/2) vs UTF-16LE text ranges in the WordDocument stream
+- pieces concatenated in CP order; control chars normalized (\\r and
+  0x07 cell marks -> newline, field markers dropped)
+
+Bomb posture: piece count capped; all ranges bounds-checked.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+from .errors import KernelError
+from .ole2 import Ole2File
+
+_FIB_MAGIC = 0xA5EC
+_MAX_PIECES = 100_000
+
+# cp1252 high-row for compressed pieces (Word stores 8-bit text as cp1252)
+_CP1252_HIGH = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…", 0x86: "†",
+    0x87: "‡", 0x88: "ˆ", 0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“", 0x94: "”", 0x95: "•",
+    0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def _decode_cp1252(data: bytes) -> str:
+    return "".join(_CP1252_HIGH.get(b, chr(b)) for b in data)
+
+
+@dataclass
+class DocResult:
+    text: str
+    n_pieces: int = 0
+
+
+def _normalize(text: str) -> str:
+    out = []
+    for ch in text:
+        o = ord(ch)
+        if ch == "\r" or o == 0x07:  # paragraph mark / table cell-row mark
+            out.append("\n")
+        elif o in (0x13, 0x14, 0x15):  # field begin/separator/end markers
+            continue
+        elif o < 0x20 and ch not in ("\t", "\n"):
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def extract_doc(data: bytes) -> DocResult:
+    ole = Ole2File(data)
+    names = set(ole.stream_names())
+    if "WordDocument" not in names:
+        raise KernelError("no WordDocument stream")
+    wd = ole.read_stream("WordDocument")
+    if len(wd) < 0x01AA or struct.unpack_from("<H", wd, 0)[0] != _FIB_MAGIC:
+        raise KernelError("bad FIB")
+    flags = struct.unpack_from("<H", wd, 0x000A)[0]
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    if table_name not in names:
+        # some writers only emit the other table stream
+        table_name = "0Table" if "1Table" not in names else "1Table"
+        if table_name not in names:
+            raise KernelError("no table stream")
+    table = ole.read_stream(table_name)
+    fc_clx, lcb_clx = struct.unpack_from("<II", wd, 0x01A2)
+    if lcb_clx == 0 or fc_clx + lcb_clx > len(table):
+        raise KernelError("missing/out-of-range Clx")
+    clx = table[fc_clx : fc_clx + lcb_clx]
+
+    # walk Clx: skip Prc (0x01) records, find Pcdt (0x02)
+    i = 0
+    plc = None
+    while i < len(clx):
+        tag = clx[i]
+        if tag == 0x01:  # Prc: 2-byte cb + data
+            (cb,) = struct.unpack_from("<h", clx, i + 1)
+            i += 3 + cb
+        elif tag == 0x02:  # Pcdt: 4-byte lcb + PlcPcd
+            (lcb,) = struct.unpack_from("<I", clx, i + 1)
+            plc = clx[i + 5 : i + 5 + lcb]
+            break
+        else:
+            raise KernelError(f"unknown Clx tag {tag}")
+    if plc is None:
+        raise KernelError("no Pcdt in Clx")
+
+    # PlcPcd: n+1 CPs (u32) then n PCDs (8 bytes)
+    n = (len(plc) - 4) // 12
+    if n <= 0 or n > _MAX_PIECES:
+        raise KernelError(f"implausible piece count {n}")
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    parts: list[str] = []
+    for k in range(n):
+        pcd = plc[(n + 1) * 4 + k * 8 : (n + 1) * 4 + (k + 1) * 8]
+        (fc_raw,) = struct.unpack_from("<I", pcd, 2)
+        compressed = bool(fc_raw & 0x40000000)
+        fc = fc_raw & 0x3FFFFFFF
+        n_chars = cps[k + 1] - cps[k]
+        if n_chars <= 0:
+            continue
+        if compressed:
+            start = fc // 2
+            raw = wd[start : start + n_chars]
+            parts.append(_decode_cp1252(raw))
+        else:
+            raw = wd[fc : fc + n_chars * 2]
+            parts.append(raw.decode("utf-16-le", "replace"))
+    return DocResult(text=_normalize("".join(parts)), n_pieces=n)

@@ -210,6 +210,17 @@ def extract_document(
                            text_extracted=text if cfg.parse_content else None,
                            metadata=md, status=status,
                            write_limit_reached=limited)
+            if "WordDocument" in streams:
+                from .doc import extract_doc
+
+                r = extract_doc(data)
+                text, limited = _cap_text(r.text, cfg.max_chars)
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected="application/msword",
+                           text_extracted=text if cfg.parse_content else None,
+                           metadata={"Content-Type": ["application/msword"],
+                                     "n-text-pieces": [str(r.n_pieces)]},
+                           status=status, write_limit_reached=limited)
             if "PowerPoint Document" in streams:
                 from .ppt import extract_ppt
 

@@ -257,3 +257,68 @@ def test_ole2_roundtrip_via_xls_reader_rejects_missing_workbook():
     data = _build_ole2({"SomeStream": b"\x01" * 100})
     r = extract_document("u", None, data)
     assert r.status == "unsupported"
+
+
+def _doc_streams(pieces):
+    """Build WordDocument + 0Table streams for given (text, compressed)
+    pieces using the MS-DOC piece-table layout."""
+    import struct
+
+    wd = bytearray(0x0600)
+    struct.pack_into("<H", wd, 0, 0xA5EC)       # FIB magic
+    struct.pack_into("<H", wd, 0x000A, 0x0000)  # flags: 0Table
+    # lay piece texts into the WordDocument stream after the FIB area
+    fc_cursor = 0x0800
+    wd_body = bytearray()
+    pcds = []
+    cps = [0]
+    for text, compressed in pieces:
+        if compressed:
+            raw = text.encode("cp1252")
+            fc_raw = (fc_cursor + len(wd_body)) * 2 | 0x40000000
+        else:
+            raw = text.encode("utf-16-le")
+            fc_raw = fc_cursor + len(wd_body)
+        pcds.append(struct.pack("<HIH", 0, fc_raw, 0))
+        wd_body += raw
+        cps.append(cps[-1] + len(text))
+    plc = struct.pack(f"<{len(cps)}I", *cps) + b"".join(pcds)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = bytearray(0x80) + clx
+    struct.pack_into("<II", wd, 0x01A2, 0x80, len(clx))  # fcClx, lcbClx
+    full_wd = bytes(wd) + b"\x00" * (fc_cursor - len(wd)) + bytes(wd_body)
+    return full_wd, bytes(table)
+
+
+def test_doc_text_extraction_mixed_pieces():
+    from sparktika.kernels.doc import extract_doc
+
+    wd, table = _doc_streams([
+        ("Hello compressed world.\r", True),
+        ("Unicode – piece …\r", False),
+        ("café latin\r", True),
+    ])
+    data = _build_ole2({"WordDocument": wd, "0Table": table})
+    r = extract_doc(data)
+    assert r.text == "Hello compressed world.\nUnicode – piece …\ncafé latin\n"
+    assert r.n_pieces == 3
+
+
+def test_dispatch_routes_doc():
+    wd, table = _doc_streams([("Word body text\r", True)])
+    data = _build_ole2({"WordDocument": wd, "0Table": table})
+    r = extract_document("u", None, data)
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/msword"
+    assert r.text_extracted == "Word body text\n"
+
+
+def test_doc_broken_clx_fails_softly():
+    import struct
+
+    wd = bytearray(0x0600)
+    struct.pack_into("<H", wd, 0, 0xA5EC)
+    struct.pack_into("<II", wd, 0x01A2, 0xFFFF, 64)  # out-of-range Clx
+    data = _build_ole2({"WordDocument": bytes(wd), "0Table": b"\x00" * 128})
+    r = extract_document("u", None, data)
+    assert r.status == "failed"
