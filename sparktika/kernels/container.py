@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from . import mime as mime_mod
 from .charset import decode as charset_decode
-from .errors import InflateRatioError, KernelError
+from .errors import InflateRatioError, KernelError, check_deadline
 from .ooxml import extract_docx, extract_pptx, extract_xlsx, is_ooxml, open_zip, read_entry
 
 MAX_PACKAGE_ENTRY_DEPTH = 20
@@ -40,6 +40,7 @@ def extract_zip_container(
     max_ratio: float = 200.0,
     max_entry_bytes: int = 256_000_000,
     depth: int = 0,
+    deadline: float | None = None,
 ) -> ContainerResult:
     if depth > MAX_PACKAGE_ENTRY_DEPTH:
         raise KernelError(
@@ -67,6 +68,7 @@ def extract_zip_container(
     truncated = False
     names: list[str] = []
     for info in zf.infolist():
+        check_deadline(deadline, "zip container entry scan")
         if info.is_dir():
             continue
         names.append(info.filename)
@@ -98,7 +100,7 @@ def extract_zip_container(
             t = parse_html(charset_decode(raw)[0], max_chars=budget).text
         elif detected == "application/zip":
             t = extract_zip_container(raw, budget, max_ratio, max_entry_bytes,
-                                      depth + 1).text
+                                      depth + 1, deadline).text
         else:
             continue
         if budget != -1 and len(t) > budget:

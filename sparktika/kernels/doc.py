@@ -17,7 +17,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
-from .errors import KernelError
+from .errors import KernelError, check_deadline
 from .ole2 import Ole2File
 
 _FIB_MAGIC = 0xA5EC
@@ -58,7 +58,7 @@ def _normalize(text: str) -> str:
     return "".join(out)
 
 
-def extract_doc(data: bytes) -> DocResult:
+def extract_doc(data: bytes, deadline: float | None = None) -> DocResult:
     ole = Ole2File(data)
     names = set(ole.stream_names())
     if "WordDocument" not in names:
@@ -79,13 +79,23 @@ def extract_doc(data: bytes) -> DocResult:
         raise KernelError("missing/out-of-range Clx")
     clx = table[fc_clx : fc_clx + lcb_clx]
 
-    # walk Clx: skip Prc (0x01) records, find Pcdt (0x02)
+    # walk Clx: skip Prc (0x01) records, find Pcdt (0x02).
+    # cb is unsigned per MS-DOC 2.9.209 (GrpPrl size); a signed read let a
+    # crafted cb=0xFFFD stall the loop forever (i += 0). Unsigned means an
+    # oversized cb overshoots len(clx) and the loop exits; the iteration cap
+    # is a belt-and-braces forward-progress guard.
     i = 0
     plc = None
+    iterations = 0
     while i < len(clx):
+        iterations += 1
+        if iterations > _MAX_PIECES:
+            raise KernelError("Clx walk exceeded iteration cap")
+        if (iterations & 0xFF) == 1:  # poll on the first record too
+            check_deadline(deadline, "doc Clx walk")
         tag = clx[i]
         if tag == 0x01:  # Prc: 2-byte cb + data
-            (cb,) = struct.unpack_from("<h", clx, i + 1)
+            (cb,) = struct.unpack_from("<H", clx, i + 1)
             i += 3 + cb
         elif tag == 0x02:  # Pcdt: 4-byte lcb + PlcPcd
             (lcb,) = struct.unpack_from("<I", clx, i + 1)
@@ -103,6 +113,8 @@ def extract_doc(data: bytes) -> DocResult:
     cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
     parts: list[str] = []
     for k in range(n):
+        if (k & 0xFF) == 0:
+            check_deadline(deadline, "doc piece assembly")
         pcd = plc[(n + 1) * 4 + k * 8 : (n + 1) * 4 + (k + 1) * 8]
         (fc_raw,) = struct.unpack_from("<I", pcd, 2)
         compressed = bool(fc_raw & 0x40000000)

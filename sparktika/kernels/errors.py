@@ -4,6 +4,8 @@ becomes an empty/flagged result, never a crashed run —
 ref: client/TikaRunner.java:142-147, test/TikaProcessTest.java:182-203).
 """
 
+import time as _time
+
 
 class KernelError(Exception):
     """Base: parse failed; row gets status='failed'."""
@@ -20,6 +22,14 @@ class InflateRatioError(KernelError):
 class DeadlineError(KernelError):
     """Cooperative per-doc deadline exceeded; row gets status='timeout'
     (ref: abortAfterMs, client/TikaRunner.java:74-109)."""
+
+
+def check_deadline(deadline: "float | None", what: str = "parse") -> None:
+    """Cooperative deadline poll for kernel scan loops. `deadline` is a
+    time.monotonic() instant or None. Cheap enough to call per record
+    (~60ns); kernels with very tight loops may poll every N iterations."""
+    if deadline is not None and _time.monotonic() > deadline:
+        raise DeadlineError(f"{what} exceeded per-document deadline")
 
 
 class WriteLimitReached(Exception):

@@ -178,7 +178,8 @@ def extract_document(
             r = extract_zip_container(
                 data, max_chars=cfg.max_chars,
                 max_ratio=cfg.max_inflate_ratio,
-                max_entry_bytes=cfg.max_inflate_bytes)
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline)
             md = {k: [v] for k, v in r.metadata.items() if k != "Content-Type"}
             refined = r.metadata.get("Content-Type", detected)
             md["Content-Type"] = [refined]
@@ -198,7 +199,7 @@ def extract_document(
             ole = Ole2File(data)  # structure errors -> KernelError -> failed
             streams = set(ole.stream_names())
             if "Workbook" in streams or "Book" in streams:
-                r = extract_xls(data)
+                r = extract_xls(data, deadline=deadline)
                 text, limited = _cap_text(r.text, cfg.max_chars)
                 md = {
                     "Content-Type": ["application/vnd.ms-excel"],
@@ -213,7 +214,7 @@ def extract_document(
             if "WordDocument" in streams:
                 from .doc import extract_doc
 
-                r = extract_doc(data)
+                r = extract_doc(data, deadline=deadline)
                 text, limited = _cap_text(r.text, cfg.max_chars)
                 status = STATUS_TRUNCATED if limited else STATUS_OK
                 return res(detected="application/msword",
@@ -224,7 +225,7 @@ def extract_document(
             if "PowerPoint Document" in streams:
                 from .ppt import extract_ppt
 
-                r = extract_ppt(data)
+                r = extract_ppt(data, deadline=deadline)
                 text, limited = _cap_text(r.text, cfg.max_chars)
                 status = STATUS_TRUNCATED if limited else STATUS_OK
                 return res(detected="application/vnd.ms-powerpoint",

@@ -15,7 +15,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-from .errors import KernelError
+from .errors import KernelError, check_deadline
 from .ole2 import Ole2File
 
 _TEXT_CHARS = 0x0FA0
@@ -30,17 +30,22 @@ class PptResult:
     metadata: dict[str, str] = field(default_factory=dict)
 
 
-def _scan(data: bytes, out: list[str], depth: int = 0) -> None:
+def _scan(data: bytes, out: list[str], depth: int = 0,
+          deadline: float | None = None) -> None:
     if depth > 32:
         raise KernelError("PPT record nesting exceeded cap")
     i, n = 0, len(data)
+    rec_i = 0
     while i + 8 <= n:
+        rec_i += 1
+        if (rec_i & 0xFF) == 1:  # poll on the first record too
+            check_deadline(deadline, "ppt record scan")
         ver_inst, rec_type, rec_len = struct.unpack_from("<HHI", data, i)
         i += 8
         rec_len = min(rec_len, n - i)
         payload = data[i : i + rec_len]
         if (ver_inst & 0x000F) == 0x000F:  # container: recurse
-            _scan(payload, out, depth + 1)
+            _scan(payload, out, depth + 1, deadline)
         elif rec_type in (_TEXT_CHARS, _CSTRING):
             t = payload.decode("utf-16-le", "replace").replace("\r", "\n").strip("\x00")
             if t.strip():
@@ -52,12 +57,12 @@ def _scan(data: bytes, out: list[str], depth: int = 0) -> None:
         i += rec_len
 
 
-def extract_ppt(data: bytes) -> PptResult:
+def extract_ppt(data: bytes, deadline: float | None = None) -> PptResult:
     ole = Ole2File(data)
     if "PowerPoint Document" not in ole.stream_names():
         raise KernelError("no PowerPoint Document stream")
     stream = ole.read_stream("PowerPoint Document")
     parts: list[str] = []
-    _scan(stream, parts)
+    _scan(stream, parts, deadline=deadline)
     text = "\n".join(parts) + ("\n" if parts else "")
     return PptResult(text=text, n_atoms=len(parts))

@@ -62,18 +62,40 @@ def _dechunk(body: bytes) -> bytes:
 
 def _gunzip_members(data: bytes, max_ratio: float, max_bytes: int):
     """Yield decompressed gzip members (a .warc.gz is a concatenation of
-    independently-gzip'd records)."""
+    independently-gzip'd records).
+
+    The inflate-ratio guard is enforced incrementally against the bytes
+    actually fed to the CURRENT member (64 KiB chunks with a 64 KiB floor
+    so small legit members aren't penalized) — not against the whole
+    remaining file, which would let an early small member inflate up to
+    total_file_size * ratio."""
     i, n = 0, len(data)
+    chunk_size = 65536
     while i < n - 2:
         if data[i] != 0x1F or data[i + 1] != 0x8B:
             raise KernelError(f"bad gzip member at offset {i}")
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        cap = min(int(max(n - i, 1024) * max_ratio), max_bytes)
-        out = d.decompress(data[i:], cap)
-        if d.unconsumed_tail:
-            raise InflateRatioError("warc gzip member exceeded inflate cap")
-        yield out
-        consumed = (n - i) - len(d.unused_data)
+        out_parts: list[bytes] = []
+        out_len = 0
+        fed = 0
+        while not d.eof:
+            chunk = data[i + fed : i + fed + chunk_size]
+            if not chunk:
+                break  # truncated member: yield what inflated cleanly
+            fed += len(chunk)
+            member_cap = min(int(max(fed, 65536) * max_ratio), max_bytes)
+            allow = member_cap - out_len
+            if allow <= 0:
+                raise InflateRatioError("warc gzip member exceeded inflate cap")
+            piece = d.decompress(chunk, allow)
+            out_len += len(piece)
+            out_parts.append(piece)
+            if d.unconsumed_tail:
+                # output allowance exhausted with compressed input left in
+                # this member: per-member ratio exceeded
+                raise InflateRatioError("warc gzip member exceeded inflate cap")
+        yield b"".join(out_parts)
+        consumed = fed - len(d.unused_data)
         if consumed <= 0:
             break
         i += consumed
@@ -96,9 +118,15 @@ def _parse_record(stream: bytes, pos: int) -> tuple[WarcRecord | None, int]:
         length = int(headers.get("content-length", ""))
     except ValueError:
         raise KernelError("WARC record missing Content-Length") from None
+    if length < 0:
+        # a negative length would move next_pos backward (self-re-parsing
+        # loop) and give from-end slice semantics downstream
+        raise KernelError(f"negative WARC Content-Length {length}")
     body_start = hdr_end + 4
     payload = stream[body_start : body_start + length]
     next_pos = body_start + length
+    if next_pos <= pos:  # forward-progress invariant (bomb posture)
+        raise KernelError("WARC record parse made no forward progress")
     wtype = headers.get("warc-type", "unknown")
     uri = headers.get("warc-target-uri")
     date = headers.get("warc-date")

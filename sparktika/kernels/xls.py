@@ -21,7 +21,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-from .errors import KernelError
+from .errors import KernelError, check_deadline
 from .ole2 import Ole2File
 
 _BOF = 0x0809
@@ -208,7 +208,7 @@ class XlsResult:
     n_cells: int = 0
 
 
-def extract_xls(data: bytes) -> XlsResult:
+def extract_xls(data: bytes, deadline: float | None = None) -> XlsResult:
     ole = Ole2File(data)
     stream_name = next(
         (n for n in ("Workbook", "Book") if n in ole.stream_names()), None)
@@ -225,6 +225,8 @@ def extract_xls(data: bytes) -> XlsResult:
     recs = list(rs.records())
     i = 0
     while i < len(recs):
+        if (i & 0xFF) == 0:
+            check_deadline(deadline, "xls globals scan")
         op, payload, off = recs[i]
         if op == _FORMAT and len(payload) >= 5:
             (ifmt, n_chars) = struct.unpack_from("<HH", payload, 0)
@@ -279,7 +281,11 @@ def extract_xls(data: bytes) -> XlsResult:
 
         sub = _RecordStream(wb[pos_bof:end])
         pending_formula: tuple[int, int] | None = None
+        rec_i = 0
         for op, payload, _ in sub.records():
+            rec_i += 1
+            if (rec_i & 0xFF) == 1:  # poll on the first record too
+                check_deadline(deadline, "xls cell scan")
             try:
                 if op == _LABELSST:
                     r, c, _xf, idx = struct.unpack_from("<HHHI", payload, 0)

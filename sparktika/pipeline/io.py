@@ -44,5 +44,23 @@ def overwrite_table(df: DataFrame, location: str) -> None:
     df.write.mode("overwrite").parquet(location)
 
 
+def table_exists(spark: SparkSession, location: str) -> bool:
+    """True iff the table/path exists with committed data. Used by resume
+    detection: ONLY a definite does-not-exist counts as 'first run'; any
+    other failure (transient FS error, permissions) must propagate so a
+    flaky read can never silently disable the anti-join and duplicate
+    already-committed rows."""
+    if "/" not in location and iceberg_available(spark):
+        try:
+            return spark.catalog.tableExists(location)
+        except Exception:
+            return False
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(hconf)
+    return bool(fs.exists(path))
+
+
 def default_output_dir() -> str:
     return os.environ.get("SPARKTIKA_OUT", "/tmp/sparktika_out")

@@ -43,11 +43,14 @@ def run_extraction_job(
     pages = tio.read_table(spark, input_location)
     if dedup_recrawls:
         pages = newest_per_url(pages)
-    try:
+    # existence is checked explicitly (not inferred from a read failure):
+    # a transient read error against committed output must fail the run,
+    # not silently skip the anti-join and re-append duplicate rows
+    if tio.table_exists(spark, output_location):
         done = tio.read_table(spark, output_location).select("url")
         pages = pending_pages(pages, done)
         resumed = True
-    except Exception:
+    else:
         resumed = False  # first run: no committed output yet
 
     extracted = extract_pages_with_oversize_shortcircuit(
@@ -56,9 +59,12 @@ def run_extraction_job(
     # read-your-own-writes hazard on the parquet fallback (Spark refreshes
     # the path cache after the write, so any recompute would see the new
     # files and find zero pending rows). localCheckpoint materializes the
-    # batch and CUTS the lineage before the write; an Iceberg deployment
-    # gets the same guarantee from snapshot isolation instead.
-    extracted = extracted.localCheckpoint(eager=True)
+    # batch and CUTS the lineage before the write — needed ONLY on the
+    # parquet path; an Iceberg deployment gets the same guarantee from
+    # snapshot isolation, and materializing 100 TB to executor storage
+    # there would be a storage cliff.
+    if "/" in output_location or not tio.iceberg_available(spark):
+        extracted = extracted.localCheckpoint(eager=True)
     tio.append_table(extracted, output_location)
     lineage = partition_metrics(extracted, run_id)
     if metrics_location:

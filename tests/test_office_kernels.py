@@ -322,3 +322,48 @@ def test_doc_broken_clx_fails_softly():
     data = _build_ole2({"WordDocument": bytes(wd), "0Table": b"\x00" * 128})
     r = extract_document("u", None, data)
     assert r.status == "failed"
+
+
+def test_doc_negative_prc_cb_cannot_stall_clx_walk():
+    """Regression: a Prc record with cb=0xFFFD (signed -3) used to make
+    i += 3 + cb = 0 — an infinite loop pinning an executor core forever.
+    Unsigned cb overshoots len(clx) and the walk exits with a soft failure."""
+    import struct
+
+    wd = bytearray(0x0600)
+    struct.pack_into("<H", wd, 0, 0xA5EC)
+    # Clx = one poisoned Prc record; no Pcdt follows
+    clx = b"\x01" + struct.pack("<H", 0xFFFD) + b"\x00" * 16
+    table = bytearray(0x80) + clx
+    struct.pack_into("<II", wd, 0x01A2, 0x80, len(clx))
+    data = _build_ole2({"WordDocument": bytes(wd), "0Table": bytes(table)})
+    r = extract_document("u", None, data)  # must return, not hang
+    assert r.status == "failed"
+
+
+def test_office_kernels_honor_expired_deadline():
+    """The per-doc cooperative deadline must reach the office/container
+    kernels' scan loops (not just html/pdf)."""
+    from sparktika.kernels.doc import extract_doc
+    from sparktika.kernels.errors import DeadlineError
+    from sparktika.kernels.ppt import extract_ppt
+
+    past = 0.0  # any monotonic() is > 0
+
+    xls = open("/root/reference/tika-fork-client/test-files/xls-sample.xls",
+               "rb").read()
+    with pytest.raises(DeadlineError):
+        extract_xls(xls, deadline=past)
+
+    wd, table = _doc_streams([("Word body text\r", True)])
+    docd = _build_ole2({"WordDocument": wd, "0Table": table})
+    with pytest.raises(DeadlineError):
+        extract_doc(docd, deadline=past)
+
+    pptd = _build_ole2({"PowerPoint Document": _ppt_stream()})
+    with pytest.raises(DeadlineError):
+        extract_ppt(pptd, deadline=past)
+
+    zipd = _zip_bytes({"a.txt": b"hello"})
+    with pytest.raises(DeadlineError):
+        extract_zip_container(zipd, deadline=past)

@@ -76,6 +76,35 @@ def test_parse_warc_malformed_raises_kernel_error():
         list(parse_warc(b"NOT A WARC AT ALL\r\n\r\n"))
 
 
+def test_parse_warc_negative_content_length_rejected():
+    """Regression: int() accepts '-3'; a negative length moved next_pos
+    backward so the record re-parsed itself up to the record cap."""
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://a.example/x\r\n"
+           b"Content-Length: -3\r\n\r\n" + b"body")
+    with pytest.raises(KernelError):
+        list(parse_warc(rec))
+
+
+def test_warc_gzip_member_ratio_is_per_member():
+    """Regression: the inflate cap used the whole remaining archive's size,
+    so an early small bomb member in a big file escaped the ratio guard.
+    A ~70KB member inflating to ~67MB (ratio ~1000) must trip the guard
+    even when followed by enough legit members to pad the file size."""
+    from sparktika.kernels.errors import InflateRatioError
+
+    bomb_payload = b"\x00" * 67_000_000  # inflates ~1000:1
+    bomb = gzip.compress(_warc_record("response", "https://bomb.example/",
+                                      _http_response(bomb_payload)))
+    legit = gzip.compress(_sample_warc())
+    # trailing bytes sized so remaining_file * ratio > bomb size — the old
+    # whole-file cap would NOT have tripped here
+    n_pad = (len(bomb_payload) // 200) // len(legit) + 10
+    data = bomb + legit * n_pad
+    with pytest.raises(InflateRatioError):
+        list(parse_warc(data, max_inflate_ratio=200.0))
+
+
 def test_warc_spark_source_end_to_end():
     from pyspark.sql import functions as F
 
