@@ -77,10 +77,20 @@ def main() -> None:
     warm.mapInPandas(lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it),
                      "n long").write.format("noop").mode("overwrite").save()
 
+    # Min-of-N protocol (CLAUDE.md invariant 6): this sandbox has heavy,
+    # time-varying host CPU steal — identical runs vary up to 4.5x — so a
+    # single-shot timing is noise, not signal. Each query runs `repeats`
+    # times inside one invocation and we report the per-query MIN, making
+    # any single driver run robust against a steal burst.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+
     def bench(name: str, thunk) -> None:
-        t0 = time.monotonic()
-        thunk()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            thunk()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     # q1: the flagship — full extraction (mime+charset+HTML/PDF kernels,
     # links, boilerplate, safety statuses) over the whole corpus. The bench
@@ -132,6 +142,8 @@ def main() -> None:
         "n_docs": n_docs,
         "corpus_mb": round(corpus_bytes / 1e6, 1),
         "cpus": cpus,
+        "repeats": repeats,
+        "timing": "min over repeats per query (host CPU steal protocol)",
     }))
     spark.stop()
 

@@ -68,11 +68,15 @@ def extract_document(
     content_type: str | None,
     data: bytes | None,
     cfg: ExtractConfig = DEFAULT_CONFIG,
+    true_size: int | None = None,
 ) -> ExtractResult:
+    """`true_size` lets the Spark layer ship only a 1KB sniff head for
+    oversize documents (single-scan short-circuit) while the kernel still
+    reports the document's real size in the status row."""
     t0 = time.monotonic()
     deadline = t0 + cfg.timeout_ms / 1000.0 if cfg.timeout_ms > 0 else None
     data = data or b""
-    n_bytes = len(data)
+    n_bytes = true_size if true_size is not None else len(data)
     declared = content_type or None
 
     def res(**kw) -> ExtractResult:

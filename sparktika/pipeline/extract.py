@@ -13,10 +13,11 @@ Physical policy (SURVEY.md §4.2 — the two things Catalyst cannot infer):
    kernel catches per doc, so Spark's unit of retry (the task) never
    trips on a poisoned row.
 
-Oversize rows are short-circuited BEFORE the kernel with a plain column
-filter (Catalyst pushes `length(html) > cap` into the scan where the
-source supports it); they re-enter the output as status rows via a cheap
-union of projections — no second parse.
+Oversize rows are short-circuited BEFORE the kernel with a single-scan
+JVM-side conditional projection: rows over the size cap ship only a 1KB
+sniff head + their true byte count through Arrow and the kernel emits
+the skipped_oversize status row — one pass over `html`, no union, no
+second scan.
 """
 
 from __future__ import annotations
@@ -51,9 +52,14 @@ def make_extract_fn(cfg: ExtractConfig):
                 pdf["content_type"] if "content_type" in pdf.columns
                 else [None] * len(pdf)
             )
+            true_sizes = (
+                pdf["__n_bytes_full"] if "__n_bytes_full" in pdf.columns
+                else [None] * len(pdf)
+            )
             cols: dict[str, list] = {c: [] for c in _OUT_COLS}
-            for u, ct, d in zip(pdf["url"], declared, pdf["html"]):
-                r = extract_document(u, ct, d, cfg)
+            for u, ct, d, ts in zip(pdf["url"], declared, pdf["html"], true_sizes):
+                r = extract_document(u, ct, d, cfg,
+                                     true_size=None if ts is None else int(ts))
                 cols["url"].append(r.url)
                 cols["content_type_declared"].append(r.content_type_declared)
                 cols["content_type_detected"].append(r.content_type_detected)
@@ -88,9 +94,22 @@ def extract_pages(
 
     Column-prunes to (url, html[, content_type]) before the kernel so the
     scan never reads `text`/`lang` (check ReadSchema in .explain).
+
+    Oversize short-circuit is built in, single-scan: a JVM-side conditional
+    projection ships the full payload for rows within the size cap but only
+    a 1KB sniff head (plus the true byte count) for oversize rows — so the
+    100-TB plan reads `html` exactly once, oversize payloads never cross
+    Arrow, and the kernel emits the same skipped_oversize status row it
+    would for a full payload (ref semantics: skipped before parse, O19).
     """
     cols = ["url", "html"] + (["content_type"] if "content_type" in df.columns else [])
     slim = df.select(*cols)
+    if cfg.max_bytes > 0:
+        slim = slim.withColumns({
+            "__n_bytes_full": F.length("html").cast("long"),
+            "html": F.when(F.length("html") <= cfg.max_bytes, F.col("html"))
+                     .otherwise(F.expr("substring(html, 1, 1024)")),
+        })
     if num_partitions:
         # salt by unique url: defuses host-level byte skew (SURVEY.md §4.2)
         slim = slim.repartition(num_partitions, F.xxhash64("url"))
@@ -102,52 +121,7 @@ def extract_pages_with_oversize_shortcircuit(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Variant that never ships oversize payloads through Arrow: the size
-    filter runs JVM-side; oversize rows keep only their first 1KB (for the
-    same MIME sniff the kernel path performs — the two paths must agree,
-    see test_oversize_shortcircuit_matches_kernel_path) and rejoin the
-    output as status rows (ref semantics: skipped before parse, O19)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
-
-    from ..kernels.mime import detect_mime
-
-    has_declared = "content_type" in df.columns
-    declared_col = F.col("content_type") if has_declared else F.lit(None).cast("string")
-
-    def sniff(head: pd.Series, declared: pd.Series) -> pd.Series:
-        return pd.Series([
-            detect_mime(h or b"", d) for h, d in zip(head, declared)
-        ])
-
-    sniff_udf = pandas_udf(sniff, StringType())
-
-    small = df.filter(F.length("html") <= cfg.max_bytes)
-    big = (
-        df.filter(F.length("html") > cfg.max_bytes)
-        .select(
-            F.col("url"),
-            F.length("html").cast("long").alias("n_bytes_in"),
-            F.expr("substring(html, 1, 1024)").alias("__head"),
-            declared_col.alias("content_type_declared"),
-        )
-        .select(
-            F.col("url"),
-            F.col("content_type_declared"),
-            sniff_udf(F.col("__head"), F.col("content_type_declared")).alias("content_type_detected"),
-            F.lit(None).cast("string").alias("charset_detected"),
-            F.lit(None).cast("string").alias("text_extracted"),
-            F.lit(None).cast("string").alias("main_text"),
-            F.lit(None).cast("string").alias("title"),
-            F.lit(None).cast("array<struct<type:string,source_uri:string,target_uri:string,title:string,anchor:string,rel:string,params:map<string,string>>>").alias("links"),
-            F.lit(None).cast("map<string,array<string>>").alias("metadata"),
-            F.lit("skipped_oversize").alias("status"),
-            F.format_string("document size %d exceeds cap " + str(cfg.max_bytes), F.col("n_bytes_in")).alias("error"),
-            F.lit(0).cast("long").alias("parse_ms"),
-            F.col("n_bytes_in"),
-            F.lit(0).cast("long").alias("n_chars_out"),
-            F.lit(False).alias("write_limit_reached"),
-        )
-        .select(*[f.name for f in EXTRACTED_SCHEMA.fields])
-    )
-    return extract_pages(small, cfg, num_partitions).unionByName(big)
+    """Kept as a named alias: the oversize short-circuit is now built into
+    extract_pages as a single-scan conditional projection (the previous
+    two-branch union read the source twice — a full second pass at 100 TB)."""
+    return extract_pages(df, cfg, num_partitions)

@@ -38,17 +38,35 @@ def pages(spark):
 
 
 def test_oversize_shortcircuit_matches_kernel_path(spark, pages):
-    """The JVM-side size filter must produce the same statuses as the
-    kernel-side cap (SURVEY.md O19): same counts per status, and oversize
-    rows never reach the Python kernel."""
-    kernel_side = extract_pages(pages, SYNTH_CONFIG)
-    short_circuit = extract_pages_with_oversize_shortcircuit(pages, SYNTH_CONFIG)
+    """The built-in single-scan oversize short-circuit (JVM-side truncation
+    to a 1KB sniff head + true-size column) must produce the same statuses
+    and the real document sizes as shipping full payloads to the kernel
+    (SURVEY.md O19)."""
+    from sparktika.config import ExtractConfig
+    from sparktika.pipeline.extract import make_extract_fn
+
+    # reference behavior: full payloads through the kernel (cap applied
+    # kernel-side only) — bypass the JVM truncation via a raw mapInPandas
+    from sparktika.pipeline.schema import EXTRACTED_SCHEMA
+
+    full_path = (pages.select("url", "html")
+                 .mapInPandas(make_extract_fn(SYNTH_CONFIG), EXTRACTED_SCHEMA))
+    short_circuit = extract_pages(pages, SYNTH_CONFIG)
     keys = ["status", "content_type_detected"]
     a = {tuple(r[k] for k in keys): r["count"]
-         for r in kernel_side.groupBy(*keys).count().collect()}
+         for r in full_path.groupBy(*keys).count().collect()}
     b = {tuple(r[k] for k in keys): r["count"]
          for r in short_circuit.groupBy(*keys).count().collect()}
     assert a == b  # same statuses AND same sniffed mime per row class
+
+    # oversize rows report their TRUE size even though only 1KB crossed Arrow
+    over = short_circuit.filter(F.col("status") == "skipped_oversize")
+    row = over.select(F.min("n_bytes_in").alias("m")).collect()[0]
+    assert row["m"] is not None and row["m"] > SYNTH_CONFIG.max_bytes
+
+    # and the physical plan reads the source exactly once (no union of scans)
+    plan = short_circuit._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") == 0
 
 
 def test_resume_pending_shrinks_to_zero(spark, pages):
