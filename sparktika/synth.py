@@ -247,7 +247,10 @@ pages2 AS (
       WHEN kind <= 9  THEN text || chr(10)
       WHEN kind = 12  THEN text || ' caf' || chr(233) || chr(10)
       WHEN kind = 13  THEN text || '  x ' || chr(10)
-      WHEN kind IN (14, 15) THEN text || chr(10)
+      -- PDF kernel framing (kernels/pdf.py render_pages): single-paragraph
+      -- single-page doc = text + linesep + </p> newline + endPage empty <p/>
+      -- + </div> writer newline + </div> XHTML newline = 5 trailing newlines
+      WHEN kind IN (14, 15) THEN text || repeat(chr(10), 5)
       WHEN kind IN (16, 17) THEN text
       ELSE NULL
     END AS text_expected,

@@ -263,14 +263,20 @@ def _simple_pdf(content: str, flate: bool = False) -> bytes:
     return b"%PDF-1.3\n" + b"".join(objs) + b"%%EOF\n"
 
 
+# Tika-stack framing (see pdf.py render_pages): a single-paragraph page ends
+# with linesep + </p> newline + endPage's empty <p/> + </div> writer newline
+# + </div> XHTML newline = 5 trailing newlines.
+_PAGE_TRAIL = "\n\n\n\n\n"
+
+
 def test_pdf_single_tj():
     data = _simple_pdf("BT /F1 12 Tf 72 720 Td (hello pdf world) Tj ET")
-    assert pdf.extract_pdf(data).text == "hello pdf world\n"
+    assert pdf.extract_pdf(data).text == "hello pdf world" + _PAGE_TRAIL
 
 
 def test_pdf_flate_stream():
     data = _simple_pdf("BT /F1 12 Tf 72 720 Td (compressed text) Tj ET", flate=True)
-    assert pdf.extract_pdf(data).text == "compressed text\n"
+    assert pdf.extract_pdf(data).text == "compressed text" + _PAGE_TRAIL
 
 
 def test_pdf_multiline_emission_order():
@@ -279,32 +285,35 @@ def test_pdf_multiline_emission_order():
     content = ("BT /F1 12 Tf 14 TL 72 200 Td (line one) Tj ET\n"
                "BT /F1 12 Tf 72 100 Td (line two) Tj ET")
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "line one\nline two\n"
+    # the 100pt gap exceeds the paragraph drop threshold (2.5 x line height):
+    # two paragraphs, "\n\n" between them (PDFBox isParagraphSeparation)
+    assert pdf.extract_pdf(data).text == "line one\n\nline two" + _PAGE_TRAIL
 
 
 def test_pdf_same_line_gap_inserts_space():
     content = ("BT /F1 10 Tf 72 500 Td (left) Tj ET\n"
                "BT /F1 10 Tf 300 500 Td (right) Tj ET")
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "left right\n"
+    assert pdf.extract_pdf(data).text == "left right" + _PAGE_TRAIL
 
 
 def test_pdf_tstar_and_escapes():
     content = r"BT /F1 12 Tf 14 TL 72 720 Td (a\(b\)c) Tj T* (d\\e) Tj ET"
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "a(b)c\nd\\e\n"
+    # 14pt leading < 2.5 x 0.6 x 12 = 18: same paragraph, plain line break
+    assert pdf.extract_pdf(data).text == "a(b)c\nd\\e" + _PAGE_TRAIL
 
 
 def test_pdf_tj_array_kerning():
     content = "BT /F1 12 Tf 72 720 Td [(Hel) 10 (lo) -250 (world)] TJ ET"
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "Hello world\n"
+    assert pdf.extract_pdf(data).text == "Hello world" + _PAGE_TRAIL
 
 
 def test_pdf_hex_string_and_winansi():
     content = "BT /F1 12 Tf 72 720 Td <48659C> Tj ET"  # H e œ
     data = _simple_pdf(content)
-    assert pdf.extract_pdf(data).text == "Heœ\n"
+    assert pdf.extract_pdf(data).text == "Heœ" + _PAGE_TRAIL
 
 
 def test_pdf_flate_bomb_guard():

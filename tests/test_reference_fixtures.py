@@ -6,9 +6,10 @@ grammar.
 Pinned parity:
 - html-sample.html: extracted char count == 2,648 (exact match with the
   reference golden) and metadata key count == 8 (exact match), 4 anchors.
-- pdf-sample.pdf: >= 95% of the reference's 1,069 golden chars, correct
-  leading text (PDFBox-exact spacing on arbitrary real PDFs is out of v1
-  scope per SURVEY.md §7.3).
+- pdf-sample.pdf: extracted char count == 1,069 (exact match with the
+  reference golden, TikaProcessTest.java:129-133): ToUnicode CMap maps the
+  Symbol-font bullet to U+2022, xref-stream + ObjStm object resolution,
+  and PDFBox-equivalent paragraph segmentation + Tika handler framing.
 """
 
 from __future__ import annotations
@@ -42,10 +43,22 @@ def test_pdf_sample_text_extraction():
     data = (FIXTURES / "pdf-sample.pdf").read_bytes()
     r = extract_document("https://example.com/pdf-sample.pdf", "application/pdf", data)
     assert r.status == "ok"
-    assert r.text_extracted.startswith("Adobe Acrobat PDF Files")
-    assert r.n_chars_out >= 0.95 * 1069  # reference golden is 1,069 chars
-    assert r.n_chars_out <= 1.05 * 1069
-    assert "universal file format" in r.text_extracted
+    t = r.text_extracted
+    assert r.n_chars_out == 1069  # reference golden (TikaProcessTest.java:133)
+    # byte-level structure: 8 paragraphs separated by blank lines, the
+    # Symbol-font bullet decoded through its ToUnicode CMap, page framing
+    # newlines at the end (empty <p/> + </div> writer + XHTML newlines)
+    assert t.startswith("Adobe Acrobat PDF Files\n\nAdobe® Portable Document")
+    assert t.endswith("page at a time for fast display on the Web.\n\n\n\n\n")
+    paragraphs = [p for p in t.split("\n\n") if p.strip()]
+    assert len(paragraphs) == 8
+    assert sum(1 for p in paragraphs if p.startswith("•")) == 5
+    assert "universal file format" in t
+    assert "\x01" not in t  # raw Symbol code must not leak (ToUnicode applied)
+    # Info dictionary resolved through the ObjStm + xref stream
+    assert r.metadata["dc:title"] == ["This is a test PDF file"]
+    assert r.metadata["pdf:Author"] == ["cdaily"]
+    assert r.metadata["pdf:Producer"] == ["Acrobat Distiller 4.0 for Windows"]
 
 
 def test_txt_sample_cap_semantics():
