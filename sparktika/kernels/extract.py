@@ -147,6 +147,8 @@ def extract_document(
                        write_limit_reached=r.write_limit_reached)
 
         if detected == "application/pdf":
+            from .tikameta import pdf_tika_metadata
+
             r = pdf.extract_pdf(
                 data,
                 max_inflate_ratio=cfg.max_inflate_ratio,
@@ -154,12 +156,17 @@ def extract_document(
                 deadline=deadline,
             )
             text, limited = _cap_text(r.text, cfg.max_chars)
-            md = {"Content-Type": ["application/pdf"]}
-            for k, v in r.metadata.items():
-                md[k if ":" in k else f"pdf:{k}"] = [v]
+            # Tika-1.20-parity key set (39 distinct keys on the reference
+            # fixture, test/TikaProcessTest.java:129-133); engine fields
+            # (resource_name/parsing_time/write_limit_reached) are added on
+            # top by res()
+            md = pdf_tika_metadata(
+                r.metadata, r.metadata.get("pdf:version", ""),
+                n_pages=r.n_pages, chars_per_page=r.page_nchars,
+                unmapped_per_page=r.page_unmapped)
+            if "pdf:image-count" in r.metadata:
+                md["pdf:image-count"] = [r.metadata["pdf:image-count"]]
             title = r.metadata.get("Title")
-            if title:
-                md["dc:title"] = [title]
             status = STATUS_TRUNCATED if limited else STATUS_OK
             return res(detected=detected, text_extracted=text if cfg.parse_content else None,
                        title=title, metadata=md, status=status,
@@ -203,13 +210,18 @@ def extract_document(
             ole = Ole2File(data)  # structure errors -> KernelError -> failed
             streams = set(ole.stream_names())
             if "Workbook" in streams or "Book" in streams:
+                from .olemeta import extract_ole_properties
+                from .tikameta import xls_tika_metadata
+
                 r = extract_xls(data, deadline=deadline)
                 text, limited = _cap_text(r.text, cfg.max_chars)
-                md = {
-                    "Content-Type": ["application/vnd.ms-excel"],
-                    "sheet-names": r.sheet_names,
-                    "n-cells": [str(r.n_cells)],
-                }
+                # Tika-1.20-parity key set from the OLE2 property sets (23
+                # distinct keys on the reference fixture,
+                # test/TikaProcessTest.java:124-128) + engine fields
+                summary, docsum = extract_ole_properties(ole)
+                md = xls_tika_metadata(summary, docsum)
+                md["sheet-names"] = r.sheet_names
+                md["n-cells"] = [str(r.n_cells)]
                 status = STATUS_TRUNCATED if limited else STATUS_OK
                 return res(detected="application/vnd.ms-excel",
                            text_extracted=text if cfg.parse_content else None,

@@ -123,6 +123,12 @@ class PdfResult:
     metadata: dict[str, str] = field(default_factory=dict)
     n_streams: int = 0
     xmp: str | None = None
+    n_pages: int = 0
+    # per-page extracted char counts (Tika's pdf:charsPerPage) and counts of
+    # glyphs that had no unicode mapping (landed in the C0 control range via
+    # the byte fallback — Tika's pdf:unmappedUnicodeCharsPerPage)
+    page_nchars: list[int] = field(default_factory=list)
+    page_unmapped: list[int] = field(default_factory=list)
 
 
 def _inflate(data: bytes, max_ratio: float, max_bytes: int) -> bytes:
@@ -1041,5 +1047,12 @@ def extract_pdf(
             if isinstance(head, dict) and head.get("Subtype") == "Image":
                 n_images += 1
         meta["pdf:image-count"] = str(n_images)
+    page_nchars = [sum(len(s[3]) for s in spans) for spans in page_spans]
+    page_unmapped = [
+        sum(1 for s in spans for ch in s[3]
+            if ord(ch) < 0x20 and ch not in "\t\n\r")
+        for spans in page_spans
+    ]
     return PdfResult(text=text, metadata=meta, n_streams=doc.n_streams,
-                     xmp=_doc_xmp(doc))
+                     xmp=_doc_xmp(doc), n_pages=max(len(page_spans), len(pages)),
+                     page_nchars=page_nchars, page_unmapped=page_unmapped)

@@ -89,6 +89,29 @@ def extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_pdf_metadata_keys",
+    _with_oracle_cte("""
+-- Tika-parity metadata surface for Info-less single-page synth PDFs:
+-- 16 Tika keys (X-Parsed-By, Content-Type, dc:format, pdf:PDFVersion,
+-- pdf:encrypted, xmpTPg:NPages, 8 access_permission:*, pdf:charsPerPage,
+-- pdf:unmappedUnicodeCharsPerPage) + 3 engine fields (resource_name,
+-- parsing_time, write_limit_reached) = 19; charsPerPage = len(text)
+SELECT url, 19 AS n_meta_keys,
+       CAST(length(text) AS BIGINT) AS chars_per_page
+FROM pages2 WHERE kind IN (14, 15)
+"""),
+)
+def extract_pdf_metadata_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages_meta(spark, sf_dir).filter(F.col("kind").isin(14, 15))
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        "url",
+        F.size(F.map_keys("metadata")).cast("bigint").alias("n_meta_keys"),
+        F.element_at(F.col("metadata"), "pdf:charsPerPage")[0]
+         .cast("bigint").alias("chars_per_page"))
+
+
+@_register(
     "extract_status_counts",
     _with_oracle_cte("""
 SELECT status_expected AS status, count(*) AS n_docs

@@ -22,6 +22,11 @@ from sparktika.kernels.extract import extract_document
 
 FIXTURES = Path("/root/reference/tika-fork-client/test-files")
 
+# Engine-side fields this pipeline adds beyond the Tika-parity key sets
+# (reserved names from main/TikaConstants.java:12-27 + workbook extras).
+ENGINE_KEYS = {"resource_name", "parsing_time", "write_limit_reached",
+               "sheet-names", "n-cells"}
+
 pytestmark = pytest.mark.skipif(
     not FIXTURES.exists(), reason="reference fixtures not available")
 
@@ -55,10 +60,19 @@ def test_pdf_sample_text_extraction():
     assert sum(1 for p in paragraphs if p.startswith("•")) == 5
     assert "universal file format" in t
     assert "\x01" not in t  # raw Symbol code must not leak (ToUnicode applied)
-    # Info dictionary resolved through the ObjStm + xref stream
+    # metadata key parity: the reference pins 39 distinct keys for this
+    # fixture (TikaProcessTest.java:129-133); engine-only fields sit on top
+    tika_keys = {k for k in r.metadata if k not in ENGINE_KEYS}
+    assert len(tika_keys) == 39
     assert r.metadata["dc:title"] == ["This is a test PDF file"]
-    assert r.metadata["pdf:Author"] == ["cdaily"]
-    assert r.metadata["pdf:Producer"] == ["Acrobat Distiller 4.0 for Windows"]
+    assert r.metadata["pdf:docinfo:creator"] == ["cdaily"]
+    assert r.metadata["producer"] == ["Acrobat Distiller 4.0 for Windows"]
+    assert r.metadata["xmp:CreatorTool"] == ["Microsoft Word 8.0"]
+    # PDF dates normalized to UTC ISO (D:20000629102108+11'00' -> Z)
+    assert r.metadata["dcterms:created"] == ["2000-06-28T23:21:08Z"]
+    assert r.metadata["dcterms:modified"] == ["2013-10-28T19:24:13Z"]
+    assert r.metadata["xmpTPg:NPages"] == ["1"]
+    assert r.metadata["pdf:unmappedUnicodeCharsPerPage"] == ["0"]
 
 
 def test_txt_sample_cap_semantics():
@@ -85,3 +99,14 @@ def test_xls_sample_text_extraction():
     assert r.text_extracted.startswith("Sheet1\nMedicaid Prescription Reimbursement")
     assert r.metadata["sheet-names"] == ["Sheet1", "Sheet2", "Sheet3"]
     assert "Alabama" in r.text_extracted and "Wyoming" in r.text_extracted
+    # metadata key parity: the reference pins 23 distinct keys for this
+    # fixture (TikaProcessTest.java:124-128), fed by the OLE2
+    # SummaryInformation / DocumentSummaryInformation property sets
+    tika_keys = {k for k in r.metadata if k not in ENGINE_KEYS}
+    assert len(tika_keys) == 23
+    assert r.metadata["Author"] == ["CMS"]
+    assert r.metadata["Last-Author"] == ["d1j7"]
+    assert r.metadata["Application-Name"] == ["Microsoft Excel"]
+    assert r.metadata["extended-properties:Company"] == ["CMS"]
+    assert r.metadata["dcterms:created"] == ["2003-04-21T18:43:48Z"]
+    assert r.metadata["Last-Printed"] == ["2004-12-06T16:22:10Z"]
