@@ -5,15 +5,28 @@ reference's POI-backed XLS path (ref: Tika 1.20 parser set linked at
 tika-fork-main/build.gradle; golden pinned at 23 metadata keys /
 4,824 chars, test/TikaProcessTest.java:124-128).
 
-Output spec (ours, frozen in goldens): per sheet in BOUNDSHEET order —
-sheet name line, then each populated row as its cells joined with tabs,
-rows in ascending order. Numbers render integer-exact when integral,
-shortest-repr otherwise (full Excel number-format fidelity is out of v1
-scope; SURVEY.md §2.B file-format row).
+Output spec (frozen in goldens) mirrors Tika's ExcelExtractor XHTML
+through the reference handler stack, byte-for-byte on the fixture
+(4,824 chars, test/TikaProcessTest.java:124-128):
+
+  per sheet (BOUNDSHEET order):
+    "\n" before sheets 2..n        (<div class="page"> writer DIV rule)
+    sheet name + "\n"              (<h1> + XHTML-layer newline)
+    per populated row, ascending:  one "\t" BEFORE each present cell
+                                   (XHTML INDENT rule on <td>), so a row
+                                   reads "\t" + cells joined by "\t";
+                                   blank-but-styled cells (BLANK/MULBLANK
+                                   records) render as empty cells, then
+                                   "\n" (</tr> XHTML newline)
+    "\n\n\n"                       (</table> newline + </div> writer rule
+                                   + </div> XHTML newline)
+
+Numbers render integer-exact when integral, shortest-repr otherwise, with
+common number formats (currency/percent/grouping) applied.
 
 Records handled: BOF/EOF, BOUNDSHEET, SST (with CONTINUE splits —
 including mid-string grbit restatement), LABELSST, LABEL, NUMBER, RK,
-MULRK, FORMULA+STRING, BOOLERR, RSTRING.
+MULRK, FORMULA+STRING, BOOLERR, RSTRING, BLANK, MULBLANK.
 """
 
 from __future__ import annotations
@@ -38,6 +51,8 @@ _MULRK = 0x00BD
 _FORMULA = 0x0006
 _STRING = 0x0207
 _BOOLERR = 0x0205
+_BLANK = 0x0201
+_MULBLANK = 0x00BE
 
 
 _FORMAT = 0x041E
@@ -326,11 +341,25 @@ def extract_xls(data: bytes, deadline: float | None = None) -> XlsResult:
                     r, c, _xf, bval, is_err = struct.unpack_from("<HHHBB", payload, 0)
                     if not is_err:
                         put(r, c, "TRUE" if bval else "FALSE")
+                elif op == _BLANK:
+                    r, c = struct.unpack_from("<HH", payload, 0)
+                    put(r, c, "")
+                elif op == _MULBLANK:
+                    r, c0 = struct.unpack_from("<HH", payload, 0)
+                    (c_last,) = struct.unpack_from("<H", payload, len(payload) - 2)
+                    for k in range(c_last - c0 + 1):
+                        put(r, c0 + k, "")
             except (struct.error, IndexError):
                 continue  # malformed record: skip cell, keep the sheet alive
+        if out_parts:
+            out_parts.append("\n")  # <div class="page"> of sheets 2..n
         out_parts.append(name)
+        out_parts.append("\n")      # XHTML-layer newline after </h1>
         for r in sorted(cells):
             row = cells[r]
-            out_parts.append("\t".join(row[c] for c in sorted(row)))
-    text = "\n".join(out_parts) + ("\n" if out_parts else "")
+            # XHTML INDENT rule: one "\t" BEFORE each <td>
+            out_parts.append("".join("\t" + row[c] for c in sorted(row)))
+            out_parts.append("\n")  # XHTML-layer newline after </tr>
+        out_parts.append("\n\n\n")  # </table> + </div> writer + </div> XHTML
+    text = "".join(out_parts)
     return XlsResult(text=text, sheet_names=[n for _, n in sheets], n_cells=n_cells)

@@ -140,10 +140,14 @@ def test_xls_reference_fixture_cells():
     r = extract_xls(data)
     assert r.sheet_names == ["Sheet1", "Sheet2", "Sheet3"]
     assert r.n_cells > 200
+    # byte parity with the reference golden (TikaProcessTest.java:127):
+    # leading tab per <td>, blank cells rendered, per-sheet framing newlines
+    assert len(r.text) == 4824
     lines = r.text.splitlines()
     assert lines[0] == "Sheet1"
-    header = [l for l in lines if l.startswith("STATE\t")]
+    header = [l for l in lines if l.startswith("\tSTATE\t")]
     assert header and "DISPENSING FEE" in header[0]
+    assert r.text.endswith("Sheet2\n\n\n\n\nSheet3\n\n\n\n")
 
 
 def test_xlsx_self_closing_empty_cells_keep_columns():

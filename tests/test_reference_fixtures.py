@@ -92,11 +92,10 @@ def test_xls_sample_text_extraction():
     r = extract_document("u", None, data)
     assert r.content_type_detected == "application/vnd.ms-excel"
     assert r.status == "ok"
-    # reference golden is 4,824 chars (POI number-format rendering differs;
-    # our frozen spec reaches >=95% with identical cell content order)
-    assert r.n_chars_out >= 0.95 * 4824
-    assert r.n_chars_out <= 1.05 * 4824
-    assert r.text_extracted.startswith("Sheet1\nMedicaid Prescription Reimbursement")
+    # reference golden: exactly 4,824 chars (TikaProcessTest.java:127)
+    assert r.n_chars_out == 4824
+    assert r.text_extracted.startswith(
+        "Sheet1\n\t\t\tMedicaid Prescription Reimbursement")
     assert r.metadata["sheet-names"] == ["Sheet1", "Sheet2", "Sheet3"]
     assert "Alabama" in r.text_extracted and "Wyoming" in r.text_extracted
     # metadata key parity: the reference pins 23 distinct keys for this
