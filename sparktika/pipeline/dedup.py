@@ -149,11 +149,8 @@ def simhash_keys(df: DataFrame, text_col: str = "text", key_col: str = "doc_id")
     return df.select(F.col(key_col).alias("key"), udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash. Banding: 4 chunks of 16 bits; Hamming<=3
-    guarantees at least one identical chunk (pigeonhole), so the candidate
-    join is exact-equality on (chunk_id, chunk_val) — shuffle-friendly."""
-    chunks = sh.select(
+def _simhash_chunks(sh: DataFrame) -> DataFrame:
+    return sh.select(
         "key", "simhash",
         F.explode(F.array(*[
             F.struct(
@@ -163,14 +160,86 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
             for i in range(4)
         ])).alias("c"),
     ).select("key", "simhash", "c.chunk_id", "c.chunk_val")
-    left = chunks.select(F.col("key").alias("key_a"), F.col("simhash").alias("sh_a"),
-                         "chunk_id", "chunk_val")
-    right = chunks.select(F.col("key").alias("key_b"), F.col("simhash").alias("sh_b"),
-                          "chunk_id", "chunk_val")
+
+
+def simhash_bucket_stats(sh: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Buckets whose size exceeds max_bucket (the ones simhash_near_pairs
+    degrades to sorted-neighborhood search). A pipeline that cares about
+    recall should log/alert on this DataFrame — silent truncation is worse
+    than a visible cap."""
     return (
-        left.join(right, ["chunk_id", "chunk_val"])
+        _simhash_chunks(sh)
+        .groupBy("chunk_id", "chunk_val")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+
+
+def simhash_near_pairs(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    neighborhood: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash. Banding: 4 chunks of 16 bits; Hamming<=3
+    guarantees at least one identical chunk (pigeonhole), so the candidate
+    join is exact-equality on (chunk_id, chunk_val) — shuffle-friendly.
+
+    100-TB scale guard: each 16-bit chunk has at most 65,536 distinct
+    values, so at 10^12 docs every bucket holds ~10^7 members and an
+    unguarded equality self-join explodes quadratically per bucket.
+    Buckets larger than `max_bucket` therefore switch to SORTED
+    NEIGHBORHOOD: members are ordered by (simhash, key) inside the bucket
+    and each is paired only with its next `neighborhood` neighbors — an
+    equi-join on (bucket, row_number), linear in bucket size. A true
+    near-dup pair has 4 chunks = 4 chances to meet in a cold bucket, so
+    recall loss is confined to pairs ONLY co-bucketed in hot chunks;
+    `simhash_bucket_stats` exposes the capped buckets for logging."""
+    chunks = _simhash_chunks(sh)
+    sizes = chunks.groupBy("chunk_id", "chunk_val").agg(
+        F.count("*").alias("bucket_n"))
+    chunks = chunks.join(sizes, ["chunk_id", "chunk_val"])
+    cold = chunks.filter(F.col("bucket_n") <= max_bucket)
+    hot = chunks.filter(F.col("bucket_n") > max_bucket)
+
+    cold_pairs = (
+        cold.select(F.col("key").alias("key_a"), F.col("simhash").alias("sh_a"),
+                    "chunk_id", "chunk_val")
+        .join(cold.select(F.col("key").alias("key_b"), F.col("simhash").alias("sh_b"),
+                          "chunk_id", "chunk_val"),
+              ["chunk_id", "chunk_val"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "sh_a", "sh_b")
+    )
+
+    w = Window.partitionBy("chunk_id", "chunk_val").orderBy("simhash", "key")
+    hm = hot.withColumn("rn", F.row_number().over(w))
+    # pair rn with rn+1..rn+neighborhood via explode -> pure equi-join
+    # (a range-join here would re-expand the bucket quadratically)
+    hot_left = hm.select(
+        F.col("key").alias("key_x"), F.col("simhash").alias("sh_x"),
+        "chunk_id", "chunk_val", "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(neighborhood))).alias("__k"),
+    ).select(
+        "key_x", "sh_x", "chunk_id", "chunk_val",
+        (F.col("rn") + F.col("__k")).alias("rn_b"),
+    )
+    hot_pairs = (
+        hot_left.join(
+            hm.select(F.col("key").alias("key_y"), F.col("simhash").alias("sh_y"),
+                      "chunk_id", "chunk_val", F.col("rn").alias("rn_b")),
+            ["chunk_id", "chunk_val", "rn_b"])
+        .select(
+            F.least("key_x", "key_y").alias("key_a"),
+            F.greatest("key_x", "key_y").alias("key_b"),
+            F.when(F.col("key_x") < F.col("key_y"), F.col("sh_x")).otherwise(F.col("sh_y")).alias("sh_a"),
+            F.when(F.col("key_x") < F.col("key_y"), F.col("sh_y")).otherwise(F.col("sh_x")).alias("sh_b"),
+        )
+        .filter(F.col("key_a") != F.col("key_b"))
+    )
+
+    return (
+        cold_pairs.unionByName(hot_pairs)
         .dropDuplicates(["key_a", "key_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -185,15 +254,29 @@ def token_jaccard_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     min_jaccard: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """EXACT distinct-token Jaccard via token explode + equi-join — fully
-    JVM-side (no UDFs), expressible in ANSI SQL for the oracle. Quadratic
-    in docs-per-shared-token; at scale use minhash_lsh_pairs and reserve
-    this as the verify stage on candidates."""
+    JVM-side (no UDFs), expressible in ANSI SQL for the oracle.
+
+    100-TB scale guard: the tok equi-join is quadratic in docs-per-shared-
+    token — one stopword shared by every doc would make it all-pairs. The
+    `max_df` document-frequency cut drops tokens appearing in more than
+    max_df documents BEFORE the join (the universe shrinks consistently:
+    intersection counts AND per-doc sizes both exclude cut tokens), which
+    bounds the join fan-out at max_df^2 per token. High-df tokens carry
+    near-zero Jaccard signal, so the cut sharpens rather than degrades the
+    measure. For open-ended corpora prefer minhash_lsh_pairs for candidate
+    generation and reserve this as the verify stage."""
     toks = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
     ).filter(F.col("tok") != "")
+    if max_df > 0:
+        doc_freq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+        toks = (toks.join(doc_freq, "tok")
+                .filter(F.col("__df") <= max_df)
+                .drop("__df"))
     sizes = toks.groupBy("key").agg(F.count("*").alias("n_tok"))
     inter = (
         toks.alias("a")

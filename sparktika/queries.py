@@ -533,7 +533,11 @@ toks AS (
   SELECT key, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
   FROM sub
 ),
-toks2 AS (SELECT key, tok FROM toks WHERE tok <> ''),
+toks1 AS (SELECT key, tok FROM toks WHERE tok <> ''),
+-- document-frequency cut mirrors token_jaccard_pairs(max_df=1000): tokens in
+-- more than 1000 docs are dropped from the universe before join AND sizes
+dfreq AS (SELECT tok, count(*) AS df FROM toks1 GROUP BY tok),
+toks2 AS (SELECT key, t.tok FROM toks1 t JOIN dfreq USING (tok) WHERE df <= 1000),
 sizes AS (SELECT key, count(*) AS n_tok FROM toks2 GROUP BY key),
 inter AS (
   SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_inter

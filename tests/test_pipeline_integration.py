@@ -204,6 +204,52 @@ def test_simhash_planted_exact_dups(spark):
         assert found.get((k, k + 1000)) == 0
 
 
+def test_simhash_hot_bucket_cap_survives_skew(spark):
+    """Scale guard: a corpus engineered so one 16-bit chunk value dominates
+    (exact dups share ALL chunks) must (a) route the hot bucket through
+    sorted-neighborhood instead of the quadratic self-join and (b) still
+    find planted exact dups — identical simhashes sort adjacent, so the
+    neighborhood pairing keeps them."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("key"), "text").filter(F.col("key") < 200)
+    # 200 copies of one text -> one bucket of >200 members per chunk
+    hot = base.filter(F.col("key") == 0).select(
+        (F.col("key") + 5000).alias("k2"), "text").crossJoin(
+        spark.range(200).select(F.col("id").alias("off"))).select(
+        (F.col("k2") + F.col("off")).alias("key"), "text")
+    sh = dedup.simhash_keys(base.unionByName(hot), "text", "key")
+    # with max_bucket=50 the planted clones are all in hot buckets
+    stats = dedup.simhash_bucket_stats(sh, max_bucket=50).collect()
+    assert len(stats) >= 1 and all(r.bucket_n > 50 for r in stats)
+    pairs = dedup.simhash_near_pairs(sh, max_hamming=3, max_bucket=50,
+                                     neighborhood=8).collect()
+    found = {(r.key_a, r.key_b): r.hamming for r in pairs}
+    # sorted-neighborhood keeps adjacent identical simhashes paired: key 0
+    # (same text as the clones) sorts first, clones 5000.. follow
+    assert found.get((5000, 5001)) == 0
+    assert found.get((0, 5000)) == 0
+    # pair count stays ~neighborhood-linear (<= 4 chunks x 8 partners each
+    # before dedup), NOT the quadratic 201*200/2 = 20,100 of the old join
+    clone_pairs = [p for p in found if p[1] >= 5000]
+    assert 0 < len(clone_pairs) <= 201 * 32
+
+
+def test_token_jaccard_df_cut_drops_stopword_blowup(spark):
+    """A token present in every doc must be cut from the join universe
+    (and from the size denominators) instead of producing all-pairs."""
+    rows = [(i, f"common tok{i} tok{i}x shared{i % 2}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.token_jaccard_pairs(df, "text", "doc_id",
+                                      min_jaccard=0.3, max_df=10).collect()
+    # 'common' (df=50) is cut; 'shared0'/'shared1' (df=25) are cut too;
+    # remaining tokens tok{i}/tok{i}x are unique -> no pairs at all
+    assert pairs == []
+    # with the cut disabled the stopword makes every pair a candidate
+    pairs2 = dedup.token_jaccard_pairs(df, "text", "doc_id",
+                                       min_jaccard=0.3, max_df=0).collect()
+    assert len(pairs2) > 0
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     """LSH ANN must recover a reasonable fraction of exact top-5 neighbors
     (random 64-d embeddings are a worst case for LSH; we pin a floor)."""
