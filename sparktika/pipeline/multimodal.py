@@ -2,12 +2,13 @@
 
 Image/audio/video payloads travel as `binary` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sample run
-as Arrow-batched kernels over mapInPandas. The decode step itself is
-STUBBED in this environment (no image/audio libraries in the container):
-`decode_image` raises NotImplementedError unless `use_fake=True`, in
-which case a deterministic fake decoder (dimensions + features derived
-from a stable hash of the payload) exercises the full Spark plumbing —
-schema, batching, partitioning — end to end.
+as Arrow-batched kernels over mapInPandas. `decode_image` is REAL for
+PNG and BMP (pure-Python kernels/image.py: zlib IDAT inflate behind the
+bomb-ratio guard, scanline unfiltering, palette/alpha handling) and
+returns (width, height, 8 feature floats). JPEG stays honestly stubbed
+(a DCT decoder is out of kernel scope in this container) and degrades to
+status='stubbed' rows; `use_fake=True` keeps the deterministic hash-based
+twin for plumbing tests.
 """
 
 from __future__ import annotations
@@ -39,18 +40,20 @@ FEATURES_SCHEMA = T.StructType([
 
 
 def decode_image(payload: bytes, use_fake: bool = False) -> tuple[int, int, list[float]]:
-    """Real decode requires an imaging library that is not in this container.
-    The deterministic fake derives (width, height, 8 features) from a
-    blake2b hash of the payload, so plumbing tests are stable."""
-    if not use_fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library (not in this container); "
-            "pass use_fake=True for the deterministic fake decoder")
-    h = hashlib.blake2b(payload, digest_size=20).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    feats = [round(b / 255.0, 6) for b in h[2:10]]
-    return width, height, feats
+    """Decode an image payload to (width, height, 8 features). PNG and BMP
+    decode for real (kernels/image.py); JPEG raises NotImplementedError
+    (-> status='stubbed'). The deterministic fake twin derives everything
+    from a blake2b hash of the payload, so plumbing tests are stable."""
+    if use_fake:
+        h = hashlib.blake2b(payload, digest_size=20).digest()
+        width = 64 + h[0] % 192
+        height = 64 + h[1] % 192
+        feats = [round(b / 255.0, 6) for b in h[2:10]]
+        return width, height, feats
+    from ..kernels.image import decode_any, image_features
+
+    img = decode_any(payload)
+    return img.width, img.height, image_features(img)
 
 
 def make_feature_fn(use_fake: bool = False, n_features: int = 8):

@@ -830,19 +830,31 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Multimodal plumbing (deterministic fake decoder; rows-only)
+# Multimodal: REAL PNG/BMP decode over synthesized payloads, oracle-backed
+# (dimensions are pure functions of media_id — see synth.media_dims)
 # =====================================================================
 
-@_register("media_features_fake")
-def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register(
+    "media_features",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     from .pipeline.multimodal import extract_media_features
+    from .synth import build_bmp, build_png
 
     def payload_fn(ids: pd.Series) -> pd.Series:
         return pd.Series([
-            hashlib.blake2b(str(int(i)).encode(), digest_size=32).digest() * 8
+            build_png(int(i)) if int(i) % 2 == 0 else build_bmp(int(i))
             for i in ids
         ])
 
@@ -851,10 +863,11 @@ def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         udf(F.col("doc_id")).alias("payload"),
-        F.lit("image/x-fake").alias("media_type"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
+         .otherwise(F.lit("image/bmp")).alias("media_type"),
     )
-    feats = extract_media_features(media, use_fake=True)
-    return feats.select("media_id", "width", "height", "n_bytes", "status")
+    feats = extract_media_features(media, use_fake=False)
+    return feats.select("media_id", "media_type", "width", "height", "status")
 
 
 def all_queries() -> dict[str, QueryFn]:

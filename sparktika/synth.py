@@ -67,6 +67,53 @@ def build_pdf(text: str, flate: bool) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic image synthesis (media_features oracle): dimensions and fill
+# color are pure functions of media_id, so DuckDB can predict width/height.
+#   width  = 16 + media_id % 48
+#   height = 16 + (media_id // 7) % 48
+#   color  = (media_id*37 % 256, media_id*59 % 256, media_id*83 % 256)
+# Even media_id -> PNG (RGB8, filter 0), odd -> BMP (24bpp bottom-up).
+# ---------------------------------------------------------------------------
+
+def media_dims(media_id: int) -> tuple[int, int]:
+    return 16 + media_id % 48, 16 + (media_id // 7) % 48
+
+
+def _media_color(media_id: int) -> tuple[int, int, int]:
+    return (media_id * 37 % 256, media_id * 59 % 256, media_id * 83 % 256)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big"))
+
+
+def build_png(media_id: int) -> bytes:
+    import struct as _s
+
+    w, h = media_dims(media_id)
+    r, g, b = _media_color(media_id)
+    row = b"\x00" + bytes([r, g, b]) * w  # filter 0 + solid RGB row
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(row * h))
+            + _png_chunk(b"IEND", b""))
+
+
+def build_bmp(media_id: int) -> bytes:
+    import struct as _s
+
+    w, h = media_dims(media_id)
+    r, g, b = _media_color(media_id)
+    stride = (w * 3 + 3) & ~3
+    row = (bytes([b, g, r]) * w).ljust(stride, b"\x00")
+    pixels = row * h
+    header = b"BM" + _s.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
 def build_payload(doc_id: int, text: str) -> bytes:
     kind = doc_id % 20
     if kind <= 9:

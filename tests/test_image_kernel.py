@@ -1,0 +1,216 @@
+"""Unit tests for the pure-Python image kernel (kernels/image.py).
+
+Round-trip strategy: build a seeded random RGB image, forward-apply each
+PNG filter in the test (the encoder side the kernel doesn't ship), zlib
+compress, and assert the kernel's unfilter recovers the exact pixels.
+BMP variants and the bomb guards are exercised directly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sparktika.kernels.errors import KernelError
+from sparktika.kernels.image import (
+    decode_any,
+    decode_bmp,
+    decode_png,
+    image_features,
+    sniff_image,
+)
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big"))
+
+
+def _forward_filter(arr: np.ndarray, filter_type: int) -> bytes:
+    """Encoder-side PNG filtering (RFC 2083 §6) for test payloads."""
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = row - left
+        elif filter_type == 2:
+            enc = row - prev
+        elif filter_type == 3:
+            enc = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = row - pred
+        out.append(filter_type)
+        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    return bytes(out)
+
+
+def _png(arr: np.ndarray, color_type: int, filter_type: int,
+         palette: bytes = b"") -> bytes:
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = _forward_filter(arr, filter_type)
+    body = _SIG + _chunk(b"IHDR", ihdr)
+    if palette:
+        body += _chunk(b"PLTE", palette)
+    return body + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def _rand(h, w, ch, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch), dtype=np.int64).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_rgb_all_filters_roundtrip(filter_type):
+    arr = _rand(13, 17, 3, seed=filter_type)
+    img = decode_png(_png(arr, 2, filter_type))
+    assert (img.width, img.height) == (17, 13)
+    assert np.array_equal(img.pixels, arr)
+
+
+def test_png_rgba_drops_alpha():
+    arr = _rand(9, 11, 4, seed=7)
+    img = decode_png(_png(arr, 6, 4))
+    assert np.array_equal(img.pixels, arr[:, :, :3])
+
+
+def test_png_grayscale_replicates_channels():
+    arr = _rand(8, 8, 1, seed=3)
+    img = decode_png(_png(arr, 0, 1))
+    assert np.array_equal(img.pixels, np.repeat(arr, 3, axis=2))
+
+
+def test_png_gray_alpha():
+    arr = _rand(6, 10, 2, seed=5)
+    img = decode_png(_png(arr, 4, 2))
+    assert np.array_equal(img.pixels, np.repeat(arr[:, :, :1], 3, axis=2))
+
+
+def test_png_palette_lookup():
+    pal = np.arange(256 * 3, dtype=np.int64).astype(np.uint8).reshape(256, 3)
+    idx = _rand(7, 7, 1, seed=9)
+    img = decode_png(_png(idx, 3, 0, palette=pal.tobytes()))
+    assert np.array_equal(img.pixels, pal[idx[:, :, 0]])
+
+
+def test_png_guards():
+    arr = _rand(4, 4, 3)
+    good = _png(arr, 2, 0)
+    with pytest.raises(KernelError):
+        decode_png(good[:40])  # truncated mid-chunk
+    # oversized dimensions caught before any allocation
+    huge = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    bomb = _SIG + _chunk(b"IHDR", huge)
+    with pytest.raises(KernelError):
+        decode_png(bomb)
+    # corrupt IDAT stream
+    blob = _SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    blob += _chunk(b"IDAT", b"not-zlib-data") + _chunk(b"IEND", b"")
+    with pytest.raises(KernelError):
+        decode_png(blob)
+    with pytest.raises(KernelError):
+        decode_png(_png(arr, 2, 0)[:8] + _chunk(b"IEND", b""))  # no IHDR/IDAT
+
+
+def _bmp(arr: np.ndarray, top_down: bool = False, bpp: int = 24,
+         palette: np.ndarray | None = None) -> bytes:
+    h, w = arr.shape[:2]
+    if bpp == 8:
+        rows_px = arr[:, :, 0]
+        stride = (w + 3) & ~3
+    else:
+        nch = bpp // 8
+        bgr = np.zeros((h, w, nch), dtype=np.uint8)
+        bgr[:, :, :3] = arr[:, :, ::-1]
+        rows_px = bgr.reshape(h, w * nch)
+        stride = (w * nch + 3) & ~3
+    body = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = rows_px[y].tobytes()
+        body += row.ljust(stride, b"\x00")
+    pal_bytes = b""
+    if palette is not None:
+        pal_bgra = np.zeros((len(palette), 4), dtype=np.uint8)
+        pal_bgra[:, :3] = palette[:, ::-1]
+        pal_bytes = pal_bgra.tobytes()
+    pix_off = 54 + len(pal_bytes)
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+                       0, len(body), 2835, 2835,
+                       len(palette) if palette is not None else 0, 0)
+    return header + info + pal_bytes + bytes(body)
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_24bpp_orientation(top_down):
+    arr = _rand(5, 6, 3, seed=11)
+    img = decode_bmp(_bmp(arr, top_down=top_down))
+    assert (img.width, img.height) == (6, 5)
+    assert np.array_equal(img.pixels, arr)
+
+
+def test_bmp_32bpp():
+    arr = _rand(4, 5, 3, seed=13)
+    img = decode_bmp(_bmp(arr, bpp=32))
+    assert np.array_equal(img.pixels, arr)
+
+
+def test_bmp_8bpp_palette():
+    pal = _rand(256, 3, 1, seed=15).reshape(256, 3)
+    idx = _rand(6, 9, 1, seed=17)
+    img = decode_bmp(_bmp(idx, bpp=8, palette=pal))
+    assert np.array_equal(img.pixels, pal[idx[:, :, 0]])
+
+
+def test_bmp_guards():
+    arr = _rand(4, 4, 3)
+    good = _bmp(arr)
+    with pytest.raises(KernelError):
+        decode_bmp(good[:-8])  # truncated pixels
+    rle = bytearray(good)
+    rle[30] = 1  # compression=BI_RLE8
+    with pytest.raises(KernelError):
+        decode_bmp(bytes(rle))
+
+
+def test_sniff_and_decode_any():
+    arr = _rand(4, 4, 3)
+    assert sniff_image(_png(arr, 2, 0)) == "image/png"
+    assert sniff_image(_bmp(arr)) == "image/bmp"
+    assert sniff_image(b"\xff\xd8\xff\xe0" + b"x" * 64) == "image/jpeg"
+    assert sniff_image(b"plain text") is None
+    with pytest.raises(NotImplementedError):
+        decode_any(b"\xff\xd8\xff\xe0" + b"x" * 64)
+    with pytest.raises(KernelError):
+        decode_any(b"not an image at all")
+
+
+def test_image_features_deterministic():
+    arr = np.zeros((10, 20, 3), dtype=np.uint8)
+    arr[:, :, 0] = 255  # pure red
+    img = decode_png(_png(arr, 2, 0))
+    feats = image_features(img)
+    assert len(feats) == 8
+    assert feats[0] == 1.0 and feats[1] == 0.0 and feats[2] == 0.0
+    assert feats[3] == feats[4] == feats[5] == 0.0  # solid color -> zero std
+    assert feats[6] == pytest.approx(0.299, abs=1e-6)  # luma of pure red
+    assert feats[7] == 2.0  # aspect 20/10

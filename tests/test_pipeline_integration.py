@@ -158,9 +158,31 @@ def test_multimodal_fake_decode_plumbing(spark):
         assert (by_id1[mid].width, by_id1[mid].height, by_id1[mid].features) == (
             by_id2[mid].width, by_id2[mid].height, by_id2[mid].features)
     assert all(r.status == "ok" for r in out1)
-    # stub mode: decode raises NotImplementedError -> status='stubbed', run survives
-    stubbed = extract_media_features(df, use_fake=False).collect()
-    assert all(r.status == "stubbed" for r in stubbed)
+    # real mode: hash-junk payloads are unrecognized -> status='failed' rows,
+    # the run survives (per-row containment)
+    failed = extract_media_features(df, use_fake=False).collect()
+    assert all(r.status == "failed" for r in failed)
+
+
+def test_multimodal_real_decode_and_jpeg_stub(spark):
+    """Real PNG/BMP payloads decode to their synthesized dimensions; JPEG
+    degrades to status='stubbed' (DCT decode out of scope), truncated
+    payloads to 'failed'."""
+    from sparktika.pipeline.multimodal import extract_media_features
+    from sparktika.synth import build_bmp, build_png, media_dims
+
+    rows = [(i, build_png(i) if i % 2 == 0 else build_bmp(i), "image/x")
+            for i in range(12)]
+    rows.append((100, b"\xff\xd8\xff\xe0junkjpeg", "image/jpeg"))
+    rows.append((101, build_png(2)[:30], "image/png"))  # truncated
+    df = spark.createDataFrame(rows, "media_id long, payload binary, media_type string")
+    out = {r.media_id: r for r in extract_media_features(df, use_fake=False).collect()}
+    for i in range(12):
+        w, h = media_dims(i)
+        assert (out[i].status, out[i].width, out[i].height) == ("ok", w, h)
+        assert len(out[i].features) == 8
+    assert out[100].status == "stubbed"
+    assert out[101].status == "failed"
 
 
 def test_metrics_partition_lineage_invariants(spark, pages):
