@@ -42,6 +42,10 @@ class ExtractConfig:
     extract_main_text: bool = True
     # Metadata-only mode: skip text assembly (ref: parseContent=false path).
     parse_content: bool = True
+    # PDF inline-image opt-in (O24; ref default off,
+    # main/TikaForkMain.java:98,307-311): when on, image XObject and inline
+    # BI/ID/EI counts are emitted as pdf:image-count / pdf:inline-image-count.
+    pdf_extract_inline_images: bool = False
 
     def with_(self, **kw) -> "ExtractConfig":
         from dataclasses import replace

@@ -128,6 +128,10 @@ def extract_document(
                 collapse_anchor_whitespace=cfg.collapse_anchor_whitespace,
                 collect_blocks=cfg.extract_main_text,
                 deadline=deadline,
+                # metadata-only fast path: skip the writer entirely (O26;
+                # like the reference's parseContent=false, no content handler
+                # means no text assembly and no write limit)
+                emit_text=cfg.parse_content,
             )
             mtext = boilerplate.main_text(r.blocks) if cfg.extract_main_text else None
             md: dict[str, list[str]] = {
@@ -154,6 +158,7 @@ def extract_document(
                 max_inflate_ratio=cfg.max_inflate_ratio,
                 max_inflate_bytes=cfg.max_inflate_bytes,
                 deadline=deadline,
+                include_images=cfg.pdf_extract_inline_images,
             )
             text, limited = _cap_text(r.text, cfg.max_chars)
             # Tika-1.20-parity key set (39 distinct keys on the reference
@@ -164,8 +169,9 @@ def extract_document(
                 r.metadata, r.metadata.get("pdf:version", ""),
                 n_pages=r.n_pages, chars_per_page=r.page_nchars,
                 unmapped_per_page=r.page_unmapped)
-            if "pdf:image-count" in r.metadata:
-                md["pdf:image-count"] = [r.metadata["pdf:image-count"]]
+            for k in ("pdf:image-count", "pdf:inline-image-count"):
+                if k in r.metadata:
+                    md[k] = [r.metadata[k]]
             title = r.metadata.get("Title")
             status = STATUS_TRUNCATED if limited else STATUS_OK
             return res(detected=detected, text_extracted=text if cfg.parse_content else None,

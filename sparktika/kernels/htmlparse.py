@@ -279,6 +279,23 @@ def tokenize(s: str, deadline: float | None = None):
 
 # --- walker -------------------------------------------------------------------
 
+class _NullWriter:
+    """Metadata-only sink: the walk still runs (title, links, structure
+    guards) but no body text is assembled. Mirrors the reference's
+    parseContent=false path, where no content handler is attached so no
+    text is serialized and the write limit can never trip
+    (ref: main/TikaForkMain.java:240-247 parseContent branch)."""
+
+    __slots__ = ()
+    limit_reached = False
+
+    def characters(self, s: str) -> None: ...
+    def start_element(self, name: str) -> None: ...
+    def end_element(self, name: str) -> None: ...
+    def getvalue(self) -> str:
+        return ""
+
+
 def parse_html(
     text: str,
     base_uri: str = "",
@@ -288,8 +305,9 @@ def parse_html(
     collapse_anchor_whitespace: bool = True,
     collect_blocks: bool = True,
     deadline: float | None = None,
+    emit_text: bool = True,
 ) -> HtmlResult:
-    writer = TextWriter(max_chars)
+    writer = TextWriter(max_chars) if emit_text else _NullWriter()
     links: list[Link] = []
     builder_stack: list[_LinkBuilder] = []
     stack: list[str] = []
@@ -472,6 +490,12 @@ def parse_html(
         for ev in tokenize(text, deadline=deadline):
             kind = ev[0]
             if kind == "text":
+                # meta-only fast path: body text with no consumer (no writer,
+                # no blocks, no open link builders) skips entity decoding too
+                if (not emit_text and not in_title and body_started
+                        and not body_done and not collect_blocks
+                        and not builder_stack):
+                    continue
                 chunk = decode_entities(ev[1])
                 if in_title:
                     title_parts.append(chunk)

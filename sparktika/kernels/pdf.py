@@ -701,10 +701,56 @@ def _tokenize_content(data: bytes, deadline: float | None):
                 continue
             m = _OP_RE.match(data, i)
             if m:
-                yield ("op", m.group(0))
+                op = m.group(0)
+                if op == b"BI":
+                    # inline image (BI <params> ID <binary> EI): the raw
+                    # sample bytes would shred the tokenizer, so skip the
+                    # whole block to the whitespace-delimited EI terminator
+                    # (PDFBox's heuristic; ref behavior behind the
+                    # extractInlineImagesFromPDFs flag,
+                    # main/TikaForkMain.java:98,307-311)
+                    i = _skip_inline_image(data, m.end())
+                    continue
+                yield ("op", op)
                 i = m.end()
             else:
                 i += 1
+
+
+_INLINE_EI_RE = re.compile(rb"[\s\x00]EI(?=[\s\x00]|$)")
+
+
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """Return the offset just past an inline image's EI terminator; `pos`
+    points after the BI operator. Unterminated blocks consume the rest of
+    the stream (fail-safe: junk never reaches the text interpreter)."""
+    j = data.find(b"ID", pos)
+    if j != -1:
+        m = _INLINE_EI_RE.search(data, j + 2)
+        if m:
+            return m.end()
+    return len(data)
+
+
+_INLINE_BI_RE = re.compile(rb"(?:^|[\s\x00])BI(?=[\s\x00/])")
+
+
+def _count_inline_images(data: bytes) -> int:
+    """Count complete BI..ID..EI inline-image blocks in a content stream."""
+    count = 0
+    i = 0
+    while True:
+        m = _INLINE_BI_RE.search(data, i)
+        if not m:
+            return count
+        j = data.find(b"ID", m.end())
+        if j == -1:
+            return count
+        mm = _INLINE_EI_RE.search(data, j + 2)
+        if not mm:
+            return count
+        count += 1
+        i = mm.end()
 
 
 def _num(item) -> float:
@@ -1041,12 +1087,19 @@ def extract_pdf(
     meta = _doc_metadata(doc, data)
     meta["pdf:version"] = version
     if include_images:
+        # O24 minimal surface (ref default off, TikaForkMain.java:98,307-311):
+        # count image XObjects + inline BI/ID/EI blocks into metadata rather
+        # than emitting embedded documents
         n_images = 0
         for num in sorted(doc.bodies):
             head = doc.obj_dict(num)
             if isinstance(head, dict) and head.get("Subtype") == "Image":
                 n_images += 1
-        meta["pdf:image-count"] = str(n_images)
+        n_inline = sum(
+            _count_inline_images(_page_content(doc, page) or b"")
+            for page in pages)
+        meta["pdf:image-count"] = str(n_images + n_inline)
+        meta["pdf:inline-image-count"] = str(n_inline)
     page_nchars = [sum(len(s[3]) for s in spans) for spans in page_spans]
     page_unmapped = [
         sum(1 for s in spans for ch in s[3]

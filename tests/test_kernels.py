@@ -335,6 +335,39 @@ def test_pdf_info_metadata():
     assert r.metadata["Producer"] == "sparktika"
 
 
+def test_pdf_inline_image_skipped_and_counted():
+    # the inline payload deliberately contains tokenizer poison: an unbalanced
+    # "(" and text-operator lookalikes; the BI..EI skip must keep it all away
+    # from the text interpreter
+    binary = "".join(chr(b) for b in range(1, 64)) + "(Tj ET junk"
+    content = ("BT /F1 12 Tf 72 720 Td (before) Tj ET\n"
+               "BI /W 4 /H 4 /BPC 8 ID " + binary + " EI\n"
+               "BT /F1 12 Tf 72 700 Td (after) Tj ET")
+    data = _simple_pdf(content)
+    r = pdf.extract_pdf(data)
+    assert "before" in r.text and "after" in r.text
+    assert "pdf:image-count" not in r.metadata  # O24 default: off
+    r2 = pdf.extract_pdf(data, include_images=True)
+    assert r2.metadata["pdf:inline-image-count"] == "1"
+    assert r2.metadata["pdf:image-count"] == "1"
+
+
+def test_pdf_image_xobject_count_and_config_flag():
+    xobj = (b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            b"/Length 3 >>\nstream\nabc\nendstream\nendobj\n")
+    data = _simple_pdf("BT (text) Tj ET").replace(b"%%EOF\n", xobj + b"%%EOF\n")
+    r = pdf.extract_pdf(data, include_images=True)
+    assert r.metadata["pdf:image-count"] == "1"
+    assert r.metadata["pdf:inline-image-count"] == "0"
+    # dispatcher wiring (O24 flag routes through ExtractConfig)
+    on = extract_document("https://x/a.pdf", "application/pdf", data,
+                          ExtractConfig(pdf_extract_inline_images=True))
+    assert on.metadata["pdf:image-count"] == ["1"]
+    off = extract_document("https://x/a.pdf", "application/pdf", data)
+    assert "pdf:image-count" not in off.metadata
+    assert on.text_extracted == off.text_extracted
+
+
 # ---------------------------------------------------------------- dispatch
 
 def test_extract_document_html_ok():
@@ -380,6 +413,35 @@ def test_extract_document_unsupported_binary():
     r = extract_document("u", None, b"\x89PNG\r\n\x1a\n" + b"\0" * 100)
     assert r.status == "unsupported"
     assert r.content_type_detected == "image/png"
+
+
+def test_extract_document_meta_only_fast_path_equivalence():
+    """parse_content=False skips the HTML writer entirely (O26) yet must
+    agree with full extraction on status, mime, charset, title, links, and
+    metadata (the reference's parseContent=false attaches no content
+    handler, so no text and no write limit)."""
+    html = (b"<html><head><title>T &amp; U</title></head><body>"
+            b"<a href='/x'>link text</a>"
+            + b"<p>body &amp; text</p>" * 300 + b"</body></html>")
+    full = extract_document("https://x/a.html", "text/html", html)
+    meta = extract_document("https://x/a.html", "text/html", html,
+                            ExtractConfig(parse_content=False))
+    assert full.status == meta.status == "ok"
+    assert meta.text_extracted is None and meta.n_chars_out == 0
+    assert full.text_extracted and "body & text" in full.text_extracted
+    assert (full.content_type_detected, full.charset_detected, full.title) == (
+        meta.content_type_detected, meta.charset_detected, meta.title)
+    assert [(l.target_uri, l.anchor) for l in full.links] == [
+        (l.target_uri, l.anchor) for l in meta.links]
+    for k in ("Content-Type", "Content-Encoding", "title", "dc:title", "n-links"):
+        assert full.metadata.get(k) == meta.metadata.get(k), k
+    # links+blocks off as well: the walk skips entity decoding of body text
+    lean = extract_document("https://x/a.html", "text/html", html,
+                            ExtractConfig(parse_content=False,
+                                          extract_links=False,
+                                          extract_main_text=False))
+    assert (lean.status, lean.title, lean.links) == ("ok", full.title, [])
+    assert lean.main_text is None
 
 
 def test_extract_document_plain_text_passthrough():
