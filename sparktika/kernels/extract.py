@@ -178,6 +178,19 @@ def extract_document(
                        title=title, metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/rtf":
+            from .rtf import extract_rtf
+
+            # no max_chars push-down needed: RTF output is bounded by input
+            # size (no decompression; \bin payloads are skipped)
+            r = extract_rtf(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.title,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata={k: [v] for k, v in r.metadata.items()},
+                       status=status, write_limit_reached=limited)
+
         if detected.startswith("text/"):
             cs = charset.detect_charset(data, is_html=False)
             text, cs = charset.decode(data, cs, is_html=False)
@@ -255,8 +268,20 @@ def extract_document(
                            metadata={"Content-Type": ["application/vnd.ms-powerpoint"],
                                      "n-text-atoms": [str(r.n_atoms)]},
                            status=status, write_limit_reached=limited)
-            # valid compound file without a known text payload (doc/msg
-            # kernels are out of v1 scope)
+            from .msg import extract_msg, is_msg, MSG_MIME
+
+            if is_msg(list(streams)):
+                r = extract_msg(ole)
+                text, limited = _cap_text(r.text, cfg.max_chars)
+                md = {k: [v] for k, v in r.metadata.items()}
+                md["n-recipients"] = [str(r.n_recipients)]
+                md["n-attachments"] = [str(r.n_attachments)]
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected=MSG_MIME, title=r.subject,
+                           text_extracted=text if cfg.parse_content else None,
+                           metadata=md, status=status,
+                           write_limit_reached=limited)
+            # valid compound file without a known text payload
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error=f"OLE2 streams {sorted(streams)[:8]} have no v1 parser")
 

@@ -1,0 +1,131 @@
+"""Outlook .msg kernel: MS-OXMSG property streams over OLE2 (from scratch).
+
+A .msg file is an OLE2 compound file whose message properties live in
+streams named ``__substg1.0_TTTTYYYY`` — TTTT is the MAPI property id,
+YYYY the type (001F = UTF-16LE string, 001E = 8-bit string in the
+message codepage). Recipients and attachments are sub-storages
+(``__recip_version1.0_#NNNNNNNN`` / ``__attach_version1.0_#NNNNNNNN``).
+
+The reference delegates .msg to Tika's auto-detect parser (Tika's
+OfficeParser/OutlookExtractor path; the reference repo itself carries no
+.msg fixture — SURVEY.md §5). Output shape mirrors OutlookExtractor's
+text rendering (subject heading, From/To/Cc/Bcc header block, body)
+without reproducing its XHTML markup.
+
+Robustness: missing streams degrade to absent fields; decode errors are
+replaced, never raised (invariant 7 — the dispatcher's backstop catches
+anything structural via Ole2File's own KernelErrors).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .ole2 import Ole2File
+
+# MAPI property ids we surface (MS-OXPROPS canonical names).
+_SUBJECT = 0x0037          # PidTagSubject
+_SENDER_NAME = 0x0C1A      # PidTagSenderName
+_SENDER_EMAIL = 0x0C1F     # PidTagSenderEmailAddress
+_DISPLAY_TO = 0x0E04       # PidTagDisplayTo
+_DISPLAY_CC = 0x0E03       # PidTagDisplayCc
+_DISPLAY_BCC = 0x0E02      # PidTagDisplayBcc
+_BODY = 0x1000             # PidTagBody
+_HEADERS = 0x007D          # PidTagTransportMessageHeaders
+_MESSAGE_ID = 0x1035       # PidTagInternetMessageId
+
+MSG_MIME = "application/vnd.ms-outlook"
+
+
+@dataclass
+class MsgResult:
+    text: str
+    subject: str | None
+    metadata: dict[str, str] = field(default_factory=dict)
+    n_recipients: int = 0
+    n_attachments: int = 0
+
+
+def is_msg(stream_names: list[str]) -> bool:
+    """OLE2 files carrying MAPI property streams are Outlook messages."""
+    return any(n.startswith("__substg1.0_") or n == "__properties_version1.0"
+               for n in stream_names)
+
+
+def _read_prop(ole: Ole2File, names: set[str], prop_id: int) -> str | None:
+    """Read a string property, preferring the UTF-16LE (001F) variant over
+    the 8-bit (001E) one; absent streams -> None."""
+    uni = f"__substg1.0_{prop_id:04X}001F"
+    ansi = f"__substg1.0_{prop_id:04X}001E"
+    if uni in names:
+        raw = ole.read_stream(uni)
+        return raw.decode("utf-16-le", "replace").rstrip("\x00")
+    if ansi in names:
+        raw = ole.read_stream(ansi)
+        # without PR_MESSAGE_CODEPAGE parsing we assume the windows-1252
+        # default, the overwhelmingly common legacy codepage
+        try:
+            return raw.decode("cp1252").rstrip("\x00")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1").rstrip("\x00")
+    return None
+
+
+def extract_msg(ole: Ole2File) -> MsgResult:
+    names = set(ole.stream_names())
+    subject = _read_prop(ole, names, _SUBJECT)
+    sender = _read_prop(ole, names, _SENDER_NAME)
+    sender_email = _read_prop(ole, names, _SENDER_EMAIL)
+    to = _read_prop(ole, names, _DISPLAY_TO)
+    cc = _read_prop(ole, names, _DISPLAY_CC)
+    bcc = _read_prop(ole, names, _DISPLAY_BCC)
+    body = _read_prop(ole, names, _BODY)
+    headers = _read_prop(ole, names, _HEADERS)
+    message_id = _read_prop(ole, names, _MESSAGE_ID)
+
+    n_recipients = sum(1 for e in ole.entries
+                       if e.obj_type == 1 and e.name.startswith("__recip_version1.0_"))
+    n_attachments = sum(1 for e in ole.entries
+                        if e.obj_type == 1 and e.name.startswith("__attach_version1.0_"))
+
+    frm = None
+    if sender and sender_email and sender_email != sender:
+        frm = f"{sender} <{sender_email}>"
+    else:
+        frm = sender or sender_email
+
+    lines: list[str] = []
+    if subject:
+        lines.append(subject)
+    if frm:
+        lines.append(f"From: {frm}")
+    if to:
+        lines.append(f"To: {to}")
+    if cc:
+        lines.append(f"Cc: {cc}")
+    if bcc:
+        lines.append(f"Bcc: {bcc}")
+    text = "\n".join(lines)
+    if body:
+        text = (text + "\n\n" if text else "") + body
+    if text:
+        text += "\n"
+
+    md: dict[str, str] = {"Content-Type": MSG_MIME}
+    if subject:
+        md["subject"] = subject
+        md["dc:title"] = subject
+    if frm:
+        md["Message-From"] = frm
+    if to:
+        md["Message-To"] = to
+    if cc:
+        md["Message-Cc"] = cc
+    if bcc:
+        md["Message-Bcc"] = bcc
+    if message_id:
+        md["Message-Id"] = message_id
+    if headers:
+        md["Transport-Headers"] = headers
+    return MsgResult(text=text, subject=subject, metadata=md,
+                     n_recipients=n_recipients, n_attachments=n_attachments)

@@ -870,6 +870,85 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "width", "height", "status")
 
 
+# =====================================================================
+# Outlook .msg extraction over synthesized OLE2 payloads, oracle-backed
+# (every field is a pure function of msg_id — see synth.build_msg)
+# =====================================================================
+
+@_register(
+    "extract_msg_text",
+    """
+SELECT doc_id AS msg_id,
+       'Report ' || doc_id AS title,
+       'Report ' || doc_id || chr(10) ||
+       'From: Sender ' || (doc_id % 7) || ' <s' || (doc_id % 7) || '@example.com>' || chr(10) ||
+       'To: User ' || (doc_id % 11) || chr(10) || chr(10) ||
+       'Message body ' || doc_id || '.' || chr(10) AS text_extracted,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSG kernel end-to-end through the real extraction pipeline (mime
+    sniff routes the OLE2 payload, dispatcher routes the MAPI streams)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_msg
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_msg(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://mail.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".msg")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.msg$", 1).cast("long").alias("msg_id"),
+        "title", "text_extracted", "status")
+
+
+@_register(
+    "extract_rtf_text",
+    """
+SELECT doc_id AS rtf_id,
+       'Report ' || doc_id AS title,
+       'Document ' || doc_id || ' body café.' || chr(10) ||
+       'Line two for ' || doc_id || '.' || chr(10) AS text_extracted,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_rtf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF kernel end-to-end through the extraction pipeline (magic-byte
+    mime routing -> control-word scanner -> info/title metadata)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_rtf
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_rtf(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".rtf")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.rtf$", 1).cast("long").alias("rtf_id"),
+        "title", "text_extracted", "status")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 

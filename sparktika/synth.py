@@ -114,6 +114,80 @@ def build_bmp(media_id: int) -> bytes:
     return header + info + pixels
 
 
+# ---------------------------------------------------------------------------
+# Deterministic Outlook .msg synthesis (extract_msg_text oracle): every field
+# is a pure function of msg_id, so DuckDB can predict the kernel's exact text
+# rendering (see kernels/msg.py):
+#   "Report {id}\nFrom: Sender {id%7} <s{id%7}@example.com>\n"
+#   "To: User {id%11}\n\nMessage body {id}.\n"
+# ---------------------------------------------------------------------------
+
+def _ole2_file(streams: dict[str, bytes]) -> bytes:
+    """Minimal MS-CFB writer (512B sectors, one FAT sector, no miniFAT) —
+    enough capacity for the small synthetic .msg payloads (<64KB)."""
+    import struct as _s
+
+    SEC = 512
+    FREE, EOC, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    pad = lambda b: b + b"\x00" * (-len(b) % SEC)
+
+    dir_sectors = ((1 + len(streams)) * 128 + SEC - 1) // SEC
+    fat = [FATSECT]
+    for i in range(dir_sectors):
+        fat.append(2 + i if i < dir_sectors - 1 else EOC)
+    starts, chunks = {}, []
+    nxt = 1 + dir_sectors
+    for name, payload in streams.items():
+        n = max(1, (len(payload) + SEC - 1) // SEC)
+        starts[name] = nxt
+        for k in range(n):
+            fat.append(nxt + k + 1 if k < n - 1 else EOC)
+        chunks.append(pad(payload))
+        nxt += n
+    if len(fat) > SEC // 4:
+        raise ValueError("synthetic OLE2 payload exceeds one FAT sector")
+    fat += [FREE] * (SEC // 4 - len(fat))
+
+    def entry(name: str, typ: int, start: int, size: int) -> bytes:
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        return (nm + b"\x00" * (64 - len(nm)) + _s.pack("<H", len(nm))
+                + bytes([typ, 0]) + _s.pack("<iii", -1, -1, -1)
+                + b"\x00" * 36 + _s.pack("<IQ", start, size))
+
+    directory = entry("Root Entry", 5, EOC, 0) + b"".join(
+        entry(n, 2, starts[n], len(p)) for n, p in streams.items())
+    header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+              + _s.pack("<HHHHHHIIIIIIIII", 0x003E, 0x0003, 0xFFFE, 9, 6,
+                        0, 0, 0, 1, 1, 0, 4096, EOC, 0, EOC)
+              + _s.pack("<II", 0, 0) + b"\xff" * 4 * 108)
+    return header + _s.pack(f"<{SEC // 4}I", *fat) + pad(directory) + b"".join(chunks)
+
+
+def build_msg(msg_id: int) -> bytes:
+    u16 = lambda s: s.encode("utf-16-le")
+    return _ole2_file({
+        "__substg1.0_0037001F": u16(f"Report {msg_id}"),
+        "__substg1.0_0C1A001F": u16(f"Sender {msg_id % 7}"),
+        "__substg1.0_0C1F001F": u16(f"s{msg_id % 7}@example.com"),
+        "__substg1.0_0E04001F": u16(f"User {msg_id % 11}"),
+        "__substg1.0_1000001F": u16(f"Message body {msg_id}."),
+        "__properties_version1.0": b"\x00" * 32,
+    })
+
+
+def build_rtf(doc_id: int) -> bytes:
+    """Deterministic RTF payload (extract_rtf_text oracle): kernel output is
+    exactly "Document {id} body café.\\nLine two for {id}.\\n" with title
+    "Report {id}"."""
+    return (
+        "{\\rtf1\\ansi\\ansicpg1252{\\fonttbl{\\f0 Helvetica;}}"
+        "{\\*\\generator sparktika synth;}"
+        f"{{\\info{{\\title Report {doc_id}}}}}"
+        f"\\f0 Document {doc_id} body caf\\'e9.\\par "
+        f"Line two for {doc_id}.\\par}}"
+    ).encode("ascii")
+
+
 def build_payload(doc_id: int, text: str) -> bytes:
     kind = doc_id % 20
     if kind <= 9:

@@ -170,9 +170,11 @@ def test_truncated_ole2_raises_kernel_error_not_struct_error():
 
 # --- minimal OLE2 writer (test-only) ----------------------------------------
 
-def _build_ole2(streams: dict[str, bytes]) -> bytes:
+def _build_ole2(streams: dict[str, bytes], storages: list[str] = ()) -> bytes:
     """Minimal MS-CFB writer: 512B sectors, one FAT sector, no miniFAT
-    (streams go to regular sectors regardless of size)."""
+    (streams go to regular sectors regardless of size). `storages` adds
+    empty storage (type-1) directory entries — enough for recipient /
+    attachment counting in the msg kernel."""
     import struct
 
     SEC = 512
@@ -181,7 +183,7 @@ def _build_ole2(streams: dict[str, bytes]) -> bytes:
     def pad(b: bytes) -> bytes:
         return b + b"\x00" * (-len(b) % SEC)
 
-    n_dir_entries = 1 + len(streams)
+    n_dir_entries = 1 + len(streams) + len(storages)
     dir_sectors = (n_dir_entries * 128 + SEC - 1) // SEC
     fat = [FATSECT]  # sector 0 = the FAT itself
     dir_start = 1
@@ -211,6 +213,8 @@ def _build_ole2(streams: dict[str, bytes]) -> bytes:
     directory = dir_entry("Root Entry", 5, EOC, 0)
     for name, payload in streams.items():
         directory += dir_entry(name, 2, starts[name], len(payload))
+    for name in storages:
+        directory += dir_entry(name, 1, EOC, 0)
     header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
               + struct.pack("<HHHHHHIIIIIIIII",
                             0x003E, 0x0003, 0xFFFE, 9, 6, 0, 0, 0,
@@ -371,3 +375,77 @@ def test_office_kernels_honor_expired_deadline():
     zipd = _zip_bytes({"a.txt": b"hello"})
     with pytest.raises(DeadlineError):
         extract_zip_container(zipd, deadline=past)
+
+
+# ---------------------------------------------------------------- msg kernel
+
+def _msg_streams(subject="Quarterly report", body="Please find attached.",
+                 unicode=True, sender="Ann A", sender_email="ann@example.com",
+                 to="Bob B; Carol C", cc=None):
+    def enc(s):
+        return s.encode("utf-16-le") if unicode else s.encode("cp1252")
+
+    suffix = "001F" if unicode else "001E"
+    streams = {}
+    for pid, val in ((0x0037, subject), (0x1000, body), (0x0C1A, sender),
+                     (0x0C1F, sender_email), (0x0E04, to), (0x0E03, cc)):
+        if val is not None:
+            streams[f"__substg1.0_{pid:04X}{suffix}"] = enc(val)
+    streams["__properties_version1.0"] = b"\x00" * 32
+    return streams
+
+
+def test_msg_text_and_metadata():
+    from sparktika.kernels.msg import extract_msg
+
+    data = _build_ole2(
+        _msg_streams(),
+        storages=["__recip_version1.0_#00000000",
+                  "__recip_version1.0_#00000001",
+                  "__attach_version1.0_#00000000"])
+    r = extract_msg(Ole2File(data))
+    assert r.subject == "Quarterly report"
+    assert r.text == ("Quarterly report\n"
+                      "From: Ann A <ann@example.com>\n"
+                      "To: Bob B; Carol C\n\n"
+                      "Please find attached.\n")
+    assert r.metadata["Message-From"] == "Ann A <ann@example.com>"
+    assert r.metadata["dc:title"] == "Quarterly report"
+    assert (r.n_recipients, r.n_attachments) == (2, 1)
+
+
+def test_msg_ansi_variant_and_cc():
+    from sparktika.kernels.msg import extract_msg
+
+    data = _build_ole2(_msg_streams(unicode=False, cc="Dan D",
+                                    subject="caf\xe9 plans"))
+    r = extract_msg(Ole2File(data))
+    assert r.subject == "caf\xe9 plans"
+    assert "Cc: Dan D" in r.text
+    assert r.metadata["Message-Cc"] == "Dan D"
+
+
+def test_dispatch_routes_msg():
+    from sparktika.kernels.extract import extract_document
+
+    data = _build_ole2(_msg_streams())
+    r = extract_document("https://m.example.com/mail.msg", None, data)
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/vnd.ms-outlook"
+    assert r.title == "Quarterly report"
+    assert "Please find attached." in r.text_extracted
+    assert r.metadata["n-recipients"] == ["0"]
+
+
+def test_msg_missing_fields_degrade():
+    from sparktika.kernels.msg import extract_msg
+
+    # body only, nothing else
+    data = _build_ole2({"__substg1.0_1000001F": "just a body".encode("utf-16-le")})
+    r = extract_msg(Ole2File(data))
+    assert r.subject is None
+    assert r.text == "just a body\n"
+    # property stream marker only, no strings at all
+    empty = _build_ole2({"__properties_version1.0": b"\x00" * 32})
+    r2 = extract_msg(Ole2File(empty))
+    assert r2.text == "" and r2.subject is None
