@@ -179,6 +179,12 @@ class _LinkBuilder:
 
 # --- tokenizer ---------------------------------------------------------------
 
+_RAW_CLOSE = {
+    "script": re.compile(r"</script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</style\s*>", re.IGNORECASE),
+}
+
+
 def tokenize(s: str, deadline: float | None = None):
     """Yield lenient HTML events:
     ('text', str) | ('start', name, attrs, self_closing) | ('end', name)
@@ -268,8 +274,7 @@ def tokenize(s: str, deadline: float | None = None):
         yield ("start", name, attrs, self_closing)
         i = j
         if name in ("script", "style") and not self_closing:
-            close = re.compile(r"</" + name + r"\s*>", re.IGNORECASE)
-            cm = close.search(s, i)
+            cm = _RAW_CLOSE[name].search(s, i)
             if cm:
                 i = cm.end()
             else:
@@ -327,14 +332,19 @@ def parse_html(
 
     def flush_block(tag_for_next: str):
         nonlocal blk_parts, blk_anchor_parts, blk_tag
-        raw = "".join(blk_parts)
-        textv = _WS_COLLAPSE.sub(" ", raw).strip()
-        if textv:
+        if not blk_parts:  # common case: structural tags with no text between
+            blk_tag = tag_for_next
+            return
+        # " ".join(split()) == _WS_COLLAPSE.sub(" ", raw).strip() — same
+        # whitespace class, one pass, and the word list is reused for counts
+        words = "".join(blk_parts).split()
+        if words:
+            textv = " ".join(words)
             n_chars = len(textv)
-            n_words = len(textv.split())
+            n_words = len(words)
             anchor_raw = "".join(blk_anchor_parts)
             anchor_chars = min(
-                len(_WS_COLLAPSE.sub(" ", anchor_raw).strip()) if anchor_raw else 0,
+                len(" ".join(anchor_raw.split())) if anchor_raw else 0,
                 n_chars)
             # approximate anchor words by character share of collapsed text
             n_anchor_words = round(n_words * (anchor_chars / n_chars)) if n_chars else 0

@@ -215,6 +215,41 @@ def decode_bmp(data: bytes) -> DecodedImage:
                         pixels=np.ascontiguousarray(rgb))
 
 
+# ---------------------------------------------------------------- JPEG (dims only)
+
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # SOFn markers
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int] | None:
+    """Width/height from the SOFn frame header — no DCT decode needed.
+    Returns None on malformed streams (caller degrades to a status row)."""
+    if not data.startswith(b"\xff\xd8"):
+        return None
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, i + 2)
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if marker in _JPEG_SOF:
+            if seg_len < 7:
+                return None
+            h, w = struct.unpack_from(">HH", data, i + 5)
+            return (w, h) if w and h else None
+        if marker == 0xDA:  # start of scan: SOF must precede it
+            return None
+        i += 2 + seg_len
+    return None
+
+
 # ---------------------------------------------------------------- features
 
 def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:

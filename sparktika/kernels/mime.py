@@ -82,11 +82,17 @@ def sniff_html(data: bytes) -> bool:
     return head.startswith(_HTML_TAGS)
 
 
+# bytes the text heuristic counts against: C0 controls except \t\n\v\f\r,
+# plus DEL — deleted via translate, the length delta is the count (C-speed)
+_BINARYISH = bytes(b for b in range(256)
+                   if b < 0x09 or (0x0E <= b < 0x20) or b == 0x7F)
+
+
 def _mostly_text(data: bytes) -> bool:
     sample = data[:4096]
     if not sample:
         return True
-    bad = sum(1 for b in sample if b < 0x09 or (0x0E <= b < 0x20) or b == 0x7F)
+    bad = len(sample) - len(sample.translate(None, _BINARYISH))
     return bad / len(sample) < 0.02
 
 

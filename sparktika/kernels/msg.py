@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from .errors import KernelError
 from .ole2 import Ole2File
 
 # MAPI property ids we surface (MS-OXPROPS canonical names).
@@ -80,6 +81,20 @@ def extract_msg(ole: Ole2File) -> MsgResult:
     cc = _read_prop(ole, names, _DISPLAY_CC)
     bcc = _read_prop(ole, names, _DISPLAY_BCC)
     body = _read_prop(ole, names, _BODY)
+    body_source = "text" if body is not None else None
+    if body is None and "__substg1.0_10090102" in names:
+        # no plain-text body: fall back to PR_RTF_COMPRESSED (the common
+        # case for real Outlook mail) -> LZFu decompress -> RTF kernel
+        from .rtf import extract_rtf
+        from .rtfcomp import decompress_rtf
+
+        try:
+            raw_rtf = decompress_rtf(ole.read_stream("__substg1.0_10090102"))
+            body = extract_rtf(raw_rtf).text.strip("\n") or None
+        except KernelError:
+            body = None  # corrupt body never blocks the metadata fields
+        if body is not None:
+            body_source = "rtf-compressed"
     headers = _read_prop(ole, names, _HEADERS)
     message_id = _read_prop(ole, names, _MESSAGE_ID)
 
@@ -123,6 +138,8 @@ def extract_msg(ole: Ole2File) -> MsgResult:
         md["Message-Cc"] = cc
     if bcc:
         md["Message-Bcc"] = bcc
+    if body_source:
+        md["body-source"] = body_source
     if message_id:
         md["Message-Id"] = message_id
     if headers:

@@ -113,8 +113,14 @@ def _glyph_to_unicode(name: str) -> str | None:
     return None
 
 
+# C-speed WinAnsi: latin-1 decode (chr(b) for every byte) then translate the
+# 27 cp1252-divergent high bytes — identical output to the per-byte dict get,
+# measured ~20x faster on string-heavy PDFs
+_WINANSI_TRANS = str.maketrans({chr(b): s for b, s in _WINANSI_HIGH.items()})
+
+
 def _winansi(data: bytes) -> str:
-    return "".join(_WINANSI_HIGH.get(b, chr(b)) for b in data)
+    return data.decode("latin-1").translate(_WINANSI_TRANS)
 
 
 @dataclass
@@ -178,6 +184,12 @@ def _skip_ws(data: bytes, i: int) -> int:
     return i
 
 
+_LIT_SPECIAL_RE = re.compile(rb"[\\()]")
+# glyphs with no unicode mapping land in the C0 control range via the byte
+# fallback (Tika's pdf:unmappedUnicodeCharsPerPage); \t\n\r are real text
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def _parse_literal_string_bytes(data: bytes, i: int) -> tuple[bytes, int]:
     """Parse a ( ) literal string starting at '('; returns (raw bytes, next_i)."""
     i += 1
@@ -185,6 +197,15 @@ def _parse_literal_string_bytes(data: bytes, i: int) -> tuple[bytes, int]:
     out = bytearray()
     n = len(data)
     while i < n:
+        # bulk-copy the run up to the next special byte (C-speed regex scan;
+        # the common case is long plain text between escapes)
+        m = _LIT_SPECIAL_RE.search(data, i)
+        j = m.start() if m else n
+        if j > i:
+            out += data[i:j]
+            i = j
+            if i >= n:
+                break
         b = data[i]
         if b == 0x5C:  # backslash
             i += 1
@@ -1102,8 +1123,7 @@ def extract_pdf(
         meta["pdf:inline-image-count"] = str(n_inline)
     page_nchars = [sum(len(s[3]) for s in spans) for spans in page_spans]
     page_unmapped = [
-        sum(1 for s in spans for ch in s[3]
-            if ord(ch) < 0x20 and ch not in "\t\n\r")
+        sum(len(_CTRL_RE.findall(s[3])) for s in spans)
         for spans in page_spans
     ]
     return PdfResult(text=text, metadata=meta, n_streams=doc.n_streams,

@@ -68,8 +68,15 @@ def make_feature_fn(use_fake: bool = False, n_features: int = 8):
                                      height=h, n_bytes=len(payload),
                                      features=feats, status="ok", error=None))
                 except NotImplementedError as e:
-                    rows.append(dict(media_id=mid, media_type=mtype, width=None,
-                                     height=None, n_bytes=len(payload),
+                    # JPEG: pixel decode is stubbed, but the SOF frame header
+                    # still yields real dimensions (no DCT needed)
+                    from ..kernels.image import jpeg_dimensions
+
+                    dims = jpeg_dimensions(payload)
+                    rows.append(dict(media_id=mid, media_type=mtype,
+                                     width=dims[0] if dims else None,
+                                     height=dims[1] if dims else None,
+                                     n_bytes=len(payload),
                                      features=None, status="stubbed", error=str(e)))
                 except Exception as e:  # poisoned payloads degrade to rows
                     rows.append(dict(media_id=mid, media_type=mtype, width=None,

@@ -214,3 +214,22 @@ def test_image_features_deterministic():
     assert feats[3] == feats[4] == feats[5] == 0.0  # solid color -> zero std
     assert feats[6] == pytest.approx(0.299, abs=1e-6)  # luma of pure red
     assert feats[7] == 2.0  # aspect 20/10
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal marker skeleton: SOI, APP0, SOF0 with dims, SOS, EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_jpeg_dimensions_from_sof():
+    from sparktika.kernels.image import jpeg_dimensions
+
+    assert jpeg_dimensions(_jpeg_bytes(640, 480)) == (640, 480)
+    assert jpeg_dimensions(_jpeg_bytes(1, 65535)) == (1, 65535)
+    assert jpeg_dimensions(b"\xff\xd8\xff\xe0junk") is None
+    assert jpeg_dimensions(b"not a jpeg") is None
+    trunc = _jpeg_bytes(640, 480)[:10]
+    assert jpeg_dimensions(trunc) is None

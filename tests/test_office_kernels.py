@@ -449,3 +449,63 @@ def test_msg_missing_fields_degrade():
     empty = _build_ole2({"__properties_version1.0": b"\x00" * 32})
     r2 = extract_msg(Ole2File(empty))
     assert r2.text == "" and r2.subject is None
+
+
+# --------------------------------------------------- compressed RTF (LZFu)
+
+def test_lzfu_literal_roundtrip():
+    from sparktika.kernels.rtfcomp import compress_rtf_literal, decompress_rtf
+
+    for raw in (b"", b"x", b"{\\rtf1 Hello}", b"{\\rtf1 " + b"abcdefgh" * 100 + b"}"):
+        assert decompress_rtf(compress_rtf_literal(raw)) == raw
+
+
+def test_lzfu_dictionary_reference():
+    """Hand-built stream using the canonical preload dictionary: offset 0,
+    length 10 copies '{\\rtf1\\ansi' from the prefix."""
+    import struct
+    from sparktika.kernels.rtfcomp import _crc, decompress_rtf
+
+    token = (0 << 4) | (10 - 2)          # offset 0, length 10
+    wpos_after = 207 + 10
+    end = (wpos_after % 4096) << 4
+    body = bytes([0b0000_0011,           # flags: ref, ref(end)
+                  token >> 8, token & 0xFF,
+                  end >> 8, end & 0xFF])
+    hdr = struct.pack("<IIII", len(body) + 12, 10, 0x75465A4C, _crc(body))
+    assert decompress_rtf(hdr + body) == b"{\\rtf1\\ansi"[:10]
+
+
+def test_lzfu_mela_and_guards():
+    import struct
+    from sparktika.kernels.rtfcomp import decompress_rtf
+    from sparktika.kernels.errors import KernelError
+
+    raw = b"{\\rtf1 plain}"
+    mela = struct.pack("<IIII", len(raw) + 12, len(raw), 0x414C454D, 0) + raw
+    assert decompress_rtf(mela) == raw
+    with pytest.raises(KernelError):
+        decompress_rtf(b"short")
+    with pytest.raises(KernelError):  # RAWSIZE bomb
+        decompress_rtf(struct.pack("<IIII", 12, 1 << 30, 0x75465A4C, 0))
+    bad_crc = bytearray(mela)
+    bad_crc[8:12] = struct.pack("<I", 0x75465A4C)  # claim LZFu, wrong CRC
+    with pytest.raises(KernelError):
+        decompress_rtf(bytes(bad_crc))
+
+
+def test_msg_compressed_rtf_body():
+    from sparktika.kernels.msg import extract_msg
+    from sparktika.kernels.rtfcomp import compress_rtf_literal
+
+    rtf_body = b"{\\rtf1\\ansi Compressed body caf\\'e9 text.\\par}"
+    streams = _msg_streams(body=None)  # no plain-text body
+    streams["__substg1.0_10090102"] = compress_rtf_literal(rtf_body)
+    r = extract_msg(Ole2File(_build_ole2(streams)))
+    assert "Compressed body caf\xe9 text." in r.text
+    assert r.metadata["body-source"] == "rtf-compressed"
+    # corrupt compressed body degrades to headers-only, never raises
+    streams["__substg1.0_10090102"] = b"\x00" * 40
+    r2 = extract_msg(Ole2File(_build_ole2(streams)))
+    assert r2.subject == "Quarterly report"
+    assert "body-source" not in r2.metadata

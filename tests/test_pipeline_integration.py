@@ -175,14 +175,21 @@ def test_multimodal_real_decode_and_jpeg_stub(spark):
             for i in range(12)]
     rows.append((100, b"\xff\xd8\xff\xe0junkjpeg", "image/jpeg"))
     rows.append((101, build_png(2)[:30], "image/png"))  # truncated
+    # valid JPEG marker skeleton: pixel decode stays stubbed but the SOF
+    # header yields real dimensions
+    import struct as _s
+    sof = (b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 11) + b"\x08"
+           + _s.pack(">HH", 480, 640) + b"\x01\x11\x00" + b"\xff\xd9")
+    rows.append((102, sof, "image/jpeg"))
     df = spark.createDataFrame(rows, "media_id long, payload binary, media_type string")
     out = {r.media_id: r for r in extract_media_features(df, use_fake=False).collect()}
     for i in range(12):
         w, h = media_dims(i)
         assert (out[i].status, out[i].width, out[i].height) == ("ok", w, h)
         assert len(out[i].features) == 8
-    assert out[100].status == "stubbed"
+    assert (out[100].status, out[100].width) == ("stubbed", None)
     assert out[101].status == "failed"
+    assert (out[102].status, out[102].width, out[102].height) == ("stubbed", 640, 480)
 
 
 def test_metrics_partition_lineage_invariants(spark, pages):
