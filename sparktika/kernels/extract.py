@@ -191,6 +191,22 @@ def extract_document(
                        metadata={k: [v] for k, v in r.metadata.items()},
                        status=status, write_limit_reached=limited)
 
+        if detected == "message/rfc822":
+            from .eml import extract_eml
+
+            r = extract_eml(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {k: [v] for k, v in r.metadata.items()}
+            md["n-parts"] = [str(r.n_parts)]
+            md["n-attachments"] = [str(r.n_attachments)]
+            if r.attachment_names:
+                md["attachment-names"] = r.attachment_names
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.subject,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected.startswith("text/"):
             cs = charset.detect_charset(data, is_html=False)
             text, cs = charset.decode(data, cs, is_html=False)

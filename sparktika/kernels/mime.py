@@ -116,6 +116,10 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
     stripped = head[bom[1]:] if bom else head
     if stripped.lstrip(b" \t\r\n").startswith(b"<?xml"):
         return "application/xml"
+    from .eml import sniff_eml
+
+    if sniff_eml(data):
+        return "message/rfc822"
     declared_n = _normalize(declared)
     if declared_n and declared_n != OCTET_STREAM:
         # A declared type survives only when magic found nothing specific

@@ -105,3 +105,28 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
 
     udf = pandas_udf(fn, ArrayType(LongType()))
     return df.select(F.col(key_col).alias("key"), udf(F.col(text_col)).alias("fingerprints"))
+
+
+# --- PII scrubbing ------------------------------------------------------------
+# Training-data pipelines redact contact PII before the corpus ships. Patterns
+# are deliberately restricted to the Java-regex ∩ RE2 common subset so the
+# Spark plan and the DuckDB oracle match byte-for-byte.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+PII_IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds `{text_col}_scrubbed` plus per-kind match counts. Pure built-in
+    regexp columns: whole-stage codegen, trivially distributable, no UDF."""
+    col = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL_RE, "[EMAIL]"),
+            PII_IPV4_RE, "[IP]"),
+        PII_PHONE_RE, "[PHONE]")
+    return (df
+            .withColumn("n_emails", F.regexp_count(col, F.lit(PII_EMAIL_RE)))
+            .withColumn("n_phones", F.regexp_count(col, F.lit(PII_PHONE_RE)))
+            .withColumn("n_ips", F.regexp_count(col, F.lit(PII_IPV4_RE)))
+            .withColumn(f"{text_col}_scrubbed", scrubbed))

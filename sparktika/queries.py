@@ -949,6 +949,91 @@ def extract_rtf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title", "text_extracted", "status")
 
 
+@_register(
+    "text_pii_scrub",
+    """
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+           WHEN 1 THEN ' call 555-867-5309 soon'
+           ELSE ' from 10.0.0.7 gateway' END AS text2
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g') AS text_scrubbed
+FROM injected
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4) as pure built-in regexp columns —
+    whole-stage codegen, no UDF. PII is injected deterministically from
+    doc_id so the oracle exercises every pattern."""
+    from .pipeline.textstats import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.withColumn("text2", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+         .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-867-5309 soon"))
+         .otherwise(F.lit(" from 10.0.0.7 gateway"))))
+    out = scrub_pii(injected, "text2")
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.col("text2_scrubbed").alias("text_scrubbed"))
+
+
+@_register(
+    "extract_eml_text",
+    """
+SELECT doc_id AS eml_id,
+       'Mail ' || doc_id AS title,
+       'Mail ' || doc_id || chr(10) ||
+       'From: sender' || (doc_id % 7) || '@example.com' || chr(10) ||
+       'To: user' || (doc_id % 11) || '@example.com' || chr(10) || chr(10) ||
+       'First part ' || doc_id || '.' || chr(10) ||
+       'Second part ' || doc_id || '.' || chr(10) AS text_extracted,
+       3 AS n_parts,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 822 email kernel end-to-end (header-block mime sniff routes the
+    payload; multipart walk with base64 part decoding)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_eml
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_eml(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://mail.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".eml")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.eml$", 1).cast("long").alias("eml_id"),
+        "title", "text_extracted",
+        F.element_at(F.col("metadata"), "n-parts")[0].cast("int").alias("n_parts"),
+        "status")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 

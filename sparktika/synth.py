@@ -188,6 +188,30 @@ def build_rtf(doc_id: int) -> bytes:
     ).encode("ascii")
 
 
+def build_eml(doc_id: int) -> bytes:
+    """Deterministic RFC 822 multipart email (extract_eml_text oracle):
+    kernel output is exactly
+    "Mail {id}\\nFrom: sender{id%7}@example.com\\nTo: user{id%11}@example.com
+    \\n\\nFirst part {id}.\\nSecond part {id}.\\n" with 3 MIME parts."""
+    import base64 as _b64
+
+    part2 = _b64.b64encode(f"Second part {doc_id}.".encode()).decode()
+    return (
+        f"From: sender{doc_id % 7}@example.com\r\n"
+        f"To: user{doc_id % 11}@example.com\r\n"
+        f"Subject: Mail {doc_id}\r\n"
+        "MIME-Version: 1.0\r\n"
+        'Content-Type: multipart/mixed; boundary="B42"\r\n\r\n'
+        "--B42\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n\r\n"
+        f"First part {doc_id}.\r\n"
+        "--B42\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        f"{part2}\r\n"
+        "--B42--\r\n").encode()
+
+
 def build_payload(doc_id: int, text: str) -> bytes:
     kind = doc_id % 20
     if kind <= 9:
