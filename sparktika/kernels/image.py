@@ -43,6 +43,8 @@ def sniff_image(data: bytes) -> str | None:
         return "image/bmp"
     if data.startswith(b"\xff\xd8\xff"):
         return "image/jpeg"
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        return "image/gif"
     return None
 
 
@@ -215,6 +217,136 @@ def decode_bmp(data: bytes) -> DecodedImage:
                         pixels=np.ascontiguousarray(rgb))
 
 
+# ---------------------------------------------------------------- GIF
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-flavor LZW: variable code width, CLEAR/END codes, 4096-entry
+    dictionary. Output capped at max_pixels (bomb guard)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset_table():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = end + 1
+
+    width = min_code_size + 1
+    next_code = end + 1
+    reset_table()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset_table()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < next_code and code < len(table):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise KernelError("GIF LZW code out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise KernelError("GIF LZW output exceeds pixel count")
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> DecodedImage:
+    """First frame of a GIF87a/89a: LZW decode + palette lookup; interlace
+    and local color tables handled; animation frames beyond the first are
+    ignored (Tika-style static extraction)."""
+    import numpy as np
+
+    if not (data.startswith(b"GIF87a") or data.startswith(b"GIF89a")):
+        raise KernelError("not a GIF")
+    if len(data) < 13:
+        raise KernelError("GIF truncated header")
+    flags = data[10]
+    pos = 13
+    global_pal = b""
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        global_pal = data[pos : pos + size]
+        pos += size
+    n = len(data)
+    while pos < n:
+        block = data[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < n and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                raise KernelError("GIF image descriptor truncated")
+            w, h = struct.unpack_from("<HH", data, pos + 5)
+            iflags = data[pos + 9]
+            pos += 10
+            if not w or not h or w * h > _MAX_PIXELS:
+                raise KernelError("implausible GIF dimensions")
+            pal = global_pal
+            if iflags & 0x80:
+                size = 3 * (2 << (iflags & 0x07))
+                pal = data[pos : pos + size]
+                pos += size
+            if not pal:
+                raise KernelError("GIF frame without a color table")
+            if pos >= n:
+                raise KernelError("GIF LZW data missing")
+            min_code = data[pos]
+            pos += 1
+            if not (2 <= min_code <= 11):
+                raise KernelError(f"GIF LZW min code size {min_code} invalid")
+            chunks = []
+            while pos < n and data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if len(idx) < w * h:
+                raise KernelError("GIF frame pixel data truncated")
+            arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: reorder rows
+                ordered = np.empty_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        ordered[y] = arr[src]
+                        src += 1
+                arr = ordered
+            pal_arr = np.frombuffer(pal.ljust(768, b"\x00")[:768],
+                                    dtype=np.uint8).reshape(256, 3)
+            rgb = pal_arr[np.minimum(arr, len(pal) // 3 - 1)]
+            return DecodedImage(width=w, height=h,
+                                pixels=np.ascontiguousarray(rgb))
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise KernelError(f"unknown GIF block 0x{block:02X}")
+    raise KernelError("GIF contains no image frame")
+
+
 # ---------------------------------------------------------------- JPEG (dims only)
 
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # SOFn markers
@@ -258,6 +390,8 @@ def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
         return decode_png(data, max_ratio)
     if kind == "image/bmp":
         return decode_bmp(data)
+    if kind == "image/gif":
+        return decode_gif(data)
     if kind == "image/jpeg":
         raise NotImplementedError(
             "JPEG decode (DCT) is out of kernel scope in this container")

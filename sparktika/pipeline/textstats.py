@@ -130,3 +130,27 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_phones", F.regexp_count(col, F.lit(PII_PHONE_RE)))
             .withColumn("n_ips", F.regexp_count(col, F.lit(PII_IPV4_RE)))
             .withColumn(f"{text_col}_scrubbed", scrubbed))
+
+
+def line_repetition_stats(df: DataFrame, text_col: str = "text",
+                          key_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line fraction
+    and duplicate-line character fraction. A document's stats depend only on
+    its own lines, so this is a ZERO-SHUFFLE per-row computation — split +
+    array_distinct + aggregate higher-order functions, all JVM-side. (The
+    explode/groupBy formulation shuffles twice for no reason at 100 TB.)"""
+    arr = F.split(F.col(text_col), "\n")
+    distinct = F.array_distinct(arr)
+
+    def chars(a):
+        return F.aggregate(a, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+
+    total_chars = chars(arr)
+    distinct_chars = chars(distinct)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.size(arr).cast("bigint").alias("n_lines"),
+        F.round(1.0 - F.size(distinct) / F.size(arr), 6).alias("dup_line_frac"),
+        F.round((total_chars - distinct_chars) / total_chars.cast("double"), 6)
+         .alias("dup_char_frac"))

@@ -838,7 +838,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_features",
     """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/bmp'
+         ELSE 'image/gif' END AS media_type,
        CAST(16 + doc_id % 48 AS INT) AS width,
        CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
        'ok' AS status
@@ -850,21 +853,21 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import BinaryType
 
     from .pipeline.multimodal import extract_media_features
-    from .synth import build_bmp, build_png
+    from .synth import build_bmp, build_gif, build_png
+
+    builders = {0: build_png, 1: build_bmp, 2: build_gif}
 
     def payload_fn(ids: pd.Series) -> pd.Series:
-        return pd.Series([
-            build_png(int(i)) if int(i) % 2 == 0 else build_bmp(int(i))
-            for i in ids
-        ])
+        return pd.Series([builders[int(i) % 3](int(i)) for i in ids])
 
     udf = pandas_udf(payload_fn, BinaryType())
     docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         udf(F.col("doc_id")).alias("payload"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
-         .otherwise(F.lit("image/bmp")).alias("media_type"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("image/bmp"))
+         .otherwise(F.lit("image/gif")).alias("media_type"),
     )
     feats = extract_media_features(media, use_fake=False)
     return feats.select("media_id", "media_type", "width", "height", "status")
@@ -1032,6 +1035,57 @@ def extract_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title", "text_extracted",
         F.element_at(F.col("metadata"), "n-parts")[0].cast("int").alias("n_parts"),
         "status")
+
+
+@_register(
+    "text_repetition",
+    """
+WITH structured AS (
+  SELECT doc_id,
+         'alpha block ' || doc_id || chr(10) ||
+         'beta block ' || doc_id || chr(10) ||
+         CASE WHEN doc_id % 4 = 0 THEN 'alpha block ' || doc_id
+              ELSE 'gamma block ' || doc_id END || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN 'alpha block ' || doc_id
+              ELSE 'delta block ' || doc_id END AS text2
+  FROM documents),
+lines AS (
+  SELECT doc_id, unnest(string_split(text2, chr(10))) AS line
+  FROM structured),
+grouped AS (
+  SELECT doc_id, line, count(*) AS cnt
+  FROM lines GROUP BY doc_id, line)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_lines,
+       round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_line_frac,
+       round(sum((cnt - 1) * length(line)) / CAST(sum(cnt * length(line)) AS DOUBLE), 6) AS dup_char_frac
+FROM grouped
+GROUP BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over deterministically
+    structured paragraphs (doc_id decides which lines repeat, so every
+    dup-fraction bucket is exercised)."""
+    from .pipeline.textstats import line_repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    alpha = F.concat(F.lit("alpha block "), d)
+    structured = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            alpha,
+            F.concat(F.lit("beta block "), d),
+            F.when(F.col("doc_id") % 4 == 0, alpha)
+             .otherwise(F.concat(F.lit("gamma block "), d)),
+            F.when(F.col("doc_id") % 2 == 0, alpha)
+             .otherwise(F.concat(F.lit("delta block "), d)),
+        ).alias("text2"))
+    stats = line_repetition_stats(structured, "text2", "doc_id")
+    return stats.select(F.col("key").alias("doc_id"), "n_lines",
+                        "dup_line_frac", "dup_char_frac")
 
 
 def all_queries() -> dict[str, QueryFn]:

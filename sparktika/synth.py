@@ -163,6 +163,41 @@ def _ole2_file(streams: dict[str, bytes]) -> bytes:
     return header + _s.pack(f"<{SEC // 4}I", *fat) + pad(directory) + b"".join(chunks)
 
 
+def build_gif(media_id: int) -> bytes:
+    """Solid-color GIF89a. LZW stream uses a CLEAR code before every pixel
+    code so the code width stays fixed (spec-valid, trivially correct)."""
+    import struct as _s
+
+    w, h = media_dims(media_id)
+    r, g, b = _media_color(media_id)
+    pal = (bytes([r, g, b]) * 1).ljust(768, b"\x00")
+    head = b"GIF89a" + _s.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0) + pal
+    desc = b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0)
+    clear, end = 256, 257  # min code size 8 -> 9-bit codes
+    codes = []
+    for _ in range(w * h):
+        codes += [clear, 0]  # reset, then palette index 0
+    codes.append(end)
+    acc = bits = 0
+    data = bytearray()
+    for code in codes:
+        acc |= code << bits
+        bits += 9
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    blocks = bytearray()
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + desc + b"\x08" + bytes(blocks) + b"\x3b"
+
+
 def build_msg(msg_id: int) -> bytes:
     u16 = lambda s: s.encode("utf-16-le")
     return _ole2_file({

@@ -233,3 +233,115 @@ def test_jpeg_dimensions_from_sof():
     assert jpeg_dimensions(b"not a jpeg") is None
     trunc = _jpeg_bytes(640, 480)[:10]
     assert jpeg_dimensions(trunc) is None
+
+
+# ------------------------------------------------------------------- GIF
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Test-side GIF LZW encoder (mirrors the decoder's width rule: the
+    encoder runs one dict-add ahead, so it bumps width one entry later)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits = []
+
+    def emit(code, width):
+        out_bits.append((code, width))
+
+    width = min_code_size + 1
+    dict_ = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in dict_:
+            w = wc
+            continue
+        emit(dict_[w], width)
+        if next_code < 4096:
+            dict_[wc] = next_code
+            next_code += 1
+            # decoder adds its entry one code later, so grow width when
+            # next_code passes 2^width + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = wc[-1:]
+    if w:
+        emit(dict_[w], width)
+    emit(end, width)
+    acc = bits = 0
+    data = bytearray()
+    for code, cw in out_bits:
+        acc |= code << bits
+        bits += cw
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif(idx: np.ndarray, pal: np.ndarray, interlace: bool = False,
+         min_code_size: int = 8) -> bytes:
+    h, w = idx.shape
+    flags = 0x80 | 0x07  # global palette, 256 entries
+    head = (b"GIF89a" + struct.pack("<HHBBB", w, h, flags, 0, 0)
+            + pal.astype(np.uint8).tobytes().ljust(768, b"\x00"))
+    rows = idx
+    if interlace:
+        order = ([y for y in range(0, h, 8)] + [y for y in range(4, h, 8)]
+                 + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)])
+        rows = idx[order]
+    lzw = _lzw_encode(rows.astype(np.uint8).tobytes(), min_code_size)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + desc + bytes([min_code_size]) + bytes(blocks) + b"\x3b"
+
+
+def test_gif_lzw_roundtrip():
+    from sparktika.kernels.image import decode_gif
+
+    pal = np.arange(768, dtype=np.int64).astype(np.uint8).reshape(256, 3)
+    idx = _rand(23, 31, 1, seed=21)[:, :, 0]
+    img = decode_gif(_gif(idx, pal))
+    assert (img.width, img.height) == (31, 23)
+    assert np.array_equal(img.pixels, pal[idx])
+
+
+def test_gif_interlaced():
+    from sparktika.kernels.image import decode_gif
+
+    pal = np.arange(768, dtype=np.int64).astype(np.uint8).reshape(256, 3)
+    idx = _rand(16, 8, 1, seed=23)[:, :, 0]
+    img = decode_gif(_gif(idx, pal, interlace=True))
+    assert np.array_equal(img.pixels, pal[idx])
+
+
+def test_gif_extension_blocks_skipped_and_guards():
+    from sparktika.kernels.image import decode_gif, decode_any, sniff_image
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    idx = np.full((4, 4), 7, dtype=np.uint8)
+    raw = _gif(idx, pal)
+    # splice a graphic-control extension before the image descriptor
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    at = raw.index(b"\x2c")
+    with_ext = raw[:at] + gce + raw[at:]
+    img = decode_gif(with_ext)
+    assert (img.width, img.height) == (4, 4)
+    assert sniff_image(raw) == "image/gif"
+    assert decode_any(raw).width == 4
+    with pytest.raises(KernelError):
+        decode_gif(raw[:20])  # no frame
+    with pytest.raises(KernelError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated header
+    trunc = raw[:at + 11]  # descriptor but no pixel data
+    with pytest.raises(KernelError):
+        decode_gif(trunc)
