@@ -1088,6 +1088,124 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "dup_line_frac", "dup_char_frac")
 
 
+def _corpus_filter_oracle() -> str:
+    """Composes the lang-id and quality oracle expressions into the C4-style
+    keep/drop decision — same SQL pieces as _lang_oracle/_quality_oracle."""
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in textstats.LANG_MARKER_SQL.items()
+    }
+    scores_sql = ", ".join(f"{expr} AS score_{lang}" for lang, expr in score.items())
+    langs_sorted = sorted(textstats.LANG_MARKER_SQL)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs_sorted) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs_sorted) + " END"
+    stop_pat = "\\b(" + "|".join(textstats.STOPWORDS) + ")\\b"
+    return f"""
+WITH scored AS (SELECT doc_id, text, {scores_sql} FROM documents),
+lang AS (SELECT doc_id, text, {case} AS lang_pred FROM scored),
+q AS (
+  SELECT doc_id, lang_pred,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+    length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws
+  FROM lang),
+q2 AS (
+  SELECT doc_id, lang_pred, CAST(n_words AS BIGINT) AS n_tokens,
+    round(0.3 * least(1.0, n_chars / 500.0)
+        + 0.2 * greatest(0.0, 1.0 - abs(CASE WHEN n_words > 0 THEN n_nonws / n_words ELSE 0.0 END - 5.0) / 5.0)
+        + 0.25 * greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1)) * 5.0)
+        + 0.25 * least(1.0, (n_stop / greatest(n_words, 1)) * 4.0), 6) AS quality_score
+  FROM q)
+SELECT doc_id, lang_pred, n_tokens, quality_score,
+  CASE WHEN lang_pred <> 'en' THEN 'lang'
+       WHEN n_tokens < 15 THEN 'too_short'
+       WHEN n_tokens > 90 THEN 'too_long'
+       WHEN quality_score < 0.6 THEN 'low_quality'
+       ELSE 'kept' END AS decision
+FROM q2
+"""
+
+
+@_register("corpus_filter", _corpus_filter_oracle())
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style corpus filter: compose lang-id + token count +
+    quality score into a keep/drop decision with a drop reason — the
+    signal-combination step a training-data pipeline runs after
+    extraction. Pure per-row built-ins, zero shuffle."""
+    d = textstats.quality_cols(textstats.lang_id_cols(_docs(spark, sf_dir)))
+    decision = (
+        F.when(F.col("lang_pred") != "en", F.lit("lang"))
+         .when(F.col("n_words") < 15, F.lit("too_short"))
+         .when(F.col("n_words") > 90, F.lit("too_long"))
+         .when(F.col("quality_score") < 0.6, F.lit("low_quality"))
+         .otherwise(F.lit("kept")))
+    return d.select(
+        "doc_id", "lang_pred",
+        F.col("n_words").alias("n_tokens"),
+        "quality_score",
+        decision.alias("decision"))
+
+
+@_register(
+    "url_normalize",
+    r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || doc_id || '#frag'
+           WHEN 1 THEN 'https://CDN.Example.com:443/a/' || doc_id || '?utm_source=x&q=' || doc_id
+           WHEN 2 THEN 'https://example.com/p?utm_campaign=spring&utm_medium=email'
+           WHEN 3 THEN 'http://host' || (doc_id % 9) || '.example.com:8080/x?a=1&utm_term=kw&b=2'
+           ELSE 'https://Example.com/plain/' || doc_id END AS url_raw
+  FROM documents),
+n1 AS (SELECT doc_id, url_raw,
+         lower(regexp_extract(url_raw, '^([^/?#]*//[^/?#]*)', 1))
+           || regexp_replace(url_raw, '^[^/?#]*//[^/?#]*', '') AS u
+       FROM raw),
+n2 AS (SELECT doc_id, url_raw, regexp_replace(u, '#.*$', '') AS u FROM n1),
+n3 AS (SELECT doc_id, url_raw,
+         regexp_replace(
+           regexp_replace(u, '^(http://[^/:?#]*):80([/?#]|$)', '\1\2'),
+           '^(https://[^/:?#]*):443([/?#]|$)', '\1\2') AS u
+       FROM n2),
+n4 AS (SELECT doc_id, url_raw,
+         regexp_replace(regexp_replace(u, 'utm_[a-z_]+=[^&#]*&?', '', 'g'),
+                        '[?&]$', '') AS url_norm
+       FROM n3)
+SELECT doc_id, url_raw, url_norm,
+       lower(regexp_extract(url_raw, '^[^/?#]*//([^/:?#]*)', 1)) AS host
+FROM n4
+""",
+)
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-pipeline URL canonicalization over deterministically varied raw
+    URLs (every rule exercised: case, fragment, default port, non-default
+    port kept, utm params in every position). Zero shuffle."""
+    from .pipeline.urls import normalize_urls
+
+    d = F.col("doc_id").cast("string")
+    raw = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("HTTP://Example.COM:80/Path/"), d, F.lit("#frag")))
+         .when(F.col("doc_id") % 5 == 1,
+               F.concat(F.lit("https://CDN.Example.com:443/a/"), d,
+                        F.lit("?utm_source=x&q="), d))
+         .when(F.col("doc_id") % 5 == 2,
+               F.lit("https://example.com/p?utm_campaign=spring&utm_medium=email"))
+         .when(F.col("doc_id") % 5 == 3,
+               F.concat(F.lit("http://host"), (F.col("doc_id") % 9).cast("string"),
+                        F.lit(".example.com:8080/x?a=1&utm_term=kw&b=2")))
+         .otherwise(F.concat(F.lit("https://Example.com/plain/"), d))
+         .alias("url_raw"))
+    return normalize_urls(raw, "url_raw").select(
+        "doc_id", "url_raw", "url_norm", "host")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 

@@ -90,3 +90,76 @@ def test_write_limit_exactness_property(text, cap):
         assert len(r.text_extracted) <= max(cap, 0) or cap == -1
         if len(text) > cap:
             assert r.status == "truncated"
+
+
+# Email/RTF/msg-shaped garbage: declared types force the new kernels to face
+# arbitrary bytes (the header-sniff alone would reject most of them)
+@given(st.binary(max_size=2048), st.sampled_from(
+    ["message/rfc822", "application/rtf"]))
+@_settings
+def test_new_kernels_never_raise_on_random_bytes(payload, declared):
+    r = extract_document("u", declared, payload, _CFG)
+    assert r.status in VALID_STATUSES
+
+
+_eml_chunks = st.lists(
+    st.one_of(
+        st.text(max_size=24),
+        st.sampled_from([
+            "From: a@x\r\n", "Subject: =?utf-8?B?###?=\r\n", "To: b\n",
+            "Content-Type: multipart/mixed; boundary=B\r\n",
+            "Content-Type: multipart/alternative\r\n",
+            "Content-Transfer-Encoding: base64\r\n",
+            "Content-Transfer-Encoding: quoted-printable\r\n",
+            "\r\n", "--B\r\n", "--B--\r\n", "=E9=", "QUJD", "=?bogus?Q?x?=",
+            "Content-Type: message/rfc822\r\n", "MIME-Version: 1.0\r\n",
+        ]),
+    ),
+    max_size=30,
+)
+
+
+@given(_eml_chunks)
+@_settings
+def test_eml_structured_garbage_never_raises(chunks):
+    payload = "".join(chunks).encode("utf-8", "replace")
+    r = extract_document("u.eml", "message/rfc822", payload, _CFG)
+    assert r.status in VALID_STATUSES
+
+
+_rtf_chunks = st.lists(
+    st.one_of(
+        st.text(max_size=12),
+        st.sampled_from([
+            "{", "}", "\\par ", "\\u9999?", "\\u-5000x", "\\uc2 ", "\\'e9",
+            "\\'zz", "\\bin10 XXXXXXXXXX", "\\bin99999 ", "{\\*\\gen x}",
+            "{\\fonttbl", "{\\info{\\title T}}", "\\ansicpg1251 ", "\\~\\-\\_",
+        ]),
+    ),
+    max_size=40,
+)
+
+
+@given(_rtf_chunks)
+@_settings
+def test_rtf_structured_garbage_never_raises(chunks):
+    payload = ("{\\rtf1" + "".join(chunks)).encode("utf-8", "replace")
+    r = extract_document("u.rtf", None, payload, _CFG)
+    assert r.status in VALID_STATUSES
+
+
+@given(st.binary(max_size=1024))
+@_settings
+def test_compressed_rtf_stream_never_crashes_msg(payload):
+    """A corrupt PR_RTF_COMPRESSED stream must degrade inside extract_msg."""
+    from sparktika.kernels.msg import extract_msg
+    from sparktika.kernels.ole2 import Ole2File
+    from sparktika.synth import _ole2_file
+
+    data = _ole2_file({
+        "__substg1.0_0037001F": "s".encode("utf-16-le"),
+        "__substg1.0_10090102": payload,
+        "__properties_version1.0": b"\x00" * 16,
+    })
+    r = extract_msg(Ole2File(data))
+    assert r.subject == "s"
