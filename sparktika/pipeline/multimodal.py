@@ -97,3 +97,94 @@ def extract_media_features(df: DataFrame, use_fake: bool = False,
     if num_partitions:
         slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
     return slim.mapInPandas(make_feature_fn(use_fake), FEATURES_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("dc_mean", T.DoubleType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_audio_features(df: DataFrame,
+                           num_partitions: int | None = None) -> DataFrame:
+    """audio table (media_id, payload) -> per-item features via the PCM WAV
+    kernel. Same physical policy as images: Arrow batches, per-row failure
+    containment, optional salted repartition."""
+    from ..kernels.audio import audio_features, decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                base = dict(media_id=mid, n_bytes=len(payload), error=None)
+                try:
+                    feats = audio_features(decode_wav(payload))
+                    rows.append(dict(base, status="ok", **feats))
+                except Exception as e:
+                    rows.append(dict(base, sample_rate=None, n_channels=None,
+                                     duration_ms=None, rms=None, peak=None,
+                                     dc_mean=None, status="failed",
+                                     error=f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows)
+
+    slim = df.select("media_id", "payload")
+    if num_partitions:
+        slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
+    return slim.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("track_kinds", T.ArrayType(T.StringType())),
+    T.StructField("brand", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_video_meta(df: DataFrame,
+                       num_partitions: int | None = None) -> DataFrame:
+    """video table (media_id, payload) -> container metadata via the ISO
+    BMFF box walker (no codec decode — frame sampling is the honestly
+    stubbed op, kernels/video.sample_frames)."""
+    from ..kernels.video import parse_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                base = dict(media_id=mid, n_bytes=len(payload), error=None)
+                try:
+                    m = parse_mp4(payload)
+                    rows.append(dict(base, width=m.width, height=m.height,
+                                     duration_ms=m.duration_ms,
+                                     n_tracks=m.n_tracks,
+                                     track_kinds=m.track_kinds,
+                                     brand=m.brand, status="ok"))
+                except Exception as e:
+                    rows.append(dict(base, width=None, height=None,
+                                     duration_ms=None, n_tracks=None,
+                                     track_kinds=None, brand=None,
+                                     status="failed",
+                                     error=f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows)
+
+    slim = df.select("media_id", "payload")
+    if num_partitions:
+        slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
+    return slim.mapInPandas(batches, VIDEO_SCHEMA)

@@ -1206,6 +1206,78 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "url_raw", "url_norm", "host")
 
 
+@_register(
+    "media_audio_features",
+    """
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST((800 + (doc_id % 50) * 160) * 1000
+            // (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END) AS INT) AS duration_ms,
+       CAST(1000 + (doc_id % 100) * 300 AS INT) AS amp,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM WAV decode over synthesized square-wave audio: RMS*32768
+    recovers the synthesized amplitude exactly (see synth.build_wav), so
+    the float feature gets an exact integer oracle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import extract_audio_features
+    from .synth import build_wav
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_wav(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    audio = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    feats = extract_audio_features(audio)
+    return feats.select(
+        "media_id", "sample_rate", "n_channels", "duration_ms",
+        F.round(F.col("rms") * 32768).cast("int").alias("amp"),
+        "status")
+
+
+@_register(
+    "media_video_meta",
+    """
+SELECT doc_id AS media_id,
+       CAST((16 + doc_id % 48) * 16 AS INT) AS width,
+       CAST((16 + (doc_id // 7) % 48) * 16 AS INT) AS height,
+       CAST(2000 + (doc_id % 60) * 500 AS INT) AS duration_ms,
+       CAST(1 AS INT) AS n_tracks,
+       'isom' AS brand,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO BMFF box-walk metadata over synthesized MP4 containers —
+    dims/duration/track structure are pure functions of media_id (see
+    synth.build_mp4); frame decode stays honestly stubbed."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import extract_video_meta
+    from .synth import build_mp4
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_mp4(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    video = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return extract_video_meta(video).select(
+        "media_id", "width", "height", "duration_ms", "n_tracks",
+        "brand", "status")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 

@@ -198,6 +198,50 @@ def build_gif(media_id: int) -> bytes:
     return head + desc + b"\x08" + bytes(blocks) + b"\x3b"
 
 
+def build_wav(media_id: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV (media_audio_features oracle): a
+    full-scale square wave, so RMS*32768 recovers the amplitude EXACTLY
+    (every sample magnitude is the same binary-exact rational):
+      rate   = 8000 if even else 16000
+      frames = 800 + (media_id % 50) * 160   (always divisible by 16)
+      amp    = 1000 + (media_id % 100) * 300
+    """
+    import struct as _s
+
+    rate = 8000 if media_id % 2 == 0 else 16000
+    n_frames = 800 + (media_id % 50) * 160
+    amp = 1000 + (media_id % 100) * 300
+    pcm = _s.pack("<hh", amp, -amp) * (n_frames // 2)
+    fmt = _s.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + _s.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + _s.pack("<I", 16) + fmt
+            + b"data" + _s.pack("<I", len(pcm)) + pcm)
+
+
+def build_mp4(media_id: int) -> bytes:
+    """Deterministic minimal MP4 (media_video_meta oracle): ftyp + moov
+    with mvhd (timescale 1000, duration_ms = 2000 + (id%60)*500) and one
+    video trak (tkhd dims = media_dims scaled x16, hdlr 'vide')."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(body)) + btype + body
+
+    w, h = media_dims(media_id)
+    w, h = w * 16, h * 16
+    duration = 2000 + (media_id % 60) * 500  # ms; timescale 1000 -> exact
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + _s.pack(">II", 1000, duration) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + _s.pack(">II", w << 16, h << 16))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", hdlr)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
 def build_msg(msg_id: int) -> bytes:
     u16 = lambda s: s.encode("utf-16-le")
     return _ole2_file({

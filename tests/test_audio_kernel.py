@@ -1,0 +1,148 @@
+"""PCM WAV kernel tests: bit depths, chunk walking, guards, pipeline."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sparktika.kernels.audio import audio_features, decode_wav, sniff_wav
+from sparktika.kernels.errors import KernelError
+
+
+def _wav(samples: np.ndarray, rate: int = 8000, channels: int = 1,
+         bits: int = 16, fmt_code: int = 1, extra_chunk: bytes = b"") -> bytes:
+    if bits == 16:
+        pcm = samples.astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    else:
+        pcm = samples.astype("<i4").tobytes()
+    balign = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                      rate * balign, balign, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(extra_chunk) + len(pcm))
+            + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + extra_chunk
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def test_wav_16bit_roundtrip():
+    s = np.array([0, 16384, -16384, 32767, -32768], dtype=np.int64)
+    a = decode_wav(_wav(s))
+    assert (a.sample_rate, a.n_channels, a.bits, a.n_frames) == (8000, 1, 16, 5)
+    assert np.allclose(a.samples * 32768, s)
+
+
+def test_wav_8bit_and_32bit():
+    a8 = decode_wav(_wav(np.array([-128, 0, 127], dtype=np.int64), bits=8))
+    assert a8.bits == 8 and a8.n_frames == 3
+    assert a8.samples[0] == -1.0 and a8.samples[1] == 0.0
+    a32 = decode_wav(_wav(np.array([1 << 30, -(1 << 30)], dtype=np.int64), bits=32))
+    assert np.allclose(a32.samples, [0.5, -0.5])
+
+
+def test_wav_stereo_frames_and_features():
+    s = np.array([1000, -1000] * 10, dtype=np.int64)  # 10 stereo frames
+    a = decode_wav(_wav(s, channels=2, rate=16000))
+    assert (a.n_channels, a.n_frames) == (2, 10)
+    f = audio_features(a)
+    assert f["duration_ms"] == round(10 * 1000 / 16000)
+    assert round(f["rms"] * 32768) == 1000
+    assert f["dc_mean"] == 0.0
+
+
+def test_wav_unknown_chunks_skipped():
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # word-aligned
+    a = decode_wav(_wav(np.array([7], dtype=np.int64), extra_chunk=junk))
+    assert a.n_frames == 1
+
+
+def test_wav_guards():
+    assert not sniff_wav(b"not audio")
+    with pytest.raises(KernelError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+    with pytest.raises(KernelError):  # float format
+        decode_wav(_wav(np.array([1], dtype=np.int64), fmt_code=3))
+    with pytest.raises(KernelError):  # 24-bit unsupported
+        bad = _wav(np.array([1], dtype=np.int64))
+        bad = bad.replace(struct.pack("<HH", 2, 16), struct.pack("<HH", 2, 24))
+        decode_wav(bad)
+
+
+def test_audio_pipeline_contains_failures(spark=None):
+    from sparktika.pipeline.session import build_session
+    from sparktika.pipeline.multimodal import extract_audio_features
+    from sparktika.synth import build_wav
+
+    s = build_session(master="local[2]", shuffle_partitions=2)
+    try:
+        rows = [(i, build_wav(i)) for i in range(6)]
+        rows.append((100, b"RIFFjunkWAVEtrash"))
+        rows.append((101, b"not audio at all"))
+        df = s.createDataFrame(rows, "media_id long, payload binary")
+        out = {r.media_id: r for r in extract_audio_features(df).collect()}
+        for i in range(6):
+            assert out[i].status == "ok"
+            assert round(out[i].rms * 32768) == 1000 + (i % 100) * 300
+        assert out[100].status == "failed"
+        assert out[101].status == "failed"
+    finally:
+        s.stop()
+
+
+# ------------------------------------------------------------------ MP4
+
+def test_mp4_box_walk_and_guards():
+    import struct as _s
+    from sparktika.kernels.video import parse_mp4, sample_frames
+    from sparktika.synth import build_mp4
+
+    m = parse_mp4(build_mp4(5))
+    assert m.track_kinds == ["vide"] and m.brand == "isom"
+    with pytest.raises(KernelError):
+        parse_mp4(b"not a video")
+    # crafted box size larger than the file
+    bad = bytearray(build_mp4(0))
+    bad[0:4] = _s.pack(">I", 1 << 30)
+    with pytest.raises(KernelError):
+        parse_mp4(bytes(bad))
+    # ftyp but no moov
+    with pytest.raises(KernelError):
+        parse_mp4(_s.pack(">I", 16) + b"ftypisom\x00\x00\x02\x00")
+    with pytest.raises(NotImplementedError):
+        sample_frames(build_mp4(0))
+
+
+def test_mp4_version1_mvhd():
+    import struct as _s
+    from sparktika.kernels.video import parse_mp4
+
+    def box(t, b):
+        return _s.pack(">I", 8 + len(b)) + t + b
+
+    mvhd = box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+               + _s.pack(">IQ", 90000, 90000 * 3) + b"\x00" * 80)
+    data = box(b"ftyp", b"mp42\x00\x00\x00\x00") + box(b"moov", mvhd)
+    m = parse_mp4(data)
+    assert m.duration_ms == 3000 and m.brand == "mp42"
+
+
+def test_video_pipeline_contains_failures():
+    from sparktika.pipeline.session import build_session
+    from sparktika.pipeline.multimodal import extract_video_meta
+    from sparktika.synth import build_mp4, media_dims
+
+    s = build_session(master="local[2]", shuffle_partitions=2)
+    try:
+        rows = [(i, build_mp4(i)) for i in range(4)]
+        rows.append((100, b"\x00\x00\x00\x08ftypcorrupt-rest"))
+        df = s.createDataFrame(rows, "media_id long, payload binary")
+        out = {r.media_id: r for r in extract_video_meta(df).collect()}
+        for i in range(4):
+            w, h = media_dims(i)
+            assert (out[i].status, out[i].width, out[i].height) == ("ok", w * 16, h * 16)
+        assert out[100].status == "failed"
+    finally:
+        s.stop()
