@@ -398,6 +398,19 @@ def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
     raise KernelError("unrecognized image payload")
 
 
+def resize_image(img: DecodedImage, out_w: int, out_h: int) -> DecodedImage:
+    """Nearest-neighbor resize (pure numpy index mapping — deterministic,
+    no interpolation kernel dependencies)."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0 or out_w * out_h > _MAX_PIXELS:
+        raise KernelError("implausible resize target")
+    ys = (np.arange(out_h) * img.height) // out_h
+    xs = (np.arange(out_w) * img.width) // out_w
+    return DecodedImage(width=out_w, height=out_h,
+                        pixels=np.ascontiguousarray(img.pixels[ys][:, xs]))
+
+
 def image_features(img: DecodedImage) -> list[float]:
     """8 deterministic features: mean R/G/B /255, std R/G/B /255,
     luma mean /255, aspect ratio w/h."""

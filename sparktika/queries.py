@@ -1278,6 +1278,41 @@ def media_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand", "status")
 
 
+@_register(
+    "media_resize",
+    """
+SELECT doc_id AS media_id,
+       CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       round((doc_id * 37 % 256) / 255.0, 6) AS mean_r,
+       round((doc_id * 59 % 256) / 255.0, 6) AS mean_g,
+       round((doc_id * 83 % 256) / 255.0, 6) AS mean_b,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail stage: decode + nearest-neighbor resize to 32x32 + channel
+    means. Synth images are solid-color, so the resized means equal the
+    synthesized fill color exactly (see synth._media_color)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import resize_media
+    from .synth import build_bmp, build_gif, build_png
+
+    builders = {0: build_png, 1: build_bmp, 2: build_gif}
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([builders[int(i) % 3](int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return resize_media(media, 32, 32).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b", "status")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 

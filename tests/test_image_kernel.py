@@ -345,3 +345,21 @@ def test_gif_extension_blocks_skipped_and_guards():
     trunc = raw[:at + 11]  # descriptor but no pixel data
     with pytest.raises(KernelError):
         decode_gif(trunc)
+
+
+def test_resize_nearest_neighbor():
+    from sparktika.kernels.image import resize_image, DecodedImage
+
+    arr = _rand(10, 20, 3, seed=31)
+    img = DecodedImage(width=20, height=10, pixels=arr)
+    small = resize_image(img, 5, 5)
+    assert small.pixels.shape == (5, 5, 3)
+    # index mapping: out[y][x] = in[y*10//5][x*20//5]
+    assert np.array_equal(
+        small.pixels, arr[(np.arange(5) * 10) // 5][:, (np.arange(5) * 20) // 5])
+    up = resize_image(img, 40, 40)
+    assert up.pixels.shape == (40, 40, 3)
+    with pytest.raises(KernelError):
+        resize_image(img, 0, 5)
+    with pytest.raises(KernelError):
+        resize_image(img, 1 << 20, 1 << 20)
