@@ -101,6 +101,9 @@ def extract_zip_container(
         elif detected == "application/zip":
             t = extract_zip_container(raw, budget, max_ratio, max_entry_bytes,
                                       depth + 1, deadline).text
+        elif detected == "application/x-tar":
+            t = extract_tar_container(raw, budget, max_ratio, max_entry_bytes,
+                                      depth + 1, deadline).text
         else:
             continue
         if budget != -1 and len(t) > budget:
@@ -117,3 +120,96 @@ def extract_zip_container(
         text = text[:max_chars]
     return ContainerResult(text=text, entries=names, truncated=truncated,
                            metadata={"Content-Type": "application/zip"})
+
+
+# ------------------------------------------------------------------- tar
+
+def _octal(field: bytes) -> int:
+    s = field.split(b"\x00")[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        raise KernelError(f"tar: bad octal field {field!r}")
+
+
+def is_tar(data: bytes) -> bool:
+    return len(data) >= 263 and data[257:262] == b"ustar"
+
+
+def extract_tar_container(
+    data: bytes,
+    max_chars: int = -1,
+    max_ratio: float = 200.0,
+    max_entry_bytes: int = 256_000_000,
+    depth: int = 0,
+    deadline: float | None = None,
+) -> ContainerResult:
+    """ustar/pax archive text extraction, same routing and budget semantics
+    as the zip path. Pure header walk (tar stores entries uncompressed, so
+    the only bombs are size fields — bounds-checked — and nesting)."""
+    if depth > MAX_PACKAGE_ENTRY_DEPTH:
+        raise KernelError(
+            f"container nesting exceeded {MAX_PACKAGE_ENTRY_DEPTH} (bomb guard)")
+    if not is_tar(data):
+        raise KernelError("not a ustar archive")
+    parts: list[str] = []
+    names: list[str] = []
+    total = 0
+    truncated = False
+    pos, n = 0, len(data)
+    long_name: str | None = None
+    while pos + 512 <= n:
+        check_deadline(deadline, "tar entry scan")
+        header = data[pos : pos + 512]
+        if header[:2] == b"\x00\x00" and not header.strip(b"\x00"):
+            break  # end-of-archive zero block
+        size = _octal(header[124:136])
+        typeflag = header[156:157]
+        if size < 0 or pos + 512 + size > n + 511:
+            raise KernelError("tar entry size out of bounds")
+        body = data[pos + 512 : pos + 512 + min(size, max_entry_bytes)]
+        pos += 512 + ((size + 511) & ~511)
+        if typeflag == b"L":  # GNU long name for the NEXT entry
+            long_name = body.rstrip(b"\x00").decode("utf-8", "replace")
+            continue
+        if typeflag in (b"x", b"g"):  # pax extended headers: skip
+            continue
+        name = long_name or header[:100].split(b"\x00")[0].decode("utf-8", "replace")
+        prefix = header[345:500].split(b"\x00")[0].decode("utf-8", "replace")
+        if prefix and not long_name:
+            name = f"{prefix}/{name}"
+        long_name = None
+        if typeflag not in (b"0", b"\x00"):
+            continue  # dirs, links, devices carry no text
+        names.append(name)
+        if truncated:
+            continue
+        budget = max_chars - total if max_chars != -1 else -1
+        detected = mime_mod.detect_mime(body, None, name)
+        if detected == "text/html":
+            from .htmlparse import parse_html
+
+            t = parse_html(charset_decode(body)[0], max_chars=budget).text
+        elif detected.startswith("text/") or detected == "application/xml":
+            t, _ = charset_decode(body, is_html=False)
+        elif detected == "application/zip":
+            t = extract_zip_container(body, budget, max_ratio, max_entry_bytes,
+                                      depth + 1, deadline).text
+        elif detected == "application/x-tar":
+            t = extract_tar_container(body, budget, max_ratio, max_entry_bytes,
+                                      depth + 1, deadline).text
+        else:
+            continue
+        if budget != -1 and len(t) > budget:
+            t = t[:budget]
+            truncated = True
+        parts.append(t)
+        total += len(t)
+    text = "".join(parts)
+    if max_chars != -1 and len(text) > max_chars:
+        truncated = True
+        text = text[:max_chars]
+    return ContainerResult(text=text, entries=names, truncated=truncated,
+                           metadata={"Content-Type": "application/x-tar"})

@@ -238,6 +238,23 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected == "application/x-tar":
+            from .container import extract_tar_container
+
+            r = extract_tar_container(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline)
+            md = {"Content-Type": ["application/x-tar"]}
+            if r.entries:
+                md["container-entries"] = [str(len(r.entries))]
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected == "application/x-tika-msoffice":
             from .ole2 import Ole2File
             from .xls import extract_xls

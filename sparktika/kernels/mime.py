@@ -106,6 +106,8 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
     riff = _sniff_riff(data)
     if riff:
         return riff
+    if len(data) >= 263 and data[257:262] == b"ustar":
+        return "application/x-tar"
     mp4 = _sniff_mp4(data)
     if mp4:
         return mp4

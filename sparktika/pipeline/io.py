@@ -64,3 +64,20 @@ def table_exists(spark: SparkSession, location: str) -> bool:
 
 def default_output_dir() -> str:
     return os.environ.get("SPARKTIKA_OUT", "/tmp/sparktika_out")
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 32, sort_col: str | None = None) -> None:
+    """Bucketed managed table: co-locates join/agg keys at WRITE time so
+    repeated joins on `bucket_col` run shuffle-free (the 100-TB answer to
+    'this dimension is joined every run'). Iceberg deployments get the
+    same effect from bucket partition transforms; the local fallback uses
+    Spark's native bucketing (requires saveAsTable)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1313,6 +1313,44 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b", "status")
 
 
+@_register(
+    "extract_tar_text",
+    """
+SELECT doc_id AS tar_id,
+       'Tar text one ' || doc_id || '. Tar text two ' || doc_id || '.' AS text_extracted,
+       2 AS n_entries,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_tar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ustar container kernel end-to-end (offset-257 magic sniff routes the
+    payload; per-entry MIME routing concatenates the text entries)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_tar
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_tar(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://archive.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".tar")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.tar$", 1).cast("long").alias("tar_id"),
+        "text_extracted",
+        F.element_at(F.col("metadata"), "container-entries")[0]
+         .cast("int").alias("n_entries"),
+        "status")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 

@@ -242,6 +242,32 @@ def build_mp4(media_id: int) -> bytes:
     return ftyp + moov
 
 
+def _tar_entry(name: str, body: bytes) -> bytes:
+    h = bytearray(512)
+    nb = name.encode()
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\x00"
+    h[108:116] = b"0000000\x00"
+    h[116:124] = b"0000000\x00"
+    h[124:136] = (b"%011o" % len(body)) + b"\x00"
+    h[136:148] = b"00000000000\x00"
+    h[148:156] = b"        "  # checksum computed over spaces, per spec
+    h[156] = ord("0")
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    h[148:156] = (b"%06o" % sum(h)) + b"\x00 "
+    return bytes(h) + body + b"\x00" * (-len(body) % 512)
+
+
+def build_tar(doc_id: int) -> bytes:
+    """Deterministic ustar archive of two text entries (extract_tar_text
+    oracle): kernel text is exactly
+    'Tar text one {id}. Tar text two {id}.'"""
+    return (_tar_entry(f"a{doc_id}.txt", f"Tar text one {doc_id}. ".encode())
+            + _tar_entry(f"b{doc_id}.txt", f"Tar text two {doc_id}.".encode())
+            + b"\x00" * 1024)
+
+
 def build_msg(msg_id: int) -> bytes:
     u16 = lambda s: s.encode("utf-16-le")
     return _ole2_file({

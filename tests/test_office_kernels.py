@@ -509,3 +509,50 @@ def test_msg_compressed_rtf_body():
     r2 = extract_msg(Ole2File(_build_ole2(streams)))
     assert r2.subject == "Quarterly report"
     assert "body-source" not in r2.metadata
+
+
+# ---------------------------------------------------------------- tar
+
+def test_tar_container_extraction_and_nesting():
+    from sparktika.kernels.container import extract_tar_container, is_tar
+    from sparktika.synth import _tar_entry, build_tar
+
+    data = build_tar(3)
+    assert is_tar(data)
+    r = extract_tar_container(data)
+    assert r.text == "Tar text one 3. Tar text two 3."
+    assert r.entries == ["a3.txt", "b3.txt"]
+    # tar inside zip and zip inside tar both route
+    z = _zip_bytes({"inner.tar": build_tar(9), "x.txt": b" plus zip text"})
+    zr = extract_zip_container(z)
+    assert "Tar text one 9." in zr.text and "plus zip text" in zr.text
+    t = _tar_entry("inner.zip", _zip_bytes({"y.txt": b"zip-in-tar"})) + b"\x00" * 1024
+    tr = extract_tar_container(t)
+    assert tr.text == "zip-in-tar"
+
+
+def test_tar_guards_and_cap():
+    import pytest as _pytest
+    from sparktika.config import ExtractConfig
+    from sparktika.kernels.container import extract_tar_container
+    from sparktika.kernels.errors import KernelError
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import _tar_entry, build_tar
+
+    with _pytest.raises(KernelError):
+        extract_tar_container(b"not a tar" + b"\x00" * 300)
+    # size field overrunning the file
+    bad = bytearray(build_tar(0))
+    bad[124:136] = b"77777777777\x00"
+    with _pytest.raises(KernelError):
+        extract_tar_container(bytes(bad))
+    # nesting bomb: tar-in-tar 25 deep
+    inner = _tar_entry("leaf.txt", b"deep") + b"\x00" * 1024
+    for k in range(25):
+        inner = _tar_entry(f"n{k}.tar", inner) + b"\x00" * 1024
+    r = extract_document("u.tar", None, inner)
+    assert r.status == "failed" and "bomb" in r.error
+    # char cap -> truncated
+    big = _tar_entry("big.txt", b"x" * 5000) + b"\x00" * 1024
+    t = extract_document("u.tar", None, big, ExtractConfig(max_chars=100))
+    assert (t.status, len(t.text_extracted)) == ("truncated", 100)

@@ -387,3 +387,36 @@ def test_salting_defuses_host_byte_skew(spark, pages):
     assert clustered_share > 0.28
     assert salted_share < 0.20
     assert salted_share < clustered_share / 1.5
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located bucketed tables join WITHOUT an exchange on either side —
+    the write-time partitioning answer for always-joined keys at 100 TB.
+    Plan-audited: no Exchange above either scan; the same join on plain
+    parquet shows shuffles."""
+    from sparktika.pipeline.io import read_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", "o_orderkey", 8, sort_col="o_orderkey")
+        joined = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # sanity: the same join over non-bucketed sources DOES shuffle
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+        # correctness: row counts agree
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
