@@ -238,6 +238,37 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected == "application/gzip":
+            # single-member gzip wrapper (.txt.gz / .tar.gz / .csv.gz):
+            # guarded inflate, then re-dispatch on the inner payload with
+            # one level of the container depth budget consumed
+            import zlib as _zlib
+
+            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)  # gzip framing
+            cap = min(int(max(n_bytes, 1024) * cfg.max_inflate_ratio),
+                      cfg.max_inflate_bytes)
+            inner = d.decompress(data, cap)
+            if d.unconsumed_tail:
+                return res(detected=detected, status=STATUS_FAILED,
+                           error=f"InflateRatioError: gzip payload exceeds "
+                                 f"inflate cap {cap}B")
+            if inner[:2] == b"\x1f\x8b":
+                # gzip-of-gzip chains compound the ratio guard without
+                # bound — refuse instead of recursing (bomb posture)
+                return res(detected=detected, status=STATUS_FAILED,
+                           error="nested gzip refused (ratio-compounding bomb)")
+            inner_name = url[:-3] if url.lower().endswith(".gz") else url
+            r = extract_document(inner_name, None, inner, cfg,
+                                 true_size=len(inner))
+            md = dict(r.metadata)
+            md["Content-Encoding-Outer"] = ["gzip"]
+            return res(detected=r.content_type_detected,
+                       charset_detected=r.charset_detected,
+                       text_extracted=r.text_extracted if cfg.parse_content else None,
+                       main_text=r.main_text, title=r.title, links=r.links,
+                       metadata=md, status=r.status, error=r.error,
+                       write_limit_reached=r.write_limit_reached)
+
         if detected == "application/x-tar":
             from .container import extract_tar_container
 

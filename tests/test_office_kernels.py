@@ -556,3 +556,34 @@ def test_tar_guards_and_cap():
     big = _tar_entry("big.txt", b"x" * 5000) + b"\x00" * 1024
     t = extract_document("u.tar", None, big, ExtractConfig(max_chars=100))
     assert (t.status, len(t.text_extracted)) == ("truncated", 100)
+
+
+def test_gzip_wrapper_dispatch():
+    import gzip as _gz
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_tar
+
+    # .txt.gz
+    r = extract_document("https://x/notes.txt.gz", None,
+                         _gz.compress(b"gzipped plain text"))
+    assert (r.status, r.text_extracted) == ("ok", "gzipped plain text")
+    assert r.metadata["Content-Encoding-Outer"] == ["gzip"]
+    # .tar.gz routes through the tar kernel
+    r2 = extract_document("https://x/a.tar.gz", None, _gz.compress(build_tar(5)))
+    assert r2.status == "ok"
+    assert r2.text_extracted == "Tar text one 5. Tar text two 5."
+    assert r2.content_type_detected == "application/x-tar"
+    # html.gz keeps html semantics
+    r3 = extract_document("https://x/p.html.gz", None,
+                          _gz.compress(b"<html><body><div>hi</div></body></html>"))
+    assert (r3.status, r3.text_extracted) == ("ok", "hi\n")
+    # nested gzip refused
+    r4 = extract_document("u.gz", None, _gz.compress(_gz.compress(b"x" * 100)))
+    assert r4.status == "failed" and "nested gzip" in r4.error
+    # gzip bomb: 100MB of zeros compresses tiny; ratio guard refuses
+    bomb = _gz.compress(b"\x00" * 100_000_000)
+    r5 = extract_document("u.gz", None, bomb)
+    assert r5.status == "failed" and "InflateRatioError" in r5.error
+    # corrupt gzip degrades
+    r6 = extract_document("u.gz", None, b"\x1f\x8b" + b"garbage")
+    assert r6.status == "failed"
