@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator: cross-batch first-seen dedup via
+applyInPandasWithState.
+
+The streaming analog of the exact-dedup batch op: each content hash is
+emitted exactly once across the lifetime of the stream (earliest
+warc_ts within its arrival batch wins); later recrawls are suppressed by
+per-key state. State is one byte per distinct hash — bounded by distinct
+content, not stream length — and a production deployment would add a
+GroupStateTimeout TTL to evict cold hashes.
+
+Scale shape: the stream shuffles once on the state key (content sha),
+the same partitioning the batch dedup uses; no document bytes are held
+in state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField, StructType,
+                               TimestampType)
+
+FIRST_SEEN_SCHEMA = StructType([
+    StructField("content_sha", StringType()),
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("n_suppressed", LongType()),
+])
+
+_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def _first_seen_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    (seen,) = state.get if state.exists else (0,)
+    dup = 0
+    first: pd.DataFrame | None = None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        if seen == 0 and first is None:
+            pdf = pdf.sort_values("warc_ts", kind="stable")
+            first = pdf.head(1)
+            dup += len(pdf) - 1
+        else:
+            dup += len(pdf)
+    state.update((seen + dup + (1 if first is not None else 0),))
+    if first is not None:
+        yield pd.DataFrame({
+            "content_sha": [key[0]],
+            "url": first["url"].tolist(),
+            "warc_ts": first["warc_ts"].tolist(),
+            "n_suppressed": [dup],
+        })
+
+
+def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
+    """pages stream (url, warc_ts, content_sha) -> one row per distinct
+    content_sha across ALL micro-batches (state-backed)."""
+    return (pages_stream
+            .groupBy("content_sha")
+            .applyInPandasWithState(
+                _first_seen_fn,
+                outputStructType=FIRST_SEEN_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

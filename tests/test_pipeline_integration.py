@@ -420,3 +420,44 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: each content hash is
+    emitted exactly once across micro-batches; later arrivals only bump
+    the suppressed counter in state."""
+    import datetime as dt
+
+    from sparktika.streaming.stateful import streaming_first_seen
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = tmp_path / "pages_stream"
+    # batch 1: A twice (within-batch dup), B once
+    spark.createDataFrame(
+        [("u1", t0, "shaA"), ("u2", t0 + dt.timedelta(seconds=5), "shaA"),
+         ("u3", t0, "shaB")],
+        "url string, warc_ts timestamp, content_sha string",
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2: B again (cross-batch dup), C new
+    spark.createDataFrame(
+        [("u4", t0 + dt.timedelta(minutes=1), "shaB"), ("u5", t0, "shaC")],
+        "url string, warc_ts timestamp, content_sha string",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    schema = "url string, warc_ts timestamp, content_sha string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = (streaming_first_seen(stream)
+         .writeStream.format("memory").queryName("first_seen")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.content_sha: r for r in spark.sql("SELECT * FROM first_seen").collect()}
+    assert set(rows) == {"shaA", "shaB", "shaC"}
+    assert rows["shaA"].url == "u1"          # earliest warc_ts wins in-batch
+    assert rows["shaA"].n_suppressed == 1    # u2 suppressed
+    assert rows["shaB"].n_suppressed in (0, 1)  # u4 suppressed iff 2 batches
+    assert rows["shaC"].n_suppressed == 0
+    # exactly one emission per sha, ever
+    assert spark.sql("SELECT count(*) FROM first_seen").collect()[0][0] == 3
