@@ -26,6 +26,10 @@ from .errors import InflateRatioError, KernelError
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 _MAX_PIXELS = 64_000_000  # 64 MPix decode cap (bomb guard)
 
 
@@ -65,12 +69,14 @@ def _inflate_guarded(chunks: list[bytes], expected: int,
     return out
 
 
-def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
-    """Undo PNG scanline filters in place; returns the raw pixel bytes."""
+def _unfilter(raw: bytes, width: int, height: int, channels: int,
+              pos: int = 0) -> tuple[bytearray, int]:
+    """Undo PNG scanline filters starting at `pos` in the inflated stream;
+    returns (pixel bytes, next position) — interlaced images call this once
+    per Adam7 pass."""
     stride = width * channels
     bpp = channels
     out = bytearray(stride * height)
-    pos = 0
     for y in range(height):
         if pos >= len(raw):
             raise KernelError("PNG raster truncated")
@@ -107,7 +113,7 @@ def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
                 out[off + i] = (out[off + i] + pred) & 0xFF
         else:
             raise KernelError(f"unknown PNG filter {ft}")
-    return out
+    return out, pos
 
 
 def decode_png(data: bytes, max_ratio: float = 200.0,
@@ -118,7 +124,7 @@ def decode_png(data: bytes, max_ratio: float = 200.0,
         raise KernelError("not a PNG")
     pos = 8
     width = height = 0
-    bit_depth = color_type = 0
+    bit_depth = color_type = interlace = 0
     palette = b""
     idat: list[bytes] = []
     n = len(data)
@@ -132,8 +138,8 @@ def decode_png(data: bytes, max_ratio: float = 200.0,
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack_from(">IIBBBBB", body, 0))
-            if interlace:
-                raise KernelError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise KernelError(f"unknown PNG interlace method {interlace}")
             if bit_depth != 8:
                 raise KernelError(f"PNG bit depth {bit_depth} not supported")
             if width * height > _MAX_PIXELS:
@@ -149,10 +155,25 @@ def decode_png(data: bytes, max_ratio: float = 200.0,
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise KernelError(f"PNG color type {color_type} not supported")
-    expected = (width * channels + 1) * height
-    raw = _inflate_guarded(idat, expected, max_ratio, max_bytes)
-    pix = _unfilter(raw, width, height, channels)
-    arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(height, width, channels)
+    if interlace:
+        passes = [(x0, y0, dx, dy,
+                   (width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+                  for x0, y0, dx, dy in _ADAM7
+                  if (width - x0 + dx - 1) // dx > 0
+                  and (height - y0 + dy - 1) // dy > 0]
+        expected = sum((wp * channels + 1) * hp for *_ , wp, hp in passes)
+        raw = _inflate_guarded(idat, expected, max_ratio, max_bytes)
+        arr = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            pix, pos = _unfilter(raw, wp, hp, channels, pos)
+            sub = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(hp, wp, channels)
+            arr[y0::dy, x0::dx] = sub
+    else:
+        expected = (width * channels + 1) * height
+        raw = _inflate_guarded(idat, expected, max_ratio, max_bytes)
+        pix, _ = _unfilter(raw, width, height, channels)
+        arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(height, width, channels)
     if color_type == 2:
         rgb = arr
     elif color_type == 6:

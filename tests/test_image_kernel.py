@@ -363,3 +363,35 @@ def test_resize_nearest_neighbor():
         resize_image(img, 0, 5)
     with pytest.raises(KernelError):
         resize_image(img, 1 << 20, 1 << 20)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_interlaced(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    h, w, ch = arr.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += _forward_filter(sub, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("size", [(16, 16), (13, 17), (3, 3), (1, 9), (9, 1)])
+def test_png_adam7_interlaced_roundtrip(size):
+    h, w = size
+    arr = _rand(h, w, 3, seed=h * 100 + w)
+    img = decode_png(_png_interlaced(arr))
+    assert (img.width, img.height) == (w, h)
+    assert np.array_equal(img.pixels, arr)
+
+
+def test_png_adam7_with_filters():
+    arr = _rand(21, 19, 3, seed=41)
+    img = decode_png(_png_interlaced(arr, filter_type=4))  # Paeth per pass
+    assert np.array_equal(img.pixels, arr)

@@ -461,3 +461,25 @@ def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
     assert rows["shaC"].n_suppressed == 0
     # exactly one emission per sha, ever
     assert spark.sql("SELECT count(*) FROM first_seen").collect()[0][0] == 3
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Date-partitioned layout + a day filter prunes partitions AT THE SCAN
+    (the Iceberg-partition-transform story on the parquet fallback): the
+    pruned plan reads fewer files and shows the partition filter."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "events_by_day")
+    (events.withColumn("day", F.to_date("ts"))
+     .write.partitionBy("day").mode("overwrite").parquet(out))
+    part = spark.read.parquet(out)
+    one_day = part.select("event_id").filter(
+        F.col("day") == part.selectExpr("min(day)").collect()[0][0])
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the day predicate reaches the scan as a PARTITION filter (directory
+    # pruning), not a post-scan row filter
+    assert "PartitionFilters: [isnotnull(day" in plan, plan[:1500]
+    import re as _re
+
+    assert _re.search(r"\(day#\d+ = ", plan.split("PartitionFilters", 1)[1][:200])
+    # and the scan actually reads a strict subset of the data
+    assert 0 < one_day.count() < part.count()
