@@ -1351,6 +1351,68 @@ def extract_tar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status")
 
 
+@_register(
+    "rel_multijoin_region_revenue",
+    """
+SELECT n.n_name AS nation,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def rel_multijoin_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join. The four dimension sides broadcast
+    explicitly; at bench SF even orders fits the broadcast threshold
+    (plan audit: 5x BroadcastHashJoin, zero shuffled joins), and at 100 TB
+    the lineitem⋈orders edge becomes the lone shuffle while the
+    dimensions stay broadcast — the join-ordering/broadcast story at
+    depth."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (li
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), (c.c_nationkey == n.n_nationkey)
+                  & (s.s_nationkey == n.n_nationkey))
+            .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                  n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount))
+                         .cast("double"), 4).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@_register(
+    "rel_rollup_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS gross,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals + grand total in one pass
+    (closes SURVEY §2.B's one 'not needed' relational row)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice").cast("double"), 4).alias("gross"),
+                 F.count("*").alias("n_items")))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 
