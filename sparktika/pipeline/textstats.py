@@ -154,3 +154,30 @@ def line_repetition_stats(df: DataFrame, text_col: str = "text",
         F.round(1.0 - F.size(distinct) / F.size(arr), 6).alias("dup_line_frac"),
         F.round((total_chars - distinct_chars) / total_chars.cast("double"), 6)
          .alias("dup_char_frac"))
+
+
+def chunk_text(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+               chunk_chars: int = 200, overlap: int = 40) -> DataFrame:
+    """LLM-training chunking: fixed-size character windows with overlap,
+    as pure built-ins (sequence + explode + substring — codegen, and the
+    only shuffle is whatever the caller does downstream). Emits
+    (key, chunk_id, chunk, n_chunk_chars); documents shorter than one
+    window yield a single chunk."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    c = F.col(text_col)
+    n = F.length(c)
+    # number of windows: 1 + ceil(max(0, n - chunk_chars) / step)
+    n_chunks = (F.lit(1) + F.ceil(
+        F.greatest(n - chunk_chars, F.lit(0)) / F.lit(step))).cast("int")
+    out = (df
+           .select(F.col(key_col).alias("key"), c.alias("__t"),
+                   F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+           .select(
+               "key",
+               F.col("chunk_id").cast("bigint").alias("chunk_id"),
+               F.substring(F.col("__t"), F.col("chunk_id") * step + 1,
+                           chunk_chars).alias("chunk")))
+    return out.withColumn("n_chunk_chars",
+                          F.length("chunk").cast("bigint"))

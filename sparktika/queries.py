@@ -1413,6 +1413,29 @@ def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_items")))
 
 
+@_register(
+    "text_chunking",
+    """
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(1 + ceil(greatest(length(text) - 200, 0) / 160.0) AS BIGINT))) AS chunk_id
+  FROM documents)
+SELECT doc_id AS key,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       substring(text, CAST(chunk_id * 160 + 1 AS INT), 200) AS chunk,
+       CAST(length(substring(text, CAST(chunk_id * 160 + 1 AS INT), 200)) AS BIGINT) AS n_chunk_chars
+FROM g
+""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training chunking: 200-char windows with 40-char overlap
+    (stride 160), pure built-ins (sequence + explode + substring)."""
+    from .pipeline.textstats import chunk_text
+
+    return chunk_text(_docs(spark, sf_dir), "text", "doc_id",
+                      chunk_chars=200, overlap=40)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_Q)
 
