@@ -483,3 +483,21 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert _re.search(r"\(day#\d+ = ", plan.split("PartitionFilters", 1)[1][:200])
     # and the scan actually reads a strict subset of the data
     assert 0 < one_day.count() < part.count()
+
+
+def test_chunking_overlap_and_lossless_reconstruction(spark):
+    from sparktika.pipeline.textstats import chunk_text
+
+    txt = "x" * 100 + "abcdefghij" * 45  # 550 chars -> 4 chunks at 200/40
+    df = spark.createDataFrame([(1, txt), (2, "short")], "doc_id long, text string")
+    rows = sorted([tuple(r) for r in chunk_text(df).collect()])
+    short = [r for r in rows if r[0] == 2]
+    assert short == [(2, 0, "short", 5)]  # sub-window doc -> single chunk
+    long = [r for r in rows if r[0] == 1]
+    assert len(long) == 1 + -(-max(0, len(txt) - 200) // 160)
+    for k in range(len(long) - 1):
+        assert long[k][2][160:] == long[k + 1][2][:40]  # 40-char overlap
+    assert "".join(r[2][:160] for r in long[:-1]) + long[-1][2] == txt
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_text(df, chunk_chars=40, overlap=40)
