@@ -46,15 +46,25 @@ _ENCODED_WORD_RE = re.compile(r"=\?([^?]+)\?([bBqQ])\?([^?]*)\?=")
 
 def sniff_eml(data: bytes) -> bool:
     """True when the head of the payload looks like an RFC 822 header
-    block: >=2 distinct known header names in the first 20 lines."""
+    block: the FIRST header-shaped line must be a well-known header (an
+    email starts with its header block — prose that merely quotes
+    headers further down never misroutes), plus >=2 distinct known names
+    in the first 20 lines."""
     seen = set()
+    first_header = True
     for line in data[:4096].splitlines()[:20]:
         m = _HEADER_LINE_RE.match(line)
         if not m:
             if not line.strip():
                 break  # header block ended
+            if first_header:
+                return False  # leading prose: not a message head
             continue
         name = m.group(1).lower()
+        if first_header:
+            if name not in SNIFF_HEADERS:
+                return False
+            first_header = False
         if name in SNIFF_HEADERS or name.startswith(b"x-"):
             seen.add(name)
         if len(seen) >= 2:
@@ -150,7 +160,8 @@ def _decode_body(body: bytes, headers: dict[str, list[str]],
 
 
 def _walk(data: bytes, out: list[str], result: EmlResult, depth: int,
-          deadline: float | None = None) -> None:
+          deadline: float | None = None,
+          preparsed: tuple[dict, bytes] | None = None) -> None:
     if deadline is not None:
         import time
 
@@ -160,7 +171,10 @@ def _walk(data: bytes, out: list[str], result: EmlResult, depth: int,
             raise DeadlineError("eml parse deadline exceeded")
     if depth > _MAX_DEPTH or result.n_parts > _MAX_PARTS:
         return
-    headers, body = _parse_headers(data)
+    if preparsed is not None:
+        headers, body = preparsed
+    else:
+        headers, body = _parse_headers(data)
     ctype, params = _content_type(headers)
     result.n_parts += 1
     if ctype.startswith("multipart/"):
@@ -177,10 +191,15 @@ def _walk(data: bytes, out: list[str], result: EmlResult, depth: int,
             if part:
                 _walk(part, out, result, depth + 1, deadline)
         return
-    disposition = (headers.get("content-disposition") or [""])[0].lower()
+    disposition = (headers.get("content-disposition") or [""])[0]
     filename = params.get("name")
-    if not filename and "filename=" in disposition:
-        filename = disposition.split("filename=", 1)[1].strip().strip('"')
+    if not filename:
+        # parse from the ORIGINAL disposition (case preserved) and stop at
+        # the next parameter separator
+        m = re.search(r'filename\s*=\s*("(?:[^"]*)"|[^;]*)', disposition,
+                      re.IGNORECASE)
+        if m:
+            filename = m.group(1).strip().strip('"') or None
     charset = params.get("charset", "utf-8" if depth == 0 else "cp1252")
     if ctype == "text/plain":
         out.append(_decode_body(body, headers, charset).strip("\r\n"))
@@ -199,7 +218,7 @@ def _walk(data: bytes, out: list[str], result: EmlResult, depth: int,
 
 
 def extract_eml(data: bytes, deadline: float | None = None) -> EmlResult:
-    headers, _ = _parse_headers(data)
+    headers, body0 = _parse_headers(data)
     get = lambda k: (_decode_encoded_words(headers[k][0]) if k in headers else None)
     subject = get("subject")
     frm = get("from")
@@ -209,7 +228,7 @@ def extract_eml(data: bytes, deadline: float | None = None) -> EmlResult:
 
     result = EmlResult(text="", subject=subject)
     parts: list[str] = []
-    _walk(data, parts, result, 0, deadline)
+    _walk(data, parts, result, 0, deadline, preparsed=(headers, body0))
 
     lines: list[str] = []
     if subject:

@@ -51,10 +51,9 @@ def table_exists(spark: SparkSession, location: str) -> bool:
     flaky read can never silently disable the anti-join and duplicate
     already-committed rows."""
     if "/" not in location and iceberg_available(spark):
-        try:
-            return spark.catalog.tableExists(location)
-        except Exception:
-            return False
+        # no except: a transient catalog error must propagate, not read as
+        # "first run" (same contract the parquet branch enforces)
+        return spark.catalog.tableExists(location)
     jvm = spark._jvm  # noqa: SLF001
     hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     path = jvm.org.apache.hadoop.fs.Path(location)

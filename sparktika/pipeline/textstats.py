@@ -166,7 +166,9 @@ def chunk_text(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
-    c = F.col(text_col)
+    # NULL text (failed/oversize extraction rows) behaves like empty text —
+    # one empty chunk — so keys never silently vanish from the chunk table
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(c)
     # number of windows: 1 + ceil(max(0, n - chunk_chars) / step)
     n_chunks = (F.lit(1) + F.ceil(

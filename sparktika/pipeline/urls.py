@@ -31,9 +31,12 @@ def normalize_url_col(url_col) -> "F.Column":
     # DuckDB oracle's engine — has no lookahead)
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#]|$)", "$1$2")
-    # 4. utm_* params + tidy
-    u = F.regexp_replace(u, r"utm_[a-z_]+=[^&#]*&?", "")
-    u = F.regexp_replace(u, r"[?&]$", "")
+    # 4. utm_* params + tidy — anchored to a query delimiter so 'utm_' in a
+    # path segment or as a suffix of another parameter name never matches
+    u = F.regexp_replace(u, r"([?&])utm_[a-z_]+=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
     return u
 
 

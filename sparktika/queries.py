@@ -1160,7 +1160,7 @@ WITH raw AS (
            WHEN 1 THEN 'https://CDN.Example.com:443/a/' || doc_id || '?utm_source=x&q=' || doc_id
            WHEN 2 THEN 'https://example.com/p?utm_campaign=spring&utm_medium=email'
            WHEN 3 THEN 'http://host' || (doc_id % 9) || '.example.com:8080/x?a=1&utm_term=kw&b=2'
-           ELSE 'https://Example.com/plain/' || doc_id END AS url_raw
+           ELSE 'https://Example.com/utm_campaign=keep/plain/' || doc_id END AS url_raw
   FROM documents),
 n1 AS (SELECT doc_id, url_raw,
          lower(regexp_extract(url_raw, '^([^/?#]*//[^/?#]*)', 1))
@@ -1173,8 +1173,13 @@ n3 AS (SELECT doc_id, url_raw,
            '^(https://[^/:?#]*):443([/?#]|$)', '\1\2') AS u
        FROM n2),
 n4 AS (SELECT doc_id, url_raw,
-         regexp_replace(regexp_replace(u, 'utm_[a-z_]+=[^&#]*&?', '', 'g'),
-                        '[?&]$', '') AS url_norm
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(u, '([?&])utm_[a-z_]+=[^&#]*', '\1', 'g'),
+               '&&+', '&', 'g'),
+             '\?&', '?', 'g'),
+           '[?&]+$', '') AS url_norm
        FROM n3)
 SELECT doc_id, url_raw, url_norm,
        lower(regexp_extract(url_raw, '^[^/?#]*//([^/:?#]*)', 1)) AS host
@@ -1200,7 +1205,8 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("doc_id") % 5 == 3,
                F.concat(F.lit("http://host"), (F.col("doc_id") % 9).cast("string"),
                         F.lit(".example.com:8080/x?a=1&utm_term=kw&b=2")))
-         .otherwise(F.concat(F.lit("https://Example.com/plain/"), d))
+         .otherwise(F.concat(
+             F.lit("https://Example.com/utm_campaign=keep/plain/"), d))
          .alias("url_raw"))
     return normalize_urls(raw, "url_raw").select(
         "doc_id", "url_raw", "url_norm", "host")

@@ -36,24 +36,27 @@ _STATE_SCHEMA = StructType([StructField("seen", LongType())])
 def _first_seen_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
     (seen,) = state.get if state.exists else (0,)
-    dup = 0
-    first: pd.DataFrame | None = None
+    total = 0
+    best: pd.DataFrame | None = None
+    # a big group arrives as MULTIPLE pandas chunks (Arrow batch size), so
+    # the batch-earliest row must be selected across ALL of them, not the
+    # first non-empty chunk
     for pdf in pdfs:
         if not len(pdf):
             continue
-        if seen == 0 and first is None:
-            pdf = pdf.sort_values("warc_ts", kind="stable")
-            first = pdf.head(1)
-            dup += len(pdf) - 1
-        else:
-            dup += len(pdf)
-    state.update((seen + dup + (1 if first is not None else 0),))
-    if first is not None:
+        total += len(pdf)
+        if seen == 0:
+            head = pdf.sort_values("warc_ts", kind="stable").head(1)
+            if best is None or head["warc_ts"].iloc[0] < best["warc_ts"].iloc[0]:
+                best = head
+    emit = seen == 0 and best is not None
+    state.update((seen + total,))
+    if emit:
         yield pd.DataFrame({
             "content_sha": [key[0]],
-            "url": first["url"].tolist(),
-            "warc_ts": first["warc_ts"].tolist(),
-            "n_suppressed": [dup],
+            "url": best["url"].tolist(),
+            "warc_ts": best["warc_ts"].tolist(),
+            "n_suppressed": [total - 1],
         })
 
 

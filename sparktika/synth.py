@@ -122,16 +122,19 @@ def build_bmp(media_id: int) -> bytes:
 #   "To: User {id%11}\n\nMessage body {id}.\n"
 # ---------------------------------------------------------------------------
 
-def _ole2_file(streams: dict[str, bytes]) -> bytes:
+def _ole2_file(streams: dict[str, bytes], storages: list[str] = ()) -> bytes:
     """Minimal MS-CFB writer (512B sectors, one FAT sector, no miniFAT) —
-    enough capacity for the small synthetic .msg payloads (<64KB)."""
+    enough capacity for the small synthetic .msg payloads (<64KB).
+    `storages` adds empty storage (type-1) directory entries (recipient /
+    attachment counting in the msg kernel). The test suite delegates here
+    (single source of CFB layout truth)."""
     import struct as _s
 
     SEC = 512
     FREE, EOC, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
     pad = lambda b: b + b"\x00" * (-len(b) % SEC)
 
-    dir_sectors = ((1 + len(streams)) * 128 + SEC - 1) // SEC
+    dir_sectors = ((1 + len(streams) + len(storages)) * 128 + SEC - 1) // SEC
     fat = [FATSECT]
     for i in range(dir_sectors):
         fat.append(2 + i if i < dir_sectors - 1 else EOC)
@@ -156,6 +159,7 @@ def _ole2_file(streams: dict[str, bytes]) -> bytes:
 
     directory = entry("Root Entry", 5, EOC, 0) + b"".join(
         entry(n, 2, starts[n], len(p)) for n, p in streams.items())
+    directory += b"".join(entry(n, 1, EOC, 0) for n in storages)
     header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
               + _s.pack("<HHHHHHIIIIIIIII", 0x003E, 0x0003, 0xFFFE, 9, 6,
                         0, 0, 0, 1, 1, 0, 4096, EOC, 0, EOC)

@@ -171,64 +171,11 @@ def test_truncated_ole2_raises_kernel_error_not_struct_error():
 # --- minimal OLE2 writer (test-only) ----------------------------------------
 
 def _build_ole2(streams: dict[str, bytes], storages: list[str] = ()) -> bytes:
-    """Minimal MS-CFB writer: 512B sectors, one FAT sector, no miniFAT
-    (streams go to regular sectors regardless of size). `storages` adds
-    empty storage (type-1) directory entries — enough for recipient /
-    attachment counting in the msg kernel."""
-    import struct
+    """Delegates to the single CFB writer in synth (one source of sector/
+    FAT/directory layout truth)."""
+    from sparktika.synth import _ole2_file
 
-    SEC = 512
-    FREE, EOC, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
-
-    def pad(b: bytes) -> bytes:
-        return b + b"\x00" * (-len(b) % SEC)
-
-    n_dir_entries = 1 + len(streams) + len(storages)
-    dir_sectors = (n_dir_entries * 128 + SEC - 1) // SEC
-    fat = [FATSECT]  # sector 0 = the FAT itself
-    dir_start = 1
-    for i in range(dir_sectors):
-        fat.append(dir_start + i + 1 if i < dir_sectors - 1 else EOC)
-    data_sectors = []
-    starts = {}
-    next_sec = 1 + dir_sectors
-    for name, payload in streams.items():
-        n = max(1, (len(payload) + SEC - 1) // SEC)
-        starts[name] = next_sec
-        for k in range(n):
-            fat.append(next_sec + k + 1 if k < n - 1 else EOC)
-        data_sectors.append(pad(payload))
-        next_sec += n
-    fat += [FREE] * (SEC // 4 - len(fat))
-
-    def dir_entry(name: str, typ: int, start: int, size: int) -> bytes:
-        nm = name.encode("utf-16-le") + b"\x00\x00"
-        e = nm + b"\x00" * (64 - len(nm))
-        e += struct.pack("<H", len(nm))
-        e += bytes([typ, 0]) + struct.pack("<iii", -1, -1, -1)
-        e += b"\x00" * 36  # clsid + state + times
-        e += struct.pack("<IQ", start, size)
-        return e
-
-    directory = dir_entry("Root Entry", 5, EOC, 0)
-    for name, payload in streams.items():
-        directory += dir_entry(name, 2, starts[name], len(payload))
-    for name in storages:
-        directory += dir_entry(name, 1, EOC, 0)
-    header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
-              + struct.pack("<HHHHHHIIIIIIIII",
-                            0x003E, 0x0003, 0xFFFE, 9, 6, 0, 0, 0,
-                            1,            # n FAT sectors
-                            dir_start, 0,
-                            4096,         # mini cutoff
-                            EOC, 0,       # minifat start/count
-                            EOC)          # difat start
-              + struct.pack("<I", 0)      # n difat sectors
-              + struct.pack("<I", 0)      # difat[0] = FAT at sector 0
-              + b"\xff" * 4 * 108)
-    assert len(header) == 512, len(header)
-    body = struct.pack(f"<{len(fat)}I", *fat) + pad(directory) + b"".join(data_sectors)
-    return header + body
+    return _ole2_file(streams, storages)
 
 
 def _ppt_stream() -> bytes:
