@@ -368,7 +368,7 @@ def decode_gif(data: bytes) -> DecodedImage:
     raise KernelError("GIF contains no image frame")
 
 
-# ---------------------------------------------------------------- JPEG (dims only)
+# ---------------------------------------------------------------- JPEG
 
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # SOFn markers
 
@@ -405,6 +405,328 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int] | None:
 
 # ---------------------------------------------------------------- features
 
+# Zigzag scan order: index k in the entropy stream -> (row*8 + col) offset.
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_IDCT_M = None  # lazy 8x8 IDCT basis (numpy)
+
+
+def _idct_basis():
+    global _IDCT_M
+    if _IDCT_M is None:
+        import numpy as np
+
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table (ITU T.81 Annex C): built from the
+    16 BITS counts + HUFFVAL list; decode via (length, code) dict."""
+
+    __slots__ = ("lut", "max_len")
+
+    def __init__(self, bits: bytes, values: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        self.max_len = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                if k >= len(values):
+                    raise KernelError("JPEG DHT values truncated")
+                self.lut[(length, code)] = values[k]
+                code += 1
+                k += 1
+                self.max_len = length
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 byte unstuffing, restart-marker
+    sync, hard stop at any other marker (truncation raises)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            raise KernelError("JPEG entropy data truncated")
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(data):
+                raise KernelError("JPEG entropy data truncated")
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                self.pos = pos + 2
+            else:  # a real marker mid-scan: decoder consumed too much
+                raise KernelError(
+                    f"JPEG marker 0xFF{nxt:02X} inside entropy data")
+        else:
+            self.pos = pos + 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFF  # keep ≤16 live bits
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        lut = table.lut
+        for length in range(1, table.max_len + 1):
+            code = (code << 1) | self.read_bit()
+            val = lut.get((length, code))
+            if val is not None:
+                return val
+        raise KernelError("invalid JPEG Huffman code")
+
+    def sync_restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self.acc = 0
+        self.nbits = 0
+        data, pos = self.data, self.pos
+        if pos + 2 > len(data) or data[pos] != 0xFF:
+            raise KernelError("JPEG restart marker missing")
+        marker = data[pos + 1]
+        if marker != 0xD0 + expected:
+            raise KernelError(
+                f"JPEG restart marker out of order (0x{marker:02X})")
+        self.pos = pos + 2
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map the `size`-bit magnitude to a signed coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> DecodedImage:
+    """Baseline sequential JPEG (SOF0/SOF1) decoder — ITU T.81 Annex F.
+
+    Supports 1-component (grayscale) and 3-component YCbCr frames, any
+    sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), 8-bit quant
+    tables (16-bit accepted), restart intervals, byte unstuffing.
+    Progressive (SOF2) and arithmetic coding raise KernelError — the
+    pipeline degrades those to status rows, never task failures.
+    Replaces the round-2 NotImplementedError stub (CLAUDE.md known gaps);
+    reference behavior: Tika delegates to ImageIO's JPEGImageReader —
+    parity is on decoded pixel values, pinned in tests/test_image_kernel.py.
+    """
+    import numpy as np
+
+    if not data.startswith(b"\xff\xd8"):
+        raise KernelError("not a JPEG")
+    n = len(data)
+    i = 2
+    qt: dict[int, "object"] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id) -> table
+    restart_interval = 0
+    frame = None  # (w, h, [(comp_id, hs, vs, tq)])
+    reader = None
+    scan_comps = None
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise KernelError("JPEG marker misalignment")
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, i + 2)
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise KernelError("JPEG segment overruns file")
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[p : p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(body[p : p + 128], dtype=">u2")
+                    p += 128
+                if len(tbl) != 64:
+                    raise KernelError("JPEG DQT truncated")
+                dq = np.zeros(64, dtype=np.float64)
+                dq[list(_ZIGZAG)] = tbl.astype(np.float64)
+                qt[tq] = dq.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = body[p + 1 : p + 17]
+                count = sum(bits)
+                vals = body[p + 17 : p + 17 + count]
+                if len(vals) != count:
+                    raise KernelError("JPEG DHT truncated")
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                p += 17 + count
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker in _JPEG_SOF:
+            if marker not in (0xC0, 0xC1):
+                raise KernelError(
+                    f"JPEG SOF 0x{marker:02X} (progressive/arithmetic) "
+                    "not supported")
+            precision = body[0]
+            if precision != 8:
+                raise KernelError(f"JPEG precision {precision} not supported")
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if not w or not h or w * h > _MAX_PIXELS:
+                raise KernelError("implausible JPEG dimensions")
+            if nc not in (1, 3):
+                raise KernelError(f"JPEG with {nc} components not supported")
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                tq = body[8 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise KernelError(
+                        f"JPEG sampling {hs}x{vs} not supported")
+                comps.append((cid, hs, vs, tq))
+            frame = (w, h, comps)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise KernelError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                tables = body[2 + 2 * c]
+                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            reader = _BitReader(data, i + 2 + seg_len)
+            break
+        i += 2 + seg_len
+    if frame is None or reader is None:
+        raise KernelError("JPEG missing SOF/SOS")
+    w, h, comps = frame
+    if scan_comps is None or len(scan_comps) != len(comps):
+        raise KernelError("JPEG scan does not cover the frame (multi-scan "
+                          "baseline not supported)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per component: block grid dims and coefficient store
+    planes = []
+    table_map = {cs: (td, ta) for cs, td, ta in scan_comps}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise KernelError(f"JPEG quant table {tq} missing")
+        if cid not in table_map:
+            raise KernelError(f"JPEG scan missing component {cid}")
+        bw, bh = mcus_x * hs, mcus_y * vs
+        td, ta = table_map[cid]
+        dc = huff.get((0, td))
+        ac = huff.get((1, ta))
+        if dc is None or ac is None:
+            raise KernelError("JPEG Huffman table missing")
+        planes.append({
+            "hs": hs, "vs": vs, "q": qt[tq], "dc": dc, "ac": ac,
+            "bw": bw, "bh": bh,
+            "coef": np.zeros((bh * bw, 64), dtype=np.float64),
+            "pred": 0,
+        })
+    n_mcus = mcus_x * mcus_y
+    rst_idx = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart(rst_idx)
+            rst_idx = (rst_idx + 1) & 7
+            for pl in planes:
+                pl["pred"] = 0
+        my, mx = divmod(m, mcus_x)
+        for pl in planes:
+            for by in range(pl["vs"]):
+                for bx in range(pl["hs"]):
+                    block = pl["coef"][
+                        (my * pl["vs"] + by) * pl["bw"] + mx * pl["hs"] + bx]
+                    s = reader.decode_huff(pl["dc"])
+                    if s > 11:
+                        raise KernelError("JPEG DC size out of range")
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pl["pred"] += diff
+                    block[0] = pl["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(pl["ac"])
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise KernelError("JPEG AC run overflows block")
+                        block[_ZIGZAG[k]] = _extend(reader.receive(size), size)
+                        k += 1
+    # dequant + batched IDCT per component, then assemble planes
+    mm = _idct_basis()
+    out_planes = []
+    for pl in planes:
+        coef = pl["coef"].reshape(-1, 8, 8) * pl["q"]
+        spatial = np.einsum("ux,nuv,vy->nxy", mm, coef, mm) + 128.0
+        np.clip(spatial, 0, 255, out=spatial)
+        spatial = np.rint(spatial).astype(np.uint8)
+        bh, bw = pl["bh"], pl["bw"]
+        plane = (spatial.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        # upsample to full MCU-grid resolution by pixel replication
+        ry, rx = vmax // pl["vs"], hmax // pl["hs"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        rgb = np.repeat(out_planes[0][:, :, None], 3, axis=2)
+    else:
+        y = out_planes[0].astype(np.float64)
+        cb = out_planes[1].astype(np.float64) - 128.0
+        cr = out_planes[2].astype(np.float64) - 128.0
+        rgb = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=2)
+        np.clip(rgb, 0, 255, out=rgb)
+        rgb = np.rint(rgb).astype(np.uint8)
+    return DecodedImage(width=w, height=h, pixels=np.ascontiguousarray(rgb))
+
+
 def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
     kind = sniff_image(data)
     if kind == "image/png":
@@ -414,8 +736,7 @@ def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
     if kind == "image/gif":
         return decode_gif(data)
     if kind == "image/jpeg":
-        raise NotImplementedError(
-            "JPEG decode (DCT) is out of kernel scope in this container")
+        return decode_jpeg(data)
     raise KernelError("unrecognized image payload")
 
 

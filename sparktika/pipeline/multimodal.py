@@ -3,11 +3,11 @@
 Image/audio/video payloads travel as `binary` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sample run
 as Arrow-batched kernels over mapInPandas. `decode_image` is REAL for
-PNG and BMP (pure-Python kernels/image.py: zlib IDAT inflate behind the
-bomb-ratio guard, scanline unfiltering, palette/alpha handling) and
-returns (width, height, 8 feature floats). JPEG stays honestly stubbed
-(a DCT decoder is out of kernel scope in this container) and degrades to
-status='stubbed' rows; `use_fake=True` keeps the deterministic hash-based
+PNG, BMP, GIF and baseline JPEG (pure-Python kernels/image.py: zlib IDAT
+inflate behind the bomb-ratio guard, scanline unfiltering, LZW, Huffman
+entropy decode + IDCT) and returns (width, height, 8 feature floats).
+Progressive JPEG degrades to a status='failed' row like any other
+unsupported payload; `use_fake=True` keeps the deterministic hash-based
 twin for plumbing tests.
 """
 
@@ -40,10 +40,10 @@ FEATURES_SCHEMA = T.StructType([
 
 
 def decode_image(payload: bytes, use_fake: bool = False) -> tuple[int, int, list[float]]:
-    """Decode an image payload to (width, height, 8 features). PNG and BMP
-    decode for real (kernels/image.py); JPEG raises NotImplementedError
-    (-> status='stubbed'). The deterministic fake twin derives everything
-    from a blake2b hash of the payload, so plumbing tests are stable."""
+    """Decode an image payload to (width, height, 8 features). PNG, BMP,
+    GIF and baseline JPEG decode for real (kernels/image.py). The
+    deterministic fake twin derives everything from a blake2b hash of the
+    payload, so plumbing tests are stable."""
     if use_fake:
         h = hashlib.blake2b(payload, digest_size=20).digest()
         width = 64 + h[0] % 192
@@ -67,17 +67,6 @@ def make_feature_fn(use_fake: bool = False, n_features: int = 8):
                     rows.append(dict(media_id=mid, media_type=mtype, width=w,
                                      height=h, n_bytes=len(payload),
                                      features=feats, status="ok", error=None))
-                except NotImplementedError as e:
-                    # JPEG: pixel decode is stubbed, but the SOF frame header
-                    # still yields real dimensions (no DCT needed)
-                    from ..kernels.image import jpeg_dimensions
-
-                    dims = jpeg_dimensions(payload)
-                    rows.append(dict(media_id=mid, media_type=mtype,
-                                     width=dims[0] if dims else None,
-                                     height=dims[1] if dims else None,
-                                     n_bytes=len(payload),
-                                     features=None, status="stubbed", error=str(e)))
                 except Exception as e:  # poisoned payloads degrade to rows
                     rows.append(dict(media_id=mid, media_type=mtype, width=None,
                                      height=None, n_bytes=len(payload),
@@ -97,6 +86,55 @@ def extract_media_features(df: DataFrame, use_fake: bool = False,
     if num_partitions:
         slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
     return slim.mapInPandas(make_feature_fn(use_fake), FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("aspect", T.DoubleType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def image_stats(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Decode to native dimensions + per-channel means + aspect ratio, all
+    as doubles (oracle-comparable: solid synth images make every mean an
+    exact color/255 rational — CLAUDE.md invariant 10). Covers the full
+    decoder matrix incl. baseline JPEG (gray / 4:4:4 / 4:2:0)."""
+    from ..kernels.image import decode_any
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_any(payload or b"")
+                    means = img.pixels.astype(np.float64).mean(axis=(0, 1)) / 255.0
+                    rows.append(dict(
+                        media_id=mid, width=img.width, height=img.height,
+                        mean_r=round(float(means[0]), 6),
+                        mean_g=round(float(means[1]), 6),
+                        mean_b=round(float(means[2]), 6),
+                        aspect=round(img.width / img.height, 6),
+                        status="ok", error=None))
+                except Exception as e:
+                    rows.append(dict(media_id=mid, width=None, height=None,
+                                     mean_r=None, mean_g=None, mean_b=None,
+                                     aspect=None, status="failed",
+                                     error=f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows)
+
+    slim = df.select("media_id", "payload")
+    if num_partitions:
+        slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
+    return slim.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 AUDIO_SCHEMA = T.StructType([

@@ -1320,6 +1320,51 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_jpeg_features",
+    """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'gray'
+         WHEN 1 THEN 'ycbcr444'
+         ELSE 'ycbcr420' END AS variant,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
+       round((doc_id * 37 % 256) / 255.0, 6) AS mean_r,
+       round((doc_id * 37 % 256) / 255.0, 6) AS mean_b,
+       round(CAST(16 + doc_id % 48 AS DOUBLE) / (16 + (doc_id // 7) % 48), 6) AS aspect,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode end-to-end (Huffman entropy decode, dequant,
+    IDCT, chroma upsampling): synth JPEGs are DC-only solid images against
+    an all-ones quant table, so the decode is pixel-exact and every mean is
+    a SQL-predictable color/255 rational. Variants rotate grayscale /
+    YCbCr 4:4:4 / YCbCr 4:2:0 (neutral chroma => R=G=B=gray exactly)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import image_stats
+    from .synth import build_jpeg
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_jpeg(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    stats = image_stats(media)
+    return stats.select(
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, F.lit("gray"))
+         .when(F.col("media_id") % 3 == 1, F.lit("ycbcr444"))
+         .otherwise(F.lit("ycbcr420")).alias("variant"),
+        "width", "height", "mean_r", "mean_b", "aspect", "status")
+
+
+@_register(
     "extract_tar_text",
     """
 SELECT doc_id AS tar_id,

@@ -202,6 +202,184 @@ def build_gif(media_id: int) -> bytes:
     return head + desc + b"\x08" + bytes(blocks) + b"\x3b"
 
 
+# ---------------------------------------------------------------------------
+# Deterministic baseline-JPEG synthesis (media_jpeg_features oracle).
+# The encoder writes DC-only blocks against an all-ones quant table, so the
+# decode is PIXEL-EXACT (invariant 10): a solid block of value v quantizes to
+# DC = 8*(v-128) with zero loss, and the orthonormal IDCT reproduces v; for
+# color variants the chroma is neutral (Cb=Cr=128), so R=G=B=Y exactly.
+#   gray value = media_id*37 % 256 (same channel the PNG/BMP builders use)
+#   variant    = media_id % 3: 0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0
+# ---------------------------------------------------------------------------
+
+_JDC_BITS = bytes([0, 0, 0, 12] + [0] * 12)   # DC cats 0..11, all 4-bit codes
+_JDC_VALS = bytes(range(12))
+_JAC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_JAC_BITS = bytes([0] * 7 + [len(_JAC_SYMS)] + [0] * 8)  # all 8-bit codes
+_JAC_VALS = bytes(_JAC_SYMS)
+
+_JZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jhuff_codes(bits: bytes, vals: bytes) -> dict:
+    code, k, out = 0, 0, {}
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0)
+                self.acc = 0
+                self.n = 0
+
+    def pad(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+    def marker(self, m: int) -> None:
+        self.pad()
+        self.buf += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.buf)
+
+
+def encode_jpeg(w: int, h: int, comps: list, restart_interval: int = 0) -> bytes:
+    """Minimal baseline-sequential JPEG encoder (quant table = all ones).
+
+    `comps` is a list of (comp_id, hs, vs, blocks) where `blocks` holds the
+    QUANTIZED coefficient blocks (natural 8x8 order, length-64 int lists) in
+    block-grid raster order, grid size (mcus_y*vs) x (mcus_x*hs). Coefficient
+    magnitudes must fit category <=11 for DC / <=10 for AC, AC zero-runs are
+    split with ZRL. Test-support + oracle-synthesis code, not a pipeline op.
+    """
+    import struct as _s
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    dc_map = _jhuff_codes(_JDC_BITS, _JDC_VALS)
+    ac_map = _jhuff_codes(_JAC_BITS, _JAC_VALS)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + _s.pack(">HB", 67, 0) + b"\x01" * 64  # DQT id0 = 1s
+    sof = _s.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, _blocks in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc4" + _s.pack(">HB", 19 + len(_JDC_VALS), 0x00)
+            + _JDC_BITS + _JDC_VALS)
+    out += (b"\xff\xc4" + _s.pack(">HB", 19 + len(_JAC_VALS), 0x10)
+            + _JAC_BITS + _JAC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + _s.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + _s.pack(">H", 2 + len(sos)) + sos
+    wtr = _JBitWriter()
+    preds = [0] * len(comps)
+
+    def put_mag(hmap: dict, sym: int, v: int, size: int) -> None:
+        code, ln = hmap[sym]
+        wtr.put(code, ln)
+        if size:
+            if v < 0:
+                v += (1 << size) - 1
+            wtr.put(v, size)
+
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, hs, vs, blocks) in enumerate(comps):
+            bw = mcus_x * hs
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = blocks[(my * vs + by) * bw + mx * hs + bx]
+                    diff = blk[0] - preds[ci]
+                    preds[ci] = blk[0]
+                    size = abs(diff).bit_length()
+                    put_mag(dc_map, size, diff, size)
+                    k = 1
+                    run = 0
+                    while k < 64:
+                        v = blk[_JZIGZAG[k]]
+                        if v == 0:
+                            run += 1
+                        else:
+                            while run > 15:
+                                put_mag(ac_map, 0xF0, 0, 0)  # ZRL
+                                run -= 16
+                            size = abs(v).bit_length()
+                            put_mag(ac_map, (run << 4) | size, v, size)
+                            run = 0
+                        k += 1
+                    if run:
+                        put_mag(ac_map, 0x00, 0, 0)  # EOB
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _solid_blocks(value: int, bw: int, bh: int) -> list:
+    blk = [0] * 64
+    blk[0] = 8 * (value - 128)
+    return [list(blk) for _ in range(bw * bh)]
+
+
+def build_jpeg(media_id: int) -> bytes:
+    """Solid image of gray level media_id*37 % 256; variant rotates through
+    grayscale / YCbCr 4:4:4 / YCbCr 4:2:0 so every decoder path is covered.
+    Neutral chroma keeps decoded RGB == (g, g, g) exactly."""
+    w, h = media_dims(media_id)
+    g = media_id * 37 % 256
+    variant = media_id % 3
+    if variant == 0:
+        bw, bh = -(-w // 8), -(-h // 8)
+        return encode_jpeg(w, h, [(1, 1, 1, _solid_blocks(g, bw, bh))])
+    if variant == 1:
+        bw, bh = -(-w // 8), -(-h // 8)
+        return encode_jpeg(w, h, [
+            (1, 1, 1, _solid_blocks(g, bw, bh)),
+            (2, 1, 1, _solid_blocks(128, bw, bh)),
+            (3, 1, 1, _solid_blocks(128, bw, bh)),
+        ])
+    mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+    return encode_jpeg(w, h, [
+        (1, 2, 2, _solid_blocks(g, mcus_x * 2, mcus_y * 2)),
+        (2, 1, 1, _solid_blocks(128, mcus_x, mcus_y)),
+        (3, 1, 1, _solid_blocks(128, mcus_x, mcus_y)),
+    ])
+
+
 def build_wav(media_id: int) -> bytes:
     """Deterministic mono 16-bit PCM WAV (media_audio_features oracle): a
     full-scale square wave, so RMS*32768 recovers the amplitude EXACTLY

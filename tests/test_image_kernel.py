@@ -198,8 +198,8 @@ def test_sniff_and_decode_any():
     assert sniff_image(_bmp(arr)) == "image/bmp"
     assert sniff_image(b"\xff\xd8\xff\xe0" + b"x" * 64) == "image/jpeg"
     assert sniff_image(b"plain text") is None
-    with pytest.raises(NotImplementedError):
-        decode_any(b"\xff\xd8\xff\xe0" + b"x" * 64)
+    with pytest.raises(KernelError):
+        decode_any(b"\xff\xd8\xff\xe0" + b"x" * 64)  # junk JPEG body
     with pytest.raises(KernelError):
         decode_any(b"not an image at all")
 
@@ -233,6 +233,103 @@ def test_jpeg_dimensions_from_sof():
     assert jpeg_dimensions(b"not a jpeg") is None
     trunc = _jpeg_bytes(640, 480)[:10]
     assert jpeg_dimensions(trunc) is None
+
+
+# ------------------------------------------------------- JPEG (full decode)
+
+def test_jpeg_solid_roundtrip_all_variants():
+    """DC-only solid JPEGs against an all-ones quant table decode
+    PIXEL-EXACTLY across grayscale / 4:4:4 / 4:2:0 and non-multiple-of-8
+    dimensions (MCU padding + crop)."""
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import build_jpeg, media_dims
+
+    for mid in (0, 1, 2, 7, 13, 100, 255, 256, 511):
+        img = decode_jpeg(build_jpeg(mid))
+        w, h = media_dims(mid)
+        g = mid * 37 % 256
+        assert (img.width, img.height) == (w, h)
+        assert (img.pixels == g).all(), mid
+
+
+def test_jpeg_dc_prediction_chain():
+    """Blockwise-varying DC exercises the per-component DC predictor."""
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import encode_jpeg
+
+    w, h, bw, bh = 40, 24, 5, 3
+    vals = [(i * 17 + 3) % 256 for i in range(bw * bh)]
+    blocks = []
+    for v in vals:
+        b = [0] * 64
+        b[0] = 8 * (v - 128)
+        blocks.append(b)
+    img = decode_jpeg(encode_jpeg(w, h, [(1, 1, 1, blocks)]))
+    arr = img.pixels[:, :, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            assert (arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    == vals[by * bw + bx]).all()
+
+
+def test_jpeg_ac_coefficients_match_reference_idct():
+    """AC run-length decode (incl. high zero-runs) verified against an
+    independent naive IDCT implementation."""
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import encode_jpeg
+
+    blk = [0] * 64
+    blk[0] = 200
+    blk[1] = 40
+    blk[8] = -30
+    blk[9] = 12
+    blk[17] = -5
+    blk[35] = 7
+    blk[63] = -2  # long zigzag run before the final coefficient
+    img = decode_jpeg(encode_jpeg(8, 8, [(1, 1, 1, [blk])]))
+    C = np.array([[(1 / np.sqrt(2) if u == 0 else 1) / 2
+                   * np.cos((2 * x + 1) * u * np.pi / 16)
+                   for x in range(8)] for u in range(8)])
+    ref = np.clip(np.rint(C.T @ np.array(blk, float).reshape(8, 8) @ C + 128),
+                  0, 255).astype(np.uint8)
+    assert (img.pixels == np.repeat(ref[:, :, None], 3, axis=2)).all()
+
+
+def test_jpeg_restart_markers():
+    """DRI + RSTn markers: byte-align, consume marker, reset DC predictors."""
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import encode_jpeg
+
+    w, h, bw, bh = 48, 16, 6, 2
+    vals = [(i * 31 + 9) % 256 for i in range(bw * bh)]
+    blocks = []
+    for v in vals:
+        b = [0] * 64
+        b[0] = 8 * (v - 128)
+        blocks.append(b)
+    img = decode_jpeg(encode_jpeg(w, h, [(1, 1, 1, blocks)],
+                                  restart_interval=2))
+    arr = img.pixels[:, :, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            assert (arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    == vals[by * bw + bx]).all()
+
+
+def test_jpeg_rejects_progressive_and_truncation():
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import build_jpeg
+
+    good = build_jpeg(4)
+    # flip SOF0 -> SOF2 (progressive): honest unsupported error
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(KernelError):
+        decode_jpeg(prog)
+    # truncated entropy data: error, never a hang
+    with pytest.raises(KernelError):
+        decode_jpeg(good[: len(good) - (len(good) - good.index(b"\xff\xda")) // 2])
+    with pytest.raises(KernelError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"x" * 64)
 
 
 # ------------------------------------------------------------------- GIF

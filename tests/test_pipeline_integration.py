@@ -164,19 +164,19 @@ def test_multimodal_fake_decode_plumbing(spark):
     assert all(r.status == "failed" for r in failed)
 
 
-def test_multimodal_real_decode_and_jpeg_stub(spark):
-    """Real PNG/BMP payloads decode to their synthesized dimensions; JPEG
-    degrades to status='stubbed' (DCT decode out of scope), truncated
-    payloads to 'failed'."""
+def test_multimodal_real_decode_including_jpeg(spark):
+    """Real PNG/BMP/JPEG payloads decode to their synthesized dimensions;
+    malformed or truncated payloads degrade to status='failed' rows (the
+    run survives — per-row containment)."""
     from sparktika.pipeline.multimodal import extract_media_features
-    from sparktika.synth import build_bmp, build_png, media_dims
+    from sparktika.synth import build_bmp, build_jpeg, build_png, media_dims
 
     rows = [(i, build_png(i) if i % 2 == 0 else build_bmp(i), "image/x")
             for i in range(12)]
+    rows += [(200 + i, build_jpeg(i), "image/jpeg") for i in range(6)]
     rows.append((100, b"\xff\xd8\xff\xe0junkjpeg", "image/jpeg"))
     rows.append((101, build_png(2)[:30], "image/png"))  # truncated
-    # valid JPEG marker skeleton: pixel decode stays stubbed but the SOF
-    # header yields real dimensions
+    # SOF-only skeleton with no scan data: failed, not a task error
     import struct as _s
     sof = (b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 11) + b"\x08"
            + _s.pack(">HH", 480, 640) + b"\x01\x11\x00" + b"\xff\xd9")
@@ -187,9 +187,16 @@ def test_multimodal_real_decode_and_jpeg_stub(spark):
         w, h = media_dims(i)
         assert (out[i].status, out[i].width, out[i].height) == ("ok", w, h)
         assert len(out[i].features) == 8
-    assert (out[100].status, out[100].width) == ("stubbed", None)
+    for i in range(6):
+        w, h = media_dims(i)
+        r = out[200 + i]
+        assert (r.status, r.width, r.height) == ("ok", w, h)
+        # solid gray: mean == std-free gray/255 in every channel
+        g = round((i * 37 % 256) / 255.0, 6)
+        assert r.features[0] == pytest.approx(g, abs=1e-6)
+    assert out[100].status == "failed"
     assert out[101].status == "failed"
-    assert (out[102].status, out[102].width, out[102].height) == ("stubbed", 640, 480)
+    assert out[102].status == "failed"
 
 
 def test_metrics_partition_lineage_invariants(spark, pages):
