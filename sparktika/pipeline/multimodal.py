@@ -197,8 +197,8 @@ VIDEO_SCHEMA = T.StructType([
 def extract_video_meta(df: DataFrame,
                        num_partitions: int | None = None) -> DataFrame:
     """video table (media_id, payload) -> container metadata via the ISO
-    BMFF box walker (no codec decode — frame sampling is the honestly
-    stubbed op, kernels/video.sample_frames)."""
+    BMFF box walker (metadata needs no codec decode; frame decode is
+    sample_video_frames, real for MJPEG tracks)."""
     from ..kernels.video import parse_mp4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -226,6 +226,49 @@ def extract_video_meta(df: DataFrame,
     if num_partitions:
         slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
     return slim.mapInPandas(batches, VIDEO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30,
+                        num_partitions: int | None = None) -> DataFrame:
+    """video table (media_id, payload) -> one row per sampled frame.
+    REAL decode for Motion-JPEG tracks (stsd/stsz/stsc/stco walk + per-
+    frame JPEG decode); inter-coded codecs degrade to status='failed'
+    rows. Output explodes (frames >= videos), so the op stays a
+    mapInPandas flatMap — no shuffle is introduced."""
+    from ..kernels.video import sample_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    for idx, w, h, mean_r in sample_frames(payload or b"",
+                                                           every_n):
+                        rows.append(dict(media_id=mid, frame_index=idx,
+                                         width=w, height=h, mean_r=mean_r,
+                                         status="ok", error=None))
+                except Exception as e:
+                    rows.append(dict(media_id=mid, frame_index=None,
+                                     width=None, height=None, mean_r=None,
+                                     status="failed",
+                                     error=f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows)
+
+    slim = df.select("media_id", "payload")
+    if num_partitions:
+        slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
+    return slim.mapInPandas(batches, FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType([

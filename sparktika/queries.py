@@ -1265,7 +1265,7 @@ FROM documents
 def media_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO BMFF box-walk metadata over synthesized MP4 containers —
     dims/duration/track structure are pure functions of media_id (see
-    synth.build_mp4); frame decode stays honestly stubbed."""
+    synth.build_mp4); frame decode is the media_frame_sample query."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
@@ -1362,6 +1362,42 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("media_id") % 3 == 1, F.lit("ycbcr444"))
          .otherwise(F.lit("ycbcr420")).alias("variant"),
         "width", "height", "mean_r", "mean_b", "aspect", "status")
+
+
+@_register(
+    "media_frame_sample",
+    """
+SELECT doc_id AS media_id,
+       CAST(f.frame_index AS INT) AS frame_index,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       round(((doc_id * 37 + f.frame_index * 11) % 256) / 255.0, 6) AS mean_r,
+       'ok' AS status
+FROM documents,
+     LATERAL (SELECT unnest(range(0, 4 + doc_id % 5, 2)) AS frame_index) f
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG frame sampling end-to-end: sample-table walk (stsd/stsz/stsc/
+    stco) locates per-frame JPEG payloads in mdat, every 2nd frame decodes
+    through the baseline JPEG kernel. Synth frames are solid gray
+    (media_id*37 + f*11) % 256, so sampled means are SQL-predictable
+    exact rationals (see synth.build_mjpeg_mp4)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import sample_video_frames
+    from .synth import build_mjpeg_mp4
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_mjpeg_mp4(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return sample_video_frames(media, every_n=2).select(
+        "media_id", "frame_index", "width", "height", "mean_r", "status")
 
 
 @_register(

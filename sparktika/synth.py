@@ -424,6 +424,49 @@ def build_mp4(media_id: int) -> bytes:
     return ftyp + moov
 
 
+def build_mjpeg_mp4(media_id: int) -> bytes:
+    """Deterministic Motion-JPEG MP4 (media_frame_sample oracle): one video
+    track whose samples are DC-only solid 16x16 JPEGs, so every sampled
+    frame's mean is an exact gray/255 rational:
+      n_frames     = 4 + media_id % 5
+      frame f gray = (media_id*37 + f*11) % 256
+    Layout: ftyp + mdat(frames) + moov(mvhd, trak(tkhd, mdia(hdlr vide,
+    minf(stbl(stsd 'jpeg', stsz, stsc, stco))))). stco points into mdat
+    (single chunk holding all samples)."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(body)) + btype + body
+
+    n_frames = 4 + media_id % 5
+    frames = []
+    for f in range(n_frames):
+        g = (media_id * 37 + f * 11) % 256
+        frames.append(encode_jpeg(16, 16, [(1, 1, 1, _solid_blocks(g, 2, 2))]))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    first_off = len(ftyp) + 8  # first sample starts right after mdat header
+    duration = n_frames * 100  # ms at timescale 1000
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + _s.pack(">II", 1000, duration) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + _s.pack(">II", 16 << 16, 16 << 16))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    sample_entry = _s.pack(">I", 16) + b"jpeg" + b"\x00" * 6 + _s.pack(">H", 1)
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + sample_entry)
+    stsz = box(b"stsz", b"\x00" * 4 + _s.pack(">II", 0, n_frames)
+               + b"".join(_s.pack(">I", len(fr)) for fr in frames))
+    stsc = box(b"stsc", b"\x00" * 4 + _s.pack(">I", 1)
+               + _s.pack(">III", 1, n_frames, 1))
+    stco = box(b"stco", b"\x00" * 4 + _s.pack(">II", 1, first_off))
+    stbl = box(b"stbl", stsd + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def _tar_entry(name: str, body: bytes) -> bytes:
     h = bytearray(512)
     nb = name.encode()

@@ -111,8 +111,40 @@ def test_mp4_box_walk_and_guards():
     # ftyp but no moov
     with pytest.raises(KernelError):
         parse_mp4(_s.pack(">I", 16) + b"ftypisom\x00\x00\x02\x00")
-    with pytest.raises(NotImplementedError):
+    # metadata-only MP4 carries no sample tables -> KernelError, not a hang
+    with pytest.raises(KernelError):
         sample_frames(build_mp4(0))
+
+
+def test_mjpeg_frame_sampling():
+    """Sample-table walk + per-frame JPEG decode: every 2nd frame of the
+    synth MJPEG track decodes to its exact solid gray; non-MJPEG codecs
+    and out-of-bounds sample extents raise KernelError."""
+    import struct as _s
+    from sparktika.kernels.video import sample_frames
+    from sparktika.synth import build_mjpeg_mp4
+
+    for mid in (0, 3, 8, 254):
+        n_frames = 4 + mid % 5
+        out = sample_frames(build_mjpeg_mp4(mid), every_n=2)
+        assert out == [(f, 16, 16, round(((mid * 37 + f * 11) % 256) / 255.0, 6))
+                       for f in range(0, n_frames, 2)]
+    # every_n=1 samples everything; large every_n yields just frame 0
+    assert len(sample_frames(build_mjpeg_mp4(1), every_n=1)) == 5
+    assert [f for f, *_ in sample_frames(build_mjpeg_mp4(1), every_n=99)] == [0]
+    # inter-coded codec: honest degrade
+    avc = build_mjpeg_mp4(3).replace(b"jpeg", b"avc1", 1)
+    with pytest.raises(KernelError):
+        sample_frames(avc, 2)
+    # crafted stco pointing past EOF
+    good = build_mjpeg_mp4(2)
+    off = good.rindex(b"stco")
+    bad = bytearray(good)
+    bad[off + 12 : off + 16] = _s.pack(">I", len(good) + 100)
+    with pytest.raises(KernelError):
+        sample_frames(bytes(bad), 2)
+    with pytest.raises(KernelError):
+        sample_frames(good, 0)
 
 
 def test_mp4_version1_mvhd():
