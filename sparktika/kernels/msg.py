@@ -38,6 +38,18 @@ _MESSAGE_ID = 0x1035       # PidTagInternetMessageId
 MSG_MIME = "application/vnd.ms-outlook"
 
 
+_ATTACH_LONG_FILENAME = 0x3707  # PidTagAttachLongFilename
+_ATTACH_FILENAME = 0x3704       # PidTagAttachFilename
+_ATTACH_DATA = "__substg1.0_37010102"  # PidTagAttachDataBinary
+
+
+@dataclass
+class MsgAttachment:
+    filename: str | None
+    n_bytes: int
+    text: str | None  # decoded for text payloads; None for binary
+
+
 @dataclass
 class MsgResult:
     text: str
@@ -45,6 +57,7 @@ class MsgResult:
     metadata: dict[str, str] = field(default_factory=dict)
     n_recipients: int = 0
     n_attachments: int = 0
+    attachments: list[MsgAttachment] = field(default_factory=list)
 
 
 def is_msg(stream_names: list[str]) -> bool:
@@ -70,6 +83,57 @@ def _read_prop(ole: Ole2File, names: set[str], prop_id: int) -> str | None:
         except UnicodeDecodeError:
             return raw.decode("latin-1").rstrip("\x00")
     return None
+
+
+def _decode_mapi_string(raw: bytes, unicode: bool) -> str:
+    if unicode:
+        return raw.decode("utf-16-le", "replace").rstrip("\x00")
+    try:
+        return raw.decode("cp1252").rstrip("\x00")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1").rstrip("\x00")
+
+
+def _read_sub_prop(ole: Ole2File, kids: dict, prop_id: int) -> str | None:
+    """String property from a sub-storage's own child streams (names repeat
+    across attachments, so lookup must be entry-scoped, never global)."""
+    uni = kids.get(f"__substg1.0_{prop_id:04X}001F")
+    if uni is not None:
+        return _decode_mapi_string(ole.read_entry(uni), unicode=True)
+    ansi = kids.get(f"__substg1.0_{prop_id:04X}001E")
+    if ansi is not None:
+        return _decode_mapi_string(ole.read_entry(ansi), unicode=False)
+    return None
+
+
+def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
+    """Walk __attach_version1.0_#NNNNNNNN sub-storages in name order:
+    filename (PidTagAttachLongFilename, falling back to the 8.3
+    PidTagAttachFilename), payload size, and — for text payloads —
+    decoded content. Embedded non-text payloads stay opaque (size only);
+    Tika recurses its full parser chain there (OutlookExtractor's
+    embedded-document handling), which is out of kernel scope."""
+    out: list[MsgAttachment] = []
+    storages = sorted(
+        (e for e in ole.root_children()
+         if e.obj_type == 1 and e.name.startswith("__attach_version1.0_")),
+        key=lambda e: e.name)
+    for st in storages:
+        kids = {k.name: k for k in ole.storage_children(st)
+                if k.obj_type == 2}
+        fname = (_read_sub_prop(ole, kids, _ATTACH_LONG_FILENAME)
+                 or _read_sub_prop(ole, kids, _ATTACH_FILENAME))
+        data_entry = kids.get(_ATTACH_DATA)
+        n_bytes = data_entry.size if data_entry is not None else 0
+        text = None
+        if data_entry is not None and fname and fname.lower().endswith(".txt"):
+            raw = ole.read_entry(data_entry)
+            try:
+                text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                text = raw.decode("cp1252", "replace")
+        out.append(MsgAttachment(filename=fname, n_bytes=n_bytes, text=text))
+    return out
 
 
 def extract_msg(ole: Ole2File) -> MsgResult:
@@ -125,6 +189,14 @@ def extract_msg(ole: Ole2File) -> MsgResult:
         text = (text + "\n\n" if text else "") + body
     if text:
         text += "\n"
+    attachments = _extract_attachments(ole)
+    for a in attachments:
+        if not (a.filename or a.n_bytes):
+            continue  # placeholder storage: counted, nothing to render
+        text += (f"[Attachment: {a.filename}]\n" if a.filename
+                 else "[Attachment]\n")
+        if a.text:
+            text += a.text if a.text.endswith("\n") else a.text + "\n"
 
     md: dict[str, str] = {"Content-Type": MSG_MIME}
     if subject:
@@ -144,5 +216,9 @@ def extract_msg(ole: Ole2File) -> MsgResult:
         md["Message-Id"] = message_id
     if headers:
         md["Transport-Headers"] = headers
+    att_names = [a.filename for a in attachments if a.filename]
+    if att_names:
+        md["attachment-names"] = "; ".join(att_names)
     return MsgResult(text=text, subject=subject, metadata=md,
-                     n_recipients=n_recipients, n_attachments=n_attachments)
+                     n_recipients=n_recipients, n_attachments=n_attachments,
+                     attachments=attachments)

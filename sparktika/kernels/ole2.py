@@ -22,12 +22,19 @@ _FREE = 0xFFFFFFFF
 _ENDOFCHAIN = 0xFFFFFFFE
 
 
+_NOSTREAM = 0xFFFFFFFF
+
+
 @dataclass
 class DirEntry:
     name: str
     obj_type: int  # 1=storage, 2=stream, 5=root
     start_sector: int
     size: int
+    index: int = -1        # directory slot (tree pointers refer to slots)
+    left: int = _NOSTREAM
+    right: int = _NOSTREAM
+    child: int = _NOSTREAM
 
 
 class Ole2File:
@@ -101,16 +108,26 @@ class Ole2File:
     def _read_directory(self) -> list[DirEntry]:
         raw = self._read_stream_sectors(self.dir_start, 1 << 30)
         entries = []
+        self._slots: list[DirEntry | None] = []
         for off in range(0, len(raw) - 127, 128):
+            slot = off // 128
             name_len = struct.unpack_from("<H", raw, off + 64)[0]
             if name_len < 2 or name_len > 64:
+                self._slots.append(None)
                 continue
             name = raw[off : off + name_len - 2].decode("utf-16-le", "replace")
             obj_type = raw[off + 66]
+            left, right, child = struct.unpack_from("<III", raw, off + 68)
             (start,) = struct.unpack_from("<I", raw, off + 116)
             (size,) = struct.unpack_from("<Q", raw, off + 120)
             if obj_type in (1, 2, 5):
-                entries.append(DirEntry(name, obj_type, start, min(size, len(self.data) * 256)))
+                e = DirEntry(name, obj_type, start,
+                             min(size, len(self.data) * 256),
+                             index=slot, left=left, right=right, child=child)
+                entries.append(e)
+                self._slots.append(e)
+            else:
+                self._slots.append(None)
         return entries
 
     def _read_minifat(self) -> list[int]:
@@ -132,10 +149,47 @@ class Ole2File:
     def stream_names(self) -> list[str]:
         return [e.name for e in self.entries if e.obj_type == 2]
 
-    def read_stream(self, name: str) -> bytes:
-        e = next((x for x in self.entries if x.obj_type == 2 and x.name == name), None)
-        if e is None:
-            raise KernelError(f"OLE2 stream not found: {name!r}")
+    def subtree(self, child_slot: int) -> list[DirEntry]:
+        """All entries in the left/right sibling tree rooted at `child_slot`
+        (a directory entry's `child` pointer). Cycle-safe and bounded; a
+        NOSTREAM or out-of-range pointer yields an empty list — callers
+        written against flat legacy files keep working."""
+        out: list[DirEntry] = []
+        stack = [child_slot]
+        seen: set[int] = set()
+        while stack:
+            slot = stack.pop()
+            if (slot == _NOSTREAM or slot >= len(self._slots)
+                    or slot in seen):
+                continue
+            seen.add(slot)
+            if len(seen) > len(self._slots):
+                raise KernelError("cyclic OLE2 directory tree (bomb guard)")
+            e = self._slots[slot]
+            if e is None:
+                continue
+            out.append(e)
+            stack.extend((e.left, e.right))
+        return out
+
+    def storage_children(self, storage: DirEntry) -> list[DirEntry]:
+        return self.subtree(storage.child)
+
+    def root_children(self) -> list[DirEntry]:
+        """Top-level entries per the directory tree; falls back to 'every
+        non-root entry' when the root's child pointer is absent (flat
+        writers)."""
+        root = next((e for e in self.entries if e.obj_type == 5), None)
+        if root is not None and root.child != _NOSTREAM:
+            kids = self.subtree(root.child)
+            if kids:
+                return kids
+        return [e for e in self.entries if e.obj_type != 5]
+
+    def read_entry(self, e: DirEntry) -> bytes:
+        """Read a stream by its directory entry (unambiguous when the same
+        stream name repeats across storages, e.g. per-attachment MAPI
+        property streams)."""
         if e.size < self.mini_cutoff and self.minifat:
             mini = self._mini_stream()
             out, sec, hops = [], e.start_sector, 0
@@ -148,3 +202,9 @@ class Ole2File:
                     raise KernelError("cyclic miniFAT chain (bomb guard)")
             return b"".join(out)[: e.size]
         return self._read_stream_sectors(e.start_sector, e.size)
+
+    def read_stream(self, name: str) -> bytes:
+        e = next((x for x in self.entries if x.obj_type == 2 and x.name == name), None)
+        if e is None:
+            raise KernelError(f"OLE2 stream not found: {name!r}")
+        return self.read_entry(e)

@@ -917,6 +917,57 @@ def extract_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_msg_attachments",
+    """
+SELECT doc_id AS msg_id,
+       'Attach report ' || doc_id AS title,
+       'Attach report ' || doc_id || chr(10) ||
+       'From: Sender ' || (doc_id % 7) || ' <s' || (doc_id % 7) || '@example.com>' || chr(10) ||
+       'To: User ' || (doc_id % 11) || chr(10) || chr(10) ||
+       'Attach body ' || doc_id || '.' || chr(10) ||
+       '[Attachment: notes' || (doc_id % 4) || '.txt]' || chr(10) ||
+       'Attachment note ' || doc_id || '.' || chr(10) ||
+       '[Attachment: img' || (doc_id % 3) || '.bin]' || chr(10) AS text_extracted,
+       CAST(2 AS INT) AS n_attachments,
+       'notes' || (doc_id % 4) || '.txt; img' || (doc_id % 3) || '.bin' AS attachment_names,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_msg_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attachment sub-storages end-to-end: the OLE2 directory tree walk
+    scopes each __attach storage's own property streams (names repeat
+    across attachments), text attachments decode inline, binary ones stay
+    opaque. Parity target: Tika OutlookExtractor's embedded-attachment
+    handling (tika-fork delegates via the auto-detect parser)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_msg_attach
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_msg_attach(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://mail.example.com/a"),
+                 F.col("doc_id").cast("string"), F.lit(".msg")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/a(\d+)\.msg$", 1).cast("long").alias("msg_id"),
+        "title", "text_extracted",
+        F.element_at("metadata", "n-attachments").getItem(0)
+         .cast("int").alias("n_attachments"),
+        F.element_at("metadata", "attachment-names").getItem(0)
+         .alias("attachment_names"),
+        "status")
+
+
+@_register(
     "extract_rtf_text",
     """
 SELECT doc_id AS rtf_id,

@@ -122,27 +122,37 @@ def build_bmp(media_id: int) -> bytes:
 #   "To: User {id%11}\n\nMessage body {id}.\n"
 # ---------------------------------------------------------------------------
 
-def _ole2_file(streams: dict[str, bytes], storages: list[str] = ()) -> bytes:
+def _ole2_file(streams: dict[str, bytes], storages: list = ()) -> bytes:
     """Minimal MS-CFB writer (512B sectors, one FAT sector, no miniFAT) —
     enough capacity for the small synthetic .msg payloads (<64KB).
-    `storages` adds empty storage (type-1) directory entries (recipient /
-    attachment counting in the msg kernel). The test suite delegates here
-    (single source of CFB layout truth)."""
+    `storages` items are either a plain name (empty type-1 storage entry)
+    or a (name, {stream: bytes}) pair (storage with child streams). The
+    directory tree pointers (root.child -> top chain, storage.child ->
+    child chain, siblings via right pointers) are emitted for real, so the
+    reader's subtree walk is exercised by every synthetic payload. The
+    test suite delegates here (single source of CFB layout truth)."""
     import struct as _s
 
     SEC = 512
     FREE, EOC, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
     pad = lambda b: b + b"\x00" * (-len(b) % SEC)
 
-    dir_sectors = ((1 + len(streams) + len(storages)) * 128 + SEC - 1) // SEC
+    norm_storages = [(s, {}) if isinstance(s, str) else s for s in storages]
+    n_entries = (1 + len(streams) + len(norm_storages)
+                 + sum(len(kids) for _, kids in norm_storages))
+    dir_sectors = (n_entries * 128 + SEC - 1) // SEC
     fat = [FATSECT]
     for i in range(dir_sectors):
         fat.append(2 + i if i < dir_sectors - 1 else EOC)
+    # allocate FAT chains for every stream payload (top-level then nested)
+    all_payloads = list(streams.items()) + [
+        (f"{sname}\x00{cname}", body)
+        for sname, kids in norm_storages for cname, body in kids.items()]
     starts, chunks = {}, []
     nxt = 1 + dir_sectors
-    for name, payload in streams.items():
+    for key, payload in all_payloads:
         n = max(1, (len(payload) + SEC - 1) // SEC)
-        starts[name] = nxt
+        starts[key] = nxt
         for k in range(n):
             fat.append(nxt + k + 1 if k < n - 1 else EOC)
         chunks.append(pad(payload))
@@ -151,15 +161,40 @@ def _ole2_file(streams: dict[str, bytes], storages: list[str] = ()) -> bytes:
         raise ValueError("synthetic OLE2 payload exceeds one FAT sector")
     fat += [FREE] * (SEC // 4 - len(fat))
 
-    def entry(name: str, typ: int, start: int, size: int) -> bytes:
+    def entry(name: str, typ: int, start: int, size: int,
+              right: int = -1, child: int = -1) -> bytes:
         nm = name.encode("utf-16-le") + b"\x00\x00"
         return (nm + b"\x00" * (64 - len(nm)) + _s.pack("<H", len(nm))
-                + bytes([typ, 0]) + _s.pack("<iii", -1, -1, -1)
+                + bytes([typ, 0]) + _s.pack("<iii", -1, right, child)
                 + b"\x00" * 36 + _s.pack("<IQ", start, size))
 
-    directory = entry("Root Entry", 5, EOC, 0) + b"".join(
-        entry(n, 2, starts[n], len(p)) for n, p in streams.items())
-    directory += b"".join(entry(n, 1, EOC, 0) for n in storages)
+    # slot plan: 0=root, 1..=top streams, then storages, then child streams
+    top_slots = list(range(1, 1 + len(streams) + len(norm_storages)))
+    child_base = 1 + len(streams) + len(norm_storages)
+    ents: list[bytes] = []
+    ents.append(entry("Root Entry", 5, EOC, 0,
+                      child=top_slots[0] if top_slots else -1))
+    top_items = ([(n, 2, starts[n], len(p), -1) for n, p in streams.items()]
+                 + [(sname, 1, EOC, 0, si)
+                    for si, (sname, _kids) in enumerate(norm_storages)])
+    child_slot = child_base
+    child_entries: list[bytes] = []
+    storage_child_slots: dict[int, int] = {}
+    for si, (sname, kids) in enumerate(norm_storages):
+        items = list(kids.items())
+        if items:
+            storage_child_slots[si] = child_slot
+        for k, (cname, body) in enumerate(items):
+            nxt_sib = child_slot + 1 if k < len(items) - 1 else -1
+            child_entries.append(entry(
+                cname, 2, starts[f"{sname}\x00{cname}"], len(body),
+                right=nxt_sib))
+            child_slot += 1
+    for pos, (name, typ, start, size, si) in enumerate(top_items):
+        nxt_sib = top_slots[pos + 1] if pos < len(top_items) - 1 else -1
+        child = storage_child_slots.get(si, -1) if typ == 1 else -1
+        ents.append(entry(name, typ, start, size, right=nxt_sib, child=child))
+    directory = b"".join(ents + child_entries)
     header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
               + _s.pack("<HHHHHHIIIIIIIII", 0x003E, 0x0003, 0xFFFE, 9, 6,
                         0, 0, 0, 1, 1, 0, 4096, EOC, 0, EOC)
@@ -503,6 +538,37 @@ def build_msg(msg_id: int) -> bytes:
         "__substg1.0_1000001F": u16(f"Message body {msg_id}."),
         "__properties_version1.0": b"\x00" * 32,
     })
+
+
+def build_msg_attach(msg_id: int) -> bytes:
+    """Deterministic .msg with attachment sub-storages (extract_msg_attachments
+    oracle): two attachments — a text one (decoded inline) and a binary one
+    (size only) — plus a recipient sub-storage, all fields pure functions of
+    msg_id. Kernel text rendering (see kernels/msg.py):
+      base message text, then per name-sorted attachment storage:
+      "[Attachment: {name}]\\n" + decoded text for .txt payloads.
+    """
+    u16 = lambda s: s.encode("utf-16-le")
+    return _ole2_file(
+        {
+            "__substg1.0_0037001F": u16(f"Attach report {msg_id}"),
+            "__substg1.0_0C1A001F": u16(f"Sender {msg_id % 7}"),
+            "__substg1.0_0C1F001F": u16(f"s{msg_id % 7}@example.com"),
+            "__substg1.0_0E04001F": u16(f"User {msg_id % 11}"),
+            "__substg1.0_1000001F": u16(f"Attach body {msg_id}."),
+            "__properties_version1.0": b"\x00" * 32,
+        },
+        storages=[
+            ("__recip_version1.0_#00000000",
+             {"__substg1.0_3001001F": u16(f"User {msg_id % 11}")}),
+            ("__attach_version1.0_#00000000",
+             {"__substg1.0_3707001F": u16(f"notes{msg_id % 4}.txt"),
+              "__substg1.0_37010102":
+                  f"Attachment note {msg_id}.".encode()}),
+            ("__attach_version1.0_#00000001",
+             {"__substg1.0_3704001E": f"img{msg_id % 3}.bin".encode("cp1252"),
+              "__substg1.0_37010102": bytes(range(16))}),
+        ])
 
 
 def build_rtf(doc_id: int) -> bytes:

@@ -398,6 +398,70 @@ def test_msg_missing_fields_degrade():
     assert r2.text == "" and r2.subject is None
 
 
+def test_msg_attachment_substorages():
+    """Attachment sub-storages: entry-scoped property reads (stream names
+    repeat across attachments), text payloads decode inline, binary ones
+    stay size-only, recipients are not misread as attachments."""
+    from sparktika.kernels.msg import extract_msg
+    from sparktika.synth import build_msg_attach
+    from sparktika.kernels.ole2 import Ole2File
+
+    r = extract_msg(Ole2File(build_msg_attach(5)))
+    assert r.n_attachments == 2 and r.n_recipients == 1
+    assert [a.filename for a in r.attachments] == ["notes1.txt", "img2.bin"]
+    assert r.attachments[0].text == "Attachment note 5."
+    assert r.attachments[1].text is None
+    assert r.attachments[1].n_bytes == 16
+    assert r.metadata["attachment-names"] == "notes1.txt; img2.bin"
+    assert r.text.endswith(
+        "[Attachment: notes1.txt]\nAttachment note 5.\n[Attachment: img2.bin]\n")
+
+
+def test_msg_attachment_without_filename_and_83_fallback():
+    from sparktika.kernels.msg import extract_msg
+    from sparktika.synth import _ole2_file
+    from sparktika.kernels.ole2 import Ole2File
+
+    data = _ole2_file(
+        {"__substg1.0_0037001F": "S".encode("utf-16-le"),
+         "__properties_version1.0": b"\x00" * 32},
+        storages=[
+            # data but no filename: rendered as bare [Attachment]
+            ("__attach_version1.0_#00000000",
+             {"__substg1.0_37010102": b"\x01\x02\x03"}),
+            # 8.3 ANSI name only (no long filename)
+            ("__attach_version1.0_#00000001",
+             {"__substg1.0_3704001E": b"OLD83.TXT",
+              "__substg1.0_37010102": b"dos text"}),
+        ])
+    r = extract_msg(Ole2File(data))
+    assert [a.filename for a in r.attachments] == [None, "OLD83.TXT"]
+    assert r.attachments[0].text is None and r.attachments[0].n_bytes == 3
+    assert r.attachments[1].text == "dos text"
+    assert "[Attachment]\n[Attachment: OLD83.TXT]\ndos text\n" in r.text
+
+
+def test_ole2_directory_tree_cycle_guard():
+    """A crafted directory whose sibling pointers form a cycle terminates
+    with an empty-or-bounded walk, never an infinite loop."""
+    import struct as _s
+    from sparktika.synth import _ole2_file
+    from sparktika.kernels.ole2 import Ole2File
+
+    data = bytearray(_ole2_file(
+        {"A": b"x"}, storages=[("S", {"K1": b"y", "K2": b"z"})]))
+    ole = Ole2File(bytes(data))
+    k1 = next(e for e in ole.entries if e.name == "K1")
+    # corrupt K1.right to point back at itself (slot offset 72 in its entry)
+    dir_off = 512 + ole.sector_size * 1  # dir is sector 1 in the synth layout
+    ent_off = dir_off + 128 * k1.index + 72
+    data[ent_off : ent_off + 4] = _s.pack("<I", k1.index)
+    ole2 = Ole2File(bytes(data))
+    storage = next(e for e in ole2.entries if e.name == "S")
+    kids = ole2.storage_children(storage)  # bounded, returns without spinning
+    assert any(k.name == "K1" for k in kids)
+
+
 # --------------------------------------------------- compressed RTF (LZFu)
 
 def test_lzfu_literal_roundtrip():
