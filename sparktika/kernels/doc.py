@@ -6,8 +6,18 @@ Covers the Word97+ binary layout:
 - Clx in the table stream: Prc records skipped, Pcdt (0x02) holding a
   PlcPcd: CP array + PCDs; each PCD's fc encodes compressed (cp1252,
   fc/2) vs UTF-16LE text ranges in the WordDocument stream
-- pieces concatenated in CP order; control chars normalized (\\r and
-  0x07 cell marks -> newline, field markers dropped)
+- pieces concatenated in CP order; control chars normalized (\\r, 0x0B
+  line breaks and 0x07 cell marks -> newline)
+- FIELDS (MS-DOC 2.8.25 Plcfld semantics at the character level): text
+  between the field-begin (0x13) and field-separator (0x14) marks is the
+  field INSTRUCTION (e.g. "HYPERLINK http://...") and is suppressed;
+  only the cached RESULT between 0x14 and 0x15 is emitted — matching
+  Tika's HWPF WordExtractor rendering. Fields nest; an instruction-only
+  field (no separator) contributes nothing.
+- SUBDOCUMENTS: FibRgLw97's ccpText/ccpFtn/ccpHdd split the CP space
+  into main text / footnotes / headers+footers; the result carries the
+  per-subdocument char counts, text stays in CP order (Word's own
+  reading order: main, footnotes, headers).
 
 Bomb posture: piece count capped; all ranges bounds-checked.
 """
@@ -41,16 +51,34 @@ def _decode_cp1252(data: bytes) -> str:
 class DocResult:
     text: str
     n_pieces: int = 0
+    n_chars_main: int = 0
+    n_chars_footnotes: int = 0
+    n_chars_headers: int = 0
 
 
 def _normalize(text: str) -> str:
     out = []
+    # open fields, one bool per nesting level: has the separator been seen?
+    # Emit only when every enclosing field is past its separator (i.e. we
+    # are in cached-result text, not instruction text).
+    fields: list[bool] = []
     for ch in text:
         o = ord(ch)
-        if ch == "\r" or o == 0x07:  # paragraph mark / table cell-row mark
-            out.append("\n")
-        elif o in (0x13, 0x14, 0x15):  # field begin/separator/end markers
+        if o == 0x13:  # field begin
+            fields.append(False)
             continue
+        if o == 0x14:  # field separator: instruction -> result
+            if fields:
+                fields[-1] = True
+            continue
+        if o == 0x15:  # field end
+            if fields:
+                fields.pop()
+            continue
+        if fields and not all(fields):
+            continue  # inside some field's instruction text
+        if ch == "\r" or o in (0x07, 0x0B):  # para mark / cell mark / line break
+            out.append("\n")
         elif o < 0x20 and ch not in ("\t", "\n"):
             continue
         else:
@@ -129,4 +157,18 @@ def extract_doc(data: bytes, deadline: float | None = None) -> DocResult:
         else:
             raw = wd[fc : fc + n_chars * 2]
             parts.append(raw.decode("utf-16-le", "replace"))
-    return DocResult(text=_normalize("".join(parts)), n_pieces=n)
+    full = "".join(parts)
+    # FibRgLw97 subdocument char counts: ccpText @0x4C, ccpFtn @0x50,
+    # ccpHdd @0x54 (header+footer stories). Zero/implausible values (old
+    # or minimal writers) degrade to everything-is-main-text.
+    ccp_text, ccp_ftn, ccp_hdd = struct.unpack_from("<III", wd, 0x004C)
+    if not (0 < ccp_text <= len(full)
+            and ccp_text + ccp_ftn + ccp_hdd <= len(full)):
+        ccp_text, ccp_ftn, ccp_hdd = len(full), 0, 0
+    main = _normalize(full[:ccp_text])
+    ftn = _normalize(full[ccp_text : ccp_text + ccp_ftn])
+    hdd = _normalize(full[ccp_text + ccp_ftn : ccp_text + ccp_ftn + ccp_hdd])
+    tail = _normalize(full[ccp_text + ccp_ftn + ccp_hdd :])
+    return DocResult(text=main + ftn + hdd + tail, n_pieces=n,
+                     n_chars_main=len(main), n_chars_footnotes=len(ftn),
+                     n_chars_headers=len(hdd))

@@ -316,10 +316,16 @@ def extract_document(
                 r = extract_doc(data, deadline=deadline)
                 text, limited = _cap_text(r.text, cfg.max_chars)
                 status = STATUS_TRUNCATED if limited else STATUS_OK
+                md = {"Content-Type": ["application/msword"],
+                      "n-text-pieces": [str(r.n_pieces)],
+                      "n-chars-main": [str(r.n_chars_main)]}
+                if r.n_chars_footnotes:
+                    md["n-chars-footnotes"] = [str(r.n_chars_footnotes)]
+                if r.n_chars_headers:
+                    md["n-chars-headers"] = [str(r.n_chars_headers)]
                 return res(detected="application/msword",
                            text_extracted=text if cfg.parse_content else None,
-                           metadata={"Content-Type": ["application/msword"],
-                                     "n-text-pieces": [str(r.n_pieces)]},
+                           metadata=md,
                            status=status, write_limit_reached=limited)
             if "PowerPoint Document" in streams:
                 from .ppt import extract_ppt

@@ -917,6 +917,54 @@ def extract_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_doc_subdocs",
+    """
+SELECT doc_id,
+       'Doc body ' || doc_id || '. link ' || doc_id || chr(10) ||
+       'Note ' || doc_id || '.' || chr(10) ||
+       'Header ' || doc_id || chr(10) AS text_extracted,
+       CAST(length('Doc body ' || doc_id || '. link ' || doc_id) + 1 AS INT) AS n_chars_main,
+       CAST(length('Note ' || doc_id || '.') + 1 AS INT) AS n_chars_footnotes,
+       CAST(length('Header ' || doc_id) + 1 AS INT) AS n_chars_headers,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_doc_subdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word97 fields + subdocument segmentation end-to-end: the kernel must
+    suppress field INSTRUCTION text (keep only the cached result between
+    separator and end marks — Tika HWPF WordExtractor behavior) and split
+    the CP space into main/footnotes/headers via FibRgLw97 ccp counts."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_doc_full
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_doc_full(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/w"),
+                 F.col("doc_id").cast("string"), F.lit(".doc")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/w(\d+)\.doc$", 1).cast("long").alias("doc_id"),
+        "text_extracted",
+        F.element_at("metadata", "n-chars-main").getItem(0)
+         .cast("int").alias("n_chars_main"),
+        F.element_at("metadata", "n-chars-footnotes").getItem(0)
+         .cast("int").alias("n_chars_footnotes"),
+        F.element_at("metadata", "n-chars-headers").getItem(0)
+         .cast("int").alias("n_chars_headers"),
+        "status")
+
+
+@_register(
     "extract_msg_attachments",
     """
 SELECT doc_id AS msg_id,

@@ -571,6 +571,41 @@ def build_msg_attach(msg_id: int) -> bytes:
         ])
 
 
+def build_doc_full(doc_id: int) -> bytes:
+    """Deterministic Word97 .doc exercising fields + subdocuments
+    (extract_doc_subdocs oracle). One compressed piece laid out as
+      main:   'Doc body {id}. ' + field(begin 0x13, instruction
+              'HYPERLINK ...', sep 0x14, result 'link {id}', end 0x15) + \\r
+      ftn:    'Note {id}.\\r'
+      hdd:    'Header {id}\\r'
+    with FibRgLw97 ccpText/ccpFtn/ccpHdd set to the segment lengths, so the
+    kernel must suppress the field instruction (keep only the cached
+    result) and segment the CP space correctly:
+      text = 'Doc body {id}. link {id}\\nNote {id}.\\nHeader {id}\\n'
+    """
+    import struct as _s
+
+    main = (f"Doc body {doc_id}. "
+            f"\x13HYPERLINK \"http://x{doc_id}\"\x14link {doc_id}\x15\r")
+    ftn = f"Note {doc_id}.\r"
+    hdd = f"Header {doc_id}\r"
+    full = main + ftn + hdd
+    raw = full.encode("cp1252")
+    wd = bytearray(0x0600)
+    _s.pack_into("<H", wd, 0, 0xA5EC)                 # FIB magic
+    _s.pack_into("<H", wd, 0x000A, 0x0000)            # flags: 0Table
+    _s.pack_into("<III", wd, 0x004C,
+                 len(main), len(ftn), len(hdd))       # ccpText/ccpFtn/ccpHdd
+    fc_cursor = 0x0800
+    pcd = _s.pack("<HIH", 0, (fc_cursor * 2) | 0x40000000, 0)
+    plc = _s.pack("<2I", 0, len(full)) + pcd
+    clx = b"\x02" + _s.pack("<I", len(plc)) + plc
+    table = b"\x00" * 0x80 + clx
+    _s.pack_into("<II", wd, 0x01A2, 0x80, len(clx))   # fcClx, lcbClx
+    full_wd = bytes(wd) + b"\x00" * (fc_cursor - len(wd)) + raw
+    return _ole2_file({"WordDocument": full_wd, "0Table": table})
+
+
 def build_rtf(doc_id: int) -> bytes:
     """Deterministic RTF payload (extract_rtf_text oracle): kernel output is
     exactly "Document {id} body café.\\nLine two for {id}.\\n" with title

@@ -268,6 +268,47 @@ def test_dispatch_routes_doc():
     assert r.text_extracted == "Word body text\n"
 
 
+def test_doc_field_instruction_suppressed():
+    """Text between field-begin (0x13) and separator (0x14) is the field
+    instruction and must not leak into output; the cached result between
+    0x14 and 0x15 is kept. Fields nest; instruction-only fields vanish."""
+    from sparktika.kernels.doc import extract_doc
+
+    wd, table = _doc_streams([
+        ("A \x13HYPERLINK \"http://evil\"\x14visible link\x15 B\r", True),
+        # nested: outer result contains an inner field
+        ("\x13IF\x14out \x13DATE\x14in\x15 er\x15\r", True),
+        # no separator: nothing emitted
+        ("\x13PAGEREF bm1\x15tail\r", True),
+    ])
+    data = _build_ole2({"WordDocument": wd, "0Table": table})
+    r = extract_doc(data)
+    assert r.text == "A visible link B\nout in er\ntail\n"
+
+
+def test_doc_line_break_char():
+    from sparktika.kernels.doc import extract_doc
+
+    wd, table = _doc_streams([("one\x0btwo\r", True)])
+    data = _build_ole2({"WordDocument": wd, "0Table": table})
+    assert extract_doc(data).text == "one\ntwo\n"
+
+
+def test_doc_subdocument_segmentation():
+    """FibRgLw97 ccp counts split the CP space; zeroed counts (legacy
+    writers) degrade to everything-main."""
+    from sparktika.kernels.doc import extract_doc
+    from sparktika.synth import build_doc_full
+
+    r = extract_doc(build_doc_full(42))
+    assert r.text == "Doc body 42. link 42\nNote 42.\nHeader 42\n"
+    assert (r.n_chars_main, r.n_chars_footnotes, r.n_chars_headers) == (21, 9, 10)
+    # zeroed FIB ccps (the _doc_streams helper) -> all chars counted as main
+    wd, table = _doc_streams([("plain\r", True)])
+    r2 = extract_doc(_build_ole2({"WordDocument": wd, "0Table": table}))
+    assert (r2.n_chars_main, r2.n_chars_footnotes, r2.n_chars_headers) == (6, 0, 0)
+
+
 def test_doc_broken_clx_fails_softly():
     import struct
 
