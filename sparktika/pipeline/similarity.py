@@ -126,6 +126,123 @@ def ann_topk_lsh(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means coarse quantizer for IVF ANN. Deterministic init:
+    the `n_centroids` vectors smallest by xxhash64(id) (a stable pseudo-
+    random sample needing one tiny top-k, no RNG state). Each Lloyd
+    iteration is ONE distributed pass: assign (pandas_udf matmul against
+    the broadcast centroid matrix, no shuffle) then a groupBy mean whose
+    shuffle moves only n_centroids*dim partial aggregates (map-side
+    combine). Driver-side data is K x dim doubles — a broadcast-sized
+    table, never the corpus. Returns a numpy (K, dim) row-normalized
+    matrix."""
+    import numpy as np
+
+    init = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy(F.xxhash64(F.col("id")))
+            .limit(n_centroids).collect())
+    if not init:
+        raise ValueError("empty corpus")
+    cents = np.array([list(r.v) for r in init], dtype=np.float64)
+    cents /= np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, nprobe=1, id_col=id_col,
+                              vec_col=vec_col)
+        rows = (assigned.select(F.col("centroid_ids")[0].alias("cid"),
+                                F.posexplode(F.col("vec")).alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect())
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            new[r.cid, r.pos] = r.m
+        norms = np.clip(np.linalg.norm(new, axis=1, keepdims=True), 1e-12, None)
+        cents = new / norms
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, centroid_ids[nprobe]) — nearest coarse centroids by cosine,
+    computed as one Arrow-batched matmul per batch against the broadcast
+    (K, dim) matrix. One pass, zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    import numpy as np
+
+    cent_list = [list(map(float, row)) for row in centroids]
+
+    def fn(vecs: pd.Series) -> pd.Series:
+        cents = np.asarray(cent_list, dtype=np.float64)  # (K, dim)
+        k = cents.shape[0]
+        n_take = min(nprobe, k)
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            d = min(a.shape[0], cents.shape[1])
+            sims = cents[:, :d] @ a[:d]
+            norm = np.linalg.norm(a[:d])
+            if norm > 0:
+                sims = sims / norm
+            top = np.argpartition(-sims, n_take - 1)[:n_take]
+            out.append(top[np.argsort(-sims[top], kind="stable")]
+                       .astype("int32").tolist())
+        return pd.Series(out)
+
+    udf = pandas_udf(fn, ArrayType(IntegerType()))
+    return emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                      udf(F.col(vec_col)).alias("centroid_ids"))
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: the corpus is partitioned by nearest coarse centroid (one
+    list per centroid); each query probes its `nprobe` nearest centroids
+    and scores exact cosine only inside those lists. The 100TB plan:
+    corpus assignment is a single no-shuffle pass; the candidate join
+    broadcasts the (small) exploded query set keyed by centroid_id, so
+    the corpus never shuffles; recall tunes with nprobe (compute) and
+    n_centroids (selectivity). Complements ann_topk_lsh — IVF gives
+    data-adaptive cells where hyperplane LSH gives oblivious ones."""
+    cents = train_ivf_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    corpus = (ivf_assign(emb, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+              .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec"),
+                      F.col("centroid_ids")[0].alias("centroid_id")))
+    q = (ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+         .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
+                 F.explode(F.col("centroid_ids")).alias("centroid_id")))
+    cand = (corpus.join(F.broadcast(q), "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "qvec", "neighbor_id", "nvec"))
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -615,6 +615,20 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# rows-only: IVF ANN is approximate by construction (recall pinned in
+# tests/test_pipeline_integration.py against brute force)
+@_register("sim_topk_ivf")
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-adaptive ANN scale path: spherical-k-means coarse quantizer
+    (deterministic hash-sampled init, Lloyd iterations as single
+    distributed passes), corpus partitioned by nearest centroid, queries
+    probe nprobe cells. Complements the oblivious hyperplane LSH tables."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ann_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register(
     "dedup_embedding_cosine",
     f"""

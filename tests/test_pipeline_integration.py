@@ -286,6 +286,48 @@ def test_token_jaccard_df_cut_drops_stopword_blowup(spark):
     assert len(pairs2) > 0
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF (spherical k-means cells + nprobe search) must beat the LSH
+    recall floor on the same corpus, and every returned cosine must agree
+    exactly with brute force (same rounded expression)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.ann_topk_ivf(emb, queries, k=5,
+                                     n_centroids=16, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.35, f"recall {recall}"
+    escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    ascore = {(r.query_id, r.neighbor_id): r.cosine for r in approx}
+    assert all(escore[p] == ascore[p] for p in exact_set & approx_set)
+    # per-query output is a legal top-k: <= k rows, ranks 1..n contiguous
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in by_q.values())
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    """Every corpus vector lands in exactly one cell; probing ALL cells
+    makes IVF exhaustive (sanity: equals brute force)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(120)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=1)
+    assert cents.shape == (8, 64)
+    assigned = similarity.ivf_assign(emb, cents, nprobe=1)
+    assert assigned.count() == 120
+    assert assigned.filter(F.size("centroid_ids") != 1).count() == 0
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=3).collect()}
+    full = {(r.query_id, r.neighbor_id)
+            for r in similarity.ann_topk_ivf(emb, queries, k=3, n_centroids=8,
+                                             nprobe=8, train_iters=1).collect()}
+    assert full == exact
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     """LSH ANN must recover a reasonable fraction of exact top-5 neighbors
     (random 64-d embeddings are a worst case for LSH; we pin a floor)."""
