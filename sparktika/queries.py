@@ -931,6 +931,56 @@ def extract_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_warc_ingest",
+    """
+SELECT doc_id,
+       'https://warc.example.com/' || doc_id || '/a' AS url,
+       '2026-02-03T04:05:06Z' AS warc_ts,
+       'text/html' AS content_type,
+       '<html><body><p>Warc page ' || doc_id || '.</p></body></html>' AS body_text,
+       CAST(length('<html><body><p>Warc page ' || doc_id || '.</p></body></html>') AS INT) AS n_bytes
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'https://warc.example.com/' || doc_id || '/b' AS url,
+       '2026-02-03T04:05:06Z' AS warc_ts,
+       'text/plain' AS content_type,
+       'Warc chunk ' || doc_id || ' alpha. Warc chunk ' || doc_id || ' beta.' AS body_text,
+       CAST(length('Warc chunk ' || doc_id || ' alpha. Warc chunk ' || doc_id || ' beta.') AS INT) AS n_bytes
+FROM documents
+""",
+)
+def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source end-to-end through the REAL reader (make_warc_reader's
+    mapInPandas over binaryFile-shaped rows): gzip member inflation behind
+    the bomb guard, warcinfo/request records skipped, identity AND chunked
+    transfer-encoding bodies, HTTP header Content-Type surfaced. ISO 28500
+    per kernels/warc.py; parallelism = one row per archive file (Common
+    Crawl ships ~1GB segments by the tens of thousands)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.sources import WARC_PAGES_SCHEMA, make_warc_reader
+    from .synth import build_warc_gz
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_warc_gz(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    files = docs.select(
+        F.concat(F.lit("synth://warc/"), F.col("doc_id").cast("string"),
+                 F.lit(".warc.gz")).alias("path"),
+        udf(F.col("doc_id")).alias("content"))
+    pages = files.mapInPandas(make_warc_reader(), WARC_PAGES_SCHEMA)
+    return pages.select(
+        F.regexp_extract("url", r"com/(\d+)/", 1).cast("long").alias("doc_id"),
+        "url", "warc_ts", "content_type",
+        F.decode(F.col("html"), "UTF-8").alias("body_text"),
+        F.length("html").cast("int").alias("n_bytes"))
+
+
+@_register(
     "extract_doc_subdocs",
     """
 SELECT doc_id,

@@ -502,6 +502,47 @@ def build_mjpeg_mp4(media_id: int) -> bytes:
     return ftyp + mdat + moov
 
 
+def build_warc_gz(doc_id: int) -> bytes:
+    """Deterministic gzipped WARC archive (source_warc_ingest oracle):
+    warcinfo + request (both skipped by the reader) + two response records
+    per doc — one identity-encoded text/html, one CHUNKED text/plain —
+    every field a pure function of doc_id. Gzip with mtime=0 + fixed
+    compresslevel so the bytes themselves are deterministic."""
+    import gzip as _gz
+
+    def rec(wtype: str, uri: str | None, payload: bytes) -> bytes:
+        headers = ["WARC/1.0", f"WARC-Type: {wtype}",
+                   "WARC-Date: 2026-02-03T04:05:06Z"]
+        if uri:
+            headers.append(f"WARC-Target-URI: {uri}")
+        headers.append(f"Content-Length: {len(payload)}")
+        return ("\r\n".join(headers) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+    def http(body: bytes, ct: str, chunked: bool = False) -> bytes:
+        if chunked:
+            chunks = b""
+            for i in range(0, len(body), 16):
+                part = body[i : i + 16]
+                chunks += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+            chunks += b"0\r\n\r\n"
+            return (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+                    "Transfer-Encoding: chunked\r\n\r\n").encode() + chunks
+        return (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+    base = f"https://warc.example.com/{doc_id}"
+    html_body = f"<html><body><p>Warc page {doc_id}.</p></body></html>".encode()
+    text_body = (f"Warc chunk {doc_id} alpha. Warc chunk {doc_id} beta."
+                 .encode())
+    raw = (rec("warcinfo", None, b"software: sparktika-synth\r\n")
+           + rec("request", f"{base}/a",
+                 b"GET /a HTTP/1.1\r\nHost: warc.example.com\r\n\r\n")
+           + rec("response", f"{base}/a", http(html_body, "text/html"))
+           + rec("response", f"{base}/b",
+                 http(text_body, "text/plain", chunked=True)))
+    return _gz.compress(raw, compresslevel=6, mtime=0)
+
+
 def _tar_entry(name: str, body: bytes) -> bytes:
     h = bytearray(512)
     nb = name.encode()
