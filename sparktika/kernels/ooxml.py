@@ -8,8 +8,10 @@ dependency-free and bomb-resistant.
 Output specs (ours, frozen in goldens):
 - xlsx: per sheet in workbook order — sheet name line, then each row's
   cells tab-joined (shared strings + inline strings + numbers)
-- docx: one line per <w:p> paragraph
-- pptx: per slide in numeric order — one line per <a:p> paragraph
+- docx: one line per <w:p> paragraph; header parts first, then the body,
+  then footer parts (POI XWPFWordExtractor order), numeric part order
+- pptx: per slide in numeric order, then notes slides in numeric order
+  (POI SlideShowExtractor with notes) — one line per <a:p> paragraph
 
 Zip bomb posture (mirrors the reference's zipBomb* guards,
 ref: main/ConfigurableAutoDetectParser.java:41-52): per-entry and total
@@ -186,15 +188,37 @@ def extract_xlsx(data: bytes, max_ratio: float = 200.0,
                        metadata=_core_props(zf, max_ratio, max_bytes))
 
 
-def extract_docx(data: bytes, max_ratio: float = 200.0,
-                 max_bytes: int = 256_000_000) -> OoxmlResult:
-    zf = open_zip(data)
-    raw = read_entry(zf, "word/document.xml", max_ratio, max_bytes).decode("utf-8", "replace")
-    paras = []
+def _w_paras(raw: str) -> list[str]:
+    out = []
     for chunk in _P_SPLIT_W.split(raw):
         t = decode_entities("".join(_WT_RE.findall(chunk)))
         if t.strip():
-            paras.append(t)
+            out.append(t)
+    return out
+
+
+def extract_docx(data: bytes, max_ratio: float = 200.0,
+                 max_bytes: int = 256_000_000) -> OoxmlResult:
+    """Body + header/footer parts. Part order follows POI's
+    XWPFWordExtractor (Tika's DOCX path): headers first, then the document
+    body, then footers; multiple header/footer parts in numeric order.
+    Absent parts cost nothing (namelist check, no speculative reads)."""
+    zf = open_zip(data)
+    names = zf.namelist()
+
+    def parts(pattern: str) -> list[str]:
+        rx = re.compile(pattern)
+        found = sorted((int(m.group(1)), n)
+                       for n in names if (m := rx.match(n)))
+        out: list[str] = []
+        for _, name in found:
+            raw = read_entry(zf, name, max_ratio, max_bytes).decode("utf-8", "replace")
+            out.extend(_w_paras(raw))
+        return out
+
+    body_raw = read_entry(zf, "word/document.xml", max_ratio, max_bytes).decode("utf-8", "replace")
+    paras = (parts(r"word/header(\d+)\.xml$") + _w_paras(body_raw)
+             + parts(r"word/footer(\d+)\.xml$"))
     text = "\n".join(paras) + ("\n" if paras else "")
     return OoxmlResult(text=text, kind="docx",
                        metadata=_core_props(zf, max_ratio, max_bytes))
@@ -203,16 +227,19 @@ def extract_docx(data: bytes, max_ratio: float = 200.0,
 def extract_pptx(data: bytes, max_ratio: float = 200.0,
                  max_bytes: int = 256_000_000) -> OoxmlResult:
     zf = open_zip(data)
-    slide_re = re.compile(r"ppt/slides/slide(\d+)\.xml$")
-    slides = sorted(
-        ((int(m.group(1)), n) for n in zf.namelist() if (m := slide_re.match(n))))
+    names = zf.namelist()
     paras: list[str] = []
-    for _, name in slides:
-        raw = read_entry(zf, name, max_ratio, max_bytes).decode("utf-8", "replace")
-        for chunk in _P_SPLIT_A.split(raw):
-            t = decode_entities("".join(_AT_RE.findall(chunk)))
-            if t.strip():
-                paras.append(t)
+    for pattern in (r"ppt/slides/slide(\d+)\.xml$",
+                    r"ppt/notesSlides/notesSlide(\d+)\.xml$"):
+        rx = re.compile(pattern)
+        found = sorted((int(m.group(1)), n)
+                       for n in names if (m := rx.match(n)))
+        for _, name in found:
+            raw = read_entry(zf, name, max_ratio, max_bytes).decode("utf-8", "replace")
+            for chunk in _P_SPLIT_A.split(raw):
+                t = decode_entities("".join(_AT_RE.findall(chunk)))
+                if t.strip():
+                    paras.append(t)
     text = "\n".join(paras) + ("\n" if paras else "")
     return OoxmlResult(text=text, kind="pptx",
                        metadata=_core_props(zf, max_ratio, max_bytes))

@@ -329,6 +329,26 @@ def _office_pages(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                    b"</w:t></w:r></w:p></w:body></w:document>")
             return zip_bytes({"[Content_Types].xml": b"<Types/>",
                               "word/document.xml": doc})
+        if kind == "docx_hdr":
+            def wpart(t: str) -> bytes:
+                return (b"<w:x><w:p><w:r><w:t>" + t.encode()
+                        + b"</w:t></w:r></w:p></w:x>")
+            doc = (b"<w:document><w:body><w:p><w:r><w:t>" + text.encode() +
+                   b"</w:t></w:r></w:p></w:body></w:document>")
+            return zip_bytes({"[Content_Types].xml": b"<Types/>",
+                              "word/document.xml": doc,
+                              "word/header2.xml": wpart(f"Hdr B {doc_id}"),
+                              "word/header1.xml": wpart(f"Hdr A {doc_id}"),
+                              "word/footer1.xml": wpart(f"Ftr {doc_id}")})
+        if kind == "pptx_notes":
+            def apart(t: str) -> bytes:
+                return (b"<p:sld><a:p><a:r><a:t>" + t.encode()
+                        + b"</a:t></a:r></a:p></p:sld>")
+            return zip_bytes({
+                "[Content_Types].xml": b"<Types/>",
+                "ppt/slides/slide1.xml": apart(f"Slide one {doc_id}"),
+                "ppt/slides/slide2.xml": apart(f"Slide two {doc_id}"),
+                "ppt/notesSlides/notesSlide1.xml": apart(f"Note {doc_id}")})
         # plain zip of two text entries
         return zip_bytes({"a.txt": text.encode(),
                           "b.txt": f" tail of {doc_id}".encode()})
@@ -373,6 +393,36 @@ FROM documents WHERE doc_id % 10 = 0
 )
 def extract_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _office_extract(spark, sf_dir, "docx")
+
+
+@_register(
+    "extract_docx_hdrftr",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       'Hdr A ' || doc_id || chr(10) || 'Hdr B ' || doc_id || chr(10) ||
+       text || chr(10) || 'Ftr ' || doc_id || chr(10) AS text_extracted
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def extract_docx_hdrftr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX header/footer parts in POI XWPFWordExtractor order: headers
+    (numeric part order) -> body -> footers."""
+    return _office_extract(spark, sf_dir, "docx_hdr")
+
+
+@_register(
+    "extract_pptx_notes",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       'Slide one ' || doc_id || chr(10) || 'Slide two ' || doc_id || chr(10) ||
+       'Note ' || doc_id || chr(10) AS text_extracted
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def extract_pptx_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX slides in numeric order followed by notes slides (POI
+    SlideShowExtractor with notes enabled)."""
+    return _office_extract(spark, sf_dir, "pptx_notes")
 
 
 @_register(

@@ -82,6 +82,36 @@ def test_pptx_extraction():
     assert r.text == "Slide one title\nSlide two\n"
 
 
+def test_docx_headers_and_footers():
+    """Header parts -> body -> footer parts, numeric part order (POI
+    XWPFWordExtractor order); absent parts change nothing."""
+    def wp(t):
+        return b"<w:x><w:p><w:r><w:t>" + t + b"</w:t></w:r></w:p></w:x>"
+
+    doc = (b"<w:document><w:body><w:p><w:r><w:t>Body</w:t></w:r></w:p>"
+           b"</w:body></w:document>")
+    data = _zip_bytes({"[Content_Types].xml": b"<Types/>",
+                       "word/document.xml": doc,
+                       "word/footer1.xml": wp(b"F1"),
+                       "word/header10.xml": wp(b"H10"),
+                       "word/header2.xml": wp(b"H2")})
+    r = extract_docx(data)
+    assert r.text == "H2\nH10\nBody\nF1\n"  # numeric, not lexicographic
+
+
+def test_pptx_notes_slides_after_slides():
+    s1 = b"<p:sld><a:p><a:r><a:t>S1</a:t></a:r></a:p></p:sld>"
+    n1 = b"<p:sld><a:p><a:r><a:t>N1</a:t></a:r></a:p></p:sld>"
+    n2 = b"<p:sld><a:p><a:r><a:t>N2</a:t></a:r></a:p></p:sld>"
+    data = _zip_bytes({
+        "[Content_Types].xml": b"<Types/>",
+        "ppt/notesSlides/notesSlide2.xml": n2,
+        "ppt/slides/slide1.xml": s1,
+        "ppt/notesSlides/notesSlide1.xml": n1,
+    })
+    assert extract_pptx(data).text == "S1\nN1\nN2\n"
+
+
 def test_dispatch_routes_ooxml_through_zip():
     r = extract_document("u", None, _xlsx_bytes())
     assert r.status == "ok"
