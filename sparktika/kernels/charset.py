@@ -6,8 +6,12 @@ Detection order (from-scratch, public heuristics):
   1. BOM (UTF-8 / UTF-16 LE+BE / UTF-32 LE+BE)
   2. <meta charset=..> / <meta http-equiv=Content-Type content="..;charset=..">
      scanned in the first 1024 bytes (WHATWG-style prescan)
-  3. strict UTF-8 validation
-  4. windows-1252 fallback (superset of iso-8859-1 for the printable range)
+  3. BOM-less UTF-16 null-pattern heuristic (ICU CharsetRecog_Unicode
+     style): ASCII-heavy UTF-16 shows NUL in every other byte with a
+     strongly one-sided parity; requires >=40% NULs on one parity and
+     <5% on the other over the first 1024 bytes
+  4. strict UTF-8 validation
+  5. windows-1252 fallback (superset of iso-8859-1 for the printable range)
 """
 
 from __future__ import annotations
@@ -89,6 +93,25 @@ def detect_meta_charset(data: bytes) -> str | None:
     return _ALIASES.get(name)
 
 
+def detect_utf16_heuristic(data: bytes) -> str | None:
+    """BOM-less UTF-16 detection via the null-byte parity pattern (the
+    signal ICU's CharsetRecog_UTF_16 family keys on): Latin-script UTF-16
+    text has ~50% NUL bytes, all on one parity. Returns the codec name or
+    None. Deliberately conservative — mixed binaries rarely show a clean
+    one-sided parity split."""
+    sample = data[: 1024 & ~1]
+    if len(sample) < 16:
+        return None
+    even = sample[0::2].count(0)
+    odd = sample[1::2].count(0)
+    half = len(sample) // 2
+    if odd >= 0.4 * half and even <= 0.05 * half:
+        return "utf-16-le"  # NULs in high bytes of LE code units
+    if even >= 0.4 * half and odd <= 0.05 * half:
+        return "utf-16-be"
+    return None
+
+
 def is_valid_utf8(data: bytes) -> bool:
     try:
         data.decode("utf-8", "strict")
@@ -106,6 +129,9 @@ def detect_charset(data: bytes, is_html: bool = True) -> str:
         meta = detect_meta_charset(data)
         if meta:
             return meta
+    utf16 = detect_utf16_heuristic(data)
+    if utf16:
+        return utf16
     if is_valid_utf8(data):
         return "utf-8"
     return "windows-1252"

@@ -87,6 +87,28 @@ def test_charset_utf8_heuristic_and_cp1252_fallback():
     assert text == "caf“quoted”"
 
 
+def test_charset_bomless_utf16_null_pattern():
+    """ICU-style BOM-less UTF-16 detection: one-sided NUL parity."""
+    body = "The quick brown fox jumps over the lazy dog. " * 4
+    le = body.encode("utf-16-le")
+    be = body.encode("utf-16-be")
+    assert charset.detect_charset(le, is_html=False) == "utf-16-le"
+    assert charset.detect_charset(be, is_html=False) == "utf-16-be"
+    assert charset.decode(le, is_html=False)[0] == body
+    assert charset.decode(be, is_html=False)[0] == body
+    # a BOM (when present) still wins over the heuristic
+    import codecs
+    assert charset.detect_charset(codecs.BOM_UTF16_LE + le,
+                                  is_html=False) == "utf-16-le"
+    # CJK-heavy UTF-16 has few NULs -> heuristic declines (conservative),
+    # and plain ASCII / cp1252 text is never misdetected
+    assert charset.detect_utf16_heuristic("日本語のテキスト".encode("utf-16-le")) is None
+    assert charset.detect_utf16_heuristic(b"plain ascii text here") is None
+    assert charset.detect_charset(b"short", is_html=False) == "utf-8"
+    # binary with NULs on BOTH parities (e.g. sparse binary) declines
+    assert charset.detect_utf16_heuristic(bytes(64)) is None
+
+
 # ---------------------------------------------------------------- mime
 
 def test_mime_magic_table():
