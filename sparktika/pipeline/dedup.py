@@ -292,3 +292,37 @@ def token_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("key_a", "key_b", "jaccard")
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    max_docs: int = 10_000,
+) -> DataFrame:
+    """Cross-document EXACT repeated n-grams — the signal behind exact-
+    substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any n-token window
+    appearing verbatim in >= min_docs distinct documents.
+
+    Fully JVM-side: tokenize (split), rolling windows via
+    transform(sequence)+slice, md5 per window, explode, per-doc distinct,
+    then ONE groupBy on the 32-hex hash. The shuffle moves only
+    (hash, key) pairs — text never shuffles — so the plan is the same
+    shape as exact dedup and holds at 100 TB. `max_docs` caps the output
+    fan-out for boilerplate n-grams present in a large fraction of the
+    corpus (at web scale a copyright footer can hit ~every doc; such
+    n-grams are filtered, not enumerated)."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_windows = F.size(toks) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    per_doc = (df.select(F.col(key_col).alias("key"),
+                         F.explode(F.when(n_windows >= 1, shingles)).alias("shingle"))
+               .dropDuplicates(["key", "shingle"]))
+    return (per_doc.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+            .filter((F.col("n_docs") >= min_docs) & (F.col("n_docs") <= max_docs))
+            .select("shingle", "n_docs"))

@@ -656,6 +656,31 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "dedup_ngram_spans",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
+  WHERE len(t) >= 8
+)
+SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh GROUP BY shingle HAVING count(*) >= 2
+""",
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated 8-gram detection across documents (exact-substring
+    dedup signal, Lee et al. 2022). JVM-side rolling windows; the only
+    shuffle moves (md5, doc_id) pairs."""
+    return dedup.repeated_ngram_spans(_docs(spark, sf_dir), "text", "doc_id",
+                                      n=8, min_docs=2)
+
+
 # rows-only: LSH-bucketed ANN is approximate by construction
 @_register("sim_topk_lsh")
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

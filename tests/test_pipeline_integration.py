@@ -286,6 +286,33 @@ def test_token_jaccard_df_cut_drops_stopword_blowup(spark):
     assert len(pairs2) > 0
 
 
+def test_repeated_ngram_spans_planted(spark):
+    """A verbatim 8-gram planted in 3 docs surfaces with n_docs=3; within-
+    doc repetition counts once; boilerplate present in too many docs is
+    capped out (max_docs), never enumerated."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"start {shared} end"),
+        (2, f"{shared} tail tail tail tail tail tail tail tail"),
+        (3, f"x {shared} y {shared} z"),  # twice in one doc -> counts once
+        (4, "totally unrelated text with eight distinct tokens here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.shingle: r.n_docs
+           for r in dedup.repeated_ngram_spans(df, "text", "doc_id").collect()}
+    import hashlib
+    h = hashlib.md5(shared.encode()).hexdigest()
+    assert out[h] == 3
+    # short docs (<8 tokens) contribute nothing and don't error
+    short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    assert dedup.repeated_ngram_spans(short, "text", "doc_id").count() == 0
+    # max_docs cap: the same 8-gram in every doc is filtered at max_docs=2
+    many = spark.createDataFrame([(i, shared) for i in range(5)],
+                                 "doc_id long, text string")
+    capped = dedup.repeated_ngram_spans(many, "text", "doc_id", max_docs=2)
+    assert capped.count() == 0
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF (spherical k-means cells + nprobe search) must beat the LSH
     recall floor on the same corpus, and every returned cosine must agree
