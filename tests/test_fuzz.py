@@ -163,3 +163,42 @@ def test_compressed_rtf_stream_never_crashes_msg(payload):
     })
     r = extract_msg(Ole2File(data))
     assert r.subject == "s"
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, suppress_health_check=[HealthCheck.too_slow],
+          deadline=None)
+def test_media_decoders_fail_closed_on_random_bytes(payload):
+    """decode_any / sample_frames on arbitrary bytes: KernelError (or a
+    DecodedImage / frame list), never another exception type — the
+    multimodal pipeline's per-row containment depends on it."""
+    from sparktika.kernels.errors import KernelError
+    from sparktika.kernels.image import decode_any
+    from sparktika.kernels.video import sample_frames
+
+    try:
+        img = decode_any(payload)
+        assert img.width > 0 and img.height > 0
+    except KernelError:
+        pass
+    try:
+        sample_frames(payload, 2)
+    except KernelError:
+        pass
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=100, suppress_health_check=[HealthCheck.too_slow],
+          deadline=None)
+def test_media_decoders_fail_closed_with_magic_prefixes(payload):
+    """Same, but with valid magic bytes prepended so the fuzz reaches the
+    per-format parsers instead of dying at the sniff."""
+    from sparktika.kernels.errors import KernelError
+    from sparktika.kernels.image import decode_any
+
+    for magic in (b"\x89PNG\r\n\x1a\n", b"BM" + b"\x00" * 60,
+                  b"GIF89a", b"\xff\xd8\xff"):
+        try:
+            decode_any(magic + payload)
+        except KernelError:
+            pass
