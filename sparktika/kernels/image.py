@@ -523,18 +523,142 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _refine_ac_block(reader: _BitReader, blk, actab: _HuffTable,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block (T.81 G.1.2.3,
+    the libjpeg decode_mcu_AC_refine algorithm). Mutates `blk` (a length-64
+    int list), returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(actab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of end-of-band blocks
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # ZRL: skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise KernelError("bad JPEG AC refinement size")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                coef = blk[_ZIGZAG[k]]
+                if coef != 0:
+                    if reader.read_bit() and (coef & p1) == 0:
+                        blk[_ZIGZAG[k]] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # in-EOB-run blocks still carry correction bits
+            coef = blk[_ZIGZAG[k]]
+            if coef != 0:
+                if reader.read_bit() and (coef & p1) == 0:
+                    blk[_ZIGZAG[k]] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_scan(data: bytes, pos: int, scomps: list, mcus_x: int,
+                      mcus_y: int, restart_interval: int,
+                      ss: int, se: int, ah: int, al: int) -> int:
+    """Decode one entropy-coded scan (baseline full-band or progressive
+    spectral/approximation pass) into the components' coefficient stores
+    (length-64 int lists per block). Returns the file position after the
+    scan's entropy data."""
+    reader = _BitReader(data, pos)
+    interleaved = len(scomps) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        n_units = scomps[0]["nbx"] * scomps[0]["nby"]
+    preds = [0] * len(scomps)
+    eobrun = 0
+    rst = 0
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.sync_restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(scomps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            unit = [(ci, (my * c["vs"] + by) * c["bw"] + mx * c["hs"] + bx)
+                    for ci, c in enumerate(scomps)
+                    for by in range(c["vs"]) for bx in range(c["hs"])]
+        else:
+            c = scomps[0]
+            by, bx = divmod(u, c["nbx"])
+            unit = [(0, by * c["bw"] + bx)]
+        for ci, row in unit:
+            c = scomps[ci]
+            blk = c["coef"][row]
+            if ss == 0:
+                if ah == 0:  # DC first pass (or baseline full scan)
+                    s = reader.decode_huff(c["dc"])
+                    if s > 11:
+                        raise KernelError("JPEG DC size out of range")
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                else:  # DC refinement: one bit per block
+                    if reader.read_bit():
+                        blk[0] |= 1 << al
+                if se == 0:
+                    continue  # pure DC scan
+            if ah == 0:  # AC first pass / baseline AC section
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = max(ss, 1)
+                while k <= se:
+                    rs = reader.decode_huff(c["ac"])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise KernelError("JPEG AC run overflows band")
+                    blk[_ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:  # AC refinement
+                eobrun = _refine_ac_block(reader, blk, c["ac"], ss, se, al,
+                                          eobrun)
+    return reader.pos
+
+
 def decode_jpeg(data: bytes) -> DecodedImage:
-    """Baseline sequential JPEG (SOF0/SOF1) decoder — ITU T.81 Annex F.
+    """JPEG decoder — ITU T.81 Annex F (baseline sequential SOF0/SOF1) and
+    Annex G (progressive SOF2: spectral selection + successive
+    approximation, DC and AC refinement scans, EOB runs).
 
     Supports 1-component (grayscale) and 3-component YCbCr frames, any
     sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), 8-bit quant
-    tables (16-bit accepted), restart intervals, byte unstuffing.
-    Progressive (SOF2) and arithmetic coding raise KernelError — the
-    pipeline degrades those to status rows, never task failures.
-    Replaces the round-2 NotImplementedError stub (CLAUDE.md known gaps);
-    reference behavior: Tika delegates to ImageIO's JPEGImageReader —
-    parity is on decoded pixel values, pinned in tests/test_image_kernel.py.
-    """
+    tables (16-bit accepted), restart intervals, byte unstuffing, tables
+    redefined between scans. Arithmetic coding and hierarchical (SOF3+)
+    raise KernelError — the pipeline degrades those to status rows.
+    Reference behavior: Tika delegates to ImageIO's JPEGImageReader —
+    parity is on decoded pixel values, pinned in tests/test_image_kernel.py
+    (progressive and baseline encodings of the same coefficients must
+    decode identically)."""
     import numpy as np
 
     if not data.startswith(b"\xff\xd8"):
@@ -544,17 +668,21 @@ def decode_jpeg(data: bytes) -> DecodedImage:
     qt: dict[int, "object"] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id) -> table
     restart_interval = 0
-    frame = None  # (w, h, [(comp_id, hs, vs, tq)])
-    reader = None
-    scan_comps = None
-    while i + 4 <= n:
+    frame = None  # (w, h, comps, progressive)
+    planes_by_id: dict[int, dict] = {}
+    planes: list[dict] = []
+    mcus_x = mcus_y = 0
+    n_scans = 0
+    while i + 2 <= n:
         if data[i] != 0xFF:
             raise KernelError("JPEG marker misalignment")
+        if i + 4 > n:
+            break
         marker = data[i + 1]
         if marker == 0xFF:
             i += 1
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
@@ -579,7 +707,7 @@ def decode_jpeg(data: bytes) -> DecodedImage:
                 dq = np.zeros(64, dtype=np.float64)
                 dq[list(_ZIGZAG)] = tbl.astype(np.float64)
                 qt[tq] = dq.reshape(8, 8)
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             p = 0
             while p + 17 <= len(body):
                 tc, th = body[p] >> 4, body[p] & 0x0F
@@ -593,10 +721,11 @@ def decode_jpeg(data: bytes) -> DecodedImage:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker in _JPEG_SOF:
-            if marker not in (0xC0, 0xC1):
+            if marker not in (0xC0, 0xC1, 0xC2):
                 raise KernelError(
-                    f"JPEG SOF 0x{marker:02X} (progressive/arithmetic) "
+                    f"JPEG SOF 0x{marker:02X} (arithmetic/hierarchical) "
                     "not supported")
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise KernelError(f"JPEG precision {precision} not supported")
@@ -616,88 +745,80 @@ def decode_jpeg(data: bytes) -> DecodedImage:
                     raise KernelError(
                         f"JPEG sampling {hs}x{vs} not supported")
                 comps.append((cid, hs, vs, tq))
-            frame = (w, h, comps)
-        elif marker == 0xDA:  # SOS
+            frame = (w, h, comps, progressive)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            ceil_div = lambda a, b: -(-a // b)
+            for cid, hs, vs, tq in comps:
+                bw, bh = mcus_x * hs, mcus_y * vs
+                pl = {
+                    "hs": hs, "vs": vs, "tq": tq, "bw": bw, "bh": bh,
+                    # non-interleaved scans cover the component's OWN
+                    # sampled grid, which can be narrower than the padded
+                    # interleaved grid (T.81 A.2.2)
+                    "nbx": ceil_div(ceil_div(w * hs, hmax), 8),
+                    "nby": ceil_div(ceil_div(h * vs, vmax), 8),
+                    "coef": [[0] * 64 for _ in range(bh * bw)],
+                }
+                planes_by_id[cid] = pl
+                planes.append(pl)
+        elif marker == 0xDA:  # SOS: decode the scan in place
             if frame is None:
                 raise KernelError("JPEG SOS before SOF")
+            progressive = frame[3]
             ns = body[0]
-            scan_comps = []
+            if ns < 1 or 1 + 2 * ns + 3 > len(body):
+                raise KernelError("JPEG SOS header truncated")
+            scomps = []
             for c in range(ns):
                 cs = body[1 + 2 * c]
                 tables = body[2 + 2 * c]
-                scan_comps.append((cs, tables >> 4, tables & 0x0F))
-            reader = _BitReader(data, i + 2 + seg_len)
-            break
+                pl = planes_by_id.get(cs)
+                if pl is None:
+                    raise KernelError(f"JPEG scan names unknown component {cs}")
+                td, ta = tables >> 4, tables & 0x0F
+                scomps.append(dict(pl, dc=huff.get((0, td)),
+                                   ac=huff.get((1, ta))))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            if se > 63 or ss > se:
+                raise KernelError("JPEG spectral band out of range")
+            if ss > 0 and ns != 1:
+                raise KernelError("JPEG progressive AC scan must be "
+                                  "non-interleaved")
+            for c in scomps:
+                if c["dc"] is None and (ss == 0 and ah == 0):
+                    raise KernelError("JPEG Huffman DC table missing")
+                if c["ac"] is None and se > 0:
+                    raise KernelError("JPEG Huffman AC table missing")
+            i = _decode_jpeg_scan(data, i + 2 + seg_len, scomps, mcus_x,
+                                  mcus_y, restart_interval, ss, se, ah, al)
+            n_scans += 1
+            if n_scans > 256:
+                raise KernelError("JPEG scan count exceeds cap")
+            # resync to the next marker (skip pad bits / stray RSTs)
+            while i + 1 < n and not (data[i] == 0xFF and data[i + 1] != 0x00):
+                i += 1
+            continue
         i += 2 + seg_len
-    if frame is None or reader is None:
+    if frame is None or n_scans == 0:
         raise KernelError("JPEG missing SOF/SOS")
-    w, h, comps = frame
-    if scan_comps is None or len(scan_comps) != len(comps):
-        raise KernelError("JPEG scan does not cover the frame (multi-scan "
-                          "baseline not supported)")
+    w, h, comps, _progressive = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # per component: block grid dims and coefficient store
-    planes = []
-    table_map = {cs: (td, ta) for cs, td, ta in scan_comps}
-    for cid, hs, vs, tq in comps:
-        if tq not in qt:
-            raise KernelError(f"JPEG quant table {tq} missing")
-        if cid not in table_map:
-            raise KernelError(f"JPEG scan missing component {cid}")
-        bw, bh = mcus_x * hs, mcus_y * vs
-        td, ta = table_map[cid]
-        dc = huff.get((0, td))
-        ac = huff.get((1, ta))
-        if dc is None or ac is None:
-            raise KernelError("JPEG Huffman table missing")
-        planes.append({
-            "hs": hs, "vs": vs, "q": qt[tq], "dc": dc, "ac": ac,
-            "bw": bw, "bh": bh,
-            "coef": np.zeros((bh * bw, 64), dtype=np.float64),
-            "pred": 0,
-        })
-    n_mcus = mcus_x * mcus_y
-    rst_idx = 0
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.sync_restart(rst_idx)
-            rst_idx = (rst_idx + 1) & 7
-            for pl in planes:
-                pl["pred"] = 0
-        my, mx = divmod(m, mcus_x)
-        for pl in planes:
-            for by in range(pl["vs"]):
-                for bx in range(pl["hs"]):
-                    block = pl["coef"][
-                        (my * pl["vs"] + by) * pl["bw"] + mx * pl["hs"] + bx]
-                    s = reader.decode_huff(pl["dc"])
-                    if s > 11:
-                        raise KernelError("JPEG DC size out of range")
-                    diff = _extend(reader.receive(s), s) if s else 0
-                    pl["pred"] += diff
-                    block[0] = pl["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huff(pl["ac"])
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise KernelError("JPEG AC run overflows block")
-                        block[_ZIGZAG[k]] = _extend(reader.receive(size), size)
-                        k += 1
+    for pl in planes:
+        if pl["tq"] not in qt:
+            raise KernelError(f"JPEG quant table {pl['tq']} missing")
     # dequant + batched IDCT per component, then assemble planes
     mm = _idct_basis()
     out_planes = []
     for pl in planes:
-        coef = pl["coef"].reshape(-1, 8, 8) * pl["q"]
+        coef = (np.array(pl["coef"], dtype=np.float64).reshape(-1, 8, 8)
+                * qt[pl["tq"]])
         spatial = np.einsum("ux,nuv,vy->nxy", mm, coef, mm) + 128.0
         np.clip(spatial, 0, 255, out=spatial)
         spatial = np.rint(spatial).astype(np.uint8)

@@ -1639,6 +1639,39 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_jpeg_progressive",
+    """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
+       round((doc_id * 37 % 256) / 255.0, 6) AS mean_r,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2) decode end-to-end: spectral selection +
+    successive approximation + EOB-run scans over the same solid payloads
+    as media_jpeg_features — the oracle pins that the multi-scan decode is
+    pixel-exact too."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import image_stats
+    from .synth import build_jpeg_progressive
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_jpeg_progressive(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return image_stats(media).select(
+        "media_id", "width", "height", "mean_r", "status")
+
+
+@_register(
     "extract_tar_text",
     """
 SELECT doc_id AS tar_id,

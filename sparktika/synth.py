@@ -249,7 +249,8 @@ def build_gif(media_id: int) -> bytes:
 
 _JDC_BITS = bytes([0, 0, 0, 12] + [0] * 12)   # DC cats 0..11, all 4-bit codes
 _JDC_VALS = bytes(range(12))
-_JAC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_JAC_SYMS = ([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+             + [r << 4 for r in range(1, 15)])  # EOBn runs (progressive)
 _JAC_BITS = bytes([0] * 7 + [len(_JAC_SYMS)] + [0] * 8)  # all 8-bit codes
 _JAC_VALS = bytes(_JAC_SYMS)
 
@@ -384,6 +385,194 @@ def encode_jpeg(w: int, h: int, comps: list, restart_interval: int = 0) -> bytes
     return bytes(out)
 
 
+def encode_jpeg_progressive(w: int, h: int, comps: list) -> bytes:
+    """Progressive (SOF2) encoder over the same quantized-coefficient input
+    as encode_jpeg, emitting a 6-stage scan script: DC first pass at Al=1,
+    per-component AC bands 1-5 and 6-63 at Al=1 (spectral selection +
+    successive approximation, EOBn run coding), then DC refinement and
+    per-component AC refinement scans at Al=0 (libjpeg jcphuff algorithm:
+    correction bits buffered across EOB runs). Test-support code — its
+    whole purpose is the invariant that progressive and baseline encodings
+    of identical coefficients decode to identical pixels."""
+    import struct as _s
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    dc_map = _jhuff_codes(_JDC_BITS, _JDC_VALS)
+    ac_map = _jhuff_codes(_JAC_BITS, _JAC_VALS)
+    ceil_div = lambda a, b: -(-a // b)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">HB", 67, 0) + b"\x01" * 64
+    sof = _s.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, _blocks in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += b"\xff\xc2" + _s.pack(">H", 2 + len(sof)) + sof  # SOF2
+    out += (b"\xff\xc4" + _s.pack(">HB", 19 + len(_JDC_VALS), 0x00)
+            + _JDC_BITS + _JDC_VALS)
+    out += (b"\xff\xc4" + _s.pack(">HB", 19 + len(_JAC_VALS), 0x10)
+            + _JAC_BITS + _JAC_VALS)
+
+    def sos_header(comp_idx: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            body += bytes([comps[ci][0], 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + _s.pack(">H", 2 + len(body)) + body
+
+    def put_mag(wtr, hmap, sym, v, size):
+        code, ln = hmap[sym]
+        wtr.put(code, ln)
+        if size:
+            if v < 0:
+                v += (1 << size) - 1
+            wtr.put(v, size)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        wtr = _JBitWriter()
+        preds = [0] * len(comps)
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, (cid, hs, vs, blocks) in enumerate(comps):
+                bw = mcus_x * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        c0 = blocks[(my * vs + by) * bw + mx * hs + bx][0]
+                        if refine:
+                            wtr.put((c0 >> al) & 1, 1)
+                        else:
+                            v = c0 >> al  # arithmetic shift (T.81 pt xform)
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            size = abs(diff).bit_length()
+                            put_mag(wtr, dc_map, size, diff, size)
+        return wtr.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        cid, hs, vs, blocks = comps[ci]
+        bw = mcus_x * hs
+        nbx = ceil_div(ceil_div(w * hs, hmax), 8)
+        nby = ceil_div(ceil_div(h * vs, vmax), 8)
+        wtr = _JBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rbits = eobrun.bit_length() - 1
+                put_mag(wtr, ac_map, rbits << 4, 0, 0)
+                if rbits:
+                    wtr.put(eobrun - (1 << rbits), rbits)
+                eobrun = 0
+
+        for u in range(nbx * nby):
+            by, bx = divmod(u, nbx)
+            blk = blocks[by * bw + bx]
+            r = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = blk[_JZIGZAG[k]]
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    put_mag(wtr, ac_map, 0xF0, 0, 0)
+                    r -= 16
+                size = t.bit_length()
+                put_mag(wtr, ac_map, (r << 4) | size,
+                        t if v > 0 else -t, size)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        cid, hs, vs, blocks = comps[ci]
+        bw = mcus_x * hs
+        nbx = ceil_div(ceil_div(w * hs, hmax), 8)
+        nby = ceil_div(ceil_div(h * vs, vmax), 8)
+        wtr = _JBitWriter()
+        eobrun = 0
+        pending: list[int] = []  # correction bits carried with the EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                rbits = eobrun.bit_length() - 1
+                put_mag(wtr, ac_map, rbits << 4, 0, 0)
+                if rbits:
+                    wtr.put(eobrun - (1 << rbits), rbits)
+                eobrun = 0
+            for b in pending:
+                wtr.put(b, 1)
+            pending = []
+
+        for u in range(nbx * nby):
+            by, bx = divmod(u, nbx)
+            blk = blocks[by * bw + bx]
+            ab = [abs(blk[_JZIGZAG[k]]) >> al for k in range(ss, se + 1)]
+            eob = -1  # index (relative) of last newly-significant coef
+            for idx, t in enumerate(ab):
+                if t == 1:
+                    eob = idx
+            r = 0
+            br: list[int] = []
+            for idx, t in enumerate(ab):
+                if t == 0:
+                    r += 1
+                    continue
+                # flush ZRLs at ANY nonzero (incl. history coefs) — beyond
+                # the last new significance they fold into the EOB instead
+                # (libjpeg jcphuff encode_mcu_AC_refine ordering invariant)
+                while r > 15 and idx <= eob:
+                    flush_eob()
+                    put_mag(wtr, ac_map, 0xF0, 0, 0)
+                    r -= 16
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: buffered correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                v = blk[_JZIGZAG[ss + idx]]
+                put_mag(wtr, ac_map, (r << 4) | 1, 0, 0)
+                wtr.put(1 if v > 0 else 0, 1)
+                r = 0
+                for b in br:
+                    wtr.put(b, 1)
+                br = []
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    all_idx = list(range(len(comps)))
+    out += sos_header(all_idx, 0, 0, 0, 1) + dc_scan(1, refine=False)
+    for ci in all_idx:
+        out += sos_header([ci], 1, 5, 0, 1) + ac_first_scan(ci, 1, 5, 1)
+    for ci in all_idx:
+        out += sos_header([ci], 6, 63, 0, 1) + ac_first_scan(ci, 6, 63, 1)
+    out += sos_header(all_idx, 0, 0, 1, 0) + dc_scan(0, refine=True)
+    for ci in all_idx:
+        out += sos_header([ci], 1, 5, 1, 0) + ac_refine_scan(ci, 1, 5, 0)
+    for ci in all_idx:
+        out += sos_header([ci], 6, 63, 1, 0) + ac_refine_scan(ci, 6, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _solid_blocks(value: int, bw: int, bh: int) -> list:
     blk = [0] * 64
     blk[0] = 8 * (value - 128)
@@ -409,6 +598,31 @@ def build_jpeg(media_id: int) -> bytes:
         ])
     mcus_x, mcus_y = -(-w // 16), -(-h // 16)
     return encode_jpeg(w, h, [
+        (1, 2, 2, _solid_blocks(g, mcus_x * 2, mcus_y * 2)),
+        (2, 1, 1, _solid_blocks(128, mcus_x, mcus_y)),
+        (3, 1, 1, _solid_blocks(128, mcus_x, mcus_y)),
+    ])
+
+
+def build_jpeg_progressive(media_id: int) -> bytes:
+    """Progressive twin of build_jpeg: same solid gray, same variant
+    rotation (gray / 4:4:4 / 4:2:0), encoded with the 6-scan progressive
+    script — decodes to the identical exact pixels."""
+    w, h = media_dims(media_id)
+    g = media_id * 37 % 256
+    variant = media_id % 3
+    if variant == 0:
+        bw, bh = -(-w // 8), -(-h // 8)
+        return encode_jpeg_progressive(w, h, [(1, 1, 1, _solid_blocks(g, bw, bh))])
+    if variant == 1:
+        bw, bh = -(-w // 8), -(-h // 8)
+        return encode_jpeg_progressive(w, h, [
+            (1, 1, 1, _solid_blocks(g, bw, bh)),
+            (2, 1, 1, _solid_blocks(128, bw, bh)),
+            (3, 1, 1, _solid_blocks(128, bw, bh)),
+        ])
+    mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+    return encode_jpeg_progressive(w, h, [
         (1, 2, 2, _solid_blocks(g, mcus_x * 2, mcus_y * 2)),
         (2, 1, 1, _solid_blocks(128, mcus_x, mcus_y)),
         (3, 1, 1, _solid_blocks(128, mcus_x, mcus_y)),

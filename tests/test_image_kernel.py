@@ -316,15 +316,73 @@ def test_jpeg_restart_markers():
                     == vals[by * bw + bx]).all()
 
 
-def test_jpeg_rejects_progressive_and_truncation():
+def _rand_blocks(rng, nb, density=0.3, amp=60):
+    out = []
+    for _ in range(nb):
+        b = [0] * 64
+        b[0] = int(rng.randint(-900, 900))
+        for k in range(1, 64):
+            if rng.rand() < density:
+                v = int(rng.randint(-amp, amp))
+                if v:
+                    b[k] = v
+        out.append(b)
+    return out
+
+
+def test_jpeg_progressive_equals_baseline():
+    """THE progressive correctness gate: progressive (SOF2, 6-scan
+    spectral-selection + successive-approximation script) and baseline
+    encodings of IDENTICAL quantized coefficients must decode to
+    identical pixels — covers DC/AC first passes, DC/AC refinement,
+    EOB runs, ZRL folding, gray + 4:4:4 + 4:2:0."""
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(17)
+    for (w, h) in ((8, 8), (40, 24), (17, 9)):
+        for density in (0.05, 0.4, 0.9):
+            bw, bh = -(-w // 8), -(-h // 8)
+            blocks = _rand_blocks(rng, bw * bh, density)
+            base = decode_jpeg(encode_jpeg(w, h, [(1, 1, 1, blocks)]))
+            prog = decode_jpeg(encode_jpeg_progressive(
+                w, h, [(1, 1, 1, [list(b) for b in blocks])]))
+            assert (base.pixels == prog.pixels).all(), (w, h, density)
+    for (w, h, (hs, vs)) in ((32, 32, (2, 2)), (24, 24, (1, 1)),
+                             (33, 17, (2, 1))):
+        mcx, mcy = -(-w // (8 * hs)), -(-h // (8 * vs))
+        comps = [(1, hs, vs, _rand_blocks(rng, mcx * hs * mcy * vs)),
+                 (2, 1, 1, _rand_blocks(rng, mcx * mcy, 0.15, 30)),
+                 (3, 1, 1, _rand_blocks(rng, mcx * mcy, 0.15, 30))]
+        comps2 = [(cid, a, b, [list(x) for x in bl]) for cid, a, b, bl in comps]
+        base = decode_jpeg(encode_jpeg(w, h, comps))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, comps2))
+        assert (base.pixels == prog.pixels).all(), (w, h, hs, vs)
+
+
+def test_jpeg_progressive_solid_variants():
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import build_jpeg_progressive, media_dims
+
+    for mid in (0, 1, 2, 7, 100, 255):
+        img = decode_jpeg(build_jpeg_progressive(mid))
+        w, h = media_dims(mid)
+        assert (img.width, img.height) == (w, h)
+        assert (img.pixels == mid * 37 % 256).all(), mid
+
+
+def test_jpeg_rejects_arithmetic_and_truncation():
     from sparktika.kernels.image import decode_jpeg
     from sparktika.synth import build_jpeg
 
     good = build_jpeg(4)
-    # flip SOF0 -> SOF2 (progressive): honest unsupported error
+    # flip SOF0 -> SOF2: a single full-band scan is legal under
+    # progressive rules and must decode to the same pixels
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert (decode_jpeg(prog).pixels == decode_jpeg(good).pixels).all()
+    # arithmetic coding (SOF9): honest unsupported error
     with pytest.raises(KernelError):
-        decode_jpeg(prog)
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
     # truncated entropy data: error, never a hang
     with pytest.raises(KernelError):
         decode_jpeg(good[: len(good) - (len(good) - good.index(b"\xff\xda")) // 2])
