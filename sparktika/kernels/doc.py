@@ -54,6 +54,7 @@ class DocResult:
     n_chars_main: int = 0
     n_chars_footnotes: int = 0
     n_chars_headers: int = 0
+    n_embedded_objects: int = 0  # ObjectPool sub-storages (OLE embeds)
 
 
 def _normalize(text: str) -> str:
@@ -169,6 +170,13 @@ def extract_doc(data: bytes, deadline: float | None = None) -> DocResult:
     ftn = _normalize(full[ccp_text : ccp_text + ccp_ftn])
     hdd = _normalize(full[ccp_text + ccp_ftn : ccp_text + ccp_ftn + ccp_hdd])
     tail = _normalize(full[ccp_text + ccp_ftn + ccp_hdd :])
+    # embedded OLE objects live as sub-storages of the ObjectPool storage
+    # (one per 0x01 picture/object anchor in the text); count them —
+    # payload extraction of arbitrary embeds is out of kernel scope
+    pool = next((e for e in ole.root_children()
+                 if e.obj_type == 1 and e.name == "ObjectPool"), None)
+    n_embedded = (sum(1 for k in ole.storage_children(pool)
+                      if k.obj_type == 1) if pool is not None else 0)
     return DocResult(text=main + ftn + hdd + tail, n_pieces=n,
                      n_chars_main=len(main), n_chars_footnotes=len(ftn),
-                     n_chars_headers=len(hdd))
+                     n_chars_headers=len(hdd), n_embedded_objects=n_embedded)

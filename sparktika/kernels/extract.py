@@ -323,6 +323,8 @@ def extract_document(
                     md["n-chars-footnotes"] = [str(r.n_chars_footnotes)]
                 if r.n_chars_headers:
                     md["n-chars-headers"] = [str(r.n_chars_headers)]
+                if r.n_embedded_objects:
+                    md["n-embedded-objects"] = [str(r.n_embedded_objects)]
                 return res(detected="application/msword",
                            text_extracted=text if cfg.parse_content else None,
                            metadata=md,

@@ -40,7 +40,8 @@ MSG_MIME = "application/vnd.ms-outlook"
 
 _ATTACH_LONG_FILENAME = 0x3707  # PidTagAttachLongFilename
 _ATTACH_FILENAME = 0x3704       # PidTagAttachFilename
-_ATTACH_DATA = "__substg1.0_37010102"  # PidTagAttachDataBinary
+_ATTACH_DATA = "__substg1.0_37010102"      # PidTagAttachDataBinary
+_ATTACH_DATA_OBJ = "__substg1.0_3701000D"  # PidTagAttachDataObject (storage)
 
 
 @dataclass
@@ -48,6 +49,7 @@ class MsgAttachment:
     filename: str | None
     n_bytes: int
     text: str | None  # decoded for text payloads; None for binary
+    embedded_subject: str | None = None  # set for message/rfc822-style nests
 
 
 @dataclass
@@ -119,20 +121,33 @@ def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
          if e.obj_type == 1 and e.name.startswith("__attach_version1.0_")),
         key=lambda e: e.name)
     for st in storages:
-        kids = {k.name: k for k in ole.storage_children(st)
-                if k.obj_type == 2}
+        all_kids = ole.storage_children(st)
+        kids = {k.name: k for k in all_kids if k.obj_type == 2}
         fname = (_read_sub_prop(ole, kids, _ATTACH_LONG_FILENAME)
                  or _read_sub_prop(ole, kids, _ATTACH_FILENAME))
         data_entry = kids.get(_ATTACH_DATA)
         n_bytes = data_entry.size if data_entry is not None else 0
         text = None
-        if data_entry is not None and fname and fname.lower().endswith(".txt"):
+        emb_subject = None
+        # PidTagAttachDataObject sub-STORAGE: an embedded Outlook message
+        # (one level deep — matching Tika's embedded-document recursion
+        # depth guard posture; deeper nests stay opaque)
+        emb = next((k for k in all_kids
+                    if k.obj_type == 1 and k.name == _ATTACH_DATA_OBJ), None)
+        if emb is not None:
+            ekids = {k.name: k for k in ole.storage_children(emb)
+                     if k.obj_type == 2}
+            emb_subject = _read_sub_prop(ole, ekids, _SUBJECT)
+            text = _read_sub_prop(ole, ekids, _BODY)
+        elif (data_entry is not None and fname
+              and fname.lower().endswith(".txt")):
             raw = ole.read_entry(data_entry)
             try:
                 text = raw.decode("utf-8")
             except UnicodeDecodeError:
                 text = raw.decode("cp1252", "replace")
-        out.append(MsgAttachment(filename=fname, n_bytes=n_bytes, text=text))
+        out.append(MsgAttachment(filename=fname, n_bytes=n_bytes, text=text,
+                                 embedded_subject=emb_subject))
     return out
 
 
@@ -191,10 +206,13 @@ def extract_msg(ole: Ole2File) -> MsgResult:
         text += "\n"
     attachments = _extract_attachments(ole)
     for a in attachments:
-        if not (a.filename or a.n_bytes):
+        if not (a.filename or a.n_bytes or a.embedded_subject or a.text):
             continue  # placeholder storage: counted, nothing to render
-        text += (f"[Attachment: {a.filename}]\n" if a.filename
-                 else "[Attachment]\n")
+        if a.embedded_subject is not None:
+            text += f"[Attachment message: {a.embedded_subject}]\n"
+        else:
+            text += (f"[Attachment: {a.filename}]\n" if a.filename
+                     else "[Attachment]\n")
         if a.text:
             text += a.text if a.text.endswith("\n") else a.text + "\n"
 

@@ -1065,6 +1065,7 @@ SELECT doc_id,
        CAST(length('Doc body ' || doc_id || '. link ' || doc_id) + 1 AS INT) AS n_chars_main,
        CAST(length('Note ' || doc_id || '.') + 1 AS INT) AS n_chars_footnotes,
        CAST(length('Header ' || doc_id) + 1 AS INT) AS n_chars_headers,
+       CAST(2 AS INT) AS n_embedded,
        'ok' AS status
 FROM documents
 """,
@@ -1100,6 +1101,8 @@ def extract_doc_subdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("int").alias("n_chars_footnotes"),
         F.element_at("metadata", "n-chars-headers").getItem(0)
          .cast("int").alias("n_chars_headers"),
+        F.element_at("metadata", "n-embedded-objects").getItem(0)
+         .cast("int").alias("n_embedded"),
         "status")
 
 
@@ -1151,6 +1154,49 @@ def extract_msg_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("int").alias("n_attachments"),
         F.element_at("metadata", "attachment-names").getItem(0)
          .alias("attachment_names"),
+        "status")
+
+
+@_register(
+    "extract_msg_nested",
+    """
+SELECT doc_id AS msg_id,
+       'Outer ' || doc_id AS title,
+       'Outer ' || doc_id || chr(10) || chr(10) ||
+       'Outer body ' || doc_id || '.' || chr(10) ||
+       '[Attachment message: Inner ' || (doc_id % 9) || ']' || chr(10) ||
+       'Inner body ' || doc_id || '.' || chr(10) AS text_extracted,
+       CAST(1 AS INT) AS n_attachments,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_msg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-message attachments (PidTagAttachDataObject sub-storage):
+    the inner message's subject and body render inline, one nesting level
+    deep (Tika's embedded-document recursion posture)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_msg_nested
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_msg_nested(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://mail.example.com/n"),
+                 F.col("doc_id").cast("string"), F.lit(".msg")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/n(\d+)\.msg$", 1).cast("long").alias("msg_id"),
+        "title", "text_extracted",
+        F.element_at("metadata", "n-attachments").getItem(0)
+         .cast("int").alias("n_attachments"),
         "status")
 
 

@@ -137,22 +137,45 @@ def _ole2_file(streams: dict[str, bytes], storages: list = ()) -> bytes:
     FREE, EOC, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
     pad = lambda b: b + b"\x00" * (-len(b) % SEC)
 
-    norm_storages = [(s, {}) if isinstance(s, str) else s for s in storages]
-    n_entries = (1 + len(streams) + len(norm_storages)
-                 + sum(len(kids) for _, kids in norm_storages))
-    dir_sectors = (n_entries * 128 + SEC - 1) // SEC
+    # normalize into a tree: node = [name, typ, payload_or_children,
+    # slot, start]; a dict-valued child is a nested sub-storage
+    def norm_kids(kids: dict) -> list:
+        return [[cn, 1, norm_kids(v), -1, EOC] if isinstance(v, dict)
+                else [cn, 2, v, -1, EOC]
+                for cn, v in kids.items()]
+
+    top: list = [[n, 2, p, -1, EOC] for n, p in streams.items()]
+    for s in storages:
+        if isinstance(s, str):
+            top.append([s, 1, [], -1, EOC])
+        else:
+            sname, kids = s
+            top.append([sname, 1, norm_kids(kids), -1, EOC])
+    root = ["Root Entry", 5, top, 0, EOC]
+
+    # pre-order slot assignment + flat node list
+    nodes: list = []
+
+    def assign(node):
+        node[3] = len(nodes)
+        nodes.append(node)
+        if node[1] != 2:
+            for ch in node[2]:
+                assign(ch)
+
+    assign(root)
+    dir_sectors = (len(nodes) * 128 + SEC - 1) // SEC
     fat = [FATSECT]
     for i in range(dir_sectors):
         fat.append(2 + i if i < dir_sectors - 1 else EOC)
-    # allocate FAT chains for every stream payload (top-level then nested)
-    all_payloads = list(streams.items()) + [
-        (f"{sname}\x00{cname}", body)
-        for sname, kids in norm_storages for cname, body in kids.items()]
-    starts, chunks = {}, []
+    chunks = []
     nxt = 1 + dir_sectors
-    for key, payload in all_payloads:
+    for node in nodes:
+        if node[1] != 2:
+            continue
+        payload = node[2]
         n = max(1, (len(payload) + SEC - 1) // SEC)
-        starts[key] = nxt
+        node[4] = nxt
         for k in range(n):
             fat.append(nxt + k + 1 if k < n - 1 else EOC)
         chunks.append(pad(payload))
@@ -168,33 +191,25 @@ def _ole2_file(streams: dict[str, bytes], storages: list = ()) -> bytes:
                 + bytes([typ, 0]) + _s.pack("<iii", -1, right, child)
                 + b"\x00" * 36 + _s.pack("<IQ", start, size))
 
-    # slot plan: 0=root, 1..=top streams, then storages, then child streams
-    top_slots = list(range(1, 1 + len(streams) + len(norm_storages)))
-    child_base = 1 + len(streams) + len(norm_storages)
-    ents: list[bytes] = []
-    ents.append(entry("Root Entry", 5, EOC, 0,
-                      child=top_slots[0] if top_slots else -1))
-    top_items = ([(n, 2, starts[n], len(p), -1) for n, p in streams.items()]
-                 + [(sname, 1, EOC, 0, si)
-                    for si, (sname, _kids) in enumerate(norm_storages)])
-    child_slot = child_base
-    child_entries: list[bytes] = []
-    storage_child_slots: dict[int, int] = {}
-    for si, (sname, kids) in enumerate(norm_storages):
-        items = list(kids.items())
-        if items:
-            storage_child_slots[si] = child_slot
-        for k, (cname, body) in enumerate(items):
-            nxt_sib = child_slot + 1 if k < len(items) - 1 else -1
-            child_entries.append(entry(
-                cname, 2, starts[f"{sname}\x00{cname}"], len(body),
-                right=nxt_sib))
-            child_slot += 1
-    for pos, (name, typ, start, size, si) in enumerate(top_items):
-        nxt_sib = top_slots[pos + 1] if pos < len(top_items) - 1 else -1
-        child = storage_child_slots.get(si, -1) if typ == 1 else -1
-        ents.append(entry(name, typ, start, size, right=nxt_sib, child=child))
-    directory = b"".join(ents + child_entries)
+    ents = []
+    for node in nodes:
+        name, typ, body, _slot, start = node
+        if typ == 2:
+            size, child = len(body), -1
+        else:
+            size = 0
+            start = EOC
+            child = body[0][3] if body else -1
+        right = -1
+        ents.append([name, typ, start, size, right, child])
+    # sibling chains: each child points right to the next sibling's slot
+    for node in nodes:
+        if node[1] == 2:
+            continue
+        kids = node[2]
+        for a, b in zip(kids, kids[1:]):
+            ents[a[3]][4] = b[3]
+    directory = b"".join(entry(*e) for e in ents)
     header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
               + _s.pack("<HHHHHHIIIIIIIII", 0x003E, 0x0003, 0xFFFE, 9, 6,
                         0, 0, 0, 1, 1, 0, 4096, EOC, 0, EOC)
@@ -858,7 +873,32 @@ def build_doc_full(doc_id: int) -> bytes:
     table = b"\x00" * 0x80 + clx
     _s.pack_into("<II", wd, 0x01A2, 0x80, len(clx))   # fcClx, lcbClx
     full_wd = bytes(wd) + b"\x00" * (fc_cursor - len(wd)) + raw
-    return _ole2_file({"WordDocument": full_wd, "0Table": table})
+    # two embedded OLE objects in the ObjectPool (n-embedded-objects = 2)
+    return _ole2_file(
+        {"WordDocument": full_wd, "0Table": table},
+        storages=[("ObjectPool",
+                   {"_1001": {"\x01Ole": b"\x00" * 8},
+                    "_1002": {"\x01Ole": b"\x00" * 8}})])
+
+
+def build_msg_nested(msg_id: int) -> bytes:
+    """.msg whose single attachment is an EMBEDDED MESSAGE (PidTagAttach-
+    DataObject sub-storage holding its own MAPI property streams) —
+    extract_msg_nested oracle; all fields pure functions of msg_id."""
+    u16 = lambda s: s.encode("utf-16-le")
+    return _ole2_file(
+        {
+            "__substg1.0_0037001F": u16(f"Outer {msg_id}"),
+            "__substg1.0_1000001F": u16(f"Outer body {msg_id}."),
+            "__properties_version1.0": b"\x00" * 32,
+        },
+        storages=[
+            ("__attach_version1.0_#00000000",
+             {"__substg1.0_3701000D": {
+                 "__substg1.0_0037001F": u16(f"Inner {msg_id % 9}"),
+                 "__substg1.0_1000001F": u16(f"Inner body {msg_id}."),
+             }}),
+        ])
 
 
 def build_rtf(doc_id: int) -> bytes:

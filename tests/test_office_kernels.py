@@ -333,6 +333,7 @@ def test_doc_subdocument_segmentation():
     r = extract_doc(build_doc_full(42))
     assert r.text == "Doc body 42. link 42\nNote 42.\nHeader 42\n"
     assert (r.n_chars_main, r.n_chars_footnotes, r.n_chars_headers) == (21, 9, 10)
+    assert r.n_embedded_objects == 2  # ObjectPool sub-storages
     # zeroed FIB ccps (the _doc_streams helper) -> all chars counted as main
     wd, table = _doc_streams([("plain\r", True)])
     r2 = extract_doc(_build_ole2({"WordDocument": wd, "0Table": table}))
@@ -510,6 +511,20 @@ def test_msg_attachment_without_filename_and_83_fallback():
     assert r.attachments[0].text is None and r.attachments[0].n_bytes == 3
     assert r.attachments[1].text == "dos text"
     assert "[Attachment]\n[Attachment: OLD83.TXT]\ndos text\n" in r.text
+
+
+def test_msg_embedded_message_attachment():
+    """PidTagAttachDataObject sub-storage renders the inner message's
+    subject and body inline (one level deep)."""
+    from sparktika.kernels.msg import extract_msg
+    from sparktika.synth import build_msg_nested
+    from sparktika.kernels.ole2 import Ole2File
+
+    r = extract_msg(Ole2File(build_msg_nested(13)))
+    assert r.n_attachments == 1
+    assert r.attachments[0].embedded_subject == "Inner 4"
+    assert r.attachments[0].text == "Inner body 13."
+    assert r.text.endswith("[Attachment message: Inner 4]\nInner body 13.\n")
 
 
 def test_ole2_directory_tree_cycle_guard():
