@@ -132,6 +132,12 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
             return declared_n
     if bom or _mostly_text(data):
         return "text/plain"
+    # BOM-less UTF-16 text (ICU-style null-parity signal): NULs defeat the
+    # printable-ratio sniff, so check the pattern explicitly
+    from .charset import detect_utf16_heuristic
+
+    if detect_utf16_heuristic(data) is not None:
+        return "text/plain"
     return OCTET_STREAM
 
 

@@ -1006,6 +1006,48 @@ def extract_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_charset_utf16",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'utf-16-le' ELSE 'utf-16-be' END AS charset_detected,
+       'Utf16 sample ' || doc_id || '. The quick brown fox jumps over the lazy dog.' AS text_extracted,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_charset_utf16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM-less UTF-16 end-to-end: the ICU-style null-parity signal routes
+    the payload through the MIME text sniff (NULs would otherwise defeat
+    the printable-ratio check) and the charset kernel decodes LE/BE to
+    the exact original text."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            enc = "utf-16-le" if i % 2 == 0 else "utf-16-be"
+            out.append((f"Utf16 sample {i}. The quick brown fox jumps "
+                        "over the lazy dog.").encode(enc))
+        return pd.Series(out)
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://text.example.com/u"),
+                 F.col("doc_id").cast("string"), F.lit(".txt")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/u(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        "charset_detected", "text_extracted", "status")
+
+
+@_register(
     "source_warc_ingest",
     """
 SELECT doc_id,
