@@ -207,6 +207,49 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/json" or (
+                detected.startswith("text/")
+                and (declared or "").split(";")[0].strip().lower()
+                == "application/json"):
+            # JSON payloads: string-leaf traversal (document order), one
+            # line per string value — the shape LLM-pipeline text jobs
+            # want from crawled JSON. Malformed JSON degrades to the
+            # plain-text path below (never a task failure).
+            import json as _json
+
+            cs = charset.detect_charset(data, is_html=False)
+            raw_text, cs = charset.decode(data, cs, is_html=False)
+            try:
+                obj = _json.loads(raw_text)
+            except ValueError:
+                obj = None
+            if obj is not None:
+                parts: list[str] = []
+                stack = [obj]
+                while stack:
+                    node = stack.pop()
+                    if isinstance(node, str):
+                        parts.append(node)
+                    elif isinstance(node, dict):
+                        stack.extend(reversed(list(node.values())))
+                    elif isinstance(node, list):
+                        stack.extend(reversed(node))
+                    if len(parts) > 1_000_000:
+                        raise KernelError("JSON string-leaf cap exceeded")
+                text = "\n".join(parts) + ("\n" if parts else "")
+                text, limited = _cap_text(text, cfg.max_chars)
+                title = (obj.get("title") if isinstance(obj, dict)
+                         and isinstance(obj.get("title"), str) else None)
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected="application/json", title=title,
+                           charset_detected=cs,
+                           text_extracted=text if cfg.parse_content else None,
+                           metadata={"Content-Type": ["application/json"],
+                                     "n-string-leaves": [str(len(parts))]},
+                           status=status, write_limit_reached=limited)
+            # malformed JSON: fall through to plain-text extraction
+            detected = "text/plain"
+
         if detected.startswith("text/"):
             cs = charset.detect_charset(data, is_html=False)
             text, cs = charset.decode(data, cs, is_html=False)

@@ -1006,6 +1006,53 @@ def extract_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_json_text",
+    """
+SELECT doc_id,
+       'Json doc ' || doc_id AS title,
+       'Json doc ' || doc_id || chr(10) || 'Body text ' || doc_id || '.' || chr(10) ||
+       't' || (doc_id % 5) || chr(10) || 'u' || ((doc_id + 1) % 5) || chr(10) AS text_extracted,
+       CAST(4 AS INT) AS n_leaves,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_json_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payloads: depth-first string-leaf traversal in document order,
+    one line per string value; top-level "title" key surfaces as the
+    document title. Numbers/bools are skipped (text-pipeline semantics)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            out.append((f'{{"title": "Json doc {i}", "body": "Body text {i}.",'
+                        f' "tags": ["t{i % 5}", "u{(i + 1) % 5}"], "n": {i}}}'
+                        ).encode())
+        return pd.Series(out)
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://api.example.com/j"),
+                 F.col("doc_id").cast("string"), F.lit(".json")).alias("url"),
+        F.lit("application/json").alias("content_type"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/j(\d+)\.json$", 1).cast("long").alias("doc_id"),
+        "title", "text_extracted",
+        F.element_at("metadata", "n-string-leaves").getItem(0)
+         .cast("int").alias("n_leaves"),
+        "status")
+
+
+@_register(
     "extract_charset_utf16",
     """
 SELECT doc_id,

@@ -549,3 +549,30 @@ def test_xml_keeps_detected_type():
     r = extract_document("u", None, b'<?xml version="1.0"?><rss><channel><title>t</title></channel></rss>')
     assert r.content_type_detected == "application/xml"
     assert r.metadata["Content-Type"][0].startswith("application/xml")
+
+
+def test_json_extraction_string_leaves():
+    """JSON payloads: string leaves in document order, one per line;
+    top-level title key -> title; malformed JSON degrades to plain text;
+    numbers/bools/null skipped."""
+    from sparktika.kernels.extract import extract_document
+
+    js = (b'{"title": "T", "a": [1, "one", {"b": "two", "c": null}], '
+          b'"d": true, "e": "three"}')
+    r = extract_document("https://x/d.json", "application/json", js)
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/json"
+    assert r.title == "T"
+    assert r.text_extracted == "T\none\ntwo\nthree\n"
+    assert r.metadata["n-string-leaves"] == ["4"]
+    # malformed -> plain-text degrade, never a failure
+    bad = extract_document("https://x/b.json", "application/json", b"{oops")
+    assert (bad.status, bad.content_type_detected) == ("ok", "text/plain")
+    assert bad.text_extracted == "{oops"
+    # top-level array, no title
+    arr = extract_document("https://x/a.json", "application/json",
+                           b'["x", {"y": "z"}]')
+    assert arr.title is None and arr.text_extracted == "x\nz\n"
+    # empty object: ok with empty text
+    empty = extract_document("https://x/e.json", "application/json", b"{}")
+    assert (empty.status, empty.text_extracted) == ("ok", "")
