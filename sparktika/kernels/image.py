@@ -49,6 +49,8 @@ def sniff_image(data: bytes) -> str | None:
         return "image/jpeg"
     if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
         return "image/gif"
+    if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
+        return "image/tiff"
     return None
 
 
@@ -366,6 +368,109 @@ def decode_gif(data: bytes) -> DecodedImage:
         else:
             raise KernelError(f"unknown GIF block 0x{block:02X}")
     raise KernelError("GIF contains no image frame")
+
+
+# ---------------------------------------------------------------- TIFF
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(data: bytes) -> DecodedImage:
+    """Baseline TIFF 6.0: first IFD, uncompressed strips, 8-bit grayscale
+    (photometric 0/1), RGB(A) and palette-color, both byte orders.
+    LZW/PackBits/JPEG-in-TIFF compression raise KernelError (degrade to
+    status rows). Tag walk is bounds-checked; entry count capped."""
+    import numpy as np
+
+    if data.startswith(b"II*\x00"):
+        endian = "<"
+    elif data.startswith(b"MM\x00*"):
+        endian = ">"
+    else:
+        raise KernelError("not a TIFF")
+    n = len(data)
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    if ifd_off + 2 > n:
+        raise KernelError("TIFF IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    if n_entries == 0 or n_entries > 4096:
+        raise KernelError("implausible TIFF IFD entry count")
+    if ifd_off + 2 + 12 * n_entries > n:
+        raise KernelError("TIFF IFD truncated")
+
+    def read_values(tag_type: int, count: int, value_field: bytes) -> list[int]:
+        size = _TIFF_TYPE_SIZE.get(tag_type)
+        if size is None:
+            return []
+        total = size * count
+        if total <= 4:
+            raw = value_field[:total]
+        else:
+            (off,) = struct.unpack_from(endian + "I", value_field, 0)
+            if off + total > n:
+                raise KernelError("TIFF tag values out of bounds")
+            raw = data[off : off + total]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}.get(tag_type)
+        if fmt is None:  # RATIONAL etc.: not needed for decode
+            return []
+        return list(struct.unpack(endian + fmt * count, raw))
+
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        tag, ttype, count = struct.unpack_from(endian + "HHI", data, off)
+        if count > 1_000_000:
+            raise KernelError("implausible TIFF tag count")
+        tags[tag] = read_values(ttype, count, data[off + 8 : off + 12])
+
+    w = (tags.get(256) or [0])[0]
+    h = (tags.get(257) or [0])[0]
+    if not w or not h or w * h > _MAX_PIXELS:
+        raise KernelError("implausible TIFF dimensions")
+    compression = (tags.get(259) or [1])[0]
+    if compression != 1:
+        raise KernelError(f"TIFF compression {compression} not supported")
+    photometric = (tags.get(262) or [1])[0]
+    spp = (tags.get(277) or [1])[0]
+    bits = tags.get(258) or [8] * spp
+    if any(b != 8 for b in bits):
+        raise KernelError("TIFF bit depth != 8 not supported")
+    strip_offsets = tags.get(273) or []
+    strip_counts = tags.get(279) or []
+    if not strip_offsets:
+        raise KernelError("TIFF has no strip offsets")
+    if not strip_counts:
+        strip_counts = [w * h * spp]  # single strip, implied length
+    raster = bytearray()
+    need = w * h * spp
+    for so, sc in zip(strip_offsets, strip_counts):
+        if so + sc > n:
+            raise KernelError("TIFF strip out of bounds")
+        raster += data[so : so + sc]
+        if len(raster) >= need:
+            break
+    if len(raster) < need:
+        raise KernelError("TIFF raster truncated")
+    arr = np.frombuffer(bytes(raster[:need]), dtype=np.uint8).reshape(h, w, spp)
+    if photometric == 2:  # RGB(A)
+        if spp < 3:
+            raise KernelError("TIFF RGB with <3 samples")
+        rgb = arr[:, :, :3]
+    elif photometric == 3:  # palette: ColorMap is 3*2^bits 16-bit values
+        cmap = tags.get(320) or []
+        if len(cmap) < 768:
+            raise KernelError("TIFF palette missing ColorMap")
+        pal = (np.array(cmap[:768], dtype=np.uint16)
+               .reshape(3, 256).T // 257).astype(np.uint8)
+        rgb = pal[arr[:, :, 0]]
+    elif photometric in (0, 1):  # grayscale (0 = white-is-zero)
+        g = arr[:, :, 0]
+        if photometric == 0:
+            g = 255 - g
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        raise KernelError(f"TIFF photometric {photometric} not supported")
+    return DecodedImage(width=w, height=h, pixels=np.ascontiguousarray(rgb))
 
 
 # ---------------------------------------------------------------- JPEG
@@ -858,6 +963,8 @@ def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
         return decode_gif(data)
     if kind == "image/jpeg":
         return decode_jpeg(data)
+    if kind == "image/tiff":
+        return decode_tiff(data)
     raise KernelError("unrecognized image payload")
 
 

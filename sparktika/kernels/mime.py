@@ -34,6 +34,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"BM", "image/bmp"),
     (b"\x00\x00\x01\x00", "image/vnd.microsoft.icon"),
     (b"OggS", "audio/ogg"),

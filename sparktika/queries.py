@@ -1774,6 +1774,47 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_tiff_features",
+    """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'ii-rgb' WHEN 1 THEN 'mm-strips' ELSE 'ii-palette' END AS variant,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
+       round((doc_id * 37 % 256) / 255.0, 6) AS mean_r,
+       round((doc_id * 59 % 256) / 255.0, 6) AS mean_g,
+       round((doc_id * 83 % 256) / 255.0, 6) AS mean_b,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncompressed TIFF decode end-to-end: IFD tag walk, strip assembly,
+    both byte orders, RGB/palette photometrics. Solid synth fills make
+    every channel mean an exact color/255 rational (palette entries are
+    value*257, dividing back exactly)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import image_stats
+    from .synth import build_tiff
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_tiff(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return image_stats(media).select(
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, F.lit("ii-rgb"))
+         .when(F.col("media_id") % 3 == 1, F.lit("mm-strips"))
+         .otherwise(F.lit("ii-palette")).alias("variant"),
+        "width", "height", "mean_r", "mean_g", "mean_b", "status")
+
+
+@_register(
     "media_jpeg_progressive",
     """
 SELECT doc_id AS media_id,

@@ -619,6 +619,87 @@ def build_jpeg(media_id: int) -> bytes:
     ])
 
 
+def build_tiff(media_id: int) -> bytes:
+    """Deterministic uncompressed TIFF (media_tiff_features oracle): solid
+    _media_color fill; variants rotate II single-strip RGB / MM multi-strip
+    RGB (RowsPerStrip=4) / II palette-color (ColorMap value*257 divides
+    back exactly), so decoded means are exact color/255 rationals."""
+    import struct as _s
+
+    w, h = media_dims(media_id)
+    r, g, b = _media_color(media_id)
+    variant = media_id % 3
+    endian = ">" if variant == 1 else "<"
+    magic = b"MM\x00*" if variant == 1 else b"II*\x00"
+
+    if variant == 2:  # palette: every pixel indexes entry 5
+        raster = bytes([5]) * (w * h)
+        spp, photometric = 1, 3
+    else:
+        raster = bytes([r, g, b]) * (w * h)
+        spp, photometric = 3, 2
+    rows_per_strip = 4 if variant == 1 else h
+    strips = []
+    row_bytes = w * spp
+    for y0 in range(0, h, rows_per_strip):
+        y1 = min(y0 + rows_per_strip, h)
+        strips.append(raster[y0 * row_bytes : y1 * row_bytes])
+
+    # layout: header(8) | strip data | external values | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+
+    def ext(values: list[int], fmt: str) -> int:
+        nonlocal extra
+        off = pos + len(extra)
+        extra += _s.pack(endian + fmt * len(values), *values)
+        return off
+
+    entries = []  # (tag, type, count, packed-4-byte value field)
+
+    def short_entry(tag: int, values: list[int]) -> None:
+        if len(values) <= 2:
+            field = _s.pack(endian + "H" * len(values), *values).ljust(4, b"\x00")
+        else:
+            field = _s.pack(endian + "I", ext(values, "H"))
+        entries.append((tag, 3, len(values), field))
+
+    def long_entry(tag: int, values: list[int]) -> None:
+        if len(values) == 1:
+            field = _s.pack(endian + "I", values[0])
+        else:
+            field = _s.pack(endian + "I", ext(values, "I"))
+        entries.append((tag, 4, len(values), field))
+
+    short_entry(256, [w])
+    short_entry(257, [h])
+    short_entry(258, [8] * spp)
+    short_entry(259, [1])                      # uncompressed
+    short_entry(262, [photometric])
+    long_entry(273, strip_offsets)
+    short_entry(277, [spp])
+    short_entry(278, [rows_per_strip])
+    long_entry(279, [len(s) for s in strips])
+    if variant == 2:
+        reds = [0] * 256
+        greens = [0] * 256
+        blues = [0] * 256
+        reds[5], greens[5], blues[5] = r * 257, g * 257, b * 257
+        short_entry(320, reds + greens + blues)
+    entries.sort(key=lambda e: e[0])
+    ifd_off = pos + len(extra)
+    ifd = _s.pack(endian + "H", len(entries))
+    for tag, ttype, count, field in entries:
+        ifd += _s.pack(endian + "HHI", tag, ttype, count) + field
+    ifd += _s.pack(endian + "I", 0)  # no next IFD
+    header = magic + _s.pack(endian + "I", ifd_off)
+    return header + b"".join(strips) + bytes(extra) + ifd
+
+
 def build_jpeg_progressive(media_id: int) -> bytes:
     """Progressive twin of build_jpeg: same solid gray, same variant
     rotation (gray / 4:4:4 / 4:2:0), encoded with the 6-scan progressive

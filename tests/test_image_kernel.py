@@ -235,6 +235,45 @@ def test_jpeg_dimensions_from_sof():
     assert jpeg_dimensions(trunc) is None
 
 
+# ------------------------------------------------------------------- TIFF
+
+def test_tiff_roundtrip_all_variants():
+    """Uncompressed TIFF: II single-strip RGB, MM multi-strip RGB, and
+    II palette decode to exact solid fills."""
+    from sparktika.kernels.image import decode_tiff, sniff_image
+    from sparktika.synth import build_tiff, media_dims, _media_color
+
+    for mid in (0, 1, 2, 7, 100, 255):
+        data = build_tiff(mid)
+        assert sniff_image(data) == "image/tiff"
+        img = decode_tiff(data)
+        w, h = media_dims(mid)
+        r, g, b = _media_color(mid)
+        assert (img.width, img.height) == (w, h)
+        assert ((img.pixels[:, :, 0] == r).all()
+                and (img.pixels[:, :, 1] == g).all()
+                and (img.pixels[:, :, 2] == b).all()), mid
+
+
+def test_tiff_rejects_compressed_and_truncated():
+    import struct as _s
+    from sparktika.kernels.image import decode_tiff
+    from sparktika.synth import build_tiff
+
+    good = bytearray(build_tiff(3))
+    # flip the Compression tag (259) value to 5 (LZW): honest reject
+    ole = bytes(good)
+    idx = ole.rindex(_s.pack("<HHI", 259, 3, 1))
+    bad = bytearray(ole)
+    bad[idx + 8] = 5
+    with pytest.raises(KernelError):
+        decode_tiff(bytes(bad))
+    with pytest.raises(KernelError):
+        decode_tiff(ole[:40])  # truncated strips/IFD
+    with pytest.raises(KernelError):
+        decode_tiff(b"II*\x00" + b"\xff" * 16)  # IFD out of bounds
+
+
 # ------------------------------------------------------- JPEG (full decode)
 
 def test_jpeg_solid_roundtrip_all_variants():
