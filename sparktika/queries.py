@@ -724,6 +724,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @_register(
+    "rel_exists_returned_orders",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def rel_exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS expressed as a LEFT SEMI join
+    (Catalyst's own rewrite of EXISTS); the lineitem filter pushes below
+    the join, and only o_orderkey/o_orderpriority survive the scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders.join(returned,
+                        orders.o_orderkey == returned.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@_register(
     "rel_agg_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
