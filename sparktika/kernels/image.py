@@ -375,11 +375,32 @@ def decode_gif(data: bytes) -> DecodedImage:
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF PackBits RLE (TIFF 6.0 §9): n>=0 copies n+1 literals,
+    -127<=n<=-1 repeats the next byte 1-n times, -128 is a noop.
+    Output capped (bomb guard — a crafted run can't exceed the raster)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < max_out:
+        ctl = data[i]
+        i += 1
+        if ctl < 128:  # literal run
+            out += data[i : i + ctl + 1]
+            i += ctl + 1
+        elif ctl > 128:  # repeat run of length 257-ctl
+            if i >= n:
+                raise KernelError("TIFF PackBits truncated")
+            out += data[i : i + 1] * (257 - ctl)
+            i += 1
+        # ctl == 128: noop
+    return bytes(out[:max_out])
+
+
 def decode_tiff(data: bytes) -> DecodedImage:
-    """Baseline TIFF 6.0: first IFD, uncompressed strips, 8-bit grayscale
-    (photometric 0/1), RGB(A) and palette-color, both byte orders.
-    LZW/PackBits/JPEG-in-TIFF compression raise KernelError (degrade to
-    status rows). Tag walk is bounds-checked; entry count capped."""
+    """Baseline TIFF 6.0: first IFD, uncompressed or PackBits strips,
+    8-bit grayscale (photometric 0/1), RGB(A) and palette-color, both
+    byte orders. LZW/JPEG-in-TIFF compression raise KernelError (degrade
+    to status rows). Tag walk is bounds-checked; entry count capped."""
     import numpy as np
 
     if data.startswith(b"II*\x00"):
@@ -428,7 +449,7 @@ def decode_tiff(data: bytes) -> DecodedImage:
     if not w or not h or w * h > _MAX_PIXELS:
         raise KernelError("implausible TIFF dimensions")
     compression = (tags.get(259) or [1])[0]
-    if compression != 1:
+    if compression not in (1, 32773):  # uncompressed / PackBits
         raise KernelError(f"TIFF compression {compression} not supported")
     photometric = (tags.get(262) or [1])[0]
     spp = (tags.get(277) or [1])[0]
@@ -446,7 +467,10 @@ def decode_tiff(data: bytes) -> DecodedImage:
     for so, sc in zip(strip_offsets, strip_counts):
         if so + sc > n:
             raise KernelError("TIFF strip out of bounds")
-        raster += data[so : so + sc]
+        strip = data[so : so + sc]
+        if compression == 32773:
+            strip = _packbits_decode(strip, need - len(raster))
+        raster += strip
         if len(raster) >= need:
             break
     if len(raster) < need:

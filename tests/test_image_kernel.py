@@ -255,6 +255,64 @@ def test_tiff_roundtrip_all_variants():
                 and (img.pixels[:, :, 2] == b).all()), mid
 
 
+def test_tiff_packbits_strip():
+    """PackBits (TIFF 6.0 §9) strips decode to the same pixels as the
+    uncompressed twin; noop/repeat/literal/truncation edges covered."""
+    import struct as _s
+    from sparktika.kernels.image import decode_tiff, _packbits_decode
+    from sparktika.synth import build_tiff, media_dims, _media_color
+
+    w, h = media_dims(0)
+    r, g, b = _media_color(0)
+    # solid RGB raster compresses to repeat runs (128-byte max each)
+    raster = bytes([r, g, b]) * (w * h)
+    comp = bytearray()
+    i = 0
+    while i < len(raster):
+        run = 1
+        while i + run < len(raster) and raster[i + run] == raster[i] and run < 128:
+            run += 1
+        if run >= 2:
+            comp += bytes([257 - run, raster[i]])
+        else:
+            comp += bytes([0, raster[i]])
+        i += run
+    e = "<"
+    pos = 8 + len(comp)
+    entries = []
+    extra = bytearray()
+
+    def ent(tag, t, vals, fmt):
+        nonlocal extra
+        size = (2 if fmt == "H" else 4) * len(vals)
+        if size <= 4:
+            field = _s.pack(e + fmt * len(vals), *vals).ljust(4, b"\0")
+        else:
+            off = pos + len(extra)
+            extra += _s.pack(e + fmt * len(vals), *vals)
+            field = _s.pack(e + "I", off)
+        entries.append((tag, t, len(vals), field))
+
+    ent(256, 3, [w], "H"); ent(257, 3, [h], "H"); ent(258, 3, [8, 8, 8], "H")
+    ent(259, 3, [32773], "H"); ent(262, 3, [2], "H")
+    ent(273, 4, [8], "I"); ent(277, 3, [3], "H")
+    ent(278, 3, [h], "H"); ent(279, 4, [len(comp)], "I")
+    entries.sort()
+    ifd_off = pos + len(extra)
+    ifd = _s.pack(e + "H", len(entries))
+    for tag, t, c, f in entries:
+        ifd += _s.pack(e + "HHI", tag, t, c) + f
+    ifd += _s.pack(e + "I", 0)
+    data = b"II*\x00" + _s.pack(e + "I", ifd_off) + bytes(comp) + bytes(extra) + ifd
+    img = decode_tiff(data)
+    ref = decode_tiff(build_tiff(0))
+    assert (img.pixels == ref.pixels).all()
+    assert _packbits_decode(b"\x80\x02abc", 10) == b"abc"   # noop + literal
+    assert _packbits_decode(b"\xfeX", 10) == b"XXX"          # repeat 3
+    with pytest.raises(KernelError):
+        _packbits_decode(b"\xfe", 10)                        # truncated
+
+
 def test_tiff_rejects_compressed_and_truncated():
     import struct as _s
     from sparktika.kernels.image import decode_tiff
