@@ -396,11 +396,63 @@ def _packbits_decode(data: bytes, max_out: int) -> bytes:
     return bytes(out[:max_out])
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first variable-width codes,
+    Clear=256/EOI=257, EARLY code-width change (width grows one entry
+    before the table fills — the TIFF quirk vs GIF). Output capped."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+    i, n = 0, len(data)
+    table: dict[int, bytes] = {}
+    prev_entry: bytes | None = None
+    next_code = 258
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, prev_entry, next_code, width
+        table = {k: bytes([k]) for k in range(256)}
+        prev_entry = None
+        next_code = 258
+        width = 9
+
+    reset()
+    while len(out) <= max_out:
+        while bits < width:
+            if i >= n:
+                return bytes(out[:max_out])  # stream ends at strip boundary
+            acc = ((acc << 8) | data[i]) & 0xFFFFFF
+            i += 1
+            bits += 8
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev_entry is not None:
+            entry = prev_entry + prev_entry[:1]
+        else:
+            raise KernelError("TIFF LZW code out of range")
+        if prev_entry is not None and next_code < 4096:
+            table[next_code] = prev_entry + entry[:1]
+            next_code += 1
+        out += entry
+        prev_entry = entry
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    return bytes(out[:max_out])
+
+
 def decode_tiff(data: bytes) -> DecodedImage:
-    """Baseline TIFF 6.0: first IFD, uncompressed or PackBits strips,
-    8-bit grayscale (photometric 0/1), RGB(A) and palette-color, both
-    byte orders. LZW/JPEG-in-TIFF compression raise KernelError (degrade
-    to status rows). Tag walk is bounds-checked; entry count capped."""
+    """Baseline TIFF 6.0: first IFD, uncompressed / PackBits / LZW strips
+    (LZW with optional horizontal-differencing predictor), 8-bit
+    grayscale (photometric 0/1), RGB(A) and palette-color, both byte
+    orders. JPEG-in-TIFF and Deflate raise KernelError (degrade to
+    status rows). Tag walk is bounds-checked; entry count capped."""
     import numpy as np
 
     if data.startswith(b"II*\x00"):
@@ -449,8 +501,11 @@ def decode_tiff(data: bytes) -> DecodedImage:
     if not w or not h or w * h > _MAX_PIXELS:
         raise KernelError("implausible TIFF dimensions")
     compression = (tags.get(259) or [1])[0]
-    if compression not in (1, 32773):  # uncompressed / PackBits
+    if compression not in (1, 5, 32773):  # uncompressed / LZW / PackBits
         raise KernelError(f"TIFF compression {compression} not supported")
+    predictor = (tags.get(317) or [1])[0]
+    if predictor not in (1, 2):
+        raise KernelError(f"TIFF predictor {predictor} not supported")
     photometric = (tags.get(262) or [1])[0]
     spp = (tags.get(277) or [1])[0]
     bits = tags.get(258) or [8] * spp
@@ -470,12 +525,16 @@ def decode_tiff(data: bytes) -> DecodedImage:
         strip = data[so : so + sc]
         if compression == 32773:
             strip = _packbits_decode(strip, need - len(raster))
+        elif compression == 5:
+            strip = _tiff_lzw_decode(strip, need - len(raster))
         raster += strip
         if len(raster) >= need:
             break
     if len(raster) < need:
         raise KernelError("TIFF raster truncated")
     arr = np.frombuffer(bytes(raster[:need]), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: cumsum per channel mod 256
+        arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(np.uint8)
     if photometric == 2:  # RGB(A)
         if spp < 3:
             raise KernelError("TIFF RGB with <3 samples")

@@ -313,6 +313,87 @@ def test_tiff_packbits_strip():
         _packbits_decode(b"\xfe", 10)                        # truncated
 
 
+def _lzw_literal_encode(data: bytes) -> bytes:
+    """Literal-only TIFF-LZW encoder (valid stream; exercises MSB-first
+    bit packing, early code-width change, and mid-stream re-clears)."""
+    out = bytearray()
+    acc = bits = 0
+    width, next_code = 9, 258
+
+    def put(code):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    put(256)  # CLEAR
+    prev = None
+    for byte in data:
+        put(byte)
+        if prev is not None:
+            next_code += 1
+        prev = byte
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(256)
+            width, next_code, prev = 9, 258, None
+    put(257)  # EOI
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_and_predictor():
+    """TIFF-flavor LZW (MSB-first, EARLY width change, 256/257 control
+    codes) + horizontal-differencing predictor reconstruct exactly; long
+    streams cross the 9->10->11->12-bit boundaries and a re-clear."""
+    import struct as _s
+    from sparktika.kernels.image import _tiff_lzw_decode, decode_tiff
+
+    rng = np.random.RandomState(3)
+    for size in (10, 300, 9000):
+        raw = bytes(rng.randint(0, 256, size, dtype=np.uint8))
+        assert _tiff_lzw_decode(_lzw_literal_encode(raw), size) == raw
+    w, h = 20, 12
+    base = (np.arange(w * h * 3, dtype=np.int64).reshape(h, w, 3) * 7) % 256
+    diff = base.copy()
+    diff[:, 1:, :] = (base[:, 1:, :] - base[:, :-1, :]) % 256
+    comp = _lzw_literal_encode(diff.astype(np.uint8).tobytes())
+    e = "<"
+    pos = 8 + len(comp)
+    entries, extra = [], bytearray()
+
+    def ent(tag, t, vals, fmt):
+        nonlocal extra
+        size = (2 if fmt == "H" else 4) * len(vals)
+        if size <= 4:
+            field = _s.pack(e + fmt * len(vals), *vals).ljust(4, b"\0")
+        else:
+            off = pos + len(extra)
+            extra += _s.pack(e + fmt * len(vals), *vals)
+            field = _s.pack(e + "I", off)
+        entries.append((tag, t, len(vals), field))
+
+    ent(256, 3, [w], "H"); ent(257, 3, [h], "H"); ent(258, 3, [8, 8, 8], "H")
+    ent(259, 3, [5], "H"); ent(262, 3, [2], "H"); ent(273, 4, [8], "I")
+    ent(277, 3, [3], "H"); ent(278, 3, [h], "H"); ent(279, 4, [len(comp)], "I")
+    ent(317, 3, [2], "H")
+    entries.sort()
+    ifd_off = pos + len(extra)
+    ifd = _s.pack(e + "H", len(entries))
+    for tag, t, c, f in entries:
+        ifd += _s.pack(e + "HHI", tag, t, c) + f
+    ifd += _s.pack(e + "I", 0)
+    tiff = b"II*\x00" + _s.pack(e + "I", ifd_off) + comp + bytes(extra) + ifd
+    assert (decode_tiff(tiff).pixels == base.astype(np.uint8)).all()
+    # garbage LZW codes fail closed
+    with pytest.raises(KernelError):
+        _tiff_lzw_decode(b"\x7f\xff\xff\xff", 100)
+
+
 def test_tiff_rejects_compressed_and_truncated():
     import struct as _s
     from sparktika.kernels.image import decode_tiff
