@@ -501,7 +501,8 @@ def decode_tiff(data: bytes) -> DecodedImage:
     if not w or not h or w * h > _MAX_PIXELS:
         raise KernelError("implausible TIFF dimensions")
     compression = (tags.get(259) or [1])[0]
-    if compression not in (1, 5, 32773):  # uncompressed / LZW / PackBits
+    # 1=uncompressed, 5=LZW, 8/32946=Deflate, 32773=PackBits
+    if compression not in (1, 5, 8, 32946, 32773):
         raise KernelError(f"TIFF compression {compression} not supported")
     predictor = (tags.get(317) or [1])[0]
     if predictor not in (1, 2):
@@ -527,6 +528,12 @@ def decode_tiff(data: bytes) -> DecodedImage:
             strip = _packbits_decode(strip, need - len(raster))
         elif compression == 5:
             strip = _tiff_lzw_decode(strip, need - len(raster))
+        elif compression in (8, 32946):  # zlib Deflate, capped inflate
+            d = zlib.decompressobj()
+            try:
+                strip = d.decompress(strip, need - len(raster))
+            except zlib.error as ex:
+                raise KernelError(f"TIFF deflate error: {ex}") from ex
         raster += strip
         if len(raster) >= need:
             break
