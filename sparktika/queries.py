@@ -747,6 +747,43 @@ def rel_exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_sessionize",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 30 * 60 * 1000000 THEN 1
+              WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sessions GROUP BY user_id, session_seq
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity gap) per user — the
+    islands problem via lag + running sum; one Exchange serves all three
+    window/agg steps (plan-audited)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .streaming.windowed import sessionize
+
+    return sessionize(ev, gap_minutes=30)
+
+
+@_register(
     "rel_agg_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,

@@ -29,6 +29,41 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session windows per user (the islands problem): a new
+    session starts when the inter-event gap exceeds `gap_minutes`. Pure
+    window functions — lag to flag session starts, a running sum to
+    number them, then one aggregation; the only shuffle partitions by
+    user_id, which all three window/agg steps reuse (single Exchange in
+    the plan). Gap comparison uses integer microseconds (exact on both
+    engines); bounds render as wall-time strings (invariant: never raw
+    timestamps across the oracle boundary)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    # TIMESTAMP_NTZ -> TIMESTAMP for unix_micros; gap DIFFS are invariant
+    # under the session-tz shift, so the cast is oracle-safe
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = events.select(
+        "user_id", "ts", "event_id",
+        F.when((us - F.lag(us).over(w)) > gap_us, 1)
+         .otherwise(
+            F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0))
+         .alias("is_new"),
+    )
+    wcum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = marked.withColumn("session_seq",
+                                 F.sum("is_new").over(wcum))
+    return (sessions.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("session_start"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("session_end")))
+
+
 def streaming_hourly_rollup(events_stream: DataFrame,
                             watermark: str = "2 hours") -> DataFrame:
     """Streaming twin with watermarked tumbling windows (late rows beyond
