@@ -183,3 +183,36 @@ def chunk_text(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
                            chunk_chars).alias("chunk")))
     return out.withColumn("n_chunk_chars",
                           F.length("chunk").cast("bigint"))
+
+
+def oov_rate(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+             vocab_size: int = 1000) -> DataFrame:
+    """Corpus-derived vocabulary OOV scoring — a perplexity-proxy quality
+    signal for training-data filtering: build the top-`vocab_size` token
+    vocabulary from the corpus itself (count desc, token asc — fully
+    deterministic tie-break), then score each document by its
+    out-of-vocabulary token fraction.
+
+    Two-phase distributed shape: token counts are one map-side-combined
+    groupBy; the vocabulary is a top-K (tiny) that BROADCASTS back, so
+    the scoring join never shuffles the corpus. The rate is returned as
+    integer parts-per-million (floor division) — zero float arithmetic,
+    so the DuckDB oracle matches bit-for-bit with no rounding-tie risk
+    (CLAUDE.md invariant 10)."""
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.trim(F.regexp_replace(F.col(text_col),
+                                                  r"\s+", " ")), " ")
+                  ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+             .limit(vocab_size)
+             .select("tok", F.lit(1).alias("in_vocab")))
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    return (scored.groupBy("key")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                  .alias("n_oov"))
+            .select(F.col("key").alias(key_col), "n_tokens", "n_oov",
+                    F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm")))

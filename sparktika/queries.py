@@ -657,6 +657,37 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_oov_rate",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM toks2 GROUP BY tok
+  ORDER BY count(*) DESC, tok ASC LIMIT 1000
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM toks2 t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary OOV scoring (perplexity proxy): top-1000 token
+    vocab broadcast back over the corpus; integer-ppm output (no float
+    arithmetic anywhere)."""
+    from .pipeline.textstats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), "text", "doc_id", vocab_size=1000)
+
+
+@_register(
     "dedup_ngram_spans",
     r"""
 WITH toks AS (
