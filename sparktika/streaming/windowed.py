@@ -64,6 +64,34 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                   .alias("session_end")))
 
 
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Same session semantics via Spark's built-in session_window — the
+    form Structured Streaming can run incrementally (state store merges
+    windows as events arrive; add a watermark upstream for streaming).
+    Batch equality with the manual islands version is pinned in pytest;
+    only session numbering differs (native windows carry start/end, the
+    islands version a per-user ordinal)."""
+    return (events.groupBy(
+                "user_id",
+                F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("session_start"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("session_end"))
+            .drop("w"))
+
+
+def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows: watermarked session_window aggregation —
+    state closes (and emits) once the watermark passes a session's gap."""
+    return (events_stream.withWatermark("ts", watermark)
+            .groupBy("user_id",
+                     F.session_window(F.col("ts"), f"{gap_minutes} minutes"))
+            .agg(F.count("*").alias("n_events")))
+
+
 def streaming_hourly_rollup(events_stream: DataFrame,
                             watermark: str = "2 hours") -> DataFrame:
     """Streaming twin with watermarked tumbling windows (late rows beyond

@@ -138,6 +138,53 @@ def test_streaming_windowed_rollup_matches_batch(spark):
     assert len(got_set) >= len(want_set) - 10  # only trailing windows may be open
 
 
+def test_sessionize_native_matches_islands(spark):
+    """Spark's built-in session_window and the manual lag+cumsum islands
+    implementation must produce identical session multisets (same users,
+    bounds, and event counts)."""
+    from sparktika.streaming.windowed import sessionize, sessionize_native
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    manual = {(r.user_id, r.n_events, r.session_start, r.session_end)
+              for r in sessionize(ev, 30).collect()}
+    native = {(r.user_id, r.n_events, r.session_start, r.session_end)
+              for r in sessionize_native(ev, 30).collect()}
+    assert manual == native and len(manual) > 10
+    # per-user session ordinals are contiguous 1..k
+    by_user = {}
+    for r in sessionize(ev, 30).collect():
+        by_user.setdefault(r.user_id, []).append(r.session_seq)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_user.values())
+
+
+def test_streaming_sessionize_converges_to_batch(spark):
+    """Watermarked streaming session windows over a bounded source emit
+    the same (user, n_events) sessions the batch twin computes (trailing
+    still-open sessions may be withheld by the watermark)."""
+    from sparktika.streaming.windowed import (sessionize_native,
+                                              stream_events,
+                                              streaming_sessionize)
+
+    tmp = tempfile.mkdtemp(prefix="sparktika_sess_")
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{tmp}/events.parquet")
+    batch = sessionize_native(spark.read.parquet(tmp), 30)
+    q = (streaming_sessionize(stream_events(spark, tmp), 30)
+         .writeStream.format("memory").queryName("sess_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.n_events)
+           for r in spark.sql("SELECT user_id, n_events FROM sess_test").collect()}
+    want = [(r.user_id, r.n_events) for r in batch.collect()]
+    from collections import Counter
+    want_c = Counter(want)
+    got_list = Counter()
+    for r in spark.sql("SELECT user_id, n_events FROM sess_test").collect():
+        got_list[(r.user_id, r.n_events)] += 1
+    # every emitted session exists in the batch result
+    assert all(got_list[k] <= want_c[k] for k in got_list)
+    assert sum(got_list.values()) >= 0.8 * sum(want_c.values())
+
+
 def test_multimodal_fake_decode_plumbing(spark):
     """Binary payload -> mapInPandas feature extraction: deterministic fake
     decoder produces stable dimensions; poisoned rows degrade to status."""
