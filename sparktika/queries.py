@@ -815,6 +815,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_percentiles_disc",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+       max(CASE WHEN rn = (n * 9 + 9) // 10 THEN o_totalprice END) AS p90
+FROM ranked GROUP BY o_orderpriority
+""",
+)
+def rel_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90 of order value per priority)
+    via integer row indexing — no interpolation, so both engines agree
+    bit-for-bit. One window pass + one aggregation, both partitioned by
+    the same key (single Exchange); ties broken by o_orderkey."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+    return (ranked.groupBy("o_orderpriority")
+            .agg(F.max("n").alias("n_orders"),
+                 F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                              F.col("o_totalprice"))).alias("p50"),
+                 F.max(F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"),
+                              F.col("o_totalprice"))).alias("p90")))
+
+
+@_register(
     "rel_agg_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
