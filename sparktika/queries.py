@@ -855,6 +855,72 @@ def rel_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_asof_join",
+    """
+WITH unioned AS (
+  SELECT user_id AS key, ts AS t, 0 AS tag, event_id AS seq,
+         value AS ev_value, NULL::BIGINT AS o_orderkey
+  FROM events
+  UNION ALL
+  SELECT (o_custkey % 20) AS key,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + INTERVAL (o_orderkey % 20000) MINUTE AS t,
+         1 AS tag, o_orderkey AS seq, NULL::DOUBLE AS ev_value, o_orderkey
+  FROM orders
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN tag = 0 THEN ev_value END IGNORE NULLS) OVER w AS asof_value,
+         last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER w AS asof_ts
+  FROM unioned
+  WINDOW w AS (PARTITION BY key ORDER BY t, tag, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderkey, CAST(key AS BIGINT) AS user_id,
+       asof_value,
+       strftime(asof_ts, '%Y-%m-%d %H:%M:%S') AS asof_event_ts
+FROM carried WHERE tag = 1
+""",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (an operator Spark lacks natively) as a composition of
+    existing ops: tag both sides, UNION, ONE window pass per key carrying
+    the latest event at-or-before each order — no range-join explosion,
+    no per-key collect; the only shuffle partitions by key. Orders with
+    no prior event keep NULLs (left as-of semantics)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = ev.select(
+        F.col("user_id").cast("long").alias("key"),
+        F.col("ts").alias("t"), F.lit(0).alias("tag"),
+        F.col("event_id").alias("seq"),
+        F.col("value").alias("ev_value"),
+        F.lit(None).cast("long").alias("o_orderkey"))
+    right = orders.select(
+        (F.col("o_custkey") % 20).cast("long").alias("key"),
+        F.expr("timestampadd(MINUTE, CAST(o_orderkey % 20000 AS INT), "
+               "TIMESTAMP_NTZ '2024-01-01 00:00:00')").alias("t"),
+        F.lit(1).alias("tag"), F.col("o_orderkey").alias("seq"),
+        F.lit(None).cast("double").alias("ev_value"),
+        F.col("o_orderkey"))
+    w = (Window.partitionBy("key").orderBy("t", "tag", "seq")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = left.unionByName(right).select(
+        "*",
+        F.last(F.when(F.col("tag") == 0, F.col("ev_value")),
+               ignorenulls=True).over(w).alias("asof_value"),
+        F.last(F.when(F.col("tag") == 0, F.col("t")),
+               ignorenulls=True).over(w).alias("asof_ts"))
+    return (carried.filter(F.col("tag") == 1)
+            .select("o_orderkey", F.col("key").alias("user_id"),
+                    "asof_value",
+                    F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss")
+                     .alias("asof_event_ts")))
+
+
+@_register(
     "rel_agg_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
