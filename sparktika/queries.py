@@ -921,6 +921,60 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_range_join",
+    """
+WITH o AS (
+  SELECT o_orderkey, (o_custkey % 20) AS key,
+         epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                  + INTERVAL (o_orderkey % 20000) MINUTE) AS t_us
+  FROM orders
+)
+SELECT o.o_orderkey, CAST(o.key AS BIGINT) AS user_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_nearby_events
+FROM o LEFT JOIN events e
+  ON e.user_id = o.key
+ AND epoch_us(e.ts) BETWEEN o.t_us - 1800000000 AND o.t_us + 1800000000
+GROUP BY o.o_orderkey, o.key
+""",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) JOIN at scale: events within ±30min of each order.
+    A naive inequality join degenerates to per-key cartesian; instead both
+    sides bucket by 30-min time buckets and the order side EXPLODES to its
+    3 candidate buckets, so the join is a plain equi-join on (key, bucket)
+    with an exact residual filter — candidate fan-out is bounded by bucket
+    occupancy, never by key cardinality. Same shape as the LSH band join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bucket_us = 1800 * 1_000_000
+    e = ev.select(
+        F.col("user_id").cast("long").alias("key"),
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e_us"))
+    e = e.withColumn("bucket", F.expr(f"e_us div {bucket_us}"))
+    o = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).cast("long").alias("key"),
+        F.unix_micros(F.expr(
+            "timestampadd(MINUTE, CAST(o_orderkey % 20000 AS INT), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')").cast("timestamp"))
+         .alias("t_us"))
+    o = o.withColumn(
+        "bucket",
+        F.explode(F.array(F.expr(f"t_us div {bucket_us} - 1"),
+                          F.expr(f"t_us div {bucket_us}"),
+                          F.expr(f"t_us div {bucket_us} + 1"))))
+    joined = (o.join(e, ["key", "bucket"], "left")
+              .filter(F.col("e_us").isNull()
+                      | ((F.col("e_us") >= F.col("t_us") - bucket_us)
+                         & (F.col("e_us") <= F.col("t_us") + bucket_us))))
+    return (joined.groupBy("o_orderkey", "key")
+            .agg(F.count_distinct("event_id").alias("n_nearby_events"))
+            .select("o_orderkey", F.col("key").alias("user_id"),
+                    "n_nearby_events"))
+
+
+@_register(
     "rel_agg_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
