@@ -157,6 +157,25 @@ def test_sessionize_native_matches_islands(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_user.values())
 
 
+def test_sessionize_gap_boundary(spark):
+    """Exactly-30min gaps do NOT split a session (the rule is gap >
+    30min); 30min+1us does. Pinned on a hand-built stream."""
+    from datetime import datetime, timedelta
+    from sparktika.streaming.windowed import sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7),
+        (2, t0 + timedelta(minutes=30), 7),                     # same session
+        (3, t0 + timedelta(minutes=60, microseconds=1), 7),     # new session
+        (4, t0 + timedelta(minutes=61), 7),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
+    out = sorted((r.session_seq, r.n_events)
+                 for r in sessionize(df, 30).collect())
+    assert out == [(1, 2), (2, 2)]
+
+
 def test_streaming_sessionize_converges_to_batch(spark):
     """Watermarked streaming session windows over a bounded source emit
     the same (user, n_events) sessions the batch twin computes (trailing
