@@ -51,6 +51,9 @@ def sniff_image(data: bytes) -> str | None:
         return "image/gif"
     if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
         return "image/tiff"
+    if (data.startswith(b"\x00\x00\x01\x00") and len(data) >= 6
+            and 0 < struct.unpack_from("<H", data, 4)[0] <= 256):
+        return "image/x-icon"
     return None
 
 
@@ -368,6 +371,55 @@ def decode_gif(data: bytes) -> DecodedImage:
         else:
             raise KernelError(f"unknown GIF block 0x{block:02X}")
     raise KernelError("GIF contains no image frame")
+
+
+# ---------------------------------------------------------------- ICO
+
+def decode_ico(data: bytes) -> DecodedImage:
+    """Windows icon: pick the largest directory entry and decode it —
+    PNG-compressed entries delegate to decode_png; classic DIB entries are
+    a BITMAPINFOHEADER with DOUBLED height (XOR bitmap + AND mask) and no
+    BM file header, reconstructed into a BMP for decode_bmp (the AND mask
+    is dropped — Tika-style static pixel extraction, no alpha)."""
+    import numpy as np
+
+    if not data.startswith(b"\x00\x00\x01\x00") or len(data) < 6:
+        raise KernelError("not an ICO")
+    (count,) = struct.unpack_from("<H", data, 4)
+    if not (0 < count <= 256) or 6 + 16 * count > len(data):
+        raise KernelError("implausible ICO directory")
+    best = None  # (area, offset, size)
+    for e in range(count):
+        off = 6 + 16 * e
+        w = data[off] or 256
+        h = data[off + 1] or 256
+        size, img_off = struct.unpack_from("<II", data, off + 8)
+        if img_off + size > len(data) or size < 16:
+            continue
+        if best is None or w * h > best[0]:
+            best = (w * h, img_off, size)
+    if best is None:
+        raise KernelError("ICO has no decodable entries")
+    _, img_off, size = best
+    payload = data[img_off : img_off + size]
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    # classic DIB: BITMAPINFOHEADER with doubled height
+    if len(payload) < 40:
+        raise KernelError("ICO DIB truncated")
+    (hdr_size,) = struct.unpack_from("<I", payload, 0)
+    w, h2 = struct.unpack_from("<ii", payload, 4)
+    if hdr_size < 40 or w <= 0 or h2 <= 0 or h2 % 2:
+        raise KernelError("implausible ICO DIB header")
+    fixed = bytearray(payload)
+    struct.pack_into("<i", fixed, 8, h2 // 2)  # undo the doubled height
+    # pixel offset accounts for the palette, if any
+    (bpp,) = struct.unpack_from("<H", payload, 14)
+    (n_colors,) = struct.unpack_from("<I", payload, 32)
+    pal_entries = n_colors or (256 if bpp == 8 else 0)
+    bmp_header = b"BM" + struct.pack("<IHHI", 14 + len(fixed), 0, 0,
+                                     14 + hdr_size + 4 * pal_entries)
+    return decode_bmp(bmp_header + bytes(fixed))
 
 
 # ---------------------------------------------------------------- TIFF
@@ -1055,6 +1107,8 @@ def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
         return decode_jpeg(data)
     if kind == "image/tiff":
         return decode_tiff(data)
+    if kind == "image/x-icon":
+        return decode_ico(data)
     raise KernelError("unrecognized image payload")
 
 

@@ -728,3 +728,50 @@ def test_png_adam7_with_filters():
     arr = _rand(21, 19, 3, seed=41)
     img = decode_png(_png_interlaced(arr, filter_type=4))  # Paeth per pass
     assert np.array_equal(img.pixels, arr)
+
+
+# -------------------------------------------------------------------- ICO
+
+def _ico_with(entries):
+    """entries: list of (w, h, payload_bytes)"""
+    head = b"\x00\x00\x01\x00" + struct.pack("<H", len(entries))
+    dirs = b""
+    off = 6 + 16 * len(entries)
+    bodies = b""
+    for w, h, body in entries:
+        dirs += (bytes([w % 256, h % 256, 0, 0])
+                 + struct.pack("<HHII", 1, 32, len(body), off))
+        off += len(body)
+        bodies += body
+    return head + dirs + bodies
+
+
+def test_ico_png_and_dib_entries():
+    """ICO: PNG entries delegate to the PNG decoder; classic DIB entries
+    (doubled height + AND mask) reconstruct through the BMP path; the
+    largest directory entry wins."""
+    from sparktika.kernels.image import decode_any, sniff_image
+    from sparktika.synth import build_png, media_dims, _media_color
+
+    png = build_png(4)
+    w, h = media_dims(4)
+    r, g, b = _media_color(4)
+    ico = _ico_with([(w, h, png)])
+    assert sniff_image(ico) == "image/x-icon"
+    img = decode_any(ico)
+    assert (img.width, img.height) == (w, h)
+    assert (img.pixels[:, :, 0] == r).all()
+    W, H = 16, 8
+    info = struct.pack("<IiiHHIIiiII", 40, W, H * 2, 1, 24, 0, 0, 0, 0, 0, 0)
+    stride = (W * 3 + 3) & ~3
+    xor = (bytes([10, 20, 30]) * W).ljust(stride, b"\0") * H
+    mask = b"\x00" * (((W + 31) // 32) * 4 * H)
+    img2 = decode_any(_ico_with([(W, H, info + xor + mask)]))
+    assert (img2.width, img2.height) == (W, H)
+    assert (img2.pixels[:, :, 0] == 30).all() and (img2.pixels[:, :, 2] == 10).all()
+    # largest entry wins
+    img3 = decode_any(_ico_with([(8, 8, build_png(7)), (w, h, png)]))
+    assert (img3.width, img3.height) == (w, h)
+    # empty / truncated directories fail closed
+    with pytest.raises(KernelError):
+        decode_any(b"\x00\x00\x01\x00\x01\x00" + b"\x01" * 8)
