@@ -400,7 +400,23 @@ def extract_document(
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error=f"OLE2 streams {sorted(streams)[:8]} have no v1 parser")
 
-        # recognized-but-unparsed (images, media, ...) and unknown binary
+        if detected.startswith("image/"):
+            # Tika ImageParser behavior: dimensions into metadata from the
+            # headers only (no pixel decode in the text pipeline), empty body
+            from .image import image_dimensions
+
+            dims = image_dimensions(data)
+            if dims is not None:
+                mime_kind, iw, ih = dims
+                return res(detected=mime_kind, text_extracted="",
+                           metadata={"Content-Type": [mime_kind],
+                                     "Image Width": [str(iw)],
+                                     "Image Height": [str(ih)]},
+                           status=STATUS_OK)
+            return res(detected=detected, status=STATUS_UNSUPPORTED,
+                       error="image headers unparseable")
+
+        # recognized-but-unparsed (media, ...) and unknown binary
         return res(detected=detected, status=STATUS_UNSUPPORTED,
                    error=f"no parser for {detected}")
 

@@ -1095,6 +1095,60 @@ def decode_jpeg(data: bytes) -> DecodedImage:
     return DecodedImage(width=w, height=h, pixels=np.ascontiguousarray(rgb))
 
 
+def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
+    """(mime, width, height) from HEADERS ONLY — no pixel decode, so the
+    extraction dispatcher can emit image metadata at negligible cost
+    (Tika ImageParser behavior: dimensions into metadata, empty body).
+    Returns None when the payload isn't a recognizable image."""
+    kind = sniff_image(data)
+    if kind == "image/png" and len(data) >= 24:
+        w, h = struct.unpack_from(">II", data, 16)
+        return (kind, w, h) if w and h else None
+    if kind == "image/bmp" and len(data) >= 26:
+        w, h = struct.unpack_from("<ii", data, 18)
+        return (kind, w, abs(h)) if w > 0 and h != 0 else None
+    if kind == "image/gif" and len(data) >= 10:
+        w, h = struct.unpack_from("<HH", data, 6)
+        return (kind, w, h) if w and h else None
+    if kind == "image/jpeg":
+        dims = jpeg_dimensions(data)
+        return (kind, dims[0], dims[1]) if dims else None
+    if kind == "image/tiff":
+        try:  # tag walk only (strips never touched)
+            endian = "<" if data[:2] == b"II" else ">"
+            (ifd,) = struct.unpack_from(endian + "I", data, 4)
+            (n_ent,) = struct.unpack_from(endian + "H", data, ifd)
+            if n_ent > 4096 or ifd + 2 + 12 * n_ent > len(data):
+                return None
+            w = h = 0
+            for e in range(n_ent):
+                off = ifd + 2 + 12 * e
+                tag, ttype = struct.unpack_from(endian + "HH", data, off)
+                if tag in (256, 257):
+                    fmt = endian + ("H" if ttype == 3 else "I")
+                    (v,) = struct.unpack_from(fmt, data, off + 8)
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return (kind, w, h) if w and h else None
+        except struct.error:
+            return None
+    if kind == "image/x-icon" and len(data) >= 22:
+        (count,) = struct.unpack_from("<H", data, 4)
+        best = (0, 0)
+        for e in range(min(count, 256)):
+            off = 6 + 16 * e
+            if off + 16 > len(data):
+                break
+            w = data[off] or 256
+            h = data[off + 1] or 256
+            if w * h > best[0] * best[1]:
+                best = (w, h)
+        return (kind, best[0], best[1]) if best[0] else None
+    return None
+
+
 def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
     kind = sniff_image(data)
     if kind == "image/png":

@@ -2025,6 +2025,55 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_image_meta",
+    """
+SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INT)
+         WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+         WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
+         ELSE 'image/tiff' END AS content_type_detected,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image payloads through the TEXT-extraction dispatcher (Tika
+    ImageParser parity): MIME sniff routes them, header-only dimension
+    parsing lands in metadata, status ok with an empty body — no pixel
+    decode in the text pipeline."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_bmp, build_gif, build_jpeg, build_png, build_tiff
+
+    builders = {0: build_png, 1: build_bmp, 2: build_gif,
+                3: build_jpeg, 4: build_tiff}
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([builders[int(i) % 5](int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://img.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".img")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.img$", 1).cast("long").alias("doc_id"),
+        "content_type_detected",
+        F.element_at("metadata", "Image Width").getItem(0)
+         .cast("int").alias("width"),
+        F.element_at("metadata", "Image Height").getItem(0)
+         .cast("int").alias("height"),
+        "status")
+
+
+@_register(
     "media_tiff_features",
     """
 SELECT doc_id AS media_id,
