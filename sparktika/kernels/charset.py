@@ -99,7 +99,8 @@ def detect_utf16_heuristic(data: bytes) -> str | None:
     text has ~50% NUL bytes, all on one parity. Returns the codec name or
     None. Deliberately conservative — mixed binaries rarely show a clean
     one-sided parity split."""
-    sample = data[: 1024 & ~1]
+    sample = data[:1024]
+    sample = sample[: len(sample) & ~1]  # even length: clean parity halves
     if len(sample) < 16:
         return None
     even = sample[0::2].count(0)

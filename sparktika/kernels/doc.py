@@ -57,27 +57,42 @@ class DocResult:
     n_embedded_objects: int = 0  # ObjectPool sub-storages (OLE embeds)
 
 
+_MAX_INSTRUCTION_CHARS = 4096  # corruption guard: real field codes are short
+
+
 def _normalize(text: str) -> str:
     out = []
     # open fields, one bool per nesting level: has the separator been seen?
     # Emit only when every enclosing field is past its separator (i.e. we
     # are in cached-result text, not instruction text).
     fields: list[bool] = []
+    suppressed = 0  # chars suppressed since the suppression state began
     for ch in text:
         o = ord(ch)
         if o == 0x13:  # field begin
             fields.append(False)
+            suppressed = 0
             continue
         if o == 0x14:  # field separator: instruction -> result
             if fields:
                 fields[-1] = True
+            suppressed = 0
             continue
         if o == 0x15:  # field end
             if fields:
                 fields.pop()
+            suppressed = 0
             continue
         if fields and not all(fields):
-            continue  # inside some field's instruction text
+            # a stray 0x13 in corrupt/adversarial text would otherwise
+            # swallow the rest of the segment — real instructions are
+            # short, so an overlong suppression means the mark was noise
+            suppressed += 1
+            if suppressed > _MAX_INSTRUCTION_CHARS:
+                fields.clear()
+                suppressed = 0
+            else:
+                continue
         if ch == "\r" or o in (0x07, 0x0B):  # para mark / cell mark / line break
             out.append("\n")
         elif o < 0x20 and ch not in ("\t", "\n"):

@@ -53,7 +53,7 @@ def sniff_image(data: bytes) -> str | None:
         return "image/tiff"
     if (data.startswith(b"\x00\x00\x01\x00") and len(data) >= 6
             and 0 < struct.unpack_from("<H", data, 4)[0] <= 256):
-        return "image/x-icon"
+        return "image/vnd.microsoft.icon"  # same constant as kernels/mime.py
     return None
 
 
@@ -381,8 +381,6 @@ def decode_ico(data: bytes) -> DecodedImage:
     a BITMAPINFOHEADER with DOUBLED height (XOR bitmap + AND mask) and no
     BM file header, reconstructed into a BMP for decode_bmp (the AND mask
     is dropped — Tika-style static pixel extraction, no alpha)."""
-    import numpy as np
-
     if not data.startswith(b"\x00\x00\x01\x00") or len(data) < 6:
         raise KernelError("not an ICO")
     (count,) = struct.unpack_from("<H", data, 4)
@@ -972,6 +970,10 @@ def decode_jpeg(data: bytes) -> DecodedImage:
                 raise KernelError(
                     f"JPEG SOF 0x{marker:02X} (arithmetic/hierarchical) "
                     "not supported")
+            if frame is not None:
+                # a second SOF would orphan the existing coefficient
+                # planes (stale zeros decoding as wrong-but-'ok' pixels)
+                raise KernelError("JPEG with multiple SOF frames")
             progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
@@ -1134,7 +1136,7 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
             return (kind, w, h) if w and h else None
         except struct.error:
             return None
-    if kind == "image/x-icon" and len(data) >= 22:
+    if kind == "image/vnd.microsoft.icon" and len(data) >= 22:
         (count,) = struct.unpack_from("<H", data, 4)
         best = (0, 0)
         for e in range(min(count, 256)):
@@ -1161,7 +1163,7 @@ def decode_any(data: bytes, max_ratio: float = 200.0) -> DecodedImage:
         return decode_jpeg(data)
     if kind == "image/tiff":
         return decode_tiff(data)
-    if kind == "image/x-icon":
+    if kind == "image/vnd.microsoft.icon":
         return decode_ico(data)
     raise KernelError("unrecognized image payload")
 

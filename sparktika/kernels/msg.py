@@ -68,22 +68,19 @@ def is_msg(stream_names: list[str]) -> bool:
                for n in stream_names)
 
 
-def _read_prop(ole: Ole2File, names: set[str], prop_id: int) -> str | None:
-    """Read a string property, preferring the UTF-16LE (001F) variant over
-    the 8-bit (001E) one; absent streams -> None."""
-    uni = f"__substg1.0_{prop_id:04X}001F"
-    ansi = f"__substg1.0_{prop_id:04X}001E"
-    if uni in names:
-        raw = ole.read_stream(uni)
-        return raw.decode("utf-16-le", "replace").rstrip("\x00")
-    if ansi in names:
-        raw = ole.read_stream(ansi)
+def _read_prop(ole: Ole2File, entries: dict, prop_id: int) -> str | None:
+    """Read a string property from an entry-scoped {name: DirEntry} map
+    (NEVER a global name lookup — the same property stream names repeat
+    inside every attachment/embedded-message sub-storage), preferring the
+    UTF-16LE (001F) variant over the 8-bit (001E) one."""
+    uni = entries.get(f"__substg1.0_{prop_id:04X}001F")
+    if uni is not None:
+        return _decode_mapi_string(ole.read_entry(uni), unicode=True)
+    ansi = entries.get(f"__substg1.0_{prop_id:04X}001E")
+    if ansi is not None:
         # without PR_MESSAGE_CODEPAGE parsing we assume the windows-1252
         # default, the overwhelmingly common legacy codepage
-        try:
-            return raw.decode("cp1252").rstrip("\x00")
-        except UnicodeDecodeError:
-            return raw.decode("latin-1").rstrip("\x00")
+        return _decode_mapi_string(ole.read_entry(ansi), unicode=False)
     return None
 
 
@@ -94,18 +91,6 @@ def _decode_mapi_string(raw: bytes, unicode: bool) -> str:
         return raw.decode("cp1252").rstrip("\x00")
     except UnicodeDecodeError:
         return raw.decode("latin-1").rstrip("\x00")
-
-
-def _read_sub_prop(ole: Ole2File, kids: dict, prop_id: int) -> str | None:
-    """String property from a sub-storage's own child streams (names repeat
-    across attachments, so lookup must be entry-scoped, never global)."""
-    uni = kids.get(f"__substg1.0_{prop_id:04X}001F")
-    if uni is not None:
-        return _decode_mapi_string(ole.read_entry(uni), unicode=True)
-    ansi = kids.get(f"__substg1.0_{prop_id:04X}001E")
-    if ansi is not None:
-        return _decode_mapi_string(ole.read_entry(ansi), unicode=False)
-    return None
 
 
 def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
@@ -123,8 +108,8 @@ def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
     for st in storages:
         all_kids = ole.storage_children(st)
         kids = {k.name: k for k in all_kids if k.obj_type == 2}
-        fname = (_read_sub_prop(ole, kids, _ATTACH_LONG_FILENAME)
-                 or _read_sub_prop(ole, kids, _ATTACH_FILENAME))
+        fname = (_read_prop(ole, kids, _ATTACH_LONG_FILENAME)
+                 or _read_prop(ole, kids, _ATTACH_FILENAME))
         data_entry = kids.get(_ATTACH_DATA)
         n_bytes = data_entry.size if data_entry is not None else 0
         text = None
@@ -137,8 +122,8 @@ def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
         if emb is not None:
             ekids = {k.name: k for k in ole.storage_children(emb)
                      if k.obj_type == 2}
-            emb_subject = _read_sub_prop(ole, ekids, _SUBJECT)
-            text = _read_sub_prop(ole, ekids, _BODY)
+            emb_subject = _read_prop(ole, ekids, _SUBJECT)
+            text = _read_prop(ole, ekids, _BODY)
         elif (data_entry is not None and fname
               and fname.lower().endswith(".txt")):
             raw = ole.read_entry(data_entry)
@@ -152,34 +137,39 @@ def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
 
 
 def extract_msg(ole: Ole2File) -> MsgResult:
-    names = set(ole.stream_names())
-    subject = _read_prop(ole, names, _SUBJECT)
-    sender = _read_prop(ole, names, _SENDER_NAME)
-    sender_email = _read_prop(ole, names, _SENDER_EMAIL)
-    to = _read_prop(ole, names, _DISPLAY_TO)
-    cc = _read_prop(ole, names, _DISPLAY_CC)
-    bcc = _read_prop(ole, names, _DISPLAY_BCC)
-    body = _read_prop(ole, names, _BODY)
+    # message-level properties live at the ROOT of the directory tree —
+    # attachments/embedded messages repeat the same stream names in their
+    # sub-storages, so every lookup here is root-scoped (never global)
+    roots = ole.root_children()
+    root = {e.name: e for e in roots if e.obj_type == 2}
+    subject = _read_prop(ole, root, _SUBJECT)
+    sender = _read_prop(ole, root, _SENDER_NAME)
+    sender_email = _read_prop(ole, root, _SENDER_EMAIL)
+    to = _read_prop(ole, root, _DISPLAY_TO)
+    cc = _read_prop(ole, root, _DISPLAY_CC)
+    bcc = _read_prop(ole, root, _DISPLAY_BCC)
+    body = _read_prop(ole, root, _BODY)
     body_source = "text" if body is not None else None
-    if body is None and "__substg1.0_10090102" in names:
+    rtf_entry = root.get("__substg1.0_10090102")
+    if body is None and rtf_entry is not None:
         # no plain-text body: fall back to PR_RTF_COMPRESSED (the common
         # case for real Outlook mail) -> LZFu decompress -> RTF kernel
         from .rtf import extract_rtf
         from .rtfcomp import decompress_rtf
 
         try:
-            raw_rtf = decompress_rtf(ole.read_stream("__substg1.0_10090102"))
+            raw_rtf = decompress_rtf(ole.read_entry(rtf_entry))
             body = extract_rtf(raw_rtf).text.strip("\n") or None
         except KernelError:
             body = None  # corrupt body never blocks the metadata fields
         if body is not None:
             body_source = "rtf-compressed"
-    headers = _read_prop(ole, names, _HEADERS)
-    message_id = _read_prop(ole, names, _MESSAGE_ID)
+    headers = _read_prop(ole, root, _HEADERS)
+    message_id = _read_prop(ole, root, _MESSAGE_ID)
 
-    n_recipients = sum(1 for e in ole.entries
+    n_recipients = sum(1 for e in roots
                        if e.obj_type == 1 and e.name.startswith("__recip_version1.0_"))
-    n_attachments = sum(1 for e in ole.entries
+    n_attachments = sum(1 for e in roots
                         if e.obj_type == 1 and e.name.startswith("__attach_version1.0_"))
 
     frm = None

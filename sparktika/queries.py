@@ -701,7 +701,7 @@ sh AS (
   WHERE len(t) >= 8
 )
 SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
-FROM sh GROUP BY shingle HAVING count(*) >= 2
+FROM sh GROUP BY shingle HAVING count(*) >= 2 AND count(*) <= 10000
 """,
 )
 def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,18 +947,21 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     bucket_us = 1800 * 1_000_000
+    # pure NTZ wall-clock micros (tz casts would shift DST-straddling
+    # windows and diverge from the oracle's epoch_us)
     e = ev.select(
         F.col("user_id").cast("long").alias("key"),
         F.col("event_id"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("e_us"))
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("e_us"))
     e = e.withColumn("bucket", F.expr(f"e_us div {bucket_us}"))
     o = orders.select(
         "o_orderkey",
         (F.col("o_custkey") % 20).cast("long").alias("key"),
-        F.unix_micros(F.expr(
-            "timestampadd(MINUTE, CAST(o_orderkey % 20000 AS INT), "
-            "TIMESTAMP_NTZ '2024-01-01 00:00:00')").cast("timestamp"))
-         .alias("t_us"))
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "timestampadd(MINUTE, CAST(o_orderkey % 20000 AS INT), "
+               "TIMESTAMP_NTZ '2024-01-01 00:00:00'))").alias("t_us"))
     o = o.withColumn(
         "bucket",
         F.explode(F.array(F.expr(f"t_us div {bucket_us} - 1"),

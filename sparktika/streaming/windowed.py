@@ -42,9 +42,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
-    # TIMESTAMP_NTZ -> TIMESTAMP for unix_micros; gap DIFFS are invariant
-    # under the session-tz shift, so the cast is oracle-safe
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # pure NTZ wall-clock micros (no session-tz cast: a tz cast would
+    # shift DST-straddling gaps and diverge from DuckDB's epoch_us)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     marked = events.select(
         "user_id", "ts", "event_id",
         F.when((us - F.lag(us).over(w)) > gap_us, 1)

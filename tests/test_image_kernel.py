@@ -757,7 +757,7 @@ def test_ico_png_and_dib_entries():
     w, h = media_dims(4)
     r, g, b = _media_color(4)
     ico = _ico_with([(w, h, png)])
-    assert sniff_image(ico) == "image/x-icon"
+    assert sniff_image(ico) == "image/vnd.microsoft.icon"
     img = decode_any(ico)
     assert (img.width, img.height) == (w, h)
     assert (img.pixels[:, :, 0] == r).all()
@@ -775,3 +775,18 @@ def test_ico_png_and_dib_entries():
     # empty / truncated directories fail closed
     with pytest.raises(KernelError):
         decode_any(b"\x00\x00\x01\x00\x01\x00" + b"\x01" * 8)
+
+
+def test_jpeg_rejects_multiple_sof_frames():
+    """Regression (code-review): a second SOF must raise (stale zero
+    coefficient planes would otherwise decode as wrong-but-ok pixels)."""
+    from sparktika.kernels.image import decode_jpeg
+    from sparktika.synth import build_jpeg
+
+    good = build_jpeg(4)
+    sof_at = good.index(b"\xff\xc0")
+    seg_len = struct.unpack_from(">H", good, sof_at + 2)[0]
+    sof_seg = good[sof_at : sof_at + 2 + seg_len]
+    doubled = good[:sof_at] + sof_seg + good[sof_at:]
+    with pytest.raises(KernelError):
+        decode_jpeg(doubled)

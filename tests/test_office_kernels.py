@@ -684,3 +684,42 @@ def test_gzip_wrapper_dispatch():
     # corrupt gzip degrades
     r6 = extract_document("u.gz", None, b"\x1f\x8b" + b"garbage")
     assert r6.status == "failed"
+
+
+def test_msg_property_lookup_is_root_scoped():
+    """Regression (code-review): an outer message with NO plain body and an
+    embedded-message attachment must NOT report the inner body/subject as
+    its own (property stream names repeat in sub-storages)."""
+    from sparktika.kernels.msg import extract_msg
+    from sparktika.synth import _ole2_file
+    from sparktika.kernels.ole2 import Ole2File
+
+    u16 = lambda s: s.encode("utf-16-le")
+    data = _ole2_file(
+        {"__substg1.0_0037001F": u16("Outer subject"),
+         "__properties_version1.0": b"\x00" * 32},  # no outer body
+        storages=[("__attach_version1.0_#00000000",
+                   {"__substg1.0_3701000D": {
+                       "__substg1.0_0037001F": u16("Inner subject"),
+                       "__substg1.0_1000001F": u16("Inner body.")}})])
+    r = extract_msg(Ole2File(data))
+    assert r.subject == "Outer subject"
+    # inner body appears exactly ONCE (under the attachment), never as
+    # the outer body
+    assert r.text == ("Outer subject\n"
+                      "[Attachment message: Inner subject]\nInner body.\n")
+    assert r.metadata.get("body-source") is None
+
+
+def test_doc_stray_field_begin_does_not_swallow_document():
+    """Regression (code-review): a stray 0x13 with no terminator stops
+    suppressing after the instruction-length cap instead of discarding
+    every remaining character."""
+    from sparktika.kernels.doc import extract_doc, _MAX_INSTRUCTION_CHARS
+
+    filler = "x" * (_MAX_INSTRUCTION_CHARS + 10)
+    wd, table = _doc_streams([(f"keep \x13{filler}tail text\r", True)])
+    data = _build_ole2({"WordDocument": wd, "0Table": table})
+    text = extract_doc(data).text
+    assert text.startswith("keep ")
+    assert text.endswith("tail text\n")
