@@ -1101,20 +1101,29 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
     """(mime, width, height) from HEADERS ONLY — no pixel decode, so the
     extraction dispatcher can emit image metadata at negligible cost
     (Tika ImageParser behavior: dimensions into metadata, empty body).
-    Returns None when the payload isn't a recognizable image."""
+    Returns None when the payload isn't a recognizable image OR the
+    header dims are implausible (magic bytes followed by junk must stay
+    'unsupported', never emit garbage dimensions as ok)."""
+    def ok(kind: str, w: int, h: int):
+        if 0 < w and 0 < h and w * h <= _MAX_PIXELS:
+            return (kind, w, h)
+        return None
+
     kind = sniff_image(data)
     if kind == "image/png" and len(data) >= 24:
+        if data[12:16] != b"IHDR":
+            return None
         w, h = struct.unpack_from(">II", data, 16)
-        return (kind, w, h) if w and h else None
+        return ok(kind, w, h)
     if kind == "image/bmp" and len(data) >= 26:
         w, h = struct.unpack_from("<ii", data, 18)
-        return (kind, w, abs(h)) if w > 0 and h != 0 else None
+        return ok(kind, w, abs(h)) if h != 0 else None
     if kind == "image/gif" and len(data) >= 10:
         w, h = struct.unpack_from("<HH", data, 6)
-        return (kind, w, h) if w and h else None
+        return ok(kind, w, h)
     if kind == "image/jpeg":
         dims = jpeg_dimensions(data)
-        return (kind, dims[0], dims[1]) if dims else None
+        return ok(kind, dims[0], dims[1]) if dims else None
     if kind == "image/tiff":
         try:  # tag walk only (strips never touched)
             endian = "<" if data[:2] == b"II" else ">"
@@ -1133,7 +1142,7 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
                         w = v
                     else:
                         h = v
-            return (kind, w, h) if w and h else None
+            return ok(kind, w, h)
         except struct.error:
             return None
     if kind == "image/vnd.microsoft.icon" and len(data) >= 22:
@@ -1147,7 +1156,7 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
             h = data[off + 1] or 256
             if w * h > best[0] * best[1]:
                 best = (w, h)
-        return (kind, best[0], best[1]) if best[0] else None
+        return ok(kind, best[0], best[1]) if best[0] else None
     return None
 
 
