@@ -562,34 +562,69 @@ def decode_tiff(data: bytes) -> DecodedImage:
     bits = tags.get(258) or [8] * spp
     if any(b != 8 for b in bits):
         raise KernelError("TIFF bit depth != 8 not supported")
-    strip_offsets = tags.get(273) or []
-    strip_counts = tags.get(279) or []
-    if not strip_offsets:
-        raise KernelError("TIFF has no strip offsets")
-    if not strip_counts:
-        strip_counts = [w * h * spp]  # single strip, implied length
-    raster = bytearray()
-    need = w * h * spp
-    for so, sc in zip(strip_offsets, strip_counts):
-        if so + sc > n:
-            raise KernelError("TIFF strip out of bounds")
-        strip = data[so : so + sc]
+    def decompress(chunk: bytes, cap: int) -> bytes:
         if compression == 32773:
-            strip = _packbits_decode(strip, need - len(raster))
-        elif compression == 5:
-            strip = _tiff_lzw_decode(strip, need - len(raster))
-        elif compression in (8, 32946):  # zlib Deflate, capped inflate
+            return _packbits_decode(chunk, cap)
+        if compression == 5:
+            return _tiff_lzw_decode(chunk, cap)
+        if compression in (8, 32946):  # zlib Deflate, capped inflate
             d = zlib.decompressobj()
             try:
-                strip = d.decompress(strip, need - len(raster))
+                return d.decompress(chunk, cap)
             except zlib.error as ex:
                 raise KernelError(f"TIFF deflate error: {ex}") from ex
-        raster += strip
-        if len(raster) >= need:
-            break
-    if len(raster) < need:
-        raise KernelError("TIFF raster truncated")
-    arr = np.frombuffer(bytes(raster[:need]), dtype=np.uint8).reshape(h, w, spp)
+        return chunk
+
+    if 322 in tags:  # tiled layout (TileWidth/TileLength/TileOffsets)
+        tw = (tags.get(322) or [0])[0]
+        th = (tags.get(323) or [0])[0]
+        tile_offsets = tags.get(324) or []
+        tile_counts = tags.get(325) or []
+        if not (0 < tw <= 1 << 16 and 0 < th <= 1 << 16) or not tile_offsets:
+            raise KernelError("TIFF tile geometry missing/implausible")
+        tiles_x = -(-w // tw)
+        tiles_y = -(-h // th)
+        if len(tile_offsets) < tiles_x * tiles_y:
+            raise KernelError("TIFF tile table shorter than the tile grid")
+        if not tile_counts:
+            tile_counts = [tw * th * spp] * len(tile_offsets)
+        arr = np.zeros((tiles_y * th, tiles_x * tw, spp), dtype=np.uint8)
+        tile_need = tw * th * spp
+        for ti in range(tiles_x * tiles_y):
+            so, sc = tile_offsets[ti], tile_counts[ti]
+            if so + sc > n:
+                raise KernelError("TIFF tile out of bounds")
+            raw = decompress(data[so : so + sc], tile_need)
+            if len(raw) < tile_need:
+                raise KernelError("TIFF tile truncated")
+            ty, tx = divmod(ti, tiles_x)
+            tile = (np.frombuffer(raw[:tile_need], dtype=np.uint8)
+                    .reshape(th, tw, spp))
+            if predictor == 2:  # horizontal differencing resets per TILE row
+                tile = (np.cumsum(tile.astype(np.int64), axis=1)
+                        % 256).astype(np.uint8)
+            arr[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        arr = arr[:h, :w]  # crop edge-tile padding
+        predictor = 1  # already applied per tile
+    else:
+        strip_offsets = tags.get(273) or []
+        strip_counts = tags.get(279) or []
+        if not strip_offsets:
+            raise KernelError("TIFF has no strip offsets")
+        if not strip_counts:
+            strip_counts = [w * h * spp]  # single strip, implied length
+        raster = bytearray()
+        need = w * h * spp
+        for so, sc in zip(strip_offsets, strip_counts):
+            if so + sc > n:
+                raise KernelError("TIFF strip out of bounds")
+            raster += decompress(data[so : so + sc], need - len(raster))
+            if len(raster) >= need:
+                break
+        if len(raster) < need:
+            raise KernelError("TIFF raster truncated")
+        arr = np.frombuffer(bytes(raster[:need]),
+                            dtype=np.uint8).reshape(h, w, spp)
     if predictor == 2:  # horizontal differencing: cumsum per channel mod 256
         arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(np.uint8)
     if photometric == 2:  # RGB(A)

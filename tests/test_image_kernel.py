@@ -790,3 +790,59 @@ def test_jpeg_rejects_multiple_sof_frames():
     doubled = good[:sof_at] + sof_seg + good[sof_at:]
     with pytest.raises(KernelError):
         decode_jpeg(doubled)
+
+
+def test_tiff_tiled_layout():
+    """Tiled TIFF (tags 322-325): per-tile decode + grid placement + edge
+    cropping; per-tile colors land in the right regions."""
+    import struct as _s
+    from sparktika.kernels.image import decode_tiff
+
+    w, h, tw, th = 40, 20, 16, 12  # 3x2 tiles, padding on both edges
+    tiles_x, tiles_y = -(-w // tw), -(-h // th)
+    tiles = [bytes([(ti * 40 + 15) % 256] * 3) * (tw * th)
+             for ti in range(tiles_x * tiles_y)]
+    pos = 8
+    offs = []
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    entries, extra = [], bytearray()
+    e = "<"
+
+    def ent(tag, t, vals, fmt):
+        nonlocal extra
+        size = (2 if fmt == "H" else 4) * len(vals)
+        if size <= 4:
+            field = _s.pack(e + fmt * len(vals), *vals).ljust(4, b"\0")
+        else:
+            off = pos + len(extra)
+            extra += _s.pack(e + fmt * len(vals), *vals)
+            field = _s.pack(e + "I", off)
+        entries.append((tag, t, len(vals), field))
+
+    ent(256, 3, [w], "H"); ent(257, 3, [h], "H"); ent(258, 3, [8, 8, 8], "H")
+    ent(259, 3, [1], "H"); ent(262, 3, [2], "H"); ent(277, 3, [3], "H")
+    ent(322, 3, [tw], "H"); ent(323, 3, [th], "H")
+    ent(324, 4, offs, "I"); ent(325, 4, [len(t) for t in tiles], "I")
+    entries.sort()
+    ifd_off = pos + len(extra)
+    ifd = _s.pack(e + "H", len(entries))
+    for tag, t, c, f in entries:
+        ifd += _s.pack(e + "HHI", tag, t, c) + f
+    ifd += _s.pack(e + "I", 0)
+    data = (b"II*\x00" + _s.pack(e + "I", ifd_off) + b"".join(tiles)
+            + bytes(extra) + ifd)
+    img = decode_tiff(data)
+    assert (img.width, img.height) == (w, h)
+    for ti in range(tiles_x * tiles_y):
+        ty, tx = divmod(ti, tiles_x)
+        c = (ti * 40 + 15) % 256
+        region = img.pixels[ty * th:min((ty + 1) * th, h),
+                            tx * tw:min((tx + 1) * tw, w)]
+        assert (region[:, :, 0] == c).all(), ti
+    # short tile table fails closed
+    bad = data.replace(_s.pack(e + "HHI", 324, 4, len(offs)),
+                       _s.pack(e + "HHI", 324, 4, 2), 1)
+    with pytest.raises(KernelError):
+        decode_tiff(bad)
