@@ -407,12 +407,16 @@ def extract_document(
 
             dims = image_dimensions(data)
             if dims is not None:
+                from .image import exif_metadata
+
                 mime_kind, iw, ih = dims
+                md = {"Content-Type": [mime_kind],
+                      "Image Width": [str(iw)],
+                      "Image Height": [str(ih)]}
+                for k, v in exif_metadata(data).items():
+                    md[k] = [v]
                 return res(detected=mime_kind, text_extracted="",
-                           metadata={"Content-Type": [mime_kind],
-                                     "Image Width": [str(iw)],
-                                     "Image Height": [str(ih)]},
-                           status=STATUS_OK)
+                           metadata=md, status=STATUS_OK)
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error="image headers unparseable")
 

@@ -1132,6 +1132,113 @@ def decode_jpeg(data: bytes) -> DecodedImage:
     return DecodedImage(width=w, height=h, pixels=np.ascontiguousarray(rgb))
 
 
+# EXIF tags surfaced with Tika's public metadata names
+_EXIF_IFD0_TAGS = {
+    271: ("tiff:Make", 2), 272: ("tiff:Model", 2),
+    274: ("tiff:Orientation", 3), 282: ("tiff:XResolution", 5),
+    305: ("tiff:Software", 2), 306: ("tiff:DateTime", 2),
+    315: ("tiff:Artist", 2),
+}
+_EXIF_SUBIFD_TAGS = {
+    0x9003: ("exif:DateTimeOriginal", 2),
+    0xA002: ("exif:PixelXDimension", 0),  # SHORT or LONG
+    0xA003: ("exif:PixelYDimension", 0),
+}
+_EXIF_POINTER = 0x8769
+
+
+def _exif_ifd(data: bytes, endian: str, ifd_off: int, wanted: dict,
+              out: dict) -> int:
+    """Read one EXIF/TIFF IFD, filling `out` with the wanted tags;
+    returns the ExifIFD pointer if present (0 otherwise)."""
+    n = len(data)
+    if ifd_off + 2 > n:
+        return 0
+    (n_ent,) = struct.unpack_from(endian + "H", data, ifd_off)
+    if n_ent > 512 or ifd_off + 2 + 12 * n_ent > n:
+        return 0
+    sub_ptr = 0
+    for e in range(n_ent):
+        off = ifd_off + 2 + 12 * e
+        tag, ttype, count = struct.unpack_from(endian + "HHI", data, off)
+        if tag == _EXIF_POINTER and ttype == 4:
+            (sub_ptr,) = struct.unpack_from(endian + "I", data, off + 8)
+            continue
+        spec = wanted.get(tag)
+        if spec is None or count > 4096:
+            continue
+        name, _want_type = spec
+        if ttype == 2:  # ASCII (NUL-terminated)
+            total = count
+            if total <= 4:
+                raw = data[off + 8 : off + 8 + total]
+            else:
+                (voff,) = struct.unpack_from(endian + "I", data, off + 8)
+                if voff + total > n:
+                    continue
+                raw = data[voff : voff + total]
+            val = raw.split(b"\x00", 1)[0].decode("ascii", "replace").strip()
+            if val:
+                out[name] = val
+        elif ttype == 3 and count == 1:  # SHORT
+            (v,) = struct.unpack_from(endian + "H", data, off + 8)
+            out[name] = str(v)
+        elif ttype == 4 and count == 1:  # LONG
+            (v,) = struct.unpack_from(endian + "I", data, off + 8)
+            out[name] = str(v)
+        elif ttype == 5 and count == 1:  # RATIONAL
+            (voff,) = struct.unpack_from(endian + "I", data, off + 8)
+            if voff + 8 <= n:
+                num, den = struct.unpack_from(endian + "II", data, voff)
+                if den:
+                    out[name] = str(num // den) if num % den == 0 else f"{num}/{den}"
+    return sub_ptr
+
+
+def exif_metadata(data: bytes) -> dict:
+    """EXIF tags from a JPEG APP1 'Exif' segment or a TIFF file's own IFDs,
+    surfaced under Tika's public metadata names (tiff:Make, tiff:Model,
+    tiff:Orientation, exif:DateTimeOriginal, ...). Header-only — bounded
+    IFD walks, never raises (returns {} on any malformed structure)."""
+    try:
+        kind = sniff_image(data)
+        tiff = None
+        if kind == "image/jpeg":
+            i, n = 2, len(data)
+            while i + 4 <= n and data[i] == 0xFF:
+                marker = data[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if marker == 0xDA:
+                    break
+                (seg_len,) = struct.unpack_from(">H", data, i + 2)
+                if seg_len < 2 or i + 2 + seg_len > n:
+                    break
+                if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+                    tiff = data[i + 10 : i + 2 + seg_len]
+                    break
+                i += 2 + seg_len
+        elif kind == "image/tiff":
+            tiff = data
+        if tiff is None or len(tiff) < 8:
+            return {}
+        if tiff[:2] == b"II":
+            endian = "<"
+        elif tiff[:2] == b"MM":
+            endian = ">"
+        else:
+            return {}
+        (ifd0,) = struct.unpack_from(endian + "I", tiff, 4)
+        out: dict = {}
+        sub = _exif_ifd(tiff, endian, ifd0, _EXIF_IFD0_TAGS, out)
+        if sub:
+            _exif_ifd(tiff, endian, sub, _EXIF_SUBIFD_TAGS, out)
+        return out
+    except (struct.error, IndexError):
+        return {}
+
+
 def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
     """(mime, width, height) from HEADERS ONLY — no pixel decode, so the
     extraction dispatcher can emit image metadata at negligible cost

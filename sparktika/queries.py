@@ -2077,6 +2077,55 @@ def extract_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_exif",
+    """
+SELECT doc_id,
+       'Cam' || (doc_id % 5) AS make,
+       'Model ' || (doc_id % 7) AS model,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       '2026:01:' || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+         || ' 10:00:00' AS datetime_original,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata through the text dispatcher: the APP1 'Exif' TIFF
+    structure (IFD0 + ExifIFD) is walked header-only and surfaced under
+    Tika's public names (tiff:Make/Model/Orientation,
+    exif:DateTimeOriginal) alongside the SOF dimensions."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.extract import extract_pages
+    from .synth import build_jpeg_exif
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_jpeg_exif(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://photos.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".jpg")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    m = lambda k: F.element_at("metadata", k).getItem(0)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.jpg$", 1).cast("long").alias("doc_id"),
+        m("tiff:Make").alias("make"),
+        m("tiff:Model").alias("model"),
+        m("tiff:Orientation").cast("int").alias("orientation"),
+        m("exif:DateTimeOriginal").alias("datetime_original"),
+        m("Image Width").cast("int").alias("width"),
+        m("Image Height").cast("int").alias("height"),
+        "status")
+
+
+@_register(
     "media_tiff_features",
     """
 SELECT doc_id AS media_id,

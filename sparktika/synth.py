@@ -700,6 +700,59 @@ def build_tiff(media_id: int) -> bytes:
     return header + b"".join(strips) + bytes(extra) + ifd
 
 
+def build_jpeg_exif(media_id: int) -> bytes:
+    """build_jpeg payload with an EXIF APP1 segment spliced after SOI
+    (extract_exif oracle): Make/Model/Orientation/DateTimeOriginal are
+    pure functions of media_id."""
+    import struct as _s
+
+    e = "<"
+    make = f"Cam{media_id % 5}".encode() + b"\x00"
+    model = f"Model {media_id % 7}".encode() + b"\x00"
+    dto = f"2026:01:{(media_id % 27) + 1:02d} 10:00:00".encode() + b"\x00"
+    orientation = 1 + media_id % 8
+
+    # IFD0: Make, Model, Orientation, ExifIFD pointer; ExifIFD: DateTimeOriginal
+    ifd0_off = 8
+    n0 = 4
+    ifd0_size = 2 + 12 * n0 + 4
+    sub_off = ifd0_off + ifd0_size
+    n1 = 1
+    sub_size = 2 + 12 * n1 + 4
+    data_off = sub_off + sub_size
+
+    def ent(tag, ttype, count, field4):
+        return _s.pack(e + "HHI", tag, ttype, count) + field4
+
+    blobs = bytearray()
+
+    def ascii_field(v: bytes) -> bytes:
+        nonlocal blobs
+        if len(v) <= 4:
+            return v.ljust(4, b"\x00")
+        off = data_off + len(blobs)
+        blobs += v
+        return _s.pack(e + "I", off)
+
+    make_f = ascii_field(make)
+    model_f = ascii_field(model)
+    dto_f = ascii_field(dto)
+    ifd0 = (_s.pack(e + "H", n0)
+            + ent(271, 2, len(make), make_f)
+            + ent(272, 2, len(model), model_f)
+            + ent(274, 3, 1, _s.pack(e + "H", orientation).ljust(4, b"\x00"))
+            + ent(0x8769, 4, 1, _s.pack(e + "I", sub_off))
+            + _s.pack(e + "I", 0))
+    sub = (_s.pack(e + "H", n1)
+           + ent(0x9003, 2, len(dto), dto_f)
+           + _s.pack(e + "I", 0))
+    tiff = b"II*\x00" + _s.pack(e + "I", ifd0_off) + ifd0 + sub + bytes(blobs)
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + _s.pack(">H", 2 + len(app1_body)) + app1_body
+    base = build_jpeg(media_id)
+    return base[:2] + app1 + base[2:]
+
+
 def build_jpeg_progressive(media_id: int) -> bytes:
     """Progressive twin of build_jpeg: same solid gray, same variant
     rotation (gray / 4:4:4 / 4:2:0), encoded with the 6-scan progressive

@@ -846,3 +846,21 @@ def test_tiff_tiled_layout():
                        _s.pack(e + "HHI", 324, 4, 2), 1)
     with pytest.raises(KernelError):
         decode_tiff(bad)
+
+
+def test_exif_metadata_reader():
+    """EXIF from JPEG APP1 and TIFF IFDs under Tika's public names;
+    malformed structures return {} (never raise)."""
+    from sparktika.kernels.image import exif_metadata
+    from sparktika.synth import build_jpeg_exif, build_jpeg, build_tiff
+
+    md = exif_metadata(build_jpeg_exif(6))
+    assert md["tiff:Make"] == "Cam1"
+    assert md["tiff:Model"] == "Model 6"
+    assert md["tiff:Orientation"] == "7"
+    assert md["exif:DateTimeOriginal"] == "2026:01:07 10:00:00"
+    assert exif_metadata(build_jpeg(6)) == {}       # no APP1
+    assert exif_metadata(b"\xff\xd8\xff\xe1\x00\x08Exif") == {}  # truncated
+    assert exif_metadata(b"junk") == {}
+    # a plain TIFF's own IFD0 yields nothing EXIF-ish but doesn't error
+    assert isinstance(exif_metadata(build_tiff(3)), dict)
