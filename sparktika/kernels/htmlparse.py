@@ -282,6 +282,163 @@ def tokenize(s: str, deadline: float | None = None):
             yield ("end", name)
 
 
+def scan_html_meta(
+    s: str,
+    max_depth: int = 200,
+    deadline: float | None = None,
+) -> HtmlResult:
+    """Structure-only walk for the metadata-only fast path (O26): title,
+    depth guard, and deadline — no text assembly, no links, no blocks, no
+    event generator, no attribute materialization.
+
+    Byte-equivalent observables with the full walker (status/exception,
+    title) by construction: identical tag-boundary rules (same _TAGNAME /
+    _ATTR consumption, comment/CDATA/doctype/PI handling, script/style raw
+    skip) and identical stack semantics (void elements, self-closing,
+    <p> auto-close, TagSoup pop-until-match, head/body/title scoping).
+    Pinned by the differential fuzz test in tests/test_fuzz.py.
+
+    ~3x faster than driving the event walker with null sinks: the
+    per-event generator suspend/resume and attr dict assembly dominate
+    the lean path's cost (measured on the bench heavy-page corpus).
+    """
+    stack: list[str] = []
+    title_parts: list[str] = []
+    in_head = in_title = body_started = body_done = False
+    i, n = 0, len(s)
+    tick = 0
+
+    def text_span(span: str) -> None:
+        # mirrors the walker's text handling for the two observable cases:
+        # title capture, and text-before-body flipping body_started (which
+        # gates whether a later <title> is captured). After </body> the
+        # walker discards text BEFORE the body_started check (body_done
+        # gate), so post-body text never flips body_started.
+        nonlocal body_started
+        if in_title:
+            title_parts.append(decode_entities(span))
+        elif body_done:
+            return
+        elif not body_started and not in_head:
+            if decode_entities(span).strip():
+                body_started = True
+
+    while i < n:
+        tick += 1
+        if deadline is not None and (tick & 0xFF) == 0 and time.monotonic() > deadline:
+            raise DeadlineError("html parse deadline exceeded")
+        lt = s.find("<", i)
+        if lt == -1:
+            if in_title or not body_started:
+                text_span(s[i:])
+            break
+        if lt > i and (in_title or not body_started):
+            text_span(s[i:lt])
+        if lt + 1 >= n:
+            if in_title or not body_started:
+                text_span(s[lt:])
+            break
+        c = s[lt + 1]
+        if c == "!":
+            if s.startswith("<!--", lt):
+                end = s.find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+            elif s.startswith("<![CDATA[", lt):
+                end = s.find("]]>", lt + 9)
+                if in_title or not body_started:
+                    text_span(s[lt + 9:] if end == -1 else s[lt + 9: end])
+                i = n if end == -1 else end + 3
+            else:  # doctype or bogus declaration
+                end = s.find(">", lt + 1)
+                i = n if end == -1 else end + 1
+            continue
+        if c == "?":  # processing instruction
+            end = s.find(">", lt + 1)
+            i = n if end == -1 else end + 1
+            continue
+        if c == "/":
+            m = _TAGNAME.match(s, lt + 2)
+            end = s.find(">", lt + 1)
+            if not m or end == -1:
+                if in_title or not body_started:
+                    text_span("<")
+                i = lt + 1
+                continue
+            name = m.group(0).lower()
+            i = end + 1
+            if name == "title":
+                in_title = False
+            if name == "head":
+                in_head = False
+                in_title = False
+            elif name == "body":
+                stack.clear()
+                body_done = True
+            elif name in stack:
+                while stack:
+                    if stack.pop() == name:
+                        break
+            continue
+        m = _TAGNAME.match(s, lt + 1)
+        if not m:
+            if in_title or not body_started:
+                text_span("<")
+            i = lt + 1
+            continue
+        name = m.group(0).lower()
+        j = m.end()
+        self_closing = False
+        while j < n:
+            ch = s[j]
+            if ch == ">":
+                j += 1
+                break
+            if ch == "/" and j + 1 < n and s[j + 1] == ">":
+                self_closing = True
+                j += 2
+                break
+            if ch in " \t\r\n\x0c":
+                j += 1
+                continue
+            am = _ATTR.match(s, j)
+            if not am:
+                j += 1
+                continue
+            j = am.end()
+        i = j
+        if name == "html":
+            continue
+        if name == "head":
+            in_head = True
+            continue
+        if name == "body":
+            body_started = True
+            in_head = False
+            continue
+        if name == "title" and not body_started:
+            in_title = True
+            continue
+        if name in DISCARD_ELEMENTS:
+            if not self_closing:
+                cm = _RAW_CLOSE[name].search(s, i)
+                i = cm.end() if cm else n
+            continue
+        if not body_started and not in_head and name not in _HEAD_SCOPE:
+            body_started = True
+        is_void = name in VOID_ELEMENTS or self_closing
+        if stack and stack[-1] == "p" and name in _P_CLOSERS:
+            stack.pop()
+        if not is_void:
+            stack.append(name)
+            if len(stack) > max_depth:
+                raise DepthLimitError(
+                    f"element nesting exceeded {max_depth}")
+
+    title = _WS_COLLAPSE.sub(" ", "".join(title_parts)).strip() or None
+    return HtmlResult(text="", title=title, links=[], blocks=[],
+                      write_limit_reached=False)
+
+
 # --- walker -------------------------------------------------------------------
 
 class _NullWriter:
@@ -312,6 +469,11 @@ def parse_html(
     deadline: float | None = None,
     emit_text: bool = True,
 ) -> HtmlResult:
+    # metadata-only fast path: no consumer wants text, links, or blocks —
+    # run the dedicated structure-only scanner (same observables, ~3x less
+    # per-doc work; differential-fuzzed in tests/test_fuzz.py)
+    if not emit_text and not extract_links and not collect_blocks:
+        return scan_html_meta(text, max_depth=max_depth, deadline=deadline)
     writer = TextWriter(max_chars) if emit_text else _NullWriter()
     links: list[Link] = []
     builder_stack: list[_LinkBuilder] = []

@@ -202,3 +202,85 @@ def test_media_decoders_fail_closed_with_magic_prefixes(payload):
             decode_any(magic + payload)
         except KernelError:
             pass
+
+
+# --- scan_html_meta differential: the metadata-only fast path must agree
+# with the full walker on every observable it shares (exception type,
+# title) for ANY input, including crafted tag soup ---------------------------
+
+_meta_html_chunks = st.lists(
+    st.one_of(
+        st.text(max_size=20),
+        st.sampled_from([
+            "<html>", "<head>", "</head>", "<title>", "</title>", "<body>",
+            "</body>", "<div>", "</div>", "<p>", "</p>", "<hr>", "<br/>",
+            "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+            "<![CDATA[", "]]>", "&amp;", "&#x41;", "&bogus;", "&nbsp;",
+            "<", ">", "</", "<b", "='x'>", "<TITLE>T</TITLE>",
+            "<title>deep<b>in</b>side</title>", "<?pi?>", "<!doctype html>",
+            "<a href='u'>t</a>", "<img src=x alt='y'>", "<head>",
+        ]),
+    ),
+    max_size=50,
+)
+
+
+def _observables(html: str, max_depth: int = 40):
+    from sparktika.kernels.errors import DepthLimitError
+    from sparktika.kernels.htmlparse import scan_html_meta
+
+    def run(fn):
+        try:
+            return (None, fn().title)
+        except DepthLimitError:
+            return ("depth", None)
+
+    full = run(lambda: parse_html(html, max_chars=-1, max_depth=max_depth,
+                                  extract_links=True, collect_blocks=True,
+                                  emit_text=True))
+    lean = run(lambda: scan_html_meta(html, max_depth=max_depth))
+    return full, lean
+
+
+@given(_meta_html_chunks)
+@_settings
+def test_scan_html_meta_matches_full_walker(chunks):
+    full, lean = _observables("".join(chunks))
+    assert full == lean
+
+
+def test_scan_html_meta_matches_on_adversarial_cases():
+    cases = [
+        # title scoping edge: <body> while in_title does not close the title
+        "<head><title>a<body>b</title>c</head>",
+        # title after </body> when body never started
+        "<head></head></body><title>late</title>",
+        # title in body scope is NOT captured (body_started gate)
+        "<body><title>nope</title>",
+        # text before head flips body_started, later title not captured
+        "x<title>skipped</title>",
+        # &nbsp;-only text must NOT flip body_started (decodes to \xa0)
+        "&nbsp;<title>kept</title>",
+        # p auto-close via void <hr> affects depth bookkeeping
+        "<p>" * 30 + "<hr>" + "<div>" * 30,
+        # depth bomb: identical DepthLimitError in both modes
+        "<div>" * 300,
+        # depth bomb defused by </body> clearing the stack
+        "<div>" * 30 + "</body>" + "<div>" * 30,
+        # raw-text elements hide tags from both modes
+        "<script><div><div><div></script><title>t</title>",
+        "<script src=x/><title>t2</title>",
+        # quoted '>' inside attr must not end the tag
+        '<div title="a>b"><title>q</title>',
+        # CDATA inside title
+        "<title><![CDATA[cd &amp; ata]]></title>",
+        # bogus end tag and trailing '<'
+        "<title>t</ >u</title><",
+        # entities in title, whitespace collapse
+        "<title>  a &amp;\n b  </title>",
+        # unclosed everything
+        "<head><title>open",
+    ]
+    for html in cases:
+        full, lean = _observables(html, max_depth=40)
+        assert full == lean, f"divergence on {html!r}: {full} vs {lean}"
