@@ -6,9 +6,10 @@ as Arrow-batched kernels over mapInPandas. `decode_image` is REAL for
 PNG, BMP, GIF and baseline JPEG (pure-Python kernels/image.py: zlib IDAT
 inflate behind the bomb-ratio guard, scanline unfiltering, LZW, Huffman
 entropy decode + IDCT) and returns (width, height, 8 feature floats).
-Progressive JPEG degrades to a status='failed' row like any other
-unsupported payload; `use_fake=True` keeps the deterministic hash-based
-twin for plumbing tests.
+Progressive (SOF2) JPEG is fully decoded too (kernels/image.py spectral
+selection + successive approximation); only arithmetic-coded JPEG
+degrades to a status='failed' row. `use_fake=True` keeps the
+deterministic hash-based twin for plumbing tests.
 """
 
 from __future__ import annotations

@@ -105,19 +105,32 @@ def ann_topk_lsh(
     """Approximate top-k: exact cosine restricted to pairs sharing an LSH
     bucket in >=1 of `n_tables` tables. The 100TB plan shuffles the corpus
     once by (table_id, bucket) and broadcasts the bucketed queries; recall
-    tunes with n_tables (compute) and planes_per_table (selectivity)."""
+    tunes with n_tables (compute) and planes_per_table (selectivity).
+
+    Candidate dedup runs on bare (query_id, id) pairs — 16 B/row — and the
+    embedding vectors are re-attached by key afterwards, so no vector ever
+    rides the bucket-replicated candidate stream or the dedup Exchange
+    (at dim=768 float that stream would otherwise carry ~6 KB/row)."""
     cb = hyperplane_buckets(emb, n_tables, planes_per_table, id_col, vec_col)
-    qb = hyperplane_buckets(queries, n_tables, planes_per_table, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
-        "table_id", "bucket")
+    qb = hyperplane_buckets(queries, n_tables, planes_per_table, id_col, vec_col)
     cand = (
-        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        cb.select("table_id", "bucket", "id")
+        .join(F.broadcast(qb.select(F.col("id").alias("query_id"),
+                                    "table_id", "bucket")),
+              ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("id"))
-        .select("query_id", "qvec", "id", "vec")
+        .select("query_id", "id")
         .dropDuplicates(["query_id", "id"])
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6))
+    cvecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec"))
+    scored = (
+        cand.join(cvecs, "id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
