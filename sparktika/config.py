@@ -42,6 +42,11 @@ class ExtractConfig:
     extract_main_text: bool = True
     # Metadata-only mode: skip text assembly (ref: parseContent=false path).
     parse_content: bool = True
+    # Max nesting depth for embedded-document recursion (.msg embedded
+    # messages / binary attachments, .doc ObjectPool objects); 0 disables
+    # recursion (one-level degrade). Mirrors the reference's guarded
+    # embedded auto-detect parse (ConfigurableAutoDetectParser).
+    max_embed_depth: int = 4
     # PDF inline-image opt-in (O24; ref default off,
     # main/TikaForkMain.java:98,307-311): when on, image XObject and inline
     # BI/ID/EI counts are emitted as pdf:image-count / pdf:inline-image-count.

@@ -103,7 +103,12 @@ def _normalize(text: str) -> str:
 
 
 def extract_doc(data: bytes, deadline: float | None = None) -> DocResult:
-    ole = Ole2File(data)
+    return extract_doc_ole(Ole2File(data), deadline)
+
+
+def extract_doc_ole(ole, deadline: float | None = None) -> DocResult:
+    """Word97 extraction over an Ole2File-like (including a ScopedOle view
+    of an embedded document inside another compound file)."""
     names = set(ole.stream_names())
     if "WordDocument" not in names:
         raise KernelError("no WordDocument stream")
@@ -195,3 +200,91 @@ def extract_doc(data: bytes, deadline: float | None = None) -> DocResult:
     return DocResult(text=main + ftn + hdd + tail, n_pieces=n,
                      n_chars_main=len(main), n_chars_footnotes=len(ftn),
                      n_chars_headers=len(hdd), n_embedded_objects=n_embedded)
+
+
+@dataclass
+class EmbeddedObject:
+    """One ObjectPool member, normalized for dispatcher recursion.
+
+    kind='bytes'   -> `data` holds an extractable raw payload (from an
+                      \\x01Ole10Native packager record, a CONTENTS stream,
+                      or a Package stream), `filename` when known.
+    kind='storage' -> `storage` is the sub-storage DirEntry of an embedded
+                      compound document (Workbook / WordDocument / ...);
+                      wrap with ole2.ScopedOle to run the office kernels
+                      tree-scoped (never a global name lookup).
+    """
+    name: str
+    kind: str
+    data: bytes | None = None
+    storage: object | None = None
+    filename: str | None = None
+
+
+_MAX_EMBED_PAYLOAD = 64_000_000  # per-object cap (bomb posture)
+
+
+def _parse_ole10native(raw: bytes) -> tuple[str | None, bytes | None]:
+    """\\x01Ole10Native packager record (MS-OLEDS 2.3.6, the layout POI's
+    Ole10Native and Tika's embedded-object path read): u32 total size,
+    u16 flags, ASCIIZ label, ASCIIZ original path, u32 unknown/format,
+    u32 temp-path length + ASCIIZ temp path, u32 data size, data."""
+    if len(raw) < 8:
+        return None, None
+    try:
+        (total,) = struct.unpack_from("<I", raw, 0)
+        if total + 4 > len(raw) + 8:  # tolerate slightly-short writers
+            pass
+        pos = 6  # skip size + flags
+        z1 = raw.index(b"\x00", pos)
+        label = _decode_cp1252(raw[pos:z1])
+        pos = z1 + 1
+        z2 = raw.index(b"\x00", pos)
+        pos = z2 + 1
+        pos += 4  # unknown/format dword
+        (tmp_len,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        if tmp_len > len(raw) - pos:
+            return label or None, None
+        pos += tmp_len
+        (data_len,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        if data_len > len(raw) - pos or data_len > _MAX_EMBED_PAYLOAD:
+            return label or None, None
+        return label or None, raw[pos : pos + data_len]
+    except (ValueError, struct.error):
+        return None, None
+
+
+def embedded_objects(ole) -> list[EmbeddedObject]:
+    """Normalize the ObjectPool sub-storages into extractable objects, in
+    storage-name order. Unrecognized members (e.g. bare \\x01Ole anchors)
+    are skipped — they carry no payload."""
+    pool = next((e for e in ole.root_children()
+                 if e.obj_type == 1 and e.name == "ObjectPool"), None)
+    if pool is None:
+        return []
+    out: list[EmbeddedObject] = []
+    for st in sorted((e for e in ole.storage_children(pool)
+                      if e.obj_type == 1), key=lambda e: e.name):
+        kids = {k.name: k for k in ole.storage_children(st)}
+        kid_streams = {n for n, k in kids.items() if k.obj_type == 2}
+        if "\x01Ole10Native" in kid_streams:
+            fname, payload = _parse_ole10native(
+                ole.read_entry(kids["\x01Ole10Native"]))
+            if payload is not None:
+                out.append(EmbeddedObject(st.name, "bytes", data=payload,
+                                          filename=fname))
+            continue
+        if kid_streams & {"Workbook", "Book", "WordDocument",
+                          "PowerPoint Document"}:
+            out.append(EmbeddedObject(st.name, "storage", storage=st))
+            continue
+        for payload_stream in ("CONTENTS", "Package"):
+            k = kids.get(payload_stream)
+            if k is not None and k.obj_type == 2 and \
+                    0 < k.size <= _MAX_EMBED_PAYLOAD:
+                out.append(EmbeddedObject(st.name, "bytes",
+                                          data=ole.read_entry(k)))
+                break
+    return out

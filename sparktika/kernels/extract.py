@@ -69,10 +69,18 @@ def extract_document(
     data: bytes | None,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     true_size: int | None = None,
+    embed_depth: int = 0,
 ) -> ExtractResult:
     """`true_size` lets the Spark layer ship only a 1KB sniff head for
     oversize documents (single-scan short-circuit) while the kernel still
-    reports the document's real size in the status row."""
+    reports the document's real size in the status row.
+
+    `embed_depth` tracks re-entry for EMBEDDED documents (.msg attachment
+    payloads and embedded messages, .doc ObjectPool objects); recursion
+    stops when it reaches cfg.max_embed_depth — the Spark-side analog of
+    the reference's guarded embedded-document auto-detect parse
+    (ref: tika-fork-main ConfigurableAutoDetectParser.java:131-165,
+    installed at TikaForkMain.java:297)."""
     t0 = time.monotonic()
     deadline = t0 + cfg.timeout_ms / 1000.0 if cfg.timeout_ms > 0 else None
     data = data or b""
@@ -334,7 +342,23 @@ def extract_document(
             from .xls import extract_xls
 
             ole = Ole2File(data)  # structure errors -> KernelError -> failed
-            streams = set(ole.stream_names())
+            # dispatch on ROOT-LEVEL stream names: an embedded Workbook
+            # inside a .doc's ObjectPool must not reroute the whole file
+            # (tree-scoped lookups, invariant 12); flat legacy writers
+            # degrade to the all-entries view inside root_children()
+            streams = {e.name for e in ole.root_children() if e.obj_type == 2}
+            embed_budget = cfg.max_embed_depth - embed_depth
+
+            def recurse_embedded(name: str, payload: bytes) -> str | None:
+                """Guarded re-entry for embedded payload bytes; only OK /
+                truncated results contribute text, anything else degrades
+                to nothing (the outer doc's status is never affected)."""
+                r2 = extract_document(name, None, payload, cfg,
+                                      embed_depth=embed_depth + 1)
+                if r2.status in (STATUS_OK, STATUS_TRUNCATED):
+                    return r2.text_extracted or None
+                return None
+
             if "Workbook" in streams or "Book" in streams:
                 from .olemeta import extract_ole_properties
                 from .tikameta import xls_tika_metadata
@@ -354,10 +378,44 @@ def extract_document(
                            metadata=md, status=status,
                            write_limit_reached=limited)
             if "WordDocument" in streams:
-                from .doc import extract_doc
+                from .doc import embedded_objects, extract_doc_ole
+                from .ole2 import ScopedOle
+                from .xls import extract_xls_ole
 
-                r = extract_doc(data, deadline=deadline)
-                text, limited = _cap_text(r.text, cfg.max_chars)
+                r = extract_doc_ole(ole, deadline=deadline)
+                # ObjectPool payload recursion: packaged bytes re-enter the
+                # dispatcher; embedded compound docs run their office
+                # kernel over a tree-scoped view (never re-serialized)
+                doc_text = r.text
+                emb_names: list[str] = []
+                if embed_budget > 0:
+                    for obj in embedded_objects(ole):
+                        try:
+                            if obj.kind == "bytes":
+                                t2 = recurse_embedded(
+                                    obj.filename or obj.name, obj.data)
+                            else:
+                                sub = ScopedOle(ole, obj.storage)
+                                subnames = set(sub.stream_names())
+                                if subnames & {"Workbook", "Book"}:
+                                    t2 = extract_xls_ole(
+                                        sub, deadline=deadline).text
+                                elif "WordDocument" in subnames:
+                                    t2 = extract_doc_ole(
+                                        sub, deadline=deadline).text
+                                else:
+                                    t2 = None
+                        except DeadlineError:
+                            raise
+                        except Exception:
+                            t2 = None  # corrupt embed never fails the doc
+                        if t2:
+                            label = obj.filename or obj.name
+                            doc_text += (f"[Embedded: {label}]\n"
+                                         + (t2 if t2.endswith("\n")
+                                            else t2 + "\n"))
+                            emb_names.append(label)
+                text, limited = _cap_text(doc_text, cfg.max_chars)
                 status = STATUS_TRUNCATED if limited else STATUS_OK
                 md = {"Content-Type": ["application/msword"],
                       "n-text-pieces": [str(r.n_pieces)],
@@ -368,6 +426,8 @@ def extract_document(
                     md["n-chars-headers"] = [str(r.n_chars_headers)]
                 if r.n_embedded_objects:
                     md["n-embedded-objects"] = [str(r.n_embedded_objects)]
+                if emb_names:
+                    md["embedded-names"] = emb_names
                 return res(detected="application/msword",
                            text_extracted=text if cfg.parse_content else None,
                            metadata=md,
@@ -386,7 +446,10 @@ def extract_document(
             from .msg import extract_msg, is_msg, MSG_MIME
 
             if is_msg(list(streams)):
-                r = extract_msg(ole)
+                r = extract_msg(
+                    ole,
+                    recurse=recurse_embedded if embed_budget > 0 else None,
+                    embed_budget=max(embed_budget, 0))
                 text, limited = _cap_text(r.text, cfg.max_chars)
                 md = {k: [v] for k, v in r.metadata.items()}
                 md["n-recipients"] = [str(r.n_recipients)]

@@ -48,7 +48,8 @@ _ATTACH_DATA_OBJ = "__substg1.0_3701000D"  # PidTagAttachDataObject (storage)
 class MsgAttachment:
     filename: str | None
     n_bytes: int
-    text: str | None  # decoded for text payloads; None for binary
+    # decoded/.recursively-extracted content; None when nothing extractable
+    text: str | None
     embedded_subject: str | None = None  # set for message/rfc822-style nests
 
 
@@ -93,16 +94,31 @@ def _decode_mapi_string(raw: bytes, unicode: bool) -> str:
         return raw.decode("latin-1").rstrip("\x00")
 
 
-def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
+def _extract_attachments(
+    ole: Ole2File,
+    roots: list,
+    recurse=None,
+    embed_budget: int = 0,
+) -> list[MsgAttachment]:
     """Walk __attach_version1.0_#NNNNNNNN sub-storages in name order:
     filename (PidTagAttachLongFilename, falling back to the 8.3
-    PidTagAttachFilename), payload size, and — for text payloads —
-    decoded content. Embedded non-text payloads stay opaque (size only);
-    Tika recurses its full parser chain there (OutlookExtractor's
-    embedded-document handling), which is out of kernel scope."""
+    PidTagAttachFilename), payload size, and content.
+
+    Embedded messages (PidTagAttachDataObject sub-storage) render
+    RECURSIVELY while `embed_budget` lasts — the full inner message
+    (header block, body, and its OWN attachments, so >=2-level nests
+    surface) minus the subject heading, which the attachment marker line
+    already carries. At the budget floor they degrade to the one-level
+    subject+body rendering (Tika's guarded embedded-parse posture,
+    ref: tika-fork-main ConfigurableAutoDetectParser.java:131-165).
+
+    Binary payloads route through `recurse(name, data)` — the
+    dispatcher's guarded re-entry into extract_document — so an attached
+    .doc/.pdf/.msg/image yields real text; failures degrade to
+    size-only, never raise (invariant 7)."""
     out: list[MsgAttachment] = []
     storages = sorted(
-        (e for e in ole.root_children()
+        (e for e in roots
          if e.obj_type == 1 and e.name.startswith("__attach_version1.0_")),
         key=lambda e: e.name)
     for st in storages:
@@ -114,16 +130,20 @@ def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
         n_bytes = data_entry.size if data_entry is not None else 0
         text = None
         emb_subject = None
-        # PidTagAttachDataObject sub-STORAGE: an embedded Outlook message
-        # (one level deep — matching Tika's embedded-document recursion
-        # depth guard posture; deeper nests stay opaque)
         emb = next((k for k in all_kids
                     if k.obj_type == 1 and k.name == _ATTACH_DATA_OBJ), None)
         if emb is not None:
-            ekids = {k.name: k for k in ole.storage_children(emb)
-                     if k.obj_type == 2}
-            emb_subject = _read_prop(ole, ekids, _SUBJECT)
-            text = _read_prop(ole, ekids, _BODY)
+            if embed_budget > 0:
+                inner = extract_msg(ole, recurse=recurse,
+                                    embed_budget=embed_budget - 1,
+                                    scope=emb, subject_heading=False)
+                emb_subject = inner.subject
+                text = inner.text or None
+            else:
+                ekids = {k.name: k for k in ole.storage_children(emb)
+                         if k.obj_type == 2}
+                emb_subject = _read_prop(ole, ekids, _SUBJECT)
+                text = _read_prop(ole, ekids, _BODY)
         elif (data_entry is not None and fname
               and fname.lower().endswith(".txt")):
             raw = ole.read_entry(data_entry)
@@ -131,16 +151,30 @@ def _extract_attachments(ole: Ole2File) -> list[MsgAttachment]:
                 text = raw.decode("utf-8")
             except UnicodeDecodeError:
                 text = raw.decode("cp1252", "replace")
+        elif data_entry is not None and n_bytes > 0 and recurse is not None:
+            try:
+                text = recurse(fname or st.name, ole.read_entry(data_entry))
+            except Exception:
+                text = None  # degrade to size-only
         out.append(MsgAttachment(filename=fname, n_bytes=n_bytes, text=text,
                                  embedded_subject=emb_subject))
     return out
 
 
-def extract_msg(ole: Ole2File) -> MsgResult:
+def extract_msg(
+    ole: Ole2File,
+    recurse=None,
+    embed_budget: int = 0,
+    scope=None,
+    subject_heading: bool = True,
+) -> MsgResult:
     # message-level properties live at the ROOT of the directory tree —
     # attachments/embedded messages repeat the same stream names in their
-    # sub-storages, so every lookup here is root-scoped (never global)
-    roots = ole.root_children()
+    # sub-storages, so every lookup here is tree-scoped (never global).
+    # `scope` points at an embedded message's PidTagAttachDataObject
+    # sub-storage during recursion; None means the file's real root.
+    roots = ole.storage_children(scope) if scope is not None \
+        else ole.root_children()
     root = {e.name: e for e in roots if e.obj_type == 2}
     subject = _read_prop(ole, root, _SUBJECT)
     sender = _read_prop(ole, root, _SENDER_NAME)
@@ -179,7 +213,7 @@ def extract_msg(ole: Ole2File) -> MsgResult:
         frm = sender or sender_email
 
     lines: list[str] = []
-    if subject:
+    if subject and subject_heading:
         lines.append(subject)
     if frm:
         lines.append(f"From: {frm}")
@@ -194,7 +228,7 @@ def extract_msg(ole: Ole2File) -> MsgResult:
         text = (text + "\n\n" if text else "") + body
     if text:
         text += "\n"
-    attachments = _extract_attachments(ole)
+    attachments = _extract_attachments(ole, roots, recurse, embed_budget)
     for a in attachments:
         if not (a.filename or a.n_bytes or a.embedded_subject or a.text):
             continue  # placeholder storage: counted, nothing to render

@@ -208,3 +208,60 @@ class Ole2File:
         if e is None:
             raise KernelError(f"OLE2 stream not found: {name!r}")
         return self.read_entry(e)
+
+
+class ScopedOle:
+    """View of an Ole2File rooted at a sub-storage entry: the same read
+    API, but `root_children()` / `stream_names()` / `read_stream()` are
+    scoped to the storage's subtree. Lets kernels written against a
+    file's root (msg, doc, xls) run unchanged on EMBEDDED compound
+    documents (ObjectPool members, .msg attachment objects) without
+    re-serializing them — the Spark-side analog of Tika's embedded
+    document recursion (ref: tika-fork-main ConfigurableAutoDetectParser
+    .java:131-165, installed for embedded docs at TikaForkMain.java:297).
+
+    Lookups stay tree-scoped per the invariant that property/stream
+    names repeat inside every sub-storage (kernels/msg.py regression)."""
+
+    def __init__(self, ole: "Ole2File | ScopedOle", storage: DirEntry):
+        # flatten nested scopes onto the backing file
+        self._ole = ole._ole if isinstance(ole, ScopedOle) else ole
+        self._storage = storage
+
+    def root_children(self) -> list[DirEntry]:
+        return self._ole.storage_children(self._storage)
+
+    def storage_children(self, storage: DirEntry) -> list[DirEntry]:
+        return self._ole.storage_children(storage)
+
+    def read_entry(self, e: DirEntry) -> bytes:
+        return self._ole.read_entry(e)
+
+    def _subtree_entries(self) -> list[DirEntry]:
+        out: list[DirEntry] = []
+        stack = [self._storage]
+        hops = 0
+        while stack:
+            st = stack.pop()
+            hops += 1
+            if hops > len(self._ole.entries) + 1:
+                raise KernelError("cyclic OLE2 storage nesting (bomb guard)")
+            for e in self._ole.storage_children(st):
+                out.append(e)
+                if e.obj_type == 1:
+                    stack.append(e)
+        return out
+
+    def stream_names(self) -> list[str]:
+        return [e.name for e in self._subtree_entries() if e.obj_type == 2]
+
+    def read_stream(self, name: str) -> bytes:
+        # direct children first (the overwhelmingly common layout for
+        # embedded office docs), then deeper matches
+        for e in self.root_children():
+            if e.obj_type == 2 and e.name == name:
+                return self.read_entry(e)
+        for e in self._subtree_entries():
+            if e.obj_type == 2 and e.name == name:
+                return self.read_entry(e)
+        raise KernelError(f"OLE2 stream not found in scope: {name!r}")

@@ -224,7 +224,12 @@ class XlsResult:
 
 
 def extract_xls(data: bytes, deadline: float | None = None) -> XlsResult:
-    ole = Ole2File(data)
+    return extract_xls_ole(Ole2File(data), deadline)
+
+
+def extract_xls_ole(ole, deadline: float | None = None) -> XlsResult:
+    """BIFF8 extraction over an Ole2File-like (including a ScopedOle view
+    of an embedded workbook inside another compound document)."""
     stream_name = next(
         (n for n in ("Workbook", "Book") if n in ole.stream_names()), None)
     if stream_name is None:

@@ -2322,6 +2322,64 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                       chunk_chars=200, overlap=40)
 
 
+@_register(
+    "extract_embedded_recursive",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN
+         'Deep ' || doc_id || chr(10) || chr(10) ||
+         'Deep body ' || doc_id || '.' || chr(10) ||
+         '[Attachment message: Mid ' || (doc_id % 5) || ']' || chr(10) ||
+         'Mid body ' || doc_id || '.' || chr(10) ||
+         '[Attachment message: Leaf ' || (doc_id % 3) || ']' || chr(10) ||
+         'Leaf body ' || doc_id || '.' || chr(10)
+       ELSE
+         'Host doc ' || doc_id || '.' || chr(10) ||
+         '[Embedded: note' || (doc_id % 6) || '.txt]' || chr(10) ||
+         'Embedded note ' || doc_id || '.' || chr(10) ||
+         '[Embedded: _1002]' || chr(10) ||
+         'Inner doc ' || doc_id || '.' || chr(10)
+       END AS text_extracted,
+       CASE WHEN doc_id % 2 = 0 THEN 'Deep ' || doc_id END AS title,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_embedded_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive embedded-document extraction (the round-2 parity gap vs
+    the reference's guarded embedded auto-detect parse, tika-fork-main
+    ConfigurableAutoDetectParser.java:131-165): even doc_ids are 3-level
+    nested .msg files (outer -> mid -> leaf embedded messages), odd ones
+    are .doc files whose ObjectPool carries a packaged \\x01Ole10Native
+    text file plus an embedded Word sub-document — all payloads routed
+    back through extract_document / tree-scoped office kernels under the
+    max_embed_depth budget."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_doc_embedded, build_msg_deep
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([
+            build_msg_deep(int(i)) if int(i) % 2 == 0
+            else build_doc_embedded(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://embed.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 2 == 0, F.lit(".msg"))
+                  .otherwise(F.lit(".doc"))).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.(msg|doc)$", 1)
+         .cast("long").alias("doc_id"),
+        "text_extracted", "title", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

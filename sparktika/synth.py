@@ -1271,3 +1271,82 @@ pages2 AS (
   FROM pages
 )
 """
+
+
+def _word_streams(main_text: str, fc_cursor: int = 0x0800) -> dict[str, bytes]:
+    """Minimal Word97 stream pair (WordDocument + 0Table) holding one
+    compressed piece of `main_text` (all main-text CP space) — reused for
+    EMBEDDED documents inside ObjectPool storages; build_doc_full keeps
+    its own richer layout (fields + subdocuments) byte-stable."""
+    import struct as _s
+
+    raw = main_text.encode("cp1252")
+    wd = bytearray(0x0600)
+    _s.pack_into("<H", wd, 0, 0xA5EC)                 # FIB magic
+    _s.pack_into("<H", wd, 0x000A, 0x0000)            # flags: 0Table
+    _s.pack_into("<III", wd, 0x004C, len(main_text), 0, 0)
+    pcd = _s.pack("<HIH", 0, (fc_cursor * 2) | 0x40000000, 0)
+    plc = _s.pack("<2I", 0, len(main_text)) + pcd
+    clx = b"\x02" + _s.pack("<I", len(plc)) + plc
+    table = b"\x00" * 0x80 + clx
+    _s.pack_into("<II", wd, 0x01A2, 0x80, len(clx))   # fcClx, lcbClx
+    return {"WordDocument": bytes(wd) + b"\x00" * (fc_cursor - len(wd)) + raw,
+            "0Table": table}
+
+
+def _ole10native(filename: str, data: bytes) -> bytes:
+    """\\x01Ole10Native packager record (MS-OLEDS 2.3.6): u32 total size,
+    u16 type, ASCIIZ label, ASCIIZ path, u32 format, u32 temp-path len +
+    ASCIIZ temp path, u32 data size, data."""
+    import struct as _s
+
+    label = path = filename.encode("cp1252") + b"\x00"
+    tmp = b"C:\\tmp\\e.bin\x00"
+    body = (_s.pack("<H", 0x0002) + label + path + _s.pack("<I", 0)
+            + _s.pack("<I", len(tmp)) + tmp
+            + _s.pack("<I", len(data)) + data)
+    return _s.pack("<I", len(body)) + body
+
+
+def build_msg_deep(msg_id: int) -> bytes:
+    """3-level .msg nesting (outer -> mid -> leaf embedded messages) for
+    the extract_embedded_recursive oracle: recursion renders the mid
+    message's OWN embedded message, which round-2's one-level walk could
+    not reach. All fields pure functions of msg_id."""
+    u16 = lambda s: s.encode("utf-16-le")
+    leaf = {
+        "__substg1.0_0037001F": u16(f"Leaf {msg_id % 3}"),
+        "__substg1.0_1000001F": u16(f"Leaf body {msg_id}."),
+    }
+    mid = {
+        "__substg1.0_0037001F": u16(f"Mid {msg_id % 5}"),
+        "__substg1.0_1000001F": u16(f"Mid body {msg_id}."),
+        "__attach_version1.0_#00000000": {"__substg1.0_3701000D": leaf},
+    }
+    return _ole2_file(
+        {
+            "__substg1.0_0037001F": u16(f"Deep {msg_id}"),
+            "__substg1.0_1000001F": u16(f"Deep body {msg_id}."),
+            "__properties_version1.0": b"\x00" * 32,
+        },
+        storages=[
+            ("__attach_version1.0_#00000000",
+             {"__substg1.0_3701000D": mid}),
+        ])
+
+
+def build_doc_embedded(doc_id: int) -> bytes:
+    """Word97 .doc whose ObjectPool carries extractable payloads (the
+    extract_embedded_recursive oracle, odd doc_ids): a packaged text file
+    (\\x01Ole10Native) and an embedded Word sub-document — both routed
+    back through the dispatcher / tree-scoped office kernels."""
+    streams = _word_streams(f"Host doc {doc_id}.\r")
+    return _ole2_file(
+        streams,
+        storages=[("ObjectPool", {
+            "_1001": {"\x01Ole10Native":
+                      _ole10native(f"note{doc_id % 6}.txt",
+                                   f"Embedded note {doc_id}.".encode())},
+            "_1002": {**_word_streams(f"Inner doc {doc_id}.\r"),
+                      "\x01Ole": b"\x00" * 8},
+        })])

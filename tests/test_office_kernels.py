@@ -723,3 +723,121 @@ def test_doc_stray_field_begin_does_not_swallow_document():
     text = extract_doc(data).text
     assert text.startswith("keep ")
     assert text.endswith("tail text\n")
+
+
+# --- recursive embedded-document extraction (round-3) -----------------------
+
+def test_msg_deep_nesting_renders_three_levels():
+    from sparktika.synth import build_msg_deep
+
+    r = extract_document("https://m/10.msg", None, build_msg_deep(10))
+    assert r.status == "ok"
+    assert r.text_extracted == (
+        "Deep 10\n\nDeep body 10.\n"
+        "[Attachment message: Mid 0]\nMid body 10.\n"
+        "[Attachment message: Leaf 1]\nLeaf body 10.\n")
+
+
+def test_msg_nest_budget_degrades_not_crashes():
+    """A nest deeper than max_embed_depth degrades to the one-level
+    subject+body rendering at the budget floor — bounded output, never a
+    crash or unbounded recursion (invariant 7)."""
+    from sparktika.synth import _ole2_file
+
+    u16 = lambda s: s.encode("utf-16-le")
+
+    def level(i: int, inner: dict | None) -> dict:
+        d = {
+            "__substg1.0_0037001F": u16(f"L{i}"),
+            "__substg1.0_1000001F": u16(f"Body {i}."),
+        }
+        if inner is not None:
+            d["__attach_version1.0_#00000000"] = {
+                "__substg1.0_3701000D": inner}
+        return d
+
+    nest = level(9, None)
+    for i in range(8, -1, -1):
+        nest = level(i, nest)
+    data = _ole2_file(
+        {k: v for k, v in nest.items() if isinstance(v, bytes)}
+        | {"__properties_version1.0": b"\x00" * 32},
+        storages=[(k, v) for k, v in nest.items() if isinstance(v, dict)])
+
+    r = extract_document("u.msg", None, data,
+                         ExtractConfig(max_embed_depth=3))
+    assert r.status == "ok"
+    # levels 0..3 render bodies; the budget floor still shows level 4's
+    # subject+body via the one-level degrade, level 5+ stay opaque
+    assert "Body 3." in r.text_extracted
+    assert "Body 4." in r.text_extracted  # degrade floor: subject+body only
+    assert "Body 5." not in r.text_extracted
+    r0 = extract_document("u.msg", None, data,
+                          ExtractConfig(max_embed_depth=0))
+    assert r0.status == "ok"
+    assert "Body 1." in r0.text_extracted      # old one-level behavior
+    assert "Body 2." not in r0.text_extracted
+
+
+def test_doc_objectpool_payload_extraction():
+    from sparktika.synth import build_doc_embedded
+
+    r = extract_document("https://d/7.doc", None, build_doc_embedded(7))
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/msword"
+    assert r.text_extracted == (
+        "Host doc 7.\n"
+        "[Embedded: note1.txt]\nEmbedded note 7.\n"
+        "[Embedded: _1002]\nInner doc 7.\n")
+    assert r.metadata["embedded-names"] == ["note1.txt", "_1002"]
+    # recursion off -> host text only, embeds stay counted
+    r0 = extract_document("d.doc", None, build_doc_embedded(7),
+                          ExtractConfig(max_embed_depth=0))
+    assert r0.text_extracted == "Host doc 7.\n"
+    assert r0.metadata["n-embedded-objects"] == ["2"]
+
+
+def test_ole2_dispatch_is_root_scoped():
+    """A .doc whose ObjectPool embeds a Workbook stream must dispatch as
+    msword — root-level stream names drive routing, never the global set
+    (tree-scoped lookups, CLAUDE.md invariant 12)."""
+    from sparktika.synth import _ole2_file, _word_streams
+
+    data = _ole2_file(
+        _word_streams("Routed as word.\r"),
+        storages=[("ObjectPool",
+                   {"_1001": {"Workbook": b"\x00" * 32}})])
+    r = extract_document("x.doc", None, data)
+    assert r.content_type_detected == "application/msword"
+    assert r.text_extracted.startswith("Routed as word.")
+
+
+def test_msg_binary_attachment_recurses_through_dispatcher():
+    """An attached .doc payload (raw bytes in PidTagAttachDataBinary)
+    yields real extracted text through the guarded dispatcher re-entry."""
+    from sparktika.synth import _ole2_file, _word_streams
+    import io as _io
+
+    inner_doc_streams = _word_streams("Attached doc text.\r")
+    # serialize the inner .doc as a standalone OLE2 file
+    inner_doc = _ole2_file(inner_doc_streams)
+    u16 = lambda s: s.encode("utf-16-le")
+    data = _ole2_file(
+        {
+            "__substg1.0_0037001F": u16("Carrier"),
+            "__substg1.0_1000001F": u16("Carrier body."),
+            "__properties_version1.0": b"\x00" * 32,
+        },
+        storages=[
+            ("__attach_version1.0_#00000000",
+             {"__substg1.0_3707001F": u16("report.doc"),
+              "__substg1.0_37010102": inner_doc}),
+        ])
+    r = extract_document("c.msg", None, data)
+    assert r.status == "ok"
+    assert "[Attachment: report.doc]" in r.text_extracted
+    assert "Attached doc text." in r.text_extracted
+    # with recursion disabled the attachment stays size-only
+    r0 = extract_document("c.msg", None, data,
+                          ExtractConfig(max_embed_depth=0))
+    assert "Attached doc text." not in r0.text_extracted
