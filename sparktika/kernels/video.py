@@ -32,6 +32,15 @@ class Mp4Meta:
     n_tracks: int = 0
     track_kinds: list[str] = field(default_factory=list)
     brand: str = ""
+    # video sample-entry fourcc ('avc1', 'jpeg', ...) and, for H.264,
+    # header-level stream properties parsed from the avcC SPS — the codec
+    # a real crawl actually contains; frame DECODE stays out of scope
+    # (no codec libs), so inter-coded tracks get metadata, not pixels
+    codec: str = ""
+    codec_profile: str = ""
+    codec_level: str = ""
+    coded_width: int = 0
+    coded_height: int = 0
 
 
 def sniff_mp4_video(data: bytes) -> bool:
@@ -92,6 +101,8 @@ def _parse_moov(data: bytes, start: int, end: int, meta: Mp4Meta) -> None:
 
 
 def _parse_trak(data: bytes, start: int, end: int, meta: Mp4Meta) -> None:
+    is_video = False
+    stsd_span = None
     for btype, s, e in _boxes(data, start, end, 2):
         if btype == b"tkhd":
             version = data[s]
@@ -107,6 +118,187 @@ def _parse_trak(data: bytes, start: int, end: int, meta: Mp4Meta) -> None:
                 if mtype == b"hdlr" and ms + 12 <= me:
                     kind = data[ms + 8 : ms + 12].decode("ascii", "replace")
                     meta.track_kinds.append(kind)
+                    if kind == "vide":
+                        is_video = True
+                elif mtype == b"minf":
+                    for nt, ns, ne in _boxes(data, ms, me, 4):
+                        if nt == b"stbl":
+                            for st_, ss, se in _boxes(data, ns, ne, 5):
+                                if st_ == b"stsd":
+                                    stsd_span = (ss, se)
+    if is_video and stsd_span is not None:
+        _parse_video_stsd(data, *stsd_span, meta)
+
+
+# VisualSampleEntry: 8-byte box header + 6 reserved + u16 data_ref_idx +
+# 16 pre_defined/reserved + u16 width + u16 height + 4+4+4 resolutions/
+# reserved + u16 frame_count + 32 compressorname + u16 depth + s16 = 78
+# bytes of fields before the child boxes (ISO 14496-12 §12.1.3).
+_VISUAL_ENTRY_FIELDS = 78
+
+
+def _parse_video_stsd(data: bytes, s: int, e: int, meta: Mp4Meta) -> None:
+    if s + 8 > e:
+        return
+    (n_entries,) = struct.unpack_from(">I", data, s + 4)
+    pos = s + 8
+    for _ in range(min(n_entries, 32)):
+        if pos + 8 > e:
+            return
+        (esize,) = struct.unpack_from(">I", data, pos)
+        if esize < 8 or pos + esize > e:
+            return
+        fourcc = data[pos + 4 : pos + 8].decode("ascii", "replace")
+        if not meta.codec:
+            meta.codec = fourcc
+        kids = pos + 8 + _VISUAL_ENTRY_FIELDS
+        if fourcc in ("avc1", "avc2", "avc3", "avc4") and kids < pos + esize:
+            for bt, bs, be in _boxes(data, kids, pos + esize, 6):
+                if bt == b"avcC":
+                    _parse_avcc(data[bs:be], meta)
+        pos += esize
+
+
+def _parse_avcc(cfg: bytes, meta: Mp4Meta) -> None:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1): version,
+    profile, compat, level, lengthSize, numSPS, then u16-length-prefixed
+    SPS NAL units. The first SPS yields profile/level/coded dims."""
+    if len(cfg) < 7 or cfg[0] != 1:
+        return
+    n_sps = cfg[5] & 0x1F
+    pos = 6
+    for _ in range(n_sps):
+        if pos + 2 > len(cfg):
+            return
+        (ln,) = struct.unpack_from(">H", cfg, pos)
+        pos += 2
+        nal = cfg[pos : pos + ln]
+        pos += ln
+        if len(nal) >= 4 and (nal[0] & 0x1F) == 7:
+            info = parse_h264_sps(nal[1:])
+            if info is not None:
+                meta.codec_profile = info["profile"]
+                meta.codec_level = info["level"]
+                meta.coded_width = info["width"]
+                meta.coded_height = info["height"]
+                return
+
+
+class _BitReader:
+    """MSB-first bit reader over an RBSP (emulation-prevention bytes
+    already stripped); raises KernelError past the end (bomb posture)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise KernelError("SPS bitstream truncated")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise KernelError("SPS Exp-Golomb code out of range")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+_H264_PROFILES = {
+    66: "Baseline", 77: "Main", 88: "Extended", 100: "High",
+    110: "High 10", 122: "High 4:2:2", 244: "High 4:4:4",
+    44: "CAVLC 4:4:4", 83: "Scalable Baseline", 86: "Scalable High",
+    118: "Multiview High", 128: "Stereo High",
+}
+
+_PROFILES_WITH_CHROMA = {100, 110, 122, 244, 44, 83, 86, 118, 128,
+                         138, 139, 134, 135}
+
+
+def parse_h264_sps(rbsp_with_ep: bytes) -> dict | None:
+    """Sequence Parameter Set parse (ITU-T H.264 §7.3.2.1.1) for
+    header-level stream properties: profile/level strings and the
+    cropped coded dimensions. Input is the SPS payload after the NAL
+    header byte, WITH emulation-prevention bytes (00 00 03 -> 00 00
+    stripped here). Returns None on malformed input."""
+    rbsp = rbsp_with_ep.replace(b"\x00\x00\x03", b"\x00\x00")
+    try:
+        br = _BitReader(rbsp)
+        profile_idc = br.u(8)
+        br.u(8)  # constraint flags + reserved
+        level_idc = br.u(8)
+        br.ue()  # seq_parameter_set_id
+        chroma_format_idc = 1
+        if profile_idc in _PROFILES_WITH_CHROMA:
+            chroma_format_idc = br.ue()
+            if chroma_format_idc == 3:
+                br.u(1)  # separate_colour_plane_flag
+            br.ue()  # bit_depth_luma_minus8
+            br.ue()  # bit_depth_chroma_minus8
+            br.u(1)  # qpprime_y_zero_transform_bypass_flag
+            if br.u(1):  # seq_scaling_matrix_present_flag
+                n_lists = 8 if chroma_format_idc != 3 else 12
+                for i in range(n_lists):
+                    if br.u(1):  # seq_scaling_list_present_flag[i]
+                        size = 16 if i < 6 else 64
+                        last, nxt = 8, 8
+                        for _ in range(size):
+                            if nxt != 0:
+                                nxt = (last + br.se() + 256) % 256
+                            last = nxt if nxt else last
+        br.ue()  # log2_max_frame_num_minus4
+        poc_type = br.ue()
+        if poc_type == 0:
+            br.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        elif poc_type == 1:
+            br.u(1)  # delta_pic_order_always_zero_flag
+            br.se()  # offset_for_non_ref_pic
+            br.se()  # offset_for_top_to_bottom_field
+            for _ in range(min(br.ue(), 256)):
+                br.se()  # offset_for_ref_frame[i]
+        br.ue()  # max_num_ref_frames
+        br.u(1)  # gaps_in_frame_num_value_allowed_flag
+        pic_width_in_mbs = br.ue() + 1
+        pic_height_in_map_units = br.ue() + 1
+        frame_mbs_only = br.u(1)
+        if not frame_mbs_only:
+            br.u(1)  # mb_adaptive_frame_field_flag
+        br.u(1)  # direct_8x8_inference_flag
+        crop_l = crop_r = crop_t = crop_b = 0
+        if br.u(1):  # frame_cropping_flag
+            crop_l, crop_r, crop_t, crop_b = (br.ue(), br.ue(),
+                                              br.ue(), br.ue())
+        # crop units (H.264 Table 6-1): 4:2:0 -> x2 horizontally and
+        # x2 vertically (x4 for field coding); 4:2:2 -> x2/x1; 4:4:4/
+        # monochrome -> x1/x1
+        unit_x = 2 if chroma_format_idc in (1, 2) else 1
+        unit_y = (2 if chroma_format_idc == 1 else 1) * (2 - frame_mbs_only)
+        width = pic_width_in_mbs * 16 - unit_x * (crop_l + crop_r)
+        height = ((2 - frame_mbs_only) * pic_height_in_map_units * 16
+                  - unit_y * (crop_t + crop_b))
+        if width <= 0 or height <= 0 or width > 65536 or height > 65536:
+            return None
+        return {
+            "profile": _H264_PROFILES.get(profile_idc, str(profile_idc)),
+            "level": f"{level_idc // 10}.{level_idc % 10}",
+            "width": width,
+            "height": height,
+        }
+    except KernelError:
+        return None
 
 
 _MAX_SAMPLES = 100_000

@@ -189,6 +189,11 @@ VIDEO_SCHEMA = T.StructType([
     T.StructField("n_tracks", T.IntegerType()),
     T.StructField("track_kinds", T.ArrayType(T.StringType())),
     T.StructField("brand", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("codec_profile", T.StringType()),
+    T.StructField("codec_level", T.StringType()),
+    T.StructField("coded_width", T.IntegerType()),
+    T.StructField("coded_height", T.IntegerType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("status", T.StringType()),
     T.StructField("error", T.StringType()),
@@ -214,11 +219,20 @@ def extract_video_meta(df: DataFrame,
                                      duration_ms=m.duration_ms,
                                      n_tracks=m.n_tracks,
                                      track_kinds=m.track_kinds,
-                                     brand=m.brand, status="ok"))
+                                     brand=m.brand,
+                                     codec=m.codec or None,
+                                     codec_profile=m.codec_profile or None,
+                                     codec_level=m.codec_level or None,
+                                     coded_width=m.coded_width or None,
+                                     coded_height=m.coded_height or None,
+                                     status="ok"))
                 except Exception as e:
                     rows.append(dict(base, width=None, height=None,
                                      duration_ms=None, n_tracks=None,
                                      track_kinds=None, brand=None,
+                                     codec=None, codec_profile=None,
+                                     codec_level=None, coded_width=None,
+                                     coded_height=None,
                                      status="failed",
                                      error=f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows)

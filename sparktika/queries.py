@@ -2380,6 +2380,49 @@ def extract_embedded_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_extracted", "title", "status")
 
 
+@_register(
+    "media_h264_meta",
+    """
+SELECT doc_id AS media_id,
+       'avc1' AS codec,
+       CASE doc_id % 3 WHEN 0 THEN 'Baseline' WHEN 1 THEN 'Main'
+            ELSE 'High' END AS codec_profile,
+       CAST((30 + doc_id % 21) // 10 AS VARCHAR) || '.' ||
+       CAST((30 + doc_id % 21) % 10 AS VARCHAR) AS codec_level,
+       CAST((1 + doc_id % 20) * 16
+            - CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS INT) AS coded_width,
+       CAST((1 + (doc_id // 3) % 15) * 16
+            - CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END AS INT) AS coded_height,
+       CAST(1000 + (doc_id % 90) * 250 AS INT) AS duration_ms,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 header-level stream metadata (avcC -> SPS parse: profile,
+    level, cropped coded dims) over synthesized avc1 MP4s — the codec a
+    real crawl actually contains; frame decode stays out of scope (no
+    codec libs in the container), matching Tika's metadata-only posture
+    for video. Every value is a pure function of media_id
+    (synth._h264_params)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import extract_video_meta
+    from .synth import build_h264_mp4
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_h264_mp4(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    video = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return extract_video_meta(video).select(
+        "media_id", "codec", "codec_profile", "codec_level",
+        "coded_width", "coded_height", "duration_ms", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2427,6 +2470,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_xml_text",
     "extract_odt_text",
     "extract_ods_text",
+    "media_h264_meta",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -1350,3 +1350,121 @@ def build_doc_embedded(doc_id: int) -> bytes:
             "_1002": {**_word_streams(f"Inner doc {doc_id}.\r"),
                       "\x01Ole": b"\x00" * 8},
         })])
+
+
+def _h264_params(media_id: int) -> dict:
+    """Deterministic H.264 stream parameters (media_h264_meta oracle):
+    every value a pure function of media_id, crop exercised on id%3==0."""
+    crop = media_id % 3 == 0
+    mbs_w = 1 + media_id % 20
+    map_h = 1 + (media_id // 3) % 15
+    return {
+        "profile_idc": [66, 77, 100][media_id % 3],
+        "level_idc": 30 + media_id % 21,
+        "mbs_w": mbs_w,
+        "map_h": map_h,
+        "crop_r": 1 if crop else 0,
+        "crop_b": 2 if crop else 0,
+        "width": mbs_w * 16 - (2 if crop else 0),
+        "height": map_h * 16 - (4 if crop else 0),
+    }
+
+
+def _sps_nal(p: dict) -> bytes:
+    """Hand-assembled SPS NAL (ITU-T H.264 §7.3.2.1.1) with
+    emulation-prevention insertion."""
+
+    class _BW:
+        def __init__(self):
+            self.bits: list[int] = []
+
+        def u(self, v: int, n: int) -> None:
+            self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+        def ue(self, v: int) -> None:
+            c = v + 1
+            n = c.bit_length()
+            self.u(0, n - 1)
+            self.u(c, n)
+
+        def rbsp(self) -> bytes:
+            bits = self.bits + [1]
+            bits += [0] * (-len(bits) % 8)
+            out = bytearray()
+            for i in range(0, len(bits), 8):
+                out.append(int("".join(map(str, bits[i : i + 8])), 2))
+            return bytes(out)
+
+    w = _BW()
+    w.u(p["profile_idc"], 8)
+    w.u(0, 8)                      # constraint flags + reserved
+    w.u(p["level_idc"], 8)
+    w.ue(0)                        # seq_parameter_set_id
+    if p["profile_idc"] >= 100:
+        w.ue(1)                    # chroma_format_idc 4:2:0
+        w.ue(0); w.ue(0)           # bit depths
+        w.u(0, 1)                  # qpprime_y_zero
+        w.u(0, 1)                  # seq_scaling_matrix_present
+    w.ue(0)                        # log2_max_frame_num_minus4
+    w.ue(0)                        # pic_order_cnt_type
+    w.ue(0)                        # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)                        # max_num_ref_frames
+    w.u(0, 1)                      # gaps_in_frame_num
+    w.ue(p["mbs_w"] - 1)           # pic_width_in_mbs_minus1
+    w.ue(p["map_h"] - 1)           # pic_height_in_map_units_minus1
+    w.u(1, 1)                      # frame_mbs_only_flag
+    w.u(1, 1)                      # direct_8x8_inference
+    if p["crop_r"] or p["crop_b"]:
+        w.u(1, 1)
+        w.ue(0); w.ue(p["crop_r"]); w.ue(0); w.ue(p["crop_b"])
+    else:
+        w.u(0, 1)
+    w.u(0, 1)                      # vui_parameters_present
+    rbsp = w.rbsp()
+    # emulation prevention: 00 00 0x -> 00 00 03 0x for x in {0,1,2,3}
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return b"\x67" + bytes(out)
+
+
+def build_h264_mp4(media_id: int) -> bytes:
+    """MP4 with an H.264 (avc1) video track: real avcC + synthesized SPS,
+    so the kernel's header-level codec metadata path (profile/level/
+    cropped dims) is exercised without any frame payloads — the shape a
+    real crawl's videos take (media_h264_meta oracle)."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(body)) + btype + body
+
+    p = _h264_params(media_id)
+    nal = _sps_nal(p)
+    avcc = box(b"avcC", bytes([1, p["profile_idc"], 0, p["level_idc"],
+                               0xFF, 0xE1])
+               + _s.pack(">H", len(nal)) + nal + b"\x00")
+    entry_body = (b"\x00" * 6 + _s.pack(">H", 1) + b"\x00" * 16
+                  + _s.pack(">HH", p["width"], p["height"])
+                  + _s.pack(">II", 0x00480000, 0x00480000)
+                  + b"\x00" * 4 + _s.pack(">H", 1) + b"\x00" * 32
+                  + _s.pack(">H", 24) + _s.pack(">h", -1) + avcc)
+    entry = _s.pack(">I", 8 + len(entry_body)) + b"avc1" + entry_body
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", hdlr + minf)
+    duration = 1000 + (media_id % 90) * 250
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + _s.pack(">II", p["width"] << 16, p["height"] << 16))
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + _s.pack(">II", 1000, duration) + b"\x00" * 80)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2avc1")
+    return ftyp + moov

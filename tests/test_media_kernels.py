@@ -1,0 +1,54 @@
+"""Round-3 media kernel additions: H.264 (avcC/SPS) header-level
+metadata — profile/level/cropped dims without frame decode."""
+
+from __future__ import annotations
+# --- H.264 header-level metadata (round-3) ----------------------------------
+
+def test_h264_sps_profiles_and_crop():
+    from sparktika.kernels.video import parse_mp4
+    from sparktika.synth import _h264_params, build_h264_mp4
+
+    for mid in (0, 1, 2, 3, 7, 42, 99, 1000):
+        m = parse_mp4(build_h264_mp4(mid))
+        p = _h264_params(mid)
+        assert m.codec == "avc1"
+        assert m.codec_profile == {66: "Baseline", 77: "Main",
+                                   100: "High"}[p["profile_idc"]]
+        assert m.codec_level == f"{p['level_idc'] // 10}.{p['level_idc'] % 10}"
+        assert (m.coded_width, m.coded_height) == (p["width"], p["height"])
+
+
+def test_h264_sps_known_stream_bytes():
+    """SPS from a published x264-encoded 1280x720 stream (profile High,
+    level 3.1) — the canonical worked example that appears across public
+    H.264 parsing references: 67 64 00 1f ac d9 40 50 05 bb 01 6a 02 02
+    02 80 00 00 03 00 80 00 00 1e 07 8c 18 cb (includes an
+    emulation-prevention 03)."""
+    from sparktika.kernels.video import parse_h264_sps
+
+    sps = bytes.fromhex(
+        "6400 1fac d940 5005 bb01 6a02 0202 8000"
+        "0003 0080 0000 1e07 8c18 cb".replace(" ", ""))
+    info = parse_h264_sps(sps)
+    assert info is not None
+    assert info["profile"] == "High"
+    assert info["level"] == "3.1"
+    assert (info["width"], info["height"]) == (1280, 720)
+
+
+def test_h264_sps_fails_closed_on_garbage():
+    from sparktika.kernels.video import parse_h264_sps
+
+    assert parse_h264_sps(b"") is None
+    assert parse_h264_sps(b"\xff") is None
+    # truncated mid-Golomb
+    assert parse_h264_sps(bytes([66, 0, 30, 0b00000010])) is None
+
+
+def test_mjpeg_mp4_still_reports_its_codec():
+    from sparktika.kernels.video import parse_mp4
+    from sparktika.synth import build_mjpeg_mp4
+
+    m = parse_mp4(build_mjpeg_mp4(5))
+    assert m.codec == "jpeg"
+    assert m.codec_profile == "" and m.coded_width == 0
