@@ -124,7 +124,38 @@ def extract_document(
     detected = mime.detect_mime(data, declared, url)
 
     try:
-        if detected == "text/html" or detected == "application/xml":
+        if detected == "application/xml":
+            # dedicated namespace-agnostic XML route (VERDICT r02 item 7:
+            # the HTML walker's safe-element sets can drop arbitrary XML
+            # element text); Tika 1.20 parity posture is DcXMLParser's
+            # all-character-content + title
+            from .xmlparse import parse_xml_text
+
+            import re as _re
+
+            decl = _re.search(rb"""encoding\s*=\s*["']([A-Za-z0-9_.-]+)""",
+                              data[:200])
+            cs = (decl.group(1).decode("ascii", "replace").lower()
+                  if decl else charset.detect_charset(data, is_html=False))
+            xtext, cs = charset.decode(data, cs, is_html=False)
+            r = parse_xml_text(xtext, max_depth=cfg.max_depth,
+                               deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {"Content-Type": [f"{detected}; charset={cs}"],
+                  "Content-Encoding": [cs],
+                  "n-elements": [str(r.n_elements)]}
+            if r.root_tag:
+                md["xml:root"] = [r.root_tag]
+            if r.title:
+                md["title"] = [r.title]
+                md["dc:title"] = [r.title]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, charset_detected=cs,
+                       text_extracted=text if cfg.parse_content else None,
+                       title=r.title, metadata=md, status=status,
+                       write_limit_reached=limited)
+
+        if detected == "text/html":
             cs = charset.detect_charset(data, is_html=True)
             text, cs = charset.decode(data, cs, is_html=True)
             r = parse_html(
@@ -270,6 +301,26 @@ def extract_document(
                        status=status, write_limit_reached=limited)
 
         if detected == "application/zip":
+            from .odf import extract_odf, sniff_odf
+
+            odf_mime = sniff_odf(data)
+            if odf_mime is not None:
+                r = extract_odf(data, max_ratio=cfg.max_inflate_ratio,
+                                max_entry_bytes=cfg.max_inflate_bytes,
+                                max_depth=cfg.max_depth, deadline=deadline)
+                text, limited = _cap_text(r.text, cfg.max_chars)
+                md = {"Content-Type": [odf_mime]}
+                if r.kind == "odt":
+                    md["n-paragraphs"] = [str(r.n_paragraphs)]
+                else:
+                    md["n-tables"] = [str(r.n_tables)]
+                    md["sheet-names"] = r.sheet_names
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected=odf_mime,
+                           text_extracted=text if cfg.parse_content else None,
+                           metadata=md, status=status,
+                           write_limit_reached=limited)
+
             from .container import extract_zip_container
 
             r = extract_zip_container(

@@ -2423,6 +2423,114 @@ def media_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coded_width", "coded_height", "duration_ms", "status")
 
 
+def _payload_extract(spark: SparkSession, sf_dir: str, builder_name: str,
+                     suffix: str) -> DataFrame:
+    """pages built from a synth builder over doc_id, through the real
+    extraction pipeline (mime sniff -> dispatcher -> kernel)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from . import synth as _synth
+
+    builder = getattr(_synth, builder_name)
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([builder(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(suffix)).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.withColumn(
+        "doc_id",
+        F.regexp_extract("url", r"/(\d+)\.\w+$", 1).cast("long"))
+
+
+@_register(
+    "extract_xml_text",
+    """
+SELECT doc_id,
+       'Feed ' || doc_id || chr(10) ||
+       'Entry one ' || doc_id || chr(10) ||
+       'Body & text ' || doc_id || '.' || chr(10) ||
+       'Café two ' || doc_id || '.' || chr(10) AS text_extracted,
+       'Feed ' || doc_id AS title,
+       'application/xml' AS content_type_detected,
+       CAST(7 AS BIGINT) AS n_elements,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_xml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic namespace-agnostic XML route (kernels/xmlparse.py): all
+    character content line-per-text-node, dc:title local name -> title —
+    DcXMLParser posture (Tika 1.20), replacing the round-2 HTML-walker
+    ride-along whose safe-element sets could drop XML element text."""
+    ext = _payload_extract(spark, sf_dir, "build_xml", ".xml")
+    return ext.select(
+        "doc_id", "text_extracted", "title", "content_type_detected",
+        F.element_at("metadata", "n-elements").getItem(0)
+         .cast("long").alias("n_elements"),
+        "status")
+
+
+@_register(
+    "extract_odt_text",
+    """
+SELECT doc_id,
+       'Heading ' || doc_id || chr(10) ||
+       'Para one ' || doc_id || ' café & co.' || chr(10) ||
+       'A' || chr(9) || 'B ' || doc_id || '.' || chr(10) AS text_extracted,
+       'application/vnd.oasis.opendocument.text' AS content_type_detected,
+       CAST(3 AS BIGINT) AS n_paragraphs,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_odt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument text (kernels/odf.py): mimetype-entry sniff inside
+    the zip route, content.xml paragraph/heading/tab walk — the most
+    common real-world format family the engine lacked (VERDICT r02
+    item 8; Tika 1.20 OpenDocumentParser parity posture)."""
+    ext = _payload_extract(spark, sf_dir, "build_odt", ".odt")
+    return ext.select(
+        "doc_id", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "n-paragraphs").getItem(0)
+         .cast("long").alias("n_paragraphs"),
+        "status")
+
+
+@_register(
+    "extract_ods_text",
+    """
+SELECT doc_id,
+       'Data' || (doc_id % 3) || chr(10) ||
+       'A' || doc_id || chr(9) || 'B' || doc_id || chr(10) ||
+       doc_id || chr(10) AS text_extracted,
+       'application/vnd.oasis.opendocument.spreadsheet'
+         AS content_type_detected,
+       'Data' || (doc_id % 3) AS sheet_name,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_ods_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument spreadsheet: table/row/cell walk with column-repeat
+    handling, rendered in the xlsx kernel's sheet-name + TAB-joined-row
+    shape."""
+    ext = _payload_extract(spark, sf_dir, "build_ods", ".ods")
+    return ext.select(
+        "doc_id", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "sheet-names").getItem(0)
+         .alias("sheet_name"),
+        "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

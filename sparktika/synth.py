@@ -1468,3 +1468,83 @@ def build_h264_mp4(media_id: int) -> bytes:
     moov = box(b"moov", mvhd + trak)
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2avc1")
     return ftyp + moov
+
+
+def build_xml(doc_id: int) -> bytes:
+    """Deterministic generic XML (extract_xml_text oracle). Kernel output
+    (kernels/xmlparse.py): each non-whitespace text node on its own line,
+    entity-decoded + whitespace-collapsed; dc:title local name -> title:
+      "Feed {id}\\nEntry one {id}\\nBody & text {id}.\\nCafé two {id}.\\n"
+    """
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<feed xmlns:dc="http://purl.org/dc/elements/1.1/">\n'
+        f"  <dc:title>Feed {doc_id}</dc:title>\n"
+        f'  <entry n="1"><heading>Entry one {doc_id}</heading>'
+        f"<content>Body &amp; text {doc_id}.</content></entry>\n"
+        f"  <entry><content>Café two {doc_id}.</content></entry>\n"
+        "</feed>\n"
+    ).encode("utf-8")
+
+
+def _odf_zip(mimetype: str, content_xml: bytes) -> bytes:
+    """ODF package: `mimetype` STORED first (per spec — also what makes
+    the cheap prefix sniff work), content.xml deflated."""
+    import io as _io
+    import zipfile as _zf
+
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr(_zf.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                   mimetype, compress_type=_zf.ZIP_STORED)
+        z.writestr(_zf.ZipInfo("content.xml", (1980, 1, 1, 0, 0, 0)),
+                   content_xml, compress_type=_zf.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+def build_odt(doc_id: int) -> bytes:
+    """Deterministic .odt (extract_odt_text oracle): heading + paragraph
+    (entities, accents) + a tab run. Kernel output:
+      "Heading {id}\\nPara one {id} café & co.\\nA\\tB {id}.\\n"
+    """
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:text>"
+        f'<text:h text:outline-level="1">Heading {doc_id}</text:h>'
+        f"<text:p>Para one {doc_id} café &amp; co.</text:p>"
+        f"<text:p>A<text:tab/>B {doc_id}.</text:p>"
+        "</office:text></office:body></office:document-content>"
+    ).encode("utf-8")
+    return _odf_zip("application/vnd.oasis.opendocument.text", content)
+
+
+def build_ods(doc_id: int) -> bytes:
+    """Deterministic .ods (extract_ods_text oracle): one sheet, 2 rows.
+    Kernel output (xlsx-kernel rendering shape):
+      "Data{id%3}\\nA{id}\\tB{id}\\n{id}\\n"
+    """
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        f'<table:table table:name="Data{doc_id % 3}">'
+        "<table:table-row>"
+        f"<table:table-cell><text:p>A{doc_id}</text:p></table:table-cell>"
+        f"<table:table-cell><text:p>B{doc_id}</text:p></table:table-cell>"
+        "</table:table-row>"
+        "<table:table-row>"
+        f'<table:table-cell office:value-type="float" '
+        f'office:value="{doc_id}"><text:p>{doc_id}</text:p>'
+        "</table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="3"/>'
+        "</table:table-row>"
+        "</table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    ).encode("utf-8")
+    return _odf_zip("application/vnd.oasis.opendocument.spreadsheet", content)

@@ -284,3 +284,37 @@ def test_scan_html_meta_matches_on_adversarial_cases():
     for html in cases:
         full, lean = _observables(html, max_depth=40)
         assert full == lean, f"divergence on {html!r}: {full} vs {lean}"
+
+
+_xml_chunks = st.lists(
+    st.one_of(
+        st.text(max_size=15),
+        st.sampled_from([
+            "<a>", "</a>", "<b:c d='e'>", "</b:c>", "<x/>", "<![CDATA[",
+            "]]>", "<!--", "-->", "<?pi?>", "&amp;", "&#x41;", "<", ">",
+            "</", "<_u.v>", "='", "<title>", "</title>",
+        ]),
+    ),
+    max_size=40,
+)
+
+
+@given(_xml_chunks)
+@_settings
+def test_parse_xml_text_never_raises_on_tag_soup(chunks):
+    from sparktika.kernels.xmlparse import parse_xml_text
+
+    r = parse_xml_text("".join(chunks), max_depth=30)
+    assert isinstance(r.text, str)
+
+
+@given(st.binary(max_size=2048))
+@_settings
+def test_odf_sniff_and_extract_fail_closed(payload):
+    from sparktika.kernels.odf import sniff_odf
+
+    # arbitrary bytes: sniff returns None or a valid mimetype, never raises
+    mt = sniff_odf(b"PK\x03\x04" + payload)
+    assert mt is None or mt.startswith("application/vnd.oasis")
+    r = extract_document("u.odt", None, b"PK\x03\x04" + payload, _CFG)
+    assert r.status in VALID_STATUSES

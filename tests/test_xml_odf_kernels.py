@@ -1,0 +1,144 @@
+"""Round-3 format additions: generic XML route + OpenDocument kernel."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from sparktika.config import ExtractConfig
+from sparktika.kernels.errors import DepthLimitError, InflateRatioError, KernelError
+from sparktika.kernels.extract import extract_document
+from sparktika.kernels.odf import extract_odf, sniff_odf
+from sparktika.kernels.xmlparse import parse_xml_text
+
+
+def test_xml_all_text_and_title():
+    r = parse_xml_text(
+        "<Feed><dc:title> T &amp; U </dc:title>"
+        "<x:Entry id='1'>first</x:Entry><Entry>second</Entry></Feed>")
+    assert r.text == "T & U\nfirst\nsecond\n"
+    assert r.title == "T & U"
+    assert r.root_tag == "Feed"  # case preserved (XML is case-sensitive)
+    assert r.n_elements == 4
+
+
+def test_xml_arbitrary_elements_not_dropped():
+    """The round-2 HTML-walker route dropped text under elements outside
+    the HTML safe sets; the XML route must keep everything."""
+    r = parse_xml_text("<recipe><ingredient>salt</ingredient>"
+                       "<quantity>1 tsp</quantity></recipe>")
+    assert r.text == "salt\n1 tsp\n"
+
+
+def test_xml_cdata_and_whitespace_nodes():
+    r = parse_xml_text("<a>\n  <b><![CDATA[raw <&> bits]]></b>\n</a>")
+    assert r.text == "raw <&> bits\n"
+
+
+def test_xml_depth_bomb_raises():
+    deep = "<d>" * 300 + "x" + "</d>" * 300
+    with pytest.raises(DepthLimitError):
+        parse_xml_text(deep, max_depth=200)
+    r = extract_document("u.xml", None,
+                         ("<?xml version='1.0'?>" + deep).encode())
+    assert r.status == "failed" and "DepthLimitError" in r.error
+
+
+def test_xml_dispatch_charset_from_declaration():
+    xml = ("<?xml version='1.0' encoding='ISO-8859-1'?>"
+           "<a><b>caf\xe9</b></a>").encode("latin-1")
+    r = extract_document("u.xml", None, xml)
+    assert r.status == "ok"
+    assert r.charset_detected == "iso-8859-1"
+    assert r.text_extracted == "café\n"
+
+
+def _odf_zip(mimetype: str, entries: dict[str, bytes],
+             store_mimetype: bool = True) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                   mimetype,
+                   compress_type=(zipfile.ZIP_STORED if store_mimetype
+                                  else zipfile.ZIP_DEFLATED))
+        for n, b in entries.items():
+            z.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), b,
+                       compress_type=zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+ODT = "application/vnd.oasis.opendocument.text"
+ODS = "application/vnd.oasis.opendocument.spreadsheet"
+
+
+def test_odf_sniff_deflated_mimetype_fallback():
+    """Spec says STORED-first, but a nonconforming writer's deflated
+    mimetype entry must still sniff via the zipfile fallback."""
+    data = _odf_zip(ODT, {"content.xml": b"<a/>"}, store_mimetype=False)
+    assert sniff_odf(data) == ODT
+
+
+def test_odf_sniff_rejects_plain_zip_and_garbage():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "x")
+    assert sniff_odf(buf.getvalue()) is None
+    assert sniff_odf(b"PK\x03\x04" + b"\x00" * 40) is None
+    assert sniff_odf(b"notazip") is None
+
+
+def test_odt_spaces_linebreaks_tabs():
+    content = (b"<office:document-content><office:body><office:text>"
+               b"<text:p>a<text:tab/>b<text:line-break/>c"
+               b'<text:s text:c="3"/>d</text:p>'
+               b"</office:text></office:body></office:document-content>")
+    r = extract_odf(_odf_zip(ODT, {"content.xml": content}))
+    assert r.text == "a\tb\nc   d\n"
+    assert r.n_paragraphs == 1
+
+
+def test_ods_column_repeat_and_trailing_trim():
+    content = (b"<office:document-content><office:body>"
+               b'<table:table table:name="S">'
+               b"<table:table-row>"
+               b'<table:table-cell table:number-columns-repeated="2">'
+               b"<text:p>x</text:p></table:table-cell>"
+               b"<table:table-cell><text:p>y</text:p></table:table-cell>"
+               b'<table:table-cell table:number-columns-repeated="5"/>'
+               b"</table:table-row></table:table>"
+               b"</office:body></office:document-content>")
+    r = extract_odf(_odf_zip(ODS, {"content.xml": content}))
+    assert r.text == "S\nx\tx\ty\n"
+    assert r.sheet_names == ["S"]
+
+
+def test_odf_missing_content_xml_fails_closed():
+    with pytest.raises(KernelError):
+        extract_odf(_odf_zip(ODT, {"styles.xml": b"<a/>"}))
+    r = extract_document("u.odt", None, _odf_zip(ODT, {"styles.xml": b"<a/>"}))
+    assert r.status == "failed"
+
+
+def test_odf_inflate_bomb_guarded():
+    bomb = b"<office:document-content>" + b" " * 10_000_000 + \
+        b"</office:document-content>"
+    data = _odf_zip(ODT, {"content.xml": bomb})
+    with pytest.raises(InflateRatioError):
+        extract_odf(data, max_ratio=5.0, max_entry_bytes=100_000)
+    r = extract_document(
+        "u.odt", None, data,
+        ExtractConfig(max_inflate_ratio=5.0, max_inflate_bytes=100_000))
+    assert r.status == "failed" and "InflateRatioError" in r.error
+
+
+def test_odf_end_to_end_through_dispatcher():
+    from sparktika.synth import build_ods, build_odt
+
+    r = extract_document("u.odt", None, build_odt(3))
+    assert (r.status, r.content_type_detected) == ("ok", ODT)
+    assert r.text_extracted == "Heading 3\nPara one 3 café & co.\nA\tB 3.\n"
+    r = extract_document("u.ods", None, build_ods(3))
+    assert (r.status, r.content_type_detected) == ("ok", ODS)
+    assert r.text_extracted == "Data0\nA3\tB3\n3\n"
