@@ -1,0 +1,159 @@
+"""EPUB kernel: OCF container -> OPF package -> spine-ordered XHTML.
+
+Tika 1.20 (linked wholesale by the reference, tika-fork-main
+build.gradle) routes EPUB through EpubParser: each spine document's
+XHTML body text in reading order, with the package title as metadata.
+Structure (public EPUB/OCF specs):
+
+- zip whose ``mimetype`` entry is ``application/epub+zip`` (STORED
+  first per OCF, same cheap prefix sniff as ODF),
+- ``META-INF/container.xml`` names the OPF package file,
+- the OPF carries ``dc:title``, a manifest (id -> href), and the spine
+  (ordered idrefs); hrefs resolve relative to the OPF's directory.
+
+Degrades gracefully: a missing container/OPF falls back to extracting
+every .xhtml/.html entry in zip order (still useful text, never a
+crash). Bomb posture (invariant 7): per-entry inflate ratio/size caps,
+spine item count cap, HTML walk inherits its own depth guards.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import zipfile
+from dataclasses import dataclass, field
+
+from .errors import InflateRatioError, KernelError, check_deadline
+from .xmlparse import local_name, xml_events
+
+EPUB_MIME = "application/epub+zip"
+
+_MAX_SPINE_ITEMS = 1000
+
+
+@dataclass
+class EpubResult:
+    text: str
+    title: str | None = None
+    n_spine: int = 0
+    entries: list[str] = field(default_factory=list)
+
+
+def sniff_epub(data: bytes) -> bool:
+    if data[:4] != b"PK\x03\x04":
+        return False
+    if b"mimetype" in data[:256] and EPUB_MIME.encode() in data[:256]:
+        return True
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = zf.namelist()
+            if "mimetype" in names:
+                return zf.read("mimetype")[:64].strip() == EPUB_MIME.encode()
+    except Exception:
+        return False
+    return False
+
+
+def _read_entry(zf: zipfile.ZipFile, name: str, max_ratio: float,
+                max_entry_bytes: int) -> bytes:
+    info = zf.getinfo(name)
+    cap = min(int(max(info.compress_size, 1024) * max_ratio),
+              max_entry_bytes)
+    with zf.open(name) as f:
+        raw = f.read(cap + 1)
+    if len(raw) > cap:
+        raise InflateRatioError(
+            f"EPUB entry {name!r} exceeds inflate cap {cap}B")
+    return raw
+
+
+def _opf_path(container_xml: str) -> str | None:
+    for ev in xml_events(container_xml):
+        if ev[0] == "start" and local_name(ev[1]) == "rootfile":
+            return ev[2].get("full-path")
+    return None
+
+
+def _parse_opf(opf_xml: str) -> tuple[str | None, list[str]]:
+    """(dc:title, spine hrefs in reading order)."""
+    title: str | None = None
+    in_title = False
+    title_parts: list[str] = []
+    manifest: dict[str, str] = {}
+    spine_ids: list[str] = []
+    for ev in xml_events(opf_xml):
+        kind = ev[0]
+        if kind == "start":
+            ln = local_name(ev[1])
+            if ln == "title" and title is None:
+                in_title = True
+            elif ln == "item":
+                iid, href = ev[2].get("id"), ev[2].get("href")
+                if iid and href:
+                    manifest[iid] = href
+            elif ln == "itemref":
+                ref = ev[2].get("idref")
+                if ref:
+                    spine_ids.append(ref)
+        elif kind == "end" and local_name(ev[1]) == "title" and in_title:
+            in_title = False
+            t = " ".join("".join(title_parts).split())
+            title = t or None
+        elif kind in ("text", "cdata") and in_title:
+            title_parts.append(ev[1])
+    return title, [manifest[i] for i in spine_ids if i in manifest]
+
+
+def extract_epub(
+    data: bytes,
+    max_chars: int = -1,
+    max_ratio: float = 200.0,
+    max_entry_bytes: int = 256_000_000,
+    max_depth: int = 200,
+    deadline: float | None = None,
+) -> EpubResult:
+    from .htmlparse import parse_html
+
+    if not sniff_epub(data):
+        raise KernelError("not an EPUB package")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except Exception as e:
+        raise KernelError(f"bad EPUB zip: {e}") from e
+    with zf:
+        names = set(zf.namelist())
+        title: str | None = None
+        docs: list[str] = []
+        if "META-INF/container.xml" in names:
+            container = _read_entry(zf, "META-INF/container.xml",
+                                    max_ratio, max_entry_bytes)
+            opf_path = _opf_path(container.decode("utf-8", "replace"))
+            if opf_path and opf_path in names:
+                opf = _read_entry(zf, opf_path, max_ratio, max_entry_bytes)
+                title, hrefs = _parse_opf(opf.decode("utf-8", "replace"))
+                base = posixpath.dirname(opf_path)
+                for href in hrefs[:_MAX_SPINE_ITEMS]:
+                    p = posixpath.normpath(posixpath.join(base, href))
+                    if p in names:
+                        docs.append(p)
+        if not docs:  # no/broken OPF: every XHTML entry in zip order
+            docs = [n for n in zf.namelist()
+                    if n.lower().endswith((".xhtml", ".html", ".htm"))
+                    ][:_MAX_SPINE_ITEMS]
+        parts: list[str] = []
+        budget = max_chars
+        for name in docs:
+            check_deadline(deadline, "epub spine walk")
+            raw = _read_entry(zf, name, max_ratio, max_entry_bytes)
+            r = parse_html(raw.decode("utf-8", "replace"),
+                           max_chars=budget, max_depth=max_depth,
+                           extract_links=False, collect_blocks=False,
+                           deadline=deadline)
+            parts.append(r.text)
+            if budget != -1:
+                budget -= len(r.text)
+                if budget <= 0:
+                    break
+    return EpubResult(text="".join(parts), title=title,
+                      n_spine=len(docs), entries=docs)

@@ -301,6 +301,26 @@ def extract_document(
                        status=status, write_limit_reached=limited)
 
         if detected == "application/zip":
+            from .epub import EPUB_MIME, extract_epub, sniff_epub
+
+            if sniff_epub(data):
+                r = extract_epub(data, max_chars=cfg.max_chars,
+                                 max_ratio=cfg.max_inflate_ratio,
+                                 max_entry_bytes=cfg.max_inflate_bytes,
+                                 max_depth=cfg.max_depth, deadline=deadline)
+                limited = cfg.max_chars != -1 and len(r.text) >= cfg.max_chars
+                text, _ = _cap_text(r.text, cfg.max_chars)
+                md = {"Content-Type": [EPUB_MIME],
+                      "n-spine-items": [str(r.n_spine)]}
+                if r.title:
+                    md["title"] = [r.title]
+                    md["dc:title"] = [r.title]
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected=EPUB_MIME, title=r.title,
+                           text_extracted=text if cfg.parse_content else None,
+                           metadata=md, status=status,
+                           write_limit_reached=limited)
+
             from .odf import extract_odf, sniff_odf
 
             odf_mime = sniff_odf(data)

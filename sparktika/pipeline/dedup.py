@@ -326,3 +326,39 @@ def repeated_ngram_spans(
     return (per_doc.groupBy("shingle").agg(F.count("*").alias("n_docs"))
             .filter((F.col("n_docs") >= min_docs) & (F.col("n_docs") <= max_docs))
             .select("shingle", "n_docs"))
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document count of distinct n-grams shared with a BENCHMARK
+    set — the decontamination pass an LLM training pipeline runs before
+    training (the n-gram-overlap methodology published with GPT-3's
+    appendix C and the C4/Dodge et al. analyses).
+
+    100-TB shape: both sides reduce to (key, md5-shingle) pairs exactly
+    like repeated_ngram_spans (text never shuffles); the benchmark side
+    dedups to bare 16-byte hashes and BROADCASTS (real benchmark suites
+    are tiny next to a crawl), so the corpus side joins map-side with
+    no shuffle at all — the plan stays a single scan + broadcast hash
+    join + partial agg."""
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        n_windows = F.size(toks) - (n - 1)
+        sh = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+        return (df.select(F.col(key_col).alias("key"),
+                          F.explode(F.when(n_windows >= 1, sh))
+                           .alias("shingle"))
+                .dropDuplicates(["key", "shingle"]))
+
+    bench_grams = F.broadcast(shingles(bench).select("shingle").distinct())
+    return (shingles(corpus).join(bench_grams, "shingle")
+            .groupBy("key")
+            .agg(F.count_distinct("shingle").alias("n_shared_grams")))

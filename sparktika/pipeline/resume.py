@@ -37,3 +37,27 @@ def newest_per_url(pages: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def cap_per_host(
+    pages: DataFrame,
+    n_per_host: int = 3,
+    host_col=None,
+) -> DataFrame:
+    """Per-host document cap (training-data pipelines bound any single
+    domain's contribution; head-heavy crawls make this a top-k-per-key,
+    not a filter): keep the newest `n_per_host` snapshots per host.
+    One Exchange on host, rank inside the partition — same shape as
+    newest_per_url, so the skew note there applies (the synthetic corpus
+    plants a 50%-of-urls head host on purpose)."""
+    from pyspark.sql.window import Window
+
+    host = host_col if host_col is not None else F.regexp_extract(
+        "url", r"^https?://([^/]+)/", 1)
+    w = Window.partitionBy("host").orderBy(
+        F.col("warc_ts").desc(), F.col("url").desc())
+    return (
+        pages.withColumn("host", host)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_per_host)
+    )

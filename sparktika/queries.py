@@ -2531,6 +2531,84 @@ def extract_ods_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status")
 
 
+@_register(
+    "extract_epub_text",
+    """
+SELECT doc_id,
+       'Chapter one ' || doc_id || '.' || chr(10) ||
+       'Chapter two ' || doc_id || '.' || chr(10) AS text_extracted,
+       'Book ' || doc_id AS title,
+       'application/epub+zip' AS content_type_detected,
+       CAST(2 AS BIGINT) AS n_spine_items,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB (OCF/OPF) extraction: container.xml -> OPF -> spine-ordered
+    XHTML chapters through the HTML walker (Tika 1.20 EpubParser parity
+    posture); the synth corpus's manifest order differs from spine order
+    so reading order is actually exercised."""
+    ext = _payload_extract(spark, sf_dir, "build_epub", ".epub")
+    return ext.select(
+        "doc_id", "text_extracted", "title", "content_type_detected",
+        F.element_at("metadata", "n-spine-items").getItem(0)
+         .cast("long").alias("n_spine_items"),
+        "status")
+
+
+@_register(
+    "text_contamination",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
+  WHERE len(t) >= 8),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id AS key, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared_grams
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct 8-grams
+    shared with a benchmark set (synth benchmark = doc_id % 97 == 0).
+    Plan: both sides reduce to md5 shingles, the benchmark side
+    broadcasts — single corpus scan, no shuffle before the agg."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.benchmark_contamination(corpus, bench, "text", "doc_id")
+
+
+@_register(
+    "corpus_cap_per_host",
+    _with_oracle_cte("""
+SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+       url,
+       CAST(rn AS INT) AS rn
+FROM (SELECT url, warc_ts,
+             row_number() OVER (
+               PARTITION BY regexp_extract(url, '^https?://([^/]+)/', 1)
+               ORDER BY warc_ts DESC, url DESC) AS rn
+      FROM pages2)
+WHERE rn <= 3
+"""),
+)
+def corpus_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host contribution cap (top-k-per-key over a head-heavy host
+    distribution — the synth corpus plants a 50%-of-urls head host):
+    newest 3 snapshots per host survive."""
+    pages = synth_pages(spark, sf_dir)
+    return resume.cap_per_host(pages, n_per_host=3).select(
+        "host", "url", F.col("rn").cast("int").alias("rn"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2579,6 +2657,9 @@ _GATE_PRIORITY: list[str] = [
     "extract_odt_text",
     "extract_ods_text",
     "media_h264_meta",
+    "extract_epub_text",
+    "text_contamination",
+    "corpus_cap_per_host",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -1548,3 +1548,53 @@ def build_ods(doc_id: int) -> bytes:
         "</office:spreadsheet></office:body></office:document-content>"
     ).encode("utf-8")
     return _odf_zip("application/vnd.oasis.opendocument.spreadsheet", content)
+
+
+def build_epub(doc_id: int) -> bytes:
+    """Deterministic EPUB (extract_epub_text oracle): OCF mimetype +
+    container.xml -> OPF (dc:title, 2-chapter spine whose MANIFEST order
+    differs from the SPINE order, so reading order is exercised) ->
+    XHTML chapters through the HTML walker. Kernel output:
+      "Chapter one {id}.\\nChapter two {id}.\\n", title "Book {id}"
+    """
+    import io as _io
+    import zipfile as _zf
+
+    def chap(text: str) -> bytes:
+        return (f"<html><head><title>x</title></head>"
+                f"<body><p>{text}</p></body></html>").encode()
+
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="2.0">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>Book {doc_id}</dc:title></metadata>"
+        "<manifest>"
+        '<item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>'
+        '<item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        '<spine><itemref idref="c1"/><itemref idref="c2"/></spine>'
+        "</package>").encode()
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" '
+        'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>").encode()
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr(_zf.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                   "application/epub+zip", compress_type=_zf.ZIP_STORED)
+        z.writestr(_zf.ZipInfo("META-INF/container.xml",
+                               (1980, 1, 1, 0, 0, 0)), container,
+                   compress_type=_zf.ZIP_DEFLATED)
+        z.writestr(_zf.ZipInfo("OEBPS/content.opf", (1980, 1, 1, 0, 0, 0)),
+                   opf, compress_type=_zf.ZIP_DEFLATED)
+        z.writestr(_zf.ZipInfo("OEBPS/ch1.xhtml", (1980, 1, 1, 0, 0, 0)),
+                   chap(f"Chapter one {doc_id}."),
+                   compress_type=_zf.ZIP_DEFLATED)
+        z.writestr(_zf.ZipInfo("OEBPS/ch2.xhtml", (1980, 1, 1, 0, 0, 0)),
+                   chap(f"Chapter two {doc_id}."),
+                   compress_type=_zf.ZIP_DEFLATED)
+    return buf.getvalue()

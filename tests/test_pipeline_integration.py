@@ -643,3 +643,36 @@ def test_chunking_overlap_and_lossless_reconstruction(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_text(df, chunk_chars=40, overlap=40)
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """The benchmark side of the decontamination join must broadcast
+    (real benchmark suites are tiny next to a crawl) — the corpus scan
+    joins map-side with no shuffle before the aggregation."""
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = dedup.benchmark_contamination(corpus, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    rows = {r["key"]: r["n_shared_grams"] for r in out.collect()}
+    assert rows  # planted duplicates guarantee non-degeneracy
+    assert all(v >= 1 for v in rows.values())
+    assert all(k % 97 != 0 for k in rows)
+
+
+def test_cap_per_host_bounds_head_host(spark):
+    from sparktika.pipeline import resume
+    from sparktika.synth import synth_pages
+
+    pages = synth_pages(spark, "/root/testdata/sf0.001")
+    kept = resume.cap_per_host(pages, n_per_host=3)
+    counts = kept.groupBy("host").count().collect()
+    assert counts and all(r["count"] <= 3 for r in counts)
+    # the planted head host (50% of urls) must be capped like the tail
+    head = [r for r in counts if "host000" in r["host"]]
+    assert head and head[0]["count"] == 3

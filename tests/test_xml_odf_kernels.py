@@ -142,3 +142,58 @@ def test_odf_end_to_end_through_dispatcher():
     r = extract_document("u.ods", None, build_ods(3))
     assert (r.status, r.content_type_detected) == ("ok", ODS)
     assert r.text_extracted == "Data0\nA3\tB3\n3\n"
+
+
+# --- EPUB -------------------------------------------------------------------
+
+def test_epub_spine_order_and_title():
+    from sparktika.synth import build_epub
+
+    r = extract_document("u.epub", None, build_epub(4))
+    assert (r.status, r.title) == ("ok", "Book 4")
+    assert r.text_extracted == "Chapter one 4.\nChapter two 4.\n"
+    assert r.content_type_detected == "application/epub+zip"
+
+
+def test_epub_broken_opf_falls_back_to_zip_order():
+    import io, zipfile
+    from sparktika.kernels.epub import extract_epub
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                   "application/epub+zip",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr("b.xhtml", "<body><p>beta</p></body>")
+        z.writestr("a.xhtml", "<body><p>alpha</p></body>")
+    r = extract_epub(buf.getvalue())
+    # no container.xml: zip order, not alphabetical
+    assert r.text == "beta\nalpha\n"
+    assert r.title is None
+
+
+def test_epub_truncation_budget_spans_chapters():
+    from sparktika.config import ExtractConfig
+    from sparktika.synth import build_epub
+
+    r = extract_document("u.epub", None, build_epub(4),
+                         ExtractConfig(max_chars=18))
+    assert r.status == "truncated"
+    assert len(r.text_extracted) <= 18
+
+
+def test_epub_inflate_bomb_guarded():
+    import io, zipfile
+    from sparktika.config import ExtractConfig
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                   "application/epub+zip",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr("big.xhtml", "<p>" + "A" * 10_000_000 + "</p>",
+                   compress_type=zipfile.ZIP_DEFLATED)
+    r = extract_document("u.epub", None, buf.getvalue(),
+                         ExtractConfig(max_inflate_ratio=5.0,
+                                       max_inflate_bytes=100_000))
+    assert r.status == "failed" and "InflateRatioError" in r.error
