@@ -156,6 +156,10 @@ def _parse_video_stsd(data: bytes, s: int, e: int, meta: Mp4Meta) -> None:
             for bt, bs, be in _boxes(data, kids, pos + esize, 6):
                 if bt == b"avcC":
                     _parse_avcc(data[bs:be], meta)
+        elif fourcc in ("hvc1", "hev1") and kids < pos + esize:
+            for bt, bs, be in _boxes(data, kids, pos + esize, 6):
+                if bt == b"hvcC":
+                    _parse_hvcc(data[bs:be], meta)
         pos += esize
 
 
@@ -182,6 +186,99 @@ def _parse_avcc(cfg: bytes, meta: Mp4Meta) -> None:
                 meta.coded_width = info["width"]
                 meta.coded_height = info["height"]
                 return
+
+
+def _parse_hvcc(cfg: bytes, meta: Mp4Meta) -> None:
+    """HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1): 22 fixed
+    bytes, then NAL-unit arrays (u8 type, u16 count, per-unit u16 len +
+    data). The SPS array (NAL type 33) yields profile/level/cropped
+    dims."""
+    if len(cfg) < 23 or cfg[0] != 1:
+        return
+    num_arrays = cfg[22]
+    pos = 23
+    for _ in range(num_arrays):
+        if pos + 3 > len(cfg):
+            return
+        nal_type = cfg[pos] & 0x3F
+        (n_nalus,) = struct.unpack_from(">H", cfg, pos + 1)
+        pos += 3
+        for _ in range(n_nalus):
+            if pos + 2 > len(cfg):
+                return
+            (ln,) = struct.unpack_from(">H", cfg, pos)
+            pos += 2
+            nal = cfg[pos : pos + ln]
+            pos += ln
+            if nal_type == 33 and len(nal) >= 4:
+                info = parse_h265_sps(nal[2:])  # skip 2-byte NAL header
+                if info is not None:
+                    meta.codec_profile = info["profile"]
+                    meta.codec_level = info["level"]
+                    meta.coded_width = info["width"]
+                    meta.coded_height = info["height"]
+                    return
+
+
+_H265_PROFILES = {1: "Main", 2: "Main 10", 3: "Main Still Picture",
+                  4: "Range Extensions"}
+
+
+def parse_h265_sps(rbsp_with_ep: bytes) -> dict | None:
+    """H.265 SPS parse (ITU-T H.265 §7.3.2.2.1) through the conformance
+    window: profile/tier/level and cropped luma dimensions. Input is the
+    SPS payload after the 2-byte NAL header, with emulation-prevention
+    bytes (stripped here). Returns None on malformed input."""
+    rbsp = rbsp_with_ep.replace(b"\x00\x00\x03", b"\x00\x00")
+    try:
+        br = _BitReader(rbsp)
+        br.u(4)  # sps_video_parameter_set_id
+        max_sub_layers_minus1 = br.u(3)
+        br.u(1)  # sps_temporal_id_nesting_flag
+        # profile_tier_level(1, max_sub_layers_minus1)
+        br.u(2)  # general_profile_space
+        tier = br.u(1)
+        profile_idc = br.u(5)
+        br.u(32)  # general_profile_compatibility_flags
+        br.u(48)  # general constraint flags
+        level_idc = br.u(8)
+        if max_sub_layers_minus1 > 0:
+            sub_profile = [br.u(1) for _ in range(max_sub_layers_minus1)]
+            sub_level = [br.u(1) for _ in range(max_sub_layers_minus1)]
+            for _ in range(max_sub_layers_minus1, 8):
+                br.u(2)  # reserved_zero_2bits alignment
+            for i in range(max_sub_layers_minus1):
+                if sub_profile[i]:
+                    br.u(2 + 1 + 5 + 32 + 48)
+                if sub_level[i]:
+                    br.u(8)
+        br.ue()  # sps_seq_parameter_set_id
+        chroma_format_idc = br.ue()
+        if chroma_format_idc == 3:
+            br.u(1)  # separate_colour_plane_flag
+        width = br.ue()   # pic_width_in_luma_samples
+        height = br.ue()  # pic_height_in_luma_samples
+        if br.u(1):  # conformance_window_flag
+            win_l, win_r, win_t, win_b = (br.ue(), br.ue(),
+                                          br.ue(), br.ue())
+            # SubWidthC/SubHeightC (H.265 Table 6-1)
+            sub_w = 2 if chroma_format_idc in (1, 2) else 1
+            sub_h = 2 if chroma_format_idc == 1 else 1
+            width -= sub_w * (win_l + win_r)
+            height -= sub_h * (win_t + win_b)
+        if width <= 0 or height <= 0 or width > 65536 or height > 65536:
+            return None
+        profile = _H265_PROFILES.get(profile_idc, str(profile_idc))
+        if tier:
+            profile += " (High tier)"
+        return {
+            "profile": profile,
+            "level": f"{level_idc // 30}.{(level_idc % 30) // 3}",
+            "width": width,
+            "height": height,
+        }
+    except KernelError:
+        return None
 
 
 class _BitReader:

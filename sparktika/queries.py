@@ -2609,6 +2609,45 @@ def corpus_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", "url", F.col("rn").cast("int").alias("rn"))
 
 
+@_register(
+    "media_hevc_meta",
+    """
+SELECT doc_id AS media_id,
+       'hvc1' AS codec,
+       CASE WHEN doc_id % 2 = 0 THEN 'Main' ELSE 'Main 10' END AS codec_profile,
+       CAST((90 + (doc_id % 4) * 3) // 30 AS VARCHAR) || '.' ||
+       CAST(((90 + (doc_id % 4) * 3) % 30) // 3 AS VARCHAR) AS codec_level,
+       CAST(64 + (doc_id % 30) * 8
+            - CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS INT) AS coded_width,
+       CAST(64 + ((doc_id // 4) % 20) * 8
+            - CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END AS INT) AS coded_height,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_hevc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.265/HEVC header-level stream metadata (hvcC -> SPS parse through
+    the conformance window) over synthesized hvc1 MP4s — with
+    media_h264_meta this covers both codecs a modern crawl's videos
+    actually carry; frame decode stays out of scope (no codec libs)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import extract_video_meta
+    from .synth import build_hevc_mp4
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_hevc_mp4(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    video = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return extract_video_meta(video).select(
+        "media_id", "codec", "codec_profile", "codec_level",
+        "coded_width", "coded_height", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2660,6 +2699,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_epub_text",
     "text_contamination",
     "corpus_cap_per_host",
+    "media_hevc_meta",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -1370,31 +1370,47 @@ def _h264_params(media_id: int) -> dict:
     }
 
 
+class _BW:
+    """MSB-first bit writer with Exp-Golomb, for hand-assembled H.264/
+    H.265 parameter sets."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def ue(self, v: int) -> None:
+        c = v + 1
+        n = c.bit_length()
+        self.u(0, n - 1)
+        self.u(c, n)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]
+        bits += [0] * (-len(bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            out.append(int("".join(map(str, bits[i : i + 8])), 2))
+        return bytes(out)
+
+
+def _ep_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes: 00 00 0x -> 00 00 03 0x."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
 def _sps_nal(p: dict) -> bytes:
     """Hand-assembled SPS NAL (ITU-T H.264 §7.3.2.1.1) with
     emulation-prevention insertion."""
-
-    class _BW:
-        def __init__(self):
-            self.bits: list[int] = []
-
-        def u(self, v: int, n: int) -> None:
-            self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
-
-        def ue(self, v: int) -> None:
-            c = v + 1
-            n = c.bit_length()
-            self.u(0, n - 1)
-            self.u(c, n)
-
-        def rbsp(self) -> bytes:
-            bits = self.bits + [1]
-            bits += [0] * (-len(bits) % 8)
-            out = bytearray()
-            for i in range(0, len(bits), 8):
-                out.append(int("".join(map(str, bits[i : i + 8])), 2))
-            return bytes(out)
-
     w = _BW()
     w.u(p["profile_idc"], 8)
     w.u(0, 8)                      # constraint flags + reserved
@@ -1420,17 +1436,7 @@ def _sps_nal(p: dict) -> bytes:
     else:
         w.u(0, 1)
     w.u(0, 1)                      # vui_parameters_present
-    rbsp = w.rbsp()
-    # emulation prevention: 00 00 0x -> 00 00 03 0x for x in {0,1,2,3}
-    out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return b"\x67" + bytes(out)
+    return b"\x67" + _ep_escape(w.rbsp())
 
 
 def build_h264_mp4(media_id: int) -> bytes:
@@ -1598,3 +1604,79 @@ def build_epub(doc_id: int) -> bytes:
                    chap(f"Chapter two {doc_id}."),
                    compress_type=_zf.ZIP_DEFLATED)
     return buf.getvalue()
+
+
+def _h265_params(media_id: int) -> dict:
+    """Deterministic H.265 stream parameters (media_hevc_meta oracle)."""
+    crop = media_id % 3 == 0
+    w0 = 64 + (media_id % 30) * 8
+    h0 = 64 + ((media_id // 4) % 20) * 8
+    return {
+        "profile_idc": 1 + media_id % 2,          # Main / Main 10
+        "level_idc": 90 + (media_id % 4) * 3,     # 3.0 / 3.1 / 3.2 / 3.3
+        "w0": w0,
+        "h0": h0,
+        "crop": crop,
+        "width": w0 - (2 if crop else 0),
+        "height": h0 - (4 if crop else 0),
+    }
+
+
+def _h265_sps_nal(p: dict) -> bytes:
+    """Hand-assembled H.265 SPS NAL (ITU-T H.265 §7.3.2.2.1) through the
+    conformance window, with 2-byte NAL header (type 33)."""
+    w = _BW()
+    w.u(0, 4)                  # sps_video_parameter_set_id
+    w.u(0, 3)                  # sps_max_sub_layers_minus1
+    w.u(1, 1)                  # sps_temporal_id_nesting_flag
+    w.u(0, 2)                  # general_profile_space
+    w.u(0, 1)                  # general_tier_flag
+    w.u(p["profile_idc"], 5)
+    w.u(0, 32)                 # compatibility flags
+    w.u(0, 48)                 # constraint flags
+    w.u(p["level_idc"], 8)
+    w.ue(0)                    # sps_seq_parameter_set_id
+    w.ue(1)                    # chroma_format_idc 4:2:0
+    w.ue(p["w0"])              # pic_width_in_luma_samples
+    w.ue(p["h0"])              # pic_height_in_luma_samples
+    if p["crop"]:
+        w.u(1, 1)              # conformance_window_flag
+        w.ue(0); w.ue(1); w.ue(0); w.ue(2)
+    else:
+        w.u(0, 1)
+    # NAL header: type 33 (SPS), layer 0, tid 1
+    return bytes([33 << 1, 1]) + _ep_escape(w.rbsp())
+
+
+def build_hevc_mp4(media_id: int) -> bytes:
+    """MP4 with an H.265 (hvc1) video track: hvcC record carrying a
+    synthesized SPS — profile/level/cropped-dims metadata without frame
+    payloads (media_hevc_meta oracle)."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(body)) + btype + body
+
+    p = _h265_params(media_id)
+    nal = _h265_sps_nal(p)
+    hvcc = box(b"hvcC", bytes([1]) + b"\x00" * 21 + bytes([1])  # num_arrays
+               + bytes([0x80 | 33]) + _s.pack(">H", 1)
+               + _s.pack(">H", len(nal)) + nal)
+    entry_body = (b"\x00" * 6 + _s.pack(">H", 1) + b"\x00" * 16
+                  + _s.pack(">HH", p["width"], p["height"])
+                  + _s.pack(">II", 0x00480000, 0x00480000)
+                  + b"\x00" * 4 + _s.pack(">H", 1) + b"\x00" * 32
+                  + _s.pack(">H", 24) + _s.pack(">h", -1) + hvcc)
+    entry = _s.pack(">I", 8 + len(entry_body)) + b"hvc1" + entry_body
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    minf = box(b"minf", box(b"stbl", stsd))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", hdlr + minf)
+    duration = 1500 + (media_id % 80) * 250
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + _s.pack(">II", p["width"] << 16, p["height"] << 16))
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + _s.pack(">II", 1000, duration) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomhvc1")
+    return ftyp + moov

@@ -52,3 +52,26 @@ def test_mjpeg_mp4_still_reports_its_codec():
     m = parse_mp4(build_mjpeg_mp4(5))
     assert m.codec == "jpeg"
     assert m.codec_profile == "" and m.coded_width == 0
+
+
+def test_h265_sps_profiles_and_conformance_window():
+    from sparktika.kernels.video import parse_mp4
+    from sparktika.synth import _h265_params, build_hevc_mp4
+
+    for mid in (0, 1, 2, 3, 6, 9, 42, 1001):
+        m = parse_mp4(build_hevc_mp4(mid))
+        p = _h265_params(mid)
+        assert m.codec == "hvc1"
+        assert m.codec_profile == ("Main" if p["profile_idc"] == 1
+                                   else "Main 10")
+        lv = p["level_idc"]
+        assert m.codec_level == f"{lv // 30}.{(lv % 30) // 3}"
+        assert (m.coded_width, m.coded_height) == (p["width"], p["height"])
+
+
+def test_h265_sps_fails_closed_on_garbage():
+    from sparktika.kernels.video import parse_h265_sps
+
+    assert parse_h265_sps(b"") is None
+    assert parse_h265_sps(b"\x01") is None
+    assert parse_h265_sps(bytes(12)) is None  # truncated mid-PTL
