@@ -232,9 +232,9 @@ def _parse_ole10native(raw: bytes) -> tuple[str | None, bytes | None]:
     if len(raw) < 8:
         return None, None
     try:
-        (total,) = struct.unpack_from("<I", raw, 0)
-        if total + 4 > len(raw) + 8:  # tolerate slightly-short writers
-            pass
+        # the leading u32 record size is advisory (real writers disagree
+        # on whether it includes itself); every later read is bounds-
+        # checked against len(raw) instead, so it is not consulted
         pos = 6  # skip size + flags
         z1 = raw.index(b"\x00", pos)
         label = _decode_cp1252(raw[pos:z1])

@@ -19,12 +19,11 @@ spine item count cap, HTML walk inherits its own depth guards.
 
 from __future__ import annotations
 
-import io
 import posixpath
-import zipfile
 from dataclasses import dataclass, field
 
-from .errors import InflateRatioError, KernelError, check_deadline
+from .errors import KernelError, check_deadline
+from .ooxml import open_zip, read_entry
 from .xmlparse import local_name, xml_events
 
 EPUB_MIME = "application/epub+zip"
@@ -38,6 +37,8 @@ class EpubResult:
     title: str | None = None
     n_spine: int = 0
     entries: list[str] = field(default_factory=list)
+    truncated: bool = False  # a chapter hit the write limit, or the
+    #                          char budget ran out with chapters left
 
 
 def sniff_epub(data: bytes) -> bool:
@@ -46,26 +47,13 @@ def sniff_epub(data: bytes) -> bool:
     if b"mimetype" in data[:256] and EPUB_MIME.encode() in data[:256]:
         return True
     try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        with open_zip(data) as zf:
             names = zf.namelist()
             if "mimetype" in names:
                 return zf.read("mimetype")[:64].strip() == EPUB_MIME.encode()
     except Exception:
         return False
     return False
-
-
-def _read_entry(zf: zipfile.ZipFile, name: str, max_ratio: float,
-                max_entry_bytes: int) -> bytes:
-    info = zf.getinfo(name)
-    cap = min(int(max(info.compress_size, 1024) * max_ratio),
-              max_entry_bytes)
-    with zf.open(name) as f:
-        raw = f.read(cap + 1)
-    if len(raw) > cap:
-        raise InflateRatioError(
-            f"EPUB entry {name!r} exceeds inflate cap {cap}B")
-    return raw
 
 
 def _opf_path(container_xml: str) -> str | None:
@@ -117,20 +105,16 @@ def extract_epub(
 
     if not sniff_epub(data):
         raise KernelError("not an EPUB package")
-    try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except Exception as e:
-        raise KernelError(f"bad EPUB zip: {e}") from e
-    with zf:
+    with open_zip(data) as zf:
         names = set(zf.namelist())
         title: str | None = None
         docs: list[str] = []
         if "META-INF/container.xml" in names:
-            container = _read_entry(zf, "META-INF/container.xml",
+            container = read_entry(zf, "META-INF/container.xml",
                                     max_ratio, max_entry_bytes)
             opf_path = _opf_path(container.decode("utf-8", "replace"))
             if opf_path and opf_path in names:
-                opf = _read_entry(zf, opf_path, max_ratio, max_entry_bytes)
+                opf = read_entry(zf, opf_path, max_ratio, max_entry_bytes)
                 title, hrefs = _parse_opf(opf.decode("utf-8", "replace"))
                 base = posixpath.dirname(opf_path)
                 for href in hrefs[:_MAX_SPINE_ITEMS]:
@@ -142,18 +126,25 @@ def extract_epub(
                     if n.lower().endswith((".xhtml", ".html", ".htm"))
                     ][:_MAX_SPINE_ITEMS]
         parts: list[str] = []
+        truncated = False
         budget = max_chars
-        for name in docs:
+        for idx, name in enumerate(docs):
             check_deadline(deadline, "epub spine walk")
-            raw = _read_entry(zf, name, max_ratio, max_entry_bytes)
+            raw = read_entry(zf, name, max_ratio, max_entry_bytes)
             r = parse_html(raw.decode("utf-8", "replace"),
                            max_chars=budget, max_depth=max_depth,
                            extract_links=False, collect_blocks=False,
                            deadline=deadline)
             parts.append(r.text)
+            if r.write_limit_reached:
+                truncated = True
+                break
             if budget != -1:
                 budget -= len(r.text)
                 if budget <= 0:
+                    # budget consumed exactly: only a truncation if
+                    # chapters (i.e. real content) remain unread
+                    truncated = idx + 1 < len(docs)
                     break
     return EpubResult(text="".join(parts), title=title,
-                      n_spine=len(docs), entries=docs)
+                      n_spine=len(docs), entries=docs, truncated=truncated)

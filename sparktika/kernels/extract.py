@@ -70,6 +70,7 @@ def extract_document(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     true_size: int | None = None,
     embed_depth: int = 0,
+    _deadline: float | None = None,
 ) -> ExtractResult:
     """`true_size` lets the Spark layer ship only a 1KB sniff head for
     oversize documents (single-scan short-circuit) while the kernel still
@@ -83,6 +84,11 @@ def extract_document(
     installed at TikaForkMain.java:297)."""
     t0 = time.monotonic()
     deadline = t0 + cfg.timeout_ms / 1000.0 if cfg.timeout_ms > 0 else None
+    # nested re-dispatch (embedded docs, gzip inner payload) inherits the
+    # OUTER document's deadline: N embedded payloads must share one
+    # per-document budget, not get N fresh ones (bomb posture, O4/O20)
+    if _deadline is not None:
+        deadline = _deadline if deadline is None else min(deadline, _deadline)
     data = data or b""
     n_bytes = true_size if true_size is not None else len(data)
     declared = content_type or None
@@ -308,8 +314,12 @@ def extract_document(
                                  max_ratio=cfg.max_inflate_ratio,
                                  max_entry_bytes=cfg.max_inflate_bytes,
                                  max_depth=cfg.max_depth, deadline=deadline)
-                limited = cfg.max_chars != -1 and len(r.text) >= cfg.max_chars
-                text, _ = _cap_text(r.text, cfg.max_chars)
+                # truncation comes from the kernel's write-limit/budget
+                # bookkeeping, not raw length — span/div separators bypass
+                # the write count, so total length may exceed max_chars
+                # without any content loss (same posture as the HTML route)
+                text = r.text
+                limited = r.truncated
                 md = {"Content-Type": [EPUB_MIME],
                       "n-spine-items": [str(r.n_spine)]}
                 if r.title:
@@ -381,7 +391,7 @@ def extract_document(
                            error="nested gzip refused (ratio-compounding bomb)")
             inner_name = url[:-3] if url.lower().endswith(".gz") else url
             r = extract_document(inner_name, None, inner, cfg,
-                                 true_size=len(inner))
+                                 true_size=len(inner), _deadline=deadline)
             md = dict(r.metadata)
             md["Content-Encoding-Outer"] = ["gzip"]
             return res(detected=r.content_type_detected,
@@ -425,7 +435,8 @@ def extract_document(
                 truncated results contribute text, anything else degrades
                 to nothing (the outer doc's status is never affected)."""
                 r2 = extract_document(name, None, payload, cfg,
-                                      embed_depth=embed_depth + 1)
+                                      embed_depth=embed_depth + 1,
+                                      _deadline=deadline)
                 if r2.status in (STATUS_OK, STATUS_TRUNCATED):
                     return r2.text_extracted or None
                 return None
@@ -467,7 +478,13 @@ def extract_document(
                                     obj.filename or obj.name, obj.data)
                             else:
                                 sub = ScopedOle(ole, obj.storage)
-                                subnames = set(sub.stream_names())
+                                # classify by DIRECT children only — the
+                                # subtree set would let a nested
+                                # ObjectPool's Workbook misroute an
+                                # embedded Word doc (invariant 12)
+                                subnames = {e.name
+                                            for e in sub.root_children()
+                                            if e.obj_type == 2}
                                 if subnames & {"Workbook", "Book"}:
                                     t2 = extract_xls_ole(
                                         sub, deadline=deadline).text

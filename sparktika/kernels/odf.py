@@ -18,11 +18,10 @@ repeat attrs capped, depth guard inherited from the XML event scanner.
 
 from __future__ import annotations
 
-import io
-import zipfile
 from dataclasses import dataclass, field
 
-from .errors import InflateRatioError, KernelError, check_deadline
+from .errors import KernelError, check_deadline
+from .ooxml import open_zip, read_entry
 from .xmlparse import local_name, xml_events
 
 ODT_MIME = "application/vnd.oasis.opendocument.text"
@@ -53,7 +52,7 @@ def sniff_odf(data: bytes) -> str | None:
             if m.encode() in head:
                 return m
     try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        with open_zip(data) as zf:
             if "mimetype" in zf.namelist():
                 mt = zf.read("mimetype")[:100].decode("ascii", "replace").strip()
                 if mt in (ODT_MIME, ODS_MIME):
@@ -61,19 +60,6 @@ def sniff_odf(data: bytes) -> str | None:
     except Exception:
         return None
     return None
-
-
-def _read_entry(zf: zipfile.ZipFile, name: str, max_ratio: float,
-                max_entry_bytes: int) -> bytes:
-    info = zf.getinfo(name)
-    cap = min(int(max(info.compress_size, 1024) * max_ratio),
-              max_entry_bytes)
-    with zf.open(name) as f:
-        raw = f.read(cap + 1)
-    if len(raw) > cap:
-        raise InflateRatioError(
-            f"ODF entry {name!r} exceeds inflate cap {cap}B")
-    return raw
 
 
 def extract_odf(
@@ -86,14 +72,10 @@ def extract_odf(
     mime = sniff_odf(data)
     if mime is None:
         raise KernelError("not an ODF package (no ODF mimetype entry)")
-    try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except Exception as e:
-        raise KernelError(f"bad ODF zip: {e}") from e
-    with zf:
+    with open_zip(data) as zf:
         if "content.xml" not in zf.namelist():
             raise KernelError("ODF package has no content.xml")
-        xml = _read_entry(zf, "content.xml", max_ratio, max_entry_bytes)
+        xml = read_entry(zf, "content.xml", max_ratio, max_entry_bytes)
     text = xml.decode("utf-8", "replace")
     check_deadline(deadline, "odf content read")
     if mime == ODS_MIME:
@@ -101,9 +83,25 @@ def extract_odf(
     return _walk_odt(text, max_depth, deadline)
 
 
+def _attr(attrs: dict[str, str], local: str) -> str | None:
+    """Prefix-agnostic attribute lookup — the namespace prefix binding is
+    the document's choice, so match on the local name like elements."""
+    v = attrs.get(local)
+    if v is not None:
+        return v
+    for k, v in attrs.items():
+        if local_name(k) == local:
+            return v
+    return None
+
+
 def _walk_odt(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
     lines: list[str] = []
     cur: list[str] | None = None
+    # nesting count of open p/h elements: a text:p nested inside the
+    # current paragraph (text boxes, draw:frame annotations) contributes
+    # its text inline without closing the outer paragraph
+    p_nest = 0
     depth = 0
     n_par = 0
     for ev in xml_events(xml, deadline=deadline):
@@ -118,8 +116,11 @@ def _walk_odt(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
 
                     raise DepthLimitError(
                         f"element nesting exceeded {max_depth}")
-            if ln in ("p", "h") and cur is None:
-                cur = []
+            if ln in ("p", "h"):
+                if not self_closing:
+                    if cur is None:
+                        cur = []
+                    p_nest += 1
             elif cur is not None:
                 if ln == "tab":
                     cur.append("\t")
@@ -127,8 +128,7 @@ def _walk_odt(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
                     cur.append("\n")
                 elif ln == "s":
                     try:
-                        n = min(int(attrs.get("text:c", "1") or "1"),
-                                _MAX_REPEAT)
+                        n = min(int(_attr(attrs, "c") or "1"), _MAX_REPEAT)
                     except ValueError:
                         n = 1
                     cur.append(" " * max(n, 1))
@@ -136,9 +136,12 @@ def _walk_odt(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
             ln = local_name(ev[1])
             depth = max(depth - 1, 0)
             if ln in ("p", "h") and cur is not None:
-                lines.append("".join(cur))
-                n_par += 1
-                cur = None
+                p_nest -= 1
+                if p_nest <= 0:
+                    lines.append("".join(cur))
+                    n_par += 1
+                    cur = None
+                    p_nest = 0
         elif kind in ("text", "cdata") and cur is not None:
             chunk = ev[1]
             if kind == "text":
@@ -159,7 +162,7 @@ def _walk_ods(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
     row_cells: list[str] | None = None
     cell: list[str] | None = None
     cell_repeat = 1
-    in_p = False
+    p_nest = 0
     for ev in xml_events(xml, deadline=deadline):
         kind = ev[0]
         if kind == "start":
@@ -167,28 +170,29 @@ def _walk_ods(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
             ln = local_name(name)
             if ln == "table":
                 n_tables += 1
-                tname = attrs.get("table:name", f"Sheet{n_tables}")
+                tname = _attr(attrs, "name") or f"Sheet{n_tables}"
                 sheet_names.append(tname)
                 out.append(tname)
             elif ln == "table-row":
                 row_cells = []
             elif ln == "table-cell" and row_cells is not None:
                 cell = []
+                p_nest = 0
                 try:
                     cell_repeat = min(
-                        int(attrs.get("table:number-columns-repeated",
-                                      "1") or "1"), _MAX_REPEAT)
+                        int(_attr(attrs, "number-columns-repeated")
+                            or "1"), _MAX_REPEAT)
                 except ValueError:
                     cell_repeat = 1
                 if self_closing:
                     row_cells.extend([""] * cell_repeat)
                     cell = None
-            elif ln == "p" and cell is not None:
-                in_p = True
+            elif ln == "p" and cell is not None and not self_closing:
+                p_nest += 1
         elif kind == "end":
             ln = local_name(ev[1])
             if ln == "p":
-                in_p = False
+                p_nest = max(p_nest - 1, 0)
             elif ln == "table-cell" and cell is not None \
                     and row_cells is not None:
                 row_cells.extend(["".join(cell)] * cell_repeat)
@@ -201,7 +205,7 @@ def _walk_ods(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
                 if row_cells:
                     out.append("\t".join(row_cells))
                 row_cells = None
-        elif kind in ("text", "cdata") and cell is not None and in_p:
+        elif kind in ("text", "cdata") and cell is not None and p_nest > 0:
             chunk = ev[1]
             if kind == "text":
                 from .entities import decode_entities

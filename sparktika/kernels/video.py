@@ -243,8 +243,13 @@ def parse_h265_sps(rbsp_with_ep: bytes) -> dict | None:
         br.u(48)  # general constraint flags
         level_idc = br.u(8)
         if max_sub_layers_minus1 > 0:
-            sub_profile = [br.u(1) for _ in range(max_sub_layers_minus1)]
-            sub_level = [br.u(1) for _ in range(max_sub_layers_minus1)]
+            # flags are INTERLEAVED per sub-layer (H.265 §7.3.3:
+            # profile_present[i], level_present[i] pairs), not two arrays
+            sub_profile = []
+            sub_level = []
+            for _ in range(max_sub_layers_minus1):
+                sub_profile.append(br.u(1))
+                sub_level.append(br.u(1))
             for _ in range(max_sub_layers_minus1, 8):
                 br.u(2)  # reserved_zero_2bits alignment
             for i in range(max_sub_layers_minus1):

@@ -343,9 +343,10 @@ def benchmark_contamination(
     100-TB shape: both sides reduce to (key, md5-shingle) pairs exactly
     like repeated_ngram_spans (text never shuffles); the benchmark side
     dedups to bare 16-byte hashes and BROADCASTS (real benchmark suites
-    are tiny next to a crawl), so the corpus side joins map-side with
-    no shuffle at all — the plan stays a single scan + broadcast hash
-    join + partial agg."""
+    are tiny next to a crawl), so the corpus side joins map-side. The
+    corpus shingle stream is NOT pre-deduplicated — count_distinct in
+    the final agg subsumes it, and the only Exchange in the plan is the
+    post-join groupBy over the (tiny) matched pairs."""
     def shingles(df: DataFrame) -> DataFrame:
         toks = F.split(
             F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
@@ -353,10 +354,9 @@ def benchmark_contamination(
         sh = F.transform(
             F.sequence(F.lit(1), n_windows),
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
-        return (df.select(F.col(key_col).alias("key"),
-                          F.explode(F.when(n_windows >= 1, sh))
-                           .alias("shingle"))
-                .dropDuplicates(["key", "shingle"]))
+        return df.select(F.col(key_col).alias("key"),
+                         F.explode(F.when(n_windows >= 1, sh))
+                          .alias("shingle"))
 
     bench_grams = F.broadcast(shingles(bench).select("shingle").distinct())
     return (shingles(corpus).join(bench_grams, "shingle")

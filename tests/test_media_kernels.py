@@ -75,3 +75,34 @@ def test_h265_sps_fails_closed_on_garbage():
     assert parse_h265_sps(b"") is None
     assert parse_h265_sps(b"\x01") is None
     assert parse_h265_sps(bytes(12)) is None  # truncated mid-PTL
+
+
+def test_h265_sps_interleaved_sublayer_ptl_flags():
+    """Regression (review pass): sub-layer profile/level present flags
+    are INTERLEAVED per sub-layer (H.265 §7.3.3), not two arrays. The
+    pattern p0=1,l0=1,p1=0,l1=0 consumes 88+8 bits; the two-array
+    misread consumed 2x88 and desynced every later field."""
+    from sparktika.kernels.video import parse_h265_sps
+    from sparktika.synth import _BW, _ep_escape
+
+    w = _BW()
+    w.u(0, 4)          # vps id
+    w.u(2, 3)          # sps_max_sub_layers_minus1 = 2
+    w.u(1, 1)          # nesting
+    w.u(0, 2); w.u(0, 1); w.u(1, 5)   # PTL: space/tier/profile Main
+    w.u(0, 32); w.u(0, 48); w.u(93, 8)  # compat/constraints/level 3.1
+    w.u(1, 1); w.u(1, 1)  # sub-layer 0: profile present, level present
+    w.u(0, 1); w.u(0, 1)  # sub-layer 1: neither
+    for _ in range(2, 8):
+        w.u(0, 2)      # alignment
+    w.u(0, 2 + 1 + 5 + 32 + 48)  # sub-layer 0 profile block (88 bits)
+    w.u(0, 8)          # sub-layer 0 level
+    w.ue(0)            # sps id
+    w.ue(1)            # chroma 4:2:0
+    w.ue(320)          # width
+    w.ue(240)          # height
+    w.u(0, 1)          # no conformance window
+    info = parse_h265_sps(_ep_escape(w.rbsp()))
+    assert info is not None
+    assert (info["width"], info["height"]) == (320, 240)
+    assert info["profile"] == "Main" and info["level"] == "3.1"

