@@ -362,3 +362,65 @@ def benchmark_contamination(
     return (shingles(corpus).join(bench_grams, "shingle")
             .groupBy("key")
             .agg(F.count_distinct("shingle").alias("n_shared_grams")))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    max_docs: int = 10_000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the shared-n-gram graph: documents that
+    transitively share any n-token window land in one cluster (the
+    grouping step of exact-substring dedup — pick one representative per
+    cluster instead of per pair).
+
+    100-TB shape: edges are STAR edges, (doc, min-doc-of-shingle) — one
+    edge per (doc, shingle) instead of the quadratic all-pairs-per-
+    shingle expansion, which still connects every component. Components
+    then resolve by iterative min-label propagation (the standard
+    distributed-CC loop): each round is one shuffle-join + min-agg, and
+    lineage is cut per round with localCheckpoint (bounded by max_iter;
+    near-dup clusters are clique-ish, so 2-3 rounds converge).
+    Convergence is detected with an aggregated count, not per-row
+    driver inspection. Returns (key, cluster) with cluster = min doc_id
+    reachable; only documents that share at least one n-gram appear."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_windows = F.size(toks) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    per_doc = (df.select(F.col(key_col).alias("key"),
+                         F.explode(F.when(n_windows >= 1, sh)).alias("shingle"))
+               .dropDuplicates(["key", "shingle"]))
+    rep = (per_doc.groupBy("shingle")
+           .agg(F.min("key").alias("root"), F.count("*").alias("n_docs"))
+           .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= max_docs)))
+    star = (per_doc.join(rep, "shingle")
+            .select("key", "root").filter(F.col("key") != F.col("root"))
+            .distinct())
+    # undirected edge list (both directions) for label propagation
+    edges = star.unionByName(
+        star.select(F.col("root").alias("key"), F.col("key").alias("root"))
+    ).select(F.col("key").alias("src"), F.col("root").alias("dst"))
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("key")).distinct()
+              .withColumn("label", F.col("key")))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.src == labels.key)
+                        .groupBy(F.col("dst").alias("key"))
+                        .agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(neighbor_min, "key", "left")
+                      .select("key", F.least("label", F.coalesce("nlabel", "label"))
+                               .alias("label")))
+        new_labels = new_labels.localCheckpoint()  # cut iterative lineage
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "key")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("key", F.col("label").alias("cluster"))

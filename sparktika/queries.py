@@ -2648,6 +2648,42 @@ def media_hevc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coded_width", "coded_height", "status")
 
 
+@_register(
+    "dedup_cluster_components",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
+  WHERE len(t) >= 8),
+rep AS (
+  SELECT shingle, min(doc_id) AS root, count(*) AS n_docs
+  FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10000),
+star AS (
+  SELECT DISTINCT s.doc_id AS key, r.root
+  FROM sh s JOIN rep r USING (shingle) WHERE s.doc_id <> r.root),
+edges AS (
+  SELECT key AS src, root AS dst FROM star
+  UNION SELECT root, key FROM star),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS key, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY id
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the shared-8-gram graph (the grouping
+    step of exact-substring dedup): iterative min-label propagation —
+    one shuffle-join + min-agg per round, star edges instead of the
+    quadratic per-shingle all-pairs, lineage cut per round. The oracle
+    is the same graph closed with a recursive CTE."""
+    return dedup.duplicate_clusters(_docs(spark, sf_dir), "text", "doc_id")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2700,6 +2736,7 @@ _GATE_PRIORITY: list[str] = [
     "text_contamination",
     "corpus_cap_per_host",
     "media_hevc_meta",
+    "dedup_cluster_components",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -676,3 +676,22 @@ def test_cap_per_host_bounds_head_host(spark):
     # the planted head host (50% of urls) must be capped like the tail
     head = [r for r in counts if "host000" in r["host"]]
     assert head and head[0]["count"] == 3
+
+
+def test_duplicate_clusters_transitivity(spark):
+    """A transitive chain (A~B via one shingle, B~C via another, A and C
+    share nothing) must land in ONE cluster — the property pairwise dedup
+    misses and label propagation exists to provide."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta AAA"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta BBB "
+             "one two three four five six seven eight CCC"),
+         (3, "one two three four five six seven eight DDD"),
+         (4, "totally unrelated words nine ten eleven twelve thirteen "
+             "fourteen fifteen sixteen")],
+        "doc_id long, text string")
+    from sparktika.pipeline import dedup
+
+    out = {r["key"]: r["cluster"]
+           for r in dedup.duplicate_clusters(docs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}  # chain collapses; doc 4 isolated
