@@ -160,6 +160,10 @@ def _parse_video_stsd(data: bytes, s: int, e: int, meta: Mp4Meta) -> None:
             for bt, bs, be in _boxes(data, kids, pos + esize, 6):
                 if bt == b"hvcC":
                     _parse_hvcc(data[bs:be], meta)
+        elif fourcc == "av01" and kids < pos + esize:
+            for bt, bs, be in _boxes(data, kids, pos + esize, 6):
+                if bt == b"av1C":
+                    _parse_av1c(data[bs:be], meta)
         pos += esize
 
 
@@ -317,6 +321,91 @@ class _BitReader:
     def se(self) -> int:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _parse_av1c(cfg: bytes, meta: Mp4Meta) -> None:
+    """AV1CodecConfigurationRecord (AV1-ISOBMFF spec §2.3): 4 fixed
+    bytes, then configOBUs. The sequence-header OBU (type 1) yields
+    profile/level/max frame dims."""
+    if len(cfg) < 4 or (cfg[0] >> 7) != 1 or (cfg[0] & 0x7F) != 1:
+        return
+    pos = 4
+    while pos + 1 < len(cfg):
+        hdr = cfg[pos]
+        if hdr & 0x80:  # obu_forbidden_bit
+            return
+        obu_type = (hdr >> 3) & 0x0F
+        has_ext = hdr & 0x04
+        has_size = hdr & 0x02
+        pos += 1
+        if has_ext:
+            pos += 1
+        if has_size:
+            size = 0
+            shift = 0
+            while pos < len(cfg):
+                b = cfg[pos]
+                pos += 1
+                size |= (b & 0x7F) << shift
+                shift += 7
+                if not (b & 0x80):
+                    break
+                if shift > 28:
+                    return
+        else:
+            size = len(cfg) - pos
+        payload = cfg[pos : pos + size]
+        pos += size
+        if obu_type == 1:  # OBU_SEQUENCE_HEADER
+            info = parse_av1_seq_header(payload)
+            if info is not None:
+                meta.codec_profile = info["profile"]
+                meta.codec_level = info["level"]
+                meta.coded_width = info["width"]
+                meta.coded_height = info["height"]
+            return
+
+
+_AV1_PROFILES = {0: "Main", 1: "High", 2: "Professional"}
+
+
+def parse_av1_seq_header(payload: bytes) -> dict | None:
+    """AV1 sequence_header_obu parse (AV1 spec §5.5) through the max
+    frame dimensions. Returns None on malformed input."""
+    try:
+        br = _BitReader(payload)
+        seq_profile = br.u(3)
+        br.u(1)  # still_picture
+        reduced = br.u(1)
+        if reduced:
+            seq_level_idx = br.u(5)
+        else:
+            if br.u(1):  # timing_info_present_flag
+                return None  # timing/decoder-model parse out of scope
+            br.u(1)  # initial_display_delay_present_flag
+            op_cnt = br.u(5) + 1
+            seq_level_idx = 0
+            for i in range(op_cnt):
+                br.u(12)  # operating_point_idc
+                lvl = br.u(5)
+                if i == 0:
+                    seq_level_idx = lvl
+                if lvl > 7:
+                    br.u(1)  # seq_tier
+        wbits = br.u(4) + 1
+        hbits = br.u(4) + 1
+        width = br.u(wbits) + 1
+        height = br.u(hbits) + 1
+        if width <= 0 or height <= 0 or width > 65536 or height > 65536:
+            return None
+        return {
+            "profile": _AV1_PROFILES.get(seq_profile, str(seq_profile)),
+            "level": f"{2 + seq_level_idx // 4}.{seq_level_idx % 4}",
+            "width": width,
+            "height": height,
+        }
+    except KernelError:
+        return None
 
 
 _H264_PROFILES = {

@@ -2684,6 +2684,44 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(_docs(spark, sf_dir), "text", "doc_id")
 
 
+@_register(
+    "media_av1_meta",
+    """
+SELECT doc_id AS media_id,
+       'av01' AS codec,
+       CASE doc_id % 3 WHEN 0 THEN 'Main' WHEN 1 THEN 'High'
+            ELSE 'Professional' END AS codec_profile,
+       CAST(2 + (doc_id % 14) // 4 AS VARCHAR) || '.' ||
+       CAST((doc_id % 14) % 4 AS VARCHAR) AS codec_level,
+       CAST(320 + (doc_id % 25) * 16 AS INT) AS coded_width,
+       CAST(180 + ((doc_id // 5) % 20) * 16 AS INT) AS coded_height,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_av1_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 header-level stream metadata (av1C -> sequence-header OBU
+    parse: profile/level/max frame dims) over synthesized av01 MP4s —
+    completes the codec-metadata triad (H.264/H.265/AV1) a modern
+    crawl's videos carry; frame decode stays out of scope."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import extract_video_meta
+    from .synth import build_av1_mp4
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_av1_mp4(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    video = docs.select(F.col("doc_id").alias("media_id"),
+                        udf(F.col("doc_id")).alias("payload"))
+    return extract_video_meta(video).select(
+        "media_id", "codec", "codec_profile", "codec_level",
+        "coded_width", "coded_height", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2737,6 +2775,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_cap_per_host",
     "media_hevc_meta",
     "dedup_cluster_components",
+    "media_av1_meta",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

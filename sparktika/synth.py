@@ -1680,3 +1680,67 @@ def build_hevc_mp4(media_id: int) -> bytes:
     moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomhvc1")
     return ftyp + moov
+
+
+def _av1_params(media_id: int) -> dict:
+    """Deterministic AV1 stream parameters (media_av1_meta oracle)."""
+    return {
+        "profile": media_id % 3,                  # Main / High / Professional
+        "level_idx": media_id % 14,               # 2.0 .. 5.1
+        "width": 320 + (media_id % 25) * 16,
+        "height": 180 + ((media_id // 5) % 20) * 16,
+    }
+
+
+def build_av1_mp4(media_id: int) -> bytes:
+    """MP4 with an AV1 (av01) video track: av1C record carrying a
+    synthesized sequence-header OBU (media_av1_meta oracle)."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(body)) + btype + body
+
+    p = _av1_params(media_id)
+    w = _BW()
+    w.u(p["profile"], 3)
+    w.u(0, 1)                 # still_picture
+    w.u(0, 1)                 # reduced_still_picture_header
+    w.u(0, 1)                 # timing_info_present_flag
+    w.u(0, 1)                 # initial_display_delay_present_flag
+    w.u(0, 5)                 # operating_points_cnt_minus_1
+    w.u(0, 12)                # operating_point_idc[0]
+    w.u(p["level_idx"], 5)    # seq_level_idx[0]
+    if p["level_idx"] > 7:
+        w.u(0, 1)             # seq_tier[0]
+    w.u(15, 4)                # frame_width_bits_minus_1
+    w.u(15, 4)                # frame_height_bits_minus_1
+    w.u(p["width"] - 1, 16)   # max_frame_width_minus_1
+    w.u(p["height"] - 1, 16)  # max_frame_height_minus_1
+    bits = w.bits + [0] * (-len(w.bits) % 8)  # byte-align (no rbsp stop bit)
+    obu_payload = bytes(int("".join(map(str, bits[i:i+8])), 2)
+                        for i in range(0, len(bits), 8))
+    # OBU header: type 1 (sequence header), has_size_field, then leb128 size
+    obu = bytes([0b0000_1010, len(obu_payload)]) + obu_payload
+    av1c = box(b"av1C",
+               bytes([0x81,                       # marker|version
+                      (p["profile"] << 5) | p["level_idx"],
+                      0b0000_1100,                # 4:2:0, 8-bit
+                      0]) + obu)
+    entry_body = (b"\x00" * 6 + _s.pack(">H", 1) + b"\x00" * 16
+                  + _s.pack(">HH", p["width"], p["height"])
+                  + _s.pack(">II", 0x00480000, 0x00480000)
+                  + b"\x00" * 4 + _s.pack(">H", 1) + b"\x00" * 32
+                  + _s.pack(">H", 24) + _s.pack(">h", -1) + av1c)
+    entry = _s.pack(">I", 8 + len(entry_body)) + b"av01" + entry_body
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    minf = box(b"minf", box(b"stbl", stsd))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", hdlr + minf)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + _s.pack(">II", p["width"] << 16, p["height"] << 16))
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + _s.pack(">II", 1000, 2000 + (media_id % 50) * 200)
+               + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomav01")
+    return ftyp + moov

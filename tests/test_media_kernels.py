@@ -106,3 +106,33 @@ def test_h265_sps_interleaved_sublayer_ptl_flags():
     assert info is not None
     assert (info["width"], info["height"]) == (320, 240)
     assert info["profile"] == "Main" and info["level"] == "3.1"
+
+
+def test_av1_seq_header_profiles_levels_dims():
+    from sparktika.kernels.video import parse_mp4
+    from sparktika.synth import _av1_params, build_av1_mp4
+
+    for mid in (0, 1, 2, 5, 8, 13, 42, 997):
+        m = parse_mp4(build_av1_mp4(mid))
+        p = _av1_params(mid)
+        assert m.codec == "av01"
+        assert m.codec_profile == {0: "Main", 1: "High",
+                                   2: "Professional"}[p["profile"]]
+        assert m.codec_level == (f"{2 + p['level_idx'] // 4}."
+                                 f"{p['level_idx'] % 4}")
+        assert (m.coded_width, m.coded_height) == (p["width"], p["height"])
+
+
+def test_av1_parser_fails_closed():
+    from sparktika.kernels.video import parse_av1_seq_header
+
+    assert parse_av1_seq_header(b"") is None
+    assert parse_av1_seq_header(b"\xff") is None
+    # timing_info_present streams are declared out of scope, not crashed on
+    from sparktika.synth import _BW
+    w = _BW()
+    w.u(0, 3); w.u(0, 1); w.u(0, 1); w.u(1, 1)  # timing_info_present=1
+    bits = w.bits + [0] * (-len(w.bits) % 8)
+    payload = bytes(int("".join(map(str, bits[i:i+8])), 2)
+                    for i in range(0, len(bits), 8))
+    assert parse_av1_seq_header(payload) is None
