@@ -216,3 +216,42 @@ def oov_rate(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
                   .alias("n_oov"))
             .select(F.col("key").alias(key_col), "n_tokens", "n_oov",
                     F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm")))
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    forbidden: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style page quality filter (the published cleaning rules of
+    Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
+    §2.2): keep only lines that end in terminal punctuation AND carry at
+    least `min_words_per_line` words; drop whole pages with fewer than
+    `min_kept_lines` surviving lines or containing any `forbidden`
+    substring (case-insensitive).
+
+    Pure JVM-side column algebra — split + higher-order filter + size —
+    no UDF, so at 100 TB this is a single scan inside whole-stage
+    codegen with zero shuffle. The terminal-punctuation regex stays in
+    the Java-regex/RE2 common subset (oracle lockstep, invariant 9)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & l.rlike('[.!?"]\\s*$'),
+    )
+    low = F.lower(F.col(text_col))
+    has_forbidden = None
+    for needle in forbidden:
+        c = low.contains(needle.lower())
+        has_forbidden = c if has_forbidden is None else (has_forbidden | c)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.size(kept).alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        ((F.size(kept) >= min_kept_lines)
+         & ~F.coalesce(has_forbidden, F.lit(False))).alias("keep"),
+    )

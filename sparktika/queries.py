@@ -2722,6 +2722,61 @@ def media_av1_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coded_width", "coded_height", "status")
 
 
+@_register(
+    "corpus_c4_filter",
+    """
+WITH pages AS (
+  SELECT doc_id,
+         repeat('Valid sentence with five words.' || chr(10), 1 + doc_id % 4)
+         || 'short line' || chr(10)
+         || 'no terminal punctuation padding line here' || chr(10)
+         || CASE WHEN doc_id % 11 = 0
+                 THEN 'Lorem ipsum dolor sit amet.' || chr(10) ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN 'brace { line }.' ELSE '' END AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(string_split_regex(trim(l), '\\s+')) >= 5
+                          AND regexp_matches(l, '[.!?"]\\s*$')) AS kept
+  FROM pages)
+SELECT doc_id AS key,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       array_to_string(kept, chr(10)) AS kept_text,
+       len(kept) >= 3
+         AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(lower(text), '{') AS keep
+FROM lines
+""",
+)
+def corpus_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over a deterministic
+    multi-line corpus built from pure column expressions: line-level
+    terminal-punctuation + min-words retention, page-level min-kept-
+    lines and forbidden-substring ('lorem ipsum', '{') drops. Zero-UDF,
+    single-scan plan."""
+    from .pipeline.textstats import c4_filter
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.expr("repeat('Valid sentence with five words.\\n', "
+                   "1 + doc_id % 4)"),
+            F.lit("short line\n"),
+            F.lit("no terminal punctuation padding line here\n"),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("Lorem ipsum dolor sit amet.\n")).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit("brace { line }.")).otherwise(""),
+        ).alias("text"),
+    )
+    return c4_filter(pages).select(
+        "key", F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+        "kept_text", "keep")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2776,6 +2831,7 @@ _GATE_PRIORITY: list[str] = [
     "media_hevc_meta",
     "dedup_cluster_components",
     "media_av1_meta",
+    "corpus_c4_filter",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

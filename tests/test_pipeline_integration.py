@@ -695,3 +695,30 @@ def test_duplicate_clusters_transitivity(spark):
     out = {r["key"]: r["cluster"]
            for r in dedup.duplicate_clusters(docs).collect()}
     assert out == {1: 1, 2: 1, 3: 1}  # chain collapses; doc 4 isolated
+
+
+def test_c4_filter_rules(spark):
+    from sparktika.pipeline.textstats import c4_filter
+
+    docs = spark.createDataFrame(
+        [(1, "One good long sentence right here.\nAnother fine long "
+             "sentence follows now.\nAnd a third proper sentence closes.\n"
+             "short one\nno terminal punctuation in this line"),
+         (2, "Only two good sentences exist here.\nSecond proper long "
+             "sentence right here."),
+         (3, "First good long sentence is here.\nSecond good long sentence "
+             "is here.\nThird good long sentence too.\nBut lorem ipsum "
+             "appears somewhere inside."),
+         (4, "Has a brace { in it.\nPlus a good long sentence here.\n"
+             "And another good long sentence.\nThird long proper "
+             "sentence closes this.")],
+        "doc_id long, text string")
+    out = {r["key"]: (r["n_lines_kept"], r["keep"])
+           for r in c4_filter(docs).collect()}
+    assert out[1] == (3, True)    # 3 kept lines, clean page
+    assert out[2] == (2, False)   # below min_kept_lines
+    assert out[3][1] is False     # lorem ipsum page drop
+    assert out[4][1] is False     # brace page drop
+    # zero-UDF plan: whole-stage codegen, no Exchange
+    plan = c4_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
