@@ -370,30 +370,55 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
-        if detected == "application/gzip":
-            # single-member gzip wrapper (.txt.gz / .tar.gz / .csv.gz):
-            # guarded inflate, then re-dispatch on the inner payload with
-            # one level of the container depth budget consumed
-            import zlib as _zlib
-
-            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)  # gzip framing
+        if detected in ("application/gzip", "application/x-bzip2",
+                        "application/x-xz"):
+            # single-member compressed wrapper (.txt.gz / .csv.bz2 /
+            # .tar.xz ...): guarded decompress via the stdlib codec, then
+            # re-dispatch on the inner payload under the shared deadline
             cap = min(int(max(n_bytes, 1024) * cfg.max_inflate_ratio),
                       cfg.max_inflate_bytes)
-            inner = d.decompress(data, cap)
-            if d.unconsumed_tail:
+            if detected == "application/gzip":
+                import zlib as _zlib
+
+                codec, suffix = "gzip", ".gz"
+                d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)  # gzip framing
+                inner = d.decompress(data, cap)
+                overflow = bool(d.unconsumed_tail)
+            elif detected == "application/x-bzip2":
+                import bz2 as _bz2
+
+                codec, suffix = "bzip2", ".bz2"
+                d = _bz2.BZ2Decompressor()
+                inner = d.decompress(data, max_length=cap)
+                overflow = not d.eof
+            else:
+                import lzma as _lzma
+
+                codec, suffix = "xz", ".xz"
+                d = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
+                inner = d.decompress(data, max_length=cap)
+                overflow = not d.eof
+            if overflow:
                 return res(detected=detected, status=STATUS_FAILED,
-                           error=f"InflateRatioError: gzip payload exceeds "
-                                 f"inflate cap {cap}B")
-            if inner[:2] == b"\x1f\x8b":
-                # gzip-of-gzip chains compound the ratio guard without
-                # bound — refuse instead of recursing (bomb posture)
+                           error=f"InflateRatioError: {codec} payload "
+                                 f"exceeds inflate cap {cap}B (or archive "
+                                 f"is truncated)")
+            inner_codec = ("gzip" if inner[:2] == b"\x1f\x8b"
+                           else "bzip2" if inner[:3] == b"BZh"
+                           else "xz" if inner[:6] == b"\xfd7zXZ\x00"
+                           else None)
+            if inner_codec is not None:
+                # compressed-in-compressed chains compound the ratio
+                # guard without bound — refuse instead of recursing
                 return res(detected=detected, status=STATUS_FAILED,
-                           error="nested gzip refused (ratio-compounding bomb)")
-            inner_name = url[:-3] if url.lower().endswith(".gz") else url
+                           error=f"nested {inner_codec} refused "
+                                 "(ratio-compounding bomb)")
+            inner_name = (url[: -len(suffix)]
+                          if url.lower().endswith(suffix) else url)
             r = extract_document(inner_name, None, inner, cfg,
                                  true_size=len(inner), _deadline=deadline)
             md = dict(r.metadata)
-            md["Content-Encoding-Outer"] = ["gzip"]
+            md["Content-Encoding-Outer"] = [codec]
             return res(detected=r.content_type_detected,
                        charset_detected=r.charset_detected,
                        text_extracted=r.text_extracted if cfg.parse_content else None,

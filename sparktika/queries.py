@@ -2777,6 +2777,50 @@ def corpus_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_text", "keep")
 
 
+@_register(
+    "extract_compressed_text",
+    """
+SELECT doc_id,
+       'Compressed note ' || doc_id || ' body.' || chr(10) AS text_extracted,
+       CASE WHEN doc_id % 2 = 0 THEN 'bzip2' ELSE 'xz' END AS outer_codec,
+       'text/plain' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_compressed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-member bzip2/xz wrappers (stdlib codecs, guarded
+    max_length decompress + nested-compression refusal) re-dispatching
+    the inner payload — completes the gzip route's family; a real crawl
+    carries .bz2/.xz sidecar files constantly."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_bz2_txt, build_xz_txt
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([
+            build_bz2_txt(int(i)) if int(i) % 2 == 0 else build_xz_txt(int(i))
+            for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".txt"),
+                 F.when(F.col("doc_id") % 2 == 0, F.lit(".bz2"))
+                  .otherwise(F.lit(".xz"))).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        "text_extracted",
+        F.element_at("metadata", "Content-Encoding-Outer").getItem(0)
+         .alias("outer_codec"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2832,6 +2876,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_cluster_components",
     "media_av1_meta",
     "corpus_c4_filter",
+    "extract_compressed_text",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

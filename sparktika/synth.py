@@ -1744,3 +1744,18 @@ def build_av1_mp4(media_id: int) -> bytes:
     moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomav01")
     return ftyp + moov
+
+
+def build_bz2_txt(doc_id: int) -> bytes:
+    """bzip2-wrapped text (extract_compressed_text oracle, even ids)."""
+    import bz2 as _bz2
+
+    return _bz2.compress(f"Compressed note {doc_id} body.\n".encode())
+
+
+def build_xz_txt(doc_id: int) -> bytes:
+    """xz-wrapped text (extract_compressed_text oracle, odd ids)."""
+    import lzma as _lzma
+
+    return _lzma.compress(f"Compressed note {doc_id} body.\n".encode(),
+                          format=_lzma.FORMAT_XZ)

@@ -893,3 +893,30 @@ def test_embedded_recursion_shares_outer_deadline():
     # sanity: same document with a live deadline DOES extract it
     r3 = ed("u.msg", None, data, ExtractConfig(timeout_ms=60_000))
     assert "marker" in r3.text_extracted
+
+
+def test_bz2_xz_wrappers_and_bomb_posture():
+    import bz2, lzma
+
+    txt = b"Wrapped text body here.\n"
+    r = extract_document("a.txt.bz2", None, bz2.compress(txt))
+    assert (r.status, r.text_extracted) == ("ok", txt.decode())
+    assert r.metadata["Content-Encoding-Outer"] == ["bzip2"]
+    r = extract_document("a.txt.xz", None,
+                         lzma.compress(txt, format=lzma.FORMAT_XZ))
+    assert (r.status, r.text_extracted) == ("ok", txt.decode())
+    assert r.metadata["Content-Encoding-Outer"] == ["xz"]
+    # ratio bomb: tiny archive inflating past the cap fails closed
+    bomb = bz2.compress(b"\x00" * 50_000_000)
+    r = extract_document("b.bz2", None, bomb,
+                         ExtractConfig(max_inflate_ratio=10.0,
+                                       max_inflate_bytes=1_000_000))
+    assert r.status == "failed" and "InflateRatioError" in r.error
+    # nested compression refused (any codec combination)
+    r = extract_document("n.xz", None,
+                         lzma.compress(bz2.compress(b"x" * 100),
+                                       format=lzma.FORMAT_XZ))
+    assert r.status == "failed" and "nested bzip2" in r.error
+    # truncated archive fails closed
+    r = extract_document("t.bz2", None, bz2.compress(b"y" * 5000)[:15])
+    assert r.status == "failed"
