@@ -54,6 +54,8 @@ def sniff_image(data: bytes) -> str | None:
     if (data.startswith(b"\x00\x00\x01\x00") and len(data) >= 6
             and 0 < struct.unpack_from("<H", data, 4)[0] <= 256):
         return "image/vnd.microsoft.icon"  # same constant as kernels/mime.py
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "image/webp"
     return None
 
 
@@ -1287,6 +1289,28 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
             return ok(kind, w, h)
         except struct.error:
             return None
+    if kind == "image/webp" and len(data) >= 25:
+        # WebP container (public spec): first chunk at offset 12
+        fourcc = data[12:16]
+        if fourcc == b"VP8 " and len(data) >= 30:
+            # lossy: 3-byte frame tag, sync 9D 01 2A, 14-bit dims
+            if data[23:26] != b"\x9d\x01\x2a":
+                return None
+            w = struct.unpack_from("<H", data, 26)[0] & 0x3FFF
+            h = struct.unpack_from("<H", data, 28)[0] & 0x3FFF
+            return ok(kind, w, h)
+        if fourcc == b"VP8L" and len(data) >= 25:
+            # lossless: 0x2F signature, then 14+14 bits of (dim - 1)
+            if data[20] != 0x2F:
+                return None
+            bits = struct.unpack_from("<I", data, 21)[0]
+            return ok(kind, (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if fourcc == b"VP8X" and len(data) >= 30:
+            # extended: canvas (dim - 1) as 24-bit LE at offsets 24 / 27
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return ok(kind, w, h)
+        return None
     if kind == "image/vnd.microsoft.icon" and len(data) >= 22:
         (count,) = struct.unpack_from("<H", data, 4)
         best = (0, 0)

@@ -864,3 +864,44 @@ def test_exif_metadata_reader():
     assert exif_metadata(b"junk") == {}
     # a plain TIFF's own IFD0 yields nothing EXIF-ish but doesn't error
     assert isinstance(exif_metadata(build_tiff(3)), dict)
+
+
+def test_webp_header_dimensions_all_variants():
+    """WebP dims from headers only (lossy VP8, lossless VP8L, extended
+    VP8X) — ImageParser-parity metadata for the format a modern crawl
+    serves most."""
+    import struct
+    from sparktika.kernels.extract import extract_document
+    from sparktika.kernels.image import image_dimensions
+
+    def lossy(w, h):
+        vp8 = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", w, h) + b"\x00" * 8)
+        c = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+        return b"RIFF" + struct.pack("<I", 4 + len(c)) + b"WEBP" + c
+
+    def lossless(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        body = bytes([0x2F]) + struct.pack("<I", bits)
+        c = b"VP8L" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(c)) + b"WEBP" + c
+
+    def vp8x(w, h):
+        body = (bytes(4) + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        c = b"VP8X" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(c)) + b"WEBP" + c
+
+    for data, dims in [(lossy(640, 480), (640, 480)),
+                       (lossless(321, 123), (321, 123)),
+                       (vp8x(1920, 1080), (1920, 1080))]:
+        assert image_dimensions(data) == ("image/webp",) + dims
+        r = extract_document("x.webp", None, data)
+        assert r.status == "ok"
+        assert r.metadata["Image Width"] == [str(dims[0])]
+        assert r.metadata["Image Height"] == [str(dims[1])]
+    # bad sync / truncated payloads stay unsupported, never garbage dims
+    bad = lossy(640, 480)
+    bad = bad[:23] + b"\x00\x00\x00" + bad[26:]
+    assert image_dimensions(bad) is None
+    assert image_dimensions(b"RIFF\x00\x00\x00\x00WEBPVP8 ") is None
