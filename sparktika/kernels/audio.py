@@ -96,3 +96,77 @@ def audio_features(a: DecodedAudio) -> dict:
         "peak": round(peak, 6),
         "dc_mean": round(dc, 6),
     }
+
+
+@dataclass
+class AudioMeta:
+    """Header-level stream properties (no sample decode)."""
+    mime: str
+    sample_rate: int
+    channels: int
+    bits_per_sample: int = 0
+    duration_ms: int = 0
+    bitrate_kbps: int = 0
+
+
+def parse_flac_streaminfo(data: bytes) -> AudioMeta | None:
+    """FLAC STREAMINFO (public format spec §9.1): the mandatory first
+    metadata block after 'fLaC' carries sample rate (20 bits), channels
+    (3 bits, stored -1), bits/sample (5 bits, stored -1), and the 36-bit
+    total sample count — duration without touching any frame."""
+    if data[:4] != b"fLaC" or len(data) < 4 + 4 + 34:
+        return None
+    block_type = data[4] & 0x7F
+    size = int.from_bytes(data[5:8], "big")
+    if block_type != 0 or size < 34:
+        return None
+    b = data[8 : 8 + 34]
+    sample_rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x07) + 1
+    bps = (((b[12] & 0x01) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    if not (1 <= sample_rate <= 655_350):
+        return None
+    duration_ms = round(total * 1000 / sample_rate) if total else 0
+    return AudioMeta("audio/flac", sample_rate, channels, bps, duration_ms)
+
+
+# MPEG-1 Layer III tables (public ISO 11172-3 values)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp3_header(data: bytes) -> AudioMeta | None:
+    """First MPEG-1 Layer III frame header (after an optional ID3v2 tag):
+    bitrate/sample-rate/channel mode, and a constant-bitrate duration
+    estimate from the payload size — the header-level metadata Tika's
+    Mp3Parser emits without decoding audio."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit tag size
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + sz
+    # scan a bounded window for the frame sync (junk tolerance)
+    end = min(pos + 65536, len(data) - 4)
+    while pos < end:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            version = (data[pos + 1] >> 3) & 0x03
+            layer = (data[pos + 1] >> 1) & 0x03
+            if version == 3 and layer == 1:  # MPEG-1 Layer III
+                br_idx = data[pos + 2] >> 4
+                sr_idx = (data[pos + 2] >> 2) & 0x03
+                mode = data[pos + 3] >> 6
+                if 0 < br_idx < 15 and sr_idx < 3:
+                    bitrate = _MP3_BITRATES[br_idx]
+                    rate = _MP3_RATES[sr_idx]
+                    channels = 1 if mode == 3 else 2
+                    payload = len(data) - pos
+                    duration_ms = round(payload * 8 / bitrate) if bitrate else 0
+                    return AudioMeta("audio/mpeg", rate, channels, 0,
+                                     duration_ms, bitrate)
+            pos += 1
+        else:
+            pos += 1
+    return None

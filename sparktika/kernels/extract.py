@@ -596,6 +596,28 @@ def extract_document(
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error="image headers unparseable")
 
+        if detected in ("audio/flac", "audio/mpeg"):
+            # header-level audio metadata (Tika Mp3Parser / FLAC posture:
+            # stream properties into metadata, empty body, no decode)
+            from .audio import parse_flac_streaminfo, parse_mp3_header
+
+            am = (parse_flac_streaminfo(data) if detected == "audio/flac"
+                  else parse_mp3_header(data))
+            if am is not None:
+                md = {"Content-Type": [am.mime],
+                      "samplerate": [str(am.sample_rate)],
+                      "channels": [str(am.channels)]}
+                if am.bits_per_sample:
+                    md["bits"] = [str(am.bits_per_sample)]
+                if am.duration_ms:
+                    md["duration-ms"] = [str(am.duration_ms)]
+                if am.bitrate_kbps:
+                    md["bitrate-kbps"] = [str(am.bitrate_kbps)]
+                return res(detected=am.mime, text_extracted="",
+                           metadata=md, status=STATUS_OK)
+            return res(detected=detected, status=STATUS_UNSUPPORTED,
+                       error="audio headers unparseable")
+
         # recognized-but-unparsed (media, ...) and unknown binary
         return res(detected=detected, status=STATUS_UNSUPPORTED,
                    error=f"no parser for {detected}")

@@ -178,3 +178,40 @@ def test_video_pipeline_contains_failures():
         assert out[100].status == "failed"
     finally:
         s.stop()
+
+
+def test_flac_streaminfo_metadata_route():
+    from sparktika.kernels.extract import extract_document
+
+    sr, ch, bps, total = 48000, 1, 24, 96000  # 2s mono 24-bit
+    b = bytearray(34)
+    b[10] = (sr >> 12) & 0xFF; b[11] = (sr >> 4) & 0xFF
+    b[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
+    b[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0x0F)
+    b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    flac = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
+    r = extract_document("a.flac", None, flac)
+    assert r.status == "ok"
+    assert r.metadata["samplerate"] == ["48000"]
+    assert r.metadata["channels"] == ["1"]
+    assert r.metadata["bits"] == ["24"]
+    assert r.metadata["duration-ms"] == ["2000"]
+    # truncated/garbage stays unsupported, never fabricated metadata
+    r2 = extract_document("b.flac", None, b"fLaC\x00\x00")
+    assert r2.status == "unsupported"
+
+
+def test_mp3_frame_header_metadata_route():
+    from sparktika.kernels.extract import extract_document
+
+    # ID3v2 (empty) + MPEG-1 Layer III, 128 kbps, 44100 Hz, stereo
+    mp3 = (b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0])
+           + bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32000)
+    r = extract_document("a.mp3", None, mp3)
+    assert r.status == "ok"
+    assert r.metadata["samplerate"] == ["44100"]
+    assert r.metadata["channels"] == ["2"]
+    assert r.metadata["bitrate-kbps"] == ["128"]
+    assert r.metadata["duration-ms"] == ["2000"]  # 32004 B @ 128 kbps
+    r2 = extract_document("b.mp3", None, b"ID3" + bytes(100))
+    assert r2.status == "unsupported"
