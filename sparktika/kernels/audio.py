@@ -148,8 +148,9 @@ def parse_mp3_header(data: bytes) -> AudioMeta | None:
         sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
             | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
         pos = 10 + sz
-    # scan a bounded window for the frame sync (junk tolerance)
-    end = min(pos + 65536, len(data) - 4)
+    # scan a bounded window for the frame sync (junk tolerance); the
+    # 4-byte header needs pos+3 readable, so the last valid pos is len-4
+    end = min(pos + 65536, len(data) - 3)
     while pos < end:
         if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
             version = (data[pos + 1] >> 3) & 0x03

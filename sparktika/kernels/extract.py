@@ -383,7 +383,10 @@ def extract_document(
                 codec, suffix = "gzip", ".gz"
                 d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)  # gzip framing
                 inner = d.decompress(data, cap)
-                overflow = bool(d.unconsumed_tail)
+                # unconsumed_tail = output cap hit; not eof = truncated
+                # archive — both fail closed (a truncated .gz must never
+                # flow downstream as clean-but-corrupt text)
+                overflow = bool(d.unconsumed_tail) or not d.eof
             elif detected == "application/x-bzip2":
                 import bz2 as _bz2
 

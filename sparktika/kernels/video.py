@@ -382,7 +382,7 @@ def parse_av1_seq_header(payload: bytes) -> dict | None:
         else:
             if br.u(1):  # timing_info_present_flag
                 return None  # timing/decoder-model parse out of scope
-            br.u(1)  # initial_display_delay_present_flag
+            iddp = br.u(1)  # initial_display_delay_present_flag
             op_cnt = br.u(5) + 1
             seq_level_idx = 0
             for i in range(op_cnt):
@@ -392,6 +392,8 @@ def parse_av1_seq_header(payload: bytes) -> dict | None:
                     seq_level_idx = lvl
                 if lvl > 7:
                     br.u(1)  # seq_tier
+                if iddp and br.u(1):  # delay present for this op
+                    br.u(4)  # initial_display_delay_minus_1
         wbits = br.u(4) + 1
         hbits = br.u(4) + 1
         width = br.u(wbits) + 1

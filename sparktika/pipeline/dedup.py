@@ -315,17 +315,32 @@ def repeated_ngram_spans(
     fan-out for boilerplate n-grams present in a large fraction of the
     corpus (at web scale a copyright footer can hit ~every doc; such
     n-grams are filtered, not enumerated)."""
-    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    n_windows = F.size(toks) - (n - 1)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
-    per_doc = (df.select(F.col(key_col).alias("key"),
-                         F.explode(F.when(n_windows >= 1, shingles)).alias("shingle"))
-               .dropDuplicates(["key", "shingle"]))
+    per_doc = _doc_shingles(df, text_col, key_col, n)
     return (per_doc.groupBy("shingle").agg(F.count("*").alias("n_docs"))
             .filter((F.col("n_docs") >= min_docs) & (F.col("n_docs") <= max_docs))
             .select("shingle", "n_docs"))
+
+
+def _doc_shingles(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int,
+    distinct: bool = True,
+) -> DataFrame:
+    """(key, md5-of-n-token-window) rows — the ONE tokenize/window/hash
+    definition shared by repeated_ngram_spans, benchmark_contamination
+    and duplicate_clusters, kept in lockstep with their DuckDB oracles
+    (invariant 1): whitespace-collapse, split on single space, md5 of
+    the space-joined n-token slice."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_windows = F.size(toks) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    out = df.select(F.col(key_col).alias("key"),
+                    F.explode(F.when(n_windows >= 1, sh)).alias("shingle"))
+    return out.dropDuplicates(["key", "shingle"]) if distinct else out
 
 
 def benchmark_contamination(
@@ -347,19 +362,11 @@ def benchmark_contamination(
     corpus shingle stream is NOT pre-deduplicated — count_distinct in
     the final agg subsumes it, and the only Exchange in the plan is the
     post-join groupBy over the (tiny) matched pairs."""
-    def shingles(df: DataFrame) -> DataFrame:
-        toks = F.split(
-            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-        n_windows = F.size(toks) - (n - 1)
-        sh = F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
-        return df.select(F.col(key_col).alias("key"),
-                         F.explode(F.when(n_windows >= 1, sh))
-                          .alias("shingle"))
-
-    bench_grams = F.broadcast(shingles(bench).select("shingle").distinct())
-    return (shingles(corpus).join(bench_grams, "shingle")
+    bench_grams = F.broadcast(
+        _doc_shingles(bench, text_col, key_col, n, distinct=False)
+        .select("shingle").distinct())
+    return (_doc_shingles(corpus, text_col, key_col, n, distinct=False)
+            .join(bench_grams, "shingle")
             .groupBy("key")
             .agg(F.count_distinct("shingle").alias("n_shared_grams")))
 
@@ -384,17 +391,16 @@ def duplicate_clusters(
     distributed-CC loop): each round is one shuffle-join + min-agg, and
     lineage is cut per round with localCheckpoint (bounded by max_iter;
     near-dup clusters are clique-ish, so 2-3 rounds converge).
-    Convergence is detected with an aggregated count, not per-row
-    driver inspection. Returns (key, cluster) with cluster = min doc_id
+    Each round combines one hop of neighbor-min propagation with a
+    POINTER-JUMPING shortcut (label <- label-of-label), so convergence
+    needs O(log diameter) rounds, not O(diameter) — a 2^20-hop chain
+    resolves inside the default max_iter. Convergence is detected with
+    an aggregated count, not per-row driver inspection; exhausting
+    max_iter without converging RAISES (silently-unconverged clusters
+    would diverge from the recursive-CTE oracle and split real
+    duplicate groups). Returns (key, cluster) with cluster = min doc_id
     reachable; only documents that share at least one n-gram appear."""
-    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    n_windows = F.size(toks) - (n - 1)
-    sh = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
-    per_doc = (df.select(F.col(key_col).alias("key"),
-                         F.explode(F.when(n_windows >= 1, sh)).alias("shingle"))
-               .dropDuplicates(["key", "shingle"]))
+    per_doc = _doc_shingles(df, text_col, key_col, n)
     rep = (per_doc.groupBy("shingle")
            .agg(F.min("key").alias("root"), F.count("*").alias("n_docs"))
            .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= max_docs)))
@@ -408,12 +414,21 @@ def duplicate_clusters(
     edges = edges.localCheckpoint()
     labels = (edges.select(F.col("src").alias("key")).distinct()
               .withColumn("label", F.col("key")))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.src == labels.key)
                         .groupBy(F.col("dst").alias("key"))
                         .agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(neighbor_min, "key", "left")
-                      .select("key", F.least("label", F.coalesce("nlabel", "label"))
+        hop = (labels.join(neighbor_min, "key", "left")
+               .select("key", F.least("label", F.coalesce("nlabel", "label"))
+                        .alias("label")))
+        # pointer jumping: label <- min(label, label(label)) — halves the
+        # remaining path length every round (log-diameter convergence)
+        lol = hop.select(F.col("key").alias("label"),
+                         F.col("label").alias("jump"))
+        new_labels = (hop.join(lol, "label", "left")
+                      .select("key",
+                              F.least("label", F.coalesce("jump", "label"))
                                .alias("label")))
         new_labels = new_labels.localCheckpoint()  # cut iterative lineage
         changed = (new_labels.alias("n")
@@ -422,5 +437,11 @@ def duplicate_clusters(
                    .count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(raise max_iter; silent partial clusters are worse than an "
+            "error)")
     return labels.select("key", F.col("label").alias("cluster"))

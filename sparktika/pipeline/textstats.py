@@ -244,14 +244,12 @@ def c4_filter(
         & l.rlike('[.!?"]\\s*$'),
     )
     low = F.lower(F.col(text_col))
-    has_forbidden = None
+    has_forbidden = F.lit(False)
     for needle in forbidden:
-        c = low.contains(needle.lower())
-        has_forbidden = c if has_forbidden is None else (has_forbidden | c)
+        has_forbidden = has_forbidden | low.contains(needle.lower())
     return df.select(
         F.col(key_col).alias("key"),
         F.size(kept).alias("n_lines_kept"),
         F.array_join(kept, "\n").alias("kept_text"),
-        ((F.size(kept) >= min_kept_lines)
-         & ~F.coalesce(has_forbidden, F.lit(False))).alias("keep"),
+        ((F.size(kept) >= min_kept_lines) & ~has_forbidden).alias("keep"),
     )

@@ -136,3 +136,29 @@ def test_av1_parser_fails_closed():
     payload = bytes(int("".join(map(str, bits[i:i+8])), 2)
                     for i in range(0, len(bits), 8))
     assert parse_av1_seq_header(payload) is None
+
+
+def test_av1_initial_display_delay_bits_consumed():
+    """Regression (review pass 2): initial_display_delay_present_flag=1
+    implies per-operating-point delay bits; skipping them desynced the
+    reader and emitted garbage dims as valid."""
+    from sparktika.kernels.video import parse_av1_seq_header
+    from sparktika.synth import _BW
+
+    w = _BW()
+    w.u(0, 3); w.u(0, 1); w.u(0, 1)   # profile Main, not still/reduced
+    w.u(0, 1)                         # timing_info_present = 0
+    w.u(1, 1)                         # initial_display_delay_present = 1
+    w.u(0, 5)                         # one operating point
+    w.u(0, 12); w.u(8, 5)             # op_idc, seq_level_idx=8 (3.0)
+    w.u(0, 1)                         # seq_tier (level > 7)
+    w.u(1, 1); w.u(3, 4)              # delay present for op, delay=4
+    w.u(15, 4); w.u(15, 4)            # dim bit widths
+    w.u(640 - 1, 16); w.u(360 - 1, 16)
+    bits = w.bits + [0] * (-len(w.bits) % 8)
+    payload = bytes(int("".join(map(str, bits[i:i+8])), 2)
+                    for i in range(0, len(bits), 8))
+    info = parse_av1_seq_header(payload)
+    assert info is not None
+    assert (info["width"], info["height"]) == (640, 360)
+    assert info["level"] == "4.0"

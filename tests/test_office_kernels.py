@@ -920,3 +920,15 @@ def test_bz2_xz_wrappers_and_bomb_posture():
     # truncated archive fails closed
     r = extract_document("t.bz2", None, bz2.compress(b"y" * 5000)[:15])
     assert r.status == "failed"
+
+
+def test_truncated_gzip_fails_closed():
+    """Regression (review pass 2): a truncated .gz must fail, never flow
+    downstream as clean-but-corrupt partial text."""
+    import gzip
+
+    full = gzip.compress(b"Real text content here. " * 100)
+    r = extract_document("a.txt.gz", None, full[: len(full) // 2])
+    assert r.status == "failed" and "InflateRatioError" in r.error
+    r2 = extract_document("a.txt.gz", None, full)
+    assert r2.status == "ok" and "Real text content" in r2.text_extracted

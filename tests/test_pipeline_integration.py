@@ -722,3 +722,33 @@ def test_c4_filter_rules(spark):
     # zero-UDF plan: whole-stage codegen, no Exchange
     plan = c4_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    """A 30-doc pairwise chain (diameter ~29 in the star graph) must
+    fully collapse — pointer jumping gives log-diameter convergence
+    where plain propagation would exhaust max_iter."""
+    import pandas as pd
+
+    rows = []
+    for i in range(30):
+        link_prev = f"chain link {i - 1} {i} alpha beta gamma delta epsilon"
+        link_next = f"chain link {i} {i + 1} alpha beta gamma delta epsilon"
+        rows.append((i, (link_prev + " || " + link_next) if i > 0 else link_next))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from sparktika.pipeline import dedup
+
+    out = {r["key"]: r["cluster"]
+           for r in dedup.duplicate_clusters(docs, max_iter=8).collect()}
+    assert set(out.values()) == {0}, f"chain split into {set(out.values())}"
+
+
+def test_c4_filter_empty_forbidden_tuple(spark):
+    from sparktika.pipeline.textstats import c4_filter
+
+    docs = spark.createDataFrame(
+        [(1, "Good one two three four five.\nGood six seven eight nine "
+             "ten.\nGood more words in this line.")],
+        "doc_id long, text string")
+    out = c4_filter(docs, forbidden=()).collect()
+    assert out[0]["keep"] is True
