@@ -2821,6 +2821,81 @@ def extract_compressed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+@_register(
+    "rel_q13_custdist",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority NOT LIKE '%LOW%'
+  GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+""",
+)
+def rel_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (adapted to the synth schema: the LIKE predicate
+    runs on o_orderpriority): LEFT OUTER join with a join-side predicate
+    — the filter must NOT drop customers whose every order is excluded
+    (they count as c_count=0) — then a count-of-counts distribution."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        ~F.col("o_orderpriority").like("%LOW%"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@_register(
+    "rel_q22_global_sales_opportunity",
+    """
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal) AS DECIMAL(18,2)) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         c_custkey
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 3, 5, 7)) custsale
+WHERE bal > (
+    SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+    FROM customer
+    WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7))
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY cntrycode
+""",
+)
+def rel_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: country code = c_nationkey % 10, no
+    phone column in the synth schema): uncorrelated scalar subquery
+    (above-average balance, computed once — a one-row driver collect,
+    not a per-row subquery), NOT IN anti-join against orders. Balances
+    go through DECIMAL(18,2) so the sum is order-independent and
+    oracle-exact (invariant 10)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cc = (c.filter((F.col("c_nationkey") % 10).isin([1, 3, 5, 7]))
+          .select((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"),
+                  F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+                  "c_custkey"))
+    avg_bal = (c.filter((F.col("c_acctbal") > 0.0)
+                        & (F.col("c_nationkey") % 10).isin([1, 3, 5, 7]))
+               .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("decimal(18,2)"))
+               .collect()[0][0])
+    kept = (cc.filter(F.col("bal") > avg_bal)
+            .join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+                  "c_custkey", "left_anti"))
+    return (kept.groupBy("cntrycode")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum("bal").cast("decimal(18,2)").alias("totacctbal")))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2877,6 +2952,8 @@ _GATE_PRIORITY: list[str] = [
     "media_av1_meta",
     "corpus_c4_filter",
     "extract_compressed_text",
+    "rel_q13_custdist",
+    "rel_q22_global_sales_opportunity",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",
