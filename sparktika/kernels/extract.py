@@ -127,6 +127,22 @@ def extract_document(
                    error=f"document size {n_bytes} exceeds cap {cfg.max_bytes}",
                    detected=mime.detect_mime(data[:1024], declared, url))
 
+    # embedded-document recursion plumbing, shared by the PDF/OLE2
+    # branches (ref: guarded embedded auto-detect parse,
+    # ConfigurableAutoDetectParser.java:131-165)
+    embed_budget = cfg.max_embed_depth - embed_depth
+
+    def recurse_embedded(name: str, payload: bytes) -> str | None:
+        """Guarded re-entry for embedded payload bytes; only OK /
+        truncated results contribute text, anything else degrades to
+        nothing (the outer doc's status is never affected)."""
+        r2 = extract_document(name, None, payload, cfg,
+                              embed_depth=embed_depth + 1,
+                              _deadline=deadline)
+        if r2.status in (STATUS_OK, STATUS_TRUNCATED):
+            return r2.text_extracted or None
+        return None
+
     detected = mime.detect_mime(data, declared, url)
 
     try:
@@ -205,7 +221,24 @@ def extract_document(
                 deadline=deadline,
                 include_images=cfg.pdf_extract_inline_images,
             )
-            text, limited = _cap_text(r.text, cfg.max_chars)
+            # /EmbeddedFiles attachments recurse through the dispatcher
+            # under the shared deadline/budget (PDF 32000 §7.11.4; Tika's
+            # PDFParser embedded-document path)
+            pdf_text = r.text
+            emb_names = []
+            if embed_budget > 0:
+                for fname, payload in r.embedded_files:
+                    try:
+                        t2 = recurse_embedded(fname, payload)
+                    except DeadlineError:
+                        raise
+                    except Exception:
+                        t2 = None  # corrupt attachment never fails the PDF
+                    if t2:
+                        pdf_text += (f"[Embedded: {fname}]\n"
+                                     + (t2 if t2.endswith("\n") else t2 + "\n"))
+                        emb_names.append(fname)
+            text, limited = _cap_text(pdf_text, cfg.max_chars)
             # Tika-1.20-parity key set (39 distinct keys on the reference
             # fixture, test/TikaProcessTest.java:129-133); engine fields
             # (resource_name/parsing_time/write_limit_reached) are added on
@@ -217,6 +250,8 @@ def extract_document(
             for k in ("pdf:image-count", "pdf:inline-image-count"):
                 if k in r.metadata:
                     md[k] = [r.metadata[k]]
+            if emb_names:
+                md["embedded-names"] = emb_names
             title = r.metadata.get("Title")
             status = STATUS_TRUNCATED if limited else STATUS_OK
             return res(detected=detected, text_extracted=text if cfg.parse_content else None,
@@ -456,18 +491,6 @@ def extract_document(
             # (tree-scoped lookups, invariant 12); flat legacy writers
             # degrade to the all-entries view inside root_children()
             streams = {e.name for e in ole.root_children() if e.obj_type == 2}
-            embed_budget = cfg.max_embed_depth - embed_depth
-
-            def recurse_embedded(name: str, payload: bytes) -> str | None:
-                """Guarded re-entry for embedded payload bytes; only OK /
-                truncated results contribute text, anything else degrades
-                to nothing (the outer doc's status is never affected)."""
-                r2 = extract_document(name, None, payload, cfg,
-                                      embed_depth=embed_depth + 1,
-                                      _deadline=deadline)
-                if r2.status in (STATUS_OK, STATUS_TRUNCATED):
-                    return r2.text_extracted or None
-                return None
 
             if "Workbook" in streams or "Book" in streams:
                 from .olemeta import extract_ole_properties

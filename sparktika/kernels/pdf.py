@@ -135,6 +135,10 @@ class PdfResult:
     # the byte fallback — Tika's pdf:unmappedUnicodeCharsPerPage)
     page_nchars: list[int] = field(default_factory=list)
     page_unmapped: list[int] = field(default_factory=list)
+    # (filename, payload) attachments from the catalog's /Names
+    # /EmbeddedFiles name tree; payloads already went through the
+    # guarded inflate. The dispatcher recurses them (embed budget).
+    embedded_files: list = field(default_factory=list)
 
 
 def _inflate(data: bytes, max_ratio: float, max_bytes: int) -> bytes:
@@ -1053,6 +1057,64 @@ def _doc_xmp(doc: _PdfDoc) -> str | None:
     return None
 
 
+_MAX_EMBEDDED_FILES = 64
+
+
+def _filespec_name(v) -> str:
+    if isinstance(v, bytes):
+        if v[:2] in (b"\xfe\xff", b"\xff\xfe"):
+            return v[2:].decode("utf-16-be" if v[:2] == b"\xfe\xff"
+                                else "utf-16-le", "replace")
+        return v.decode("latin-1", "replace")
+    return str(v)
+
+
+def _collect_embedded_files(doc: "_PdfDoc", root: dict) -> list:
+    """Walk the catalog's /Names -> /EmbeddedFiles name tree (PDF 32000
+    §7.7.4, §7.11.4 — Tika's PDFParser extracts these as embedded
+    documents): leaf /Names arrays alternate [name, filespec]; a
+    filespec's /EF /F references the payload stream. Depth- and
+    count-capped (bomb posture)."""
+    out: list = []
+    names_dict = doc.resolve(root.get("Names"))
+    if not isinstance(names_dict, dict):
+        return out
+    tree = doc.resolve(names_dict.get("EmbeddedFiles"))
+
+    def walk(node, depth: int) -> None:
+        if not isinstance(node, dict) or depth > 8 \
+                or len(out) >= _MAX_EMBEDDED_FILES:
+            return
+        kids = doc.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for k in kids[:64]:
+                walk(doc.resolve(k), depth + 1)
+        pairs = doc.resolve(node.get("Names"))
+        if not isinstance(pairs, list):
+            return
+        for i in range(0, len(pairs) - 1, 2):
+            if len(out) >= _MAX_EMBEDDED_FILES:
+                return
+            spec = doc.resolve(pairs[i + 1])
+            if not isinstance(spec, dict):
+                continue
+            ef = doc.resolve(spec.get("EF"))
+            if not isinstance(ef, dict):
+                continue
+            fref = ef.get("F") or ef.get("UF")
+            if not isinstance(fref, Ref):
+                continue
+            payload = doc.obj_stream(fref.num)
+            if not payload:
+                continue
+            name = _filespec_name(
+                spec.get("UF") or spec.get("F") or pairs[i])
+            out.append((name, payload))
+
+    walk(tree, 0)
+    return out
+
+
 def extract_pdf(
     data: bytes,
     max_inflate_ratio: float = 200.0,
@@ -1067,9 +1129,12 @@ def extract_pdf(
 
     # resolve pages via the catalog; fall back to every BT-carrying stream
     pages: list[dict] = []
+    embedded_files: list = []
     for t in doc.trailers:
         root = doc.resolve(t.get("Root"))
         if isinstance(root, dict):
+            if not embedded_files:
+                embedded_files = _collect_embedded_files(doc, root)
             _collect_pages(doc, root.get("Pages"), pages)
             if pages:
                 break
@@ -1077,6 +1142,8 @@ def extract_pdf(
         for num in sorted(doc.bodies):
             head = doc.obj_dict(num)
             if isinstance(head, dict) and head.get("Type") in ("Catalog",):
+                if not embedded_files:
+                    embedded_files = _collect_embedded_files(doc, head)
                 _collect_pages(doc, head.get("Pages"), pages)
                 if pages:
                     break
@@ -1128,4 +1195,5 @@ def extract_pdf(
     ]
     return PdfResult(text=text, metadata=meta, n_streams=doc.n_streams,
                      xmp=_doc_xmp(doc), n_pages=max(len(page_spans), len(pages)),
-                     page_nchars=page_nchars, page_unmapped=page_unmapped)
+                     page_nchars=page_nchars, page_unmapped=page_unmapped,
+                     embedded_files=embedded_files)

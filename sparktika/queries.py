@@ -2896,6 +2896,31 @@ def rel_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFr
                  F.sum("bal").cast("decimal(18,2)").alias("totacctbal")))
 
 
+@_register(
+    "extract_pdf_embedded",
+    """
+SELECT doc_id,
+       'Pdf host ' || doc_id || '.' || repeat(chr(10), 5) ||
+       '[Embedded: note' || (doc_id % 6) || '.txt]' || chr(10) ||
+       'Embedded note ' || doc_id || '.' || chr(10) AS text_extracted,
+       'note' || (doc_id % 6) || '.txt' AS embedded_name,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_pdf_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF /EmbeddedFiles attachments recursed through the dispatcher
+    (PDF 32000 §7.11.4 name tree -> filespec -> EF stream) — extends
+    embedded-document recursion to the third container family after
+    OLE2 and zip."""
+    ext = _payload_extract(spark, sf_dir, "build_pdf_embedded", ".pdf")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at("metadata", "embedded-names").getItem(0)
+         .alias("embedded_name"),
+        "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2954,6 +2979,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_compressed_text",
     "rel_q13_custdist",
     "rel_q22_global_sales_opportunity",
+    "extract_pdf_embedded",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -1759,3 +1759,29 @@ def build_xz_txt(doc_id: int) -> bytes:
 
     return _lzma.compress(f"Compressed note {doc_id} body.\n".encode(),
                           format=_lzma.FORMAT_XZ)
+
+
+def build_pdf_embedded(doc_id: int) -> bytes:
+    """PDF with an /EmbeddedFiles attachment (extract_pdf_embedded
+    oracle): host page text + a filespec-referenced embedded text file
+    that the dispatcher recurses (PDF 32000 §7.11.4)."""
+    host = f"Pdf host {doc_id}."
+    stream = (f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(host)}) Tj ET"
+              .encode("latin-1"))
+    payload = f"Embedded note {doc_id}.".encode()
+    fname = f"note{doc_id % 6}.txt"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Names "
+        b"<< /EmbeddedFiles << /Names [(" + fname.encode() + b") 5 0 R] "
+        b">> >> >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(stream) + stream
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Filespec /F (" + fname.encode() + b") /EF "
+        b"<< /F 6 0 R >> >>\nendobj\n"
+        b"6 0 obj\n<< /Type /EmbeddedFile /Length %d >>\nstream\n"
+        % len(payload) + payload + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )

@@ -576,3 +576,22 @@ def test_json_extraction_string_leaves():
     # empty object: ok with empty text
     empty = extract_document("https://x/e.json", "application/json", b"{}")
     assert (empty.status, empty.text_extracted) == ("ok", "")
+
+
+def test_pdf_embedded_files_recursed():
+    from sparktika.config import ExtractConfig
+    from sparktika.synth import build_pdf_embedded
+
+    r = extract_document("x.pdf", None, build_pdf_embedded(7))
+    assert r.status == "ok"
+    assert r.text_extracted.endswith(
+        "[Embedded: note1.txt]\nEmbedded note 7.\n")
+    assert r.metadata["embedded-names"] == ["note1.txt"]
+    # recursion disabled: host text only, no attachment section
+    r0 = extract_document("x.pdf", None, build_pdf_embedded(7),
+                          ExtractConfig(max_embed_depth=0))
+    assert "[Embedded:" not in r0.text_extracted
+    # existing PDFs without /EmbeddedFiles are untouched
+    from sparktika.synth import build_pdf
+    r1 = extract_document("y.pdf", None, build_pdf("Plain.", True))
+    assert "embedded-names" not in r1.metadata
