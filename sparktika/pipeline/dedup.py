@@ -445,3 +445,52 @@ def duplicate_clusters(
             "(raise max_iter; silent partial clusters are worse than an "
             "error)")
     return labels.select("key", F.col("label").alias("cluster"))
+
+
+def repeated_ngram_span_ranges(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    max_docs: int = 10_000,
+) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022):
+    per-document merged token ranges covered by any n-gram that repeats
+    across >= min_docs documents — the spans a training pipeline cuts
+    out, not just the fact that duplication exists.
+
+    Shape: windows carry their 1-based token index; repeated shingles
+    resolve with one count-distinct agg; matched positions then merge
+    into maximal intervals with the islands pattern (running-max window
+    over i, one Exchange per doc key). Token indices, not char offsets —
+    reconstruction is split+slice on the same whitespace-collapsed
+    tokenization (_doc_shingles lockstep)."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_windows = F.size(toks) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("shingle")))
+    win = (df.select(F.col(key_col).alias("key"),
+                     F.explode(F.when(n_windows >= 1, sh)).alias("w"))
+           .select("key", F.col("w.i").alias("i"),
+                   F.col("w.shingle").alias("shingle")))
+    rep = (win.groupBy("shingle")
+           .agg(F.count_distinct("key").alias("n_docs"))
+           .filter((F.col("n_docs") >= min_docs)
+                   & (F.col("n_docs") <= max_docs))
+           .select("shingle"))
+    hits = win.join(rep, "shingle").select("key", "i").distinct()
+    w_ord = Window.partitionBy("key").orderBy("i")
+    prev_max_end = F.max(F.col("i") + (n - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        F.col("i") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0)
+    islands = hits.withColumn(
+        "island", F.sum(new_island).over(w_ord))
+    return (islands.groupBy("key", "island")
+            .agg(F.min("i").cast("long").alias("span_start"),
+                 F.max(F.col("i") + (n - 1)).cast("long").alias("span_end"))
+            .select("key", "span_start", "span_end"))

@@ -2921,6 +2921,47 @@ def extract_pdf_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status")
 
 
+@_register(
+    "dedup_span_ranges",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+win AS (
+  SELECT doc_id, i, md5(array_to_string(t[i : i + 7], ' ')) AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
+  WHERE len(t) >= 8),
+rep AS (
+  SELECT shingle FROM win GROUP BY shingle
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10000),
+hits AS (SELECT DISTINCT doc_id, i FROM win JOIN rep USING (shingle)),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN i > coalesce(max(i + 7) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits),
+islands AS (
+  SELECT doc_id, i,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM marked)
+SELECT doc_id AS key, CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i + 7) AS BIGINT) AS span_end
+FROM islands GROUP BY doc_id, island
+""",
+)
+def dedup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022):
+    per-document merged 1-based token ranges covered by cross-document
+    repeated 8-grams — what a training pipeline actually cuts out.
+    Islands merge via a running-max window; oracle mirrors with the
+    same window algebra."""
+    return dedup.repeated_ngram_span_ranges(
+        _docs(spark, sf_dir), "text", "doc_id", n=8)
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2980,6 +3021,7 @@ _GATE_PRIORITY: list[str] = [
     "rel_q13_custdist",
     "rel_q22_global_sales_opportunity",
     "extract_pdf_embedded",
+    "dedup_span_ranges",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -752,3 +752,24 @@ def test_c4_filter_empty_forbidden_tuple(spark):
         "doc_id long, text string")
     out = c4_filter(docs, forbidden=()).collect()
     assert out[0]["keep"] is True
+
+
+def test_span_ranges_merge_overlapping_windows(spark):
+    """Two docs sharing a 10-token run: windows 1..3 (8-grams at token
+    offsets 1,2,3) must merge into ONE span [1, 10]; a separate shared
+    8-gram later in the doc yields its own island."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    tail = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique middle words here only one " + tail),
+         (2, shared + " other fill " + tail)],
+        "doc_id long, text string")
+    from sparktika.pipeline import dedup
+
+    out = sorted((r["key"], r["span_start"], r["span_end"])
+                 for r in dedup.repeated_ngram_span_ranges(docs).collect())
+    # doc 1: shared run tokens 1-10, tail starts at token 17 (10+6+1)
+    assert (1, 1, 10) in out
+    assert (1, 17, 24) in out
+    assert (2, 1, 10) in out and (2, 13, 20) in out
+    assert len(out) == 4
