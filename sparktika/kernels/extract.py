@@ -220,6 +220,7 @@ def extract_document(
                 max_inflate_bytes=cfg.max_inflate_bytes,
                 deadline=deadline,
                 include_images=cfg.pdf_extract_inline_images,
+                collect_embedded=embed_budget > 0,
             )
             # /EmbeddedFiles attachments recurse through the dispatcher
             # under the shared deadline/budget (PDF 32000 §7.11.4; Tika's

@@ -54,7 +54,7 @@ import time
 import zlib
 from dataclasses import dataclass, field
 
-from .errors import DeadlineError, InflateRatioError, KernelError
+from .errors import DeadlineError, InflateRatioError, KernelError, check_deadline
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
@@ -1069,32 +1069,46 @@ def _filespec_name(v) -> str:
     return str(v)
 
 
-def _collect_embedded_files(doc: "_PdfDoc", root: dict) -> list:
+def _collect_embedded_files(doc: "_PdfDoc", root: dict,
+                            deadline: float | None = None) -> list:
     """Walk the catalog's /Names -> /EmbeddedFiles name tree (PDF 32000
     §7.7.4, §7.11.4 — Tika's PDFParser extracts these as embedded
     documents): leaf /Names arrays alternate [name, filespec]; a
-    filespec's /EF /F references the payload stream. Depth- and
-    count-capped (bomb posture)."""
+    filespec's /EF /F references the payload stream.
+
+    Bomb posture (invariant 7): iterative BFS with a VISITED set keyed
+    by object number — an aliased/self-referential /Kids tree would
+    otherwise traverse 64^depth nodes from a sub-KB document — plus a
+    total node-visit cap, output cap, and deadline polls."""
     out: list = []
     names_dict = doc.resolve(root.get("Names"))
     if not isinstance(names_dict, dict):
         return out
-    tree = doc.resolve(names_dict.get("EmbeddedFiles"))
-
-    def walk(node, depth: int) -> None:
-        if not isinstance(node, dict) or depth > 8 \
-                or len(out) >= _MAX_EMBEDDED_FILES:
-            return
+    queue: list = [names_dict.get("EmbeddedFiles")]
+    visited: set[int] = set()
+    visits = 0
+    while queue and len(out) < _MAX_EMBEDDED_FILES:
+        visits += 1
+        if visits > 512:
+            break  # crafted mega-trees: keep what we have, never hang
+        check_deadline(deadline, "pdf embedded-files tree walk")
+        node = queue.pop(0)
+        if isinstance(node, Ref):
+            if node.num in visited:
+                continue
+            visited.add(node.num)
+            node = doc.resolve(node)
+        if not isinstance(node, dict):
+            continue
         kids = doc.resolve(node.get("Kids"))
         if isinstance(kids, list):
-            for k in kids[:64]:
-                walk(doc.resolve(k), depth + 1)
+            queue.extend(kids[:64])
         pairs = doc.resolve(node.get("Names"))
         if not isinstance(pairs, list):
-            return
+            continue
         for i in range(0, len(pairs) - 1, 2):
             if len(out) >= _MAX_EMBEDDED_FILES:
-                return
+                break
             spec = doc.resolve(pairs[i + 1])
             if not isinstance(spec, dict):
                 continue
@@ -1107,11 +1121,12 @@ def _collect_embedded_files(doc: "_PdfDoc", root: dict) -> list:
             payload = doc.obj_stream(fref.num)
             if not payload:
                 continue
+            # the display name may itself be an indirect string object
             name = _filespec_name(
-                spec.get("UF") or spec.get("F") or pairs[i])
+                doc.resolve(spec.get("UF"))
+                or doc.resolve(spec.get("F"))
+                or pairs[i])
             out.append((name, payload))
-
-    walk(tree, 0)
     return out
 
 
@@ -1121,6 +1136,7 @@ def extract_pdf(
     max_inflate_bytes: int = 256_000_000,
     deadline: float | None = None,
     include_images: bool = False,
+    collect_embedded: bool = True,
 ) -> PdfResult:
     if not data.startswith(b"%PDF-"):
         raise KernelError("not a PDF (missing %PDF- header)")
@@ -1133,8 +1149,8 @@ def extract_pdf(
     for t in doc.trailers:
         root = doc.resolve(t.get("Root"))
         if isinstance(root, dict):
-            if not embedded_files:
-                embedded_files = _collect_embedded_files(doc, root)
+            if collect_embedded and not embedded_files:
+                embedded_files = _collect_embedded_files(doc, root, deadline)
             _collect_pages(doc, root.get("Pages"), pages)
             if pages:
                 break
@@ -1142,8 +1158,9 @@ def extract_pdf(
         for num in sorted(doc.bodies):
             head = doc.obj_dict(num)
             if isinstance(head, dict) and head.get("Type") in ("Catalog",):
-                if not embedded_files:
-                    embedded_files = _collect_embedded_files(doc, head)
+                if collect_embedded and not embedded_files:
+                    embedded_files = _collect_embedded_files(doc, head,
+                                                             deadline)
                 _collect_pages(doc, head.get("Pages"), pages)
                 if pages:
                     break

@@ -486,8 +486,10 @@ def repeated_ngram_span_ranges(
     w_ord = Window.partitionBy("key").orderBy("i")
     prev_max_end = F.max(F.col("i") + (n - 1)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    # "+ 1": token ranges that ABUT ([1,8],[9,16]) merge into one
+    # maximal interval, matching the docstring's contract
     new_island = F.when(
-        F.col("i") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0)
+        F.col("i") > F.coalesce(prev_max_end, F.lit(-1)) + 1, 1).otherwise(0)
     islands = hits.withColumn(
         "island", F.sum(new_island).over(w_ord))
     return (islands.groupBy("key", "island")

@@ -2862,11 +2862,12 @@ FROM (
          c_custkey
   FROM customer
   WHERE c_nationkey % 10 IN (1, 3, 5, 7)) custsale
-WHERE bal > (
-    SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
-    FROM customer
-    WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7))
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE bal * (SELECT count(*) FROM customer
+             WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7))
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+         WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7))
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_custkey IS NOT NULL)
 GROUP BY cntrycode
 """,
 )
@@ -2874,21 +2875,25 @@ def rel_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFr
     """TPC-H Q22 shape (adapted: country code = c_nationkey % 10, no
     phone column in the synth schema): uncorrelated scalar subquery
     (above-average balance, computed once — a one-row driver collect,
-    not a per-row subquery), NOT IN anti-join against orders. Balances
-    go through DECIMAL(18,2) so the sum is order-independent and
-    oracle-exact (invariant 10)."""
+    not a per-row subquery), NOT IN anti-join against orders. The
+    above-average comparison cross-multiplies (bal * count > sum) over
+    exact DECIMAL(18,2) values, so NO rounding of the threshold exists
+    to diverge between engines (invariant 10); the oracle's NOT IN
+    excludes NULL keys to keep three-valued-logic parity with
+    left_anti."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cc = (c.filter((F.col("c_nationkey") % 10).isin([1, 3, 5, 7]))
           .select((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"),
                   F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
                   "c_custkey"))
-    avg_bal = (c.filter((F.col("c_acctbal") > 0.0)
-                        & (F.col("c_nationkey") % 10).isin([1, 3, 5, 7]))
-               .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)"))
-                     .cast("decimal(18,2)"))
-               .collect()[0][0])
-    kept = (cc.filter(F.col("bal") > avg_bal)
+    stats = (c.filter((F.col("c_acctbal") > 0.0)
+                      & (F.col("c_nationkey") % 10).isin([1, 3, 5, 7]))
+             .agg(F.count("*").alias("cnt"),
+                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                   .alias("total"))
+             .collect()[0])
+    kept = (cc.filter(F.col("bal") * stats["cnt"] > stats["total"])
             .join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
                   "c_custkey", "left_anti"))
     return (kept.groupBy("cntrycode")
@@ -2940,7 +2945,7 @@ marked AS (
   SELECT doc_id, i,
          CASE WHEN i > coalesce(max(i + 7) OVER (
                 PARTITION BY doc_id ORDER BY i
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
               THEN 1 ELSE 0 END AS new_island
   FROM hits),
 islands AS (

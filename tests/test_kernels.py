@@ -595,3 +595,38 @@ def test_pdf_embedded_files_recursed():
     from sparktika.synth import build_pdf
     r1 = extract_document("y.pdf", None, build_pdf("Plain.", True))
     assert "embedded-names" not in r1.metadata
+
+
+def test_pdf_embedded_name_tree_alias_bomb_terminates():
+    """Regression (review pass 3): a self-referential /Kids name tree
+    must terminate via the visited-set/visit-cap, not traverse 64^depth
+    aliased nodes (a sub-KB document must never hang a worker)."""
+    import time
+
+    bomb = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Names "
+        b"<< /EmbeddedFiles 7 0 R >> >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+        b"7 0 obj\n<< /Kids [" + b"7 0 R " * 60 + b"] >>\nendobj\n"
+        b"%%EOF\n"
+    )
+    t0 = time.monotonic()
+    r = extract_document("bomb.pdf", None, bomb)
+    assert time.monotonic() - t0 < 5.0
+    assert r.status in ("ok", "failed")
+    assert not r.metadata.get("embedded-names")
+
+
+def test_pdf_embedded_skipped_when_budget_zero():
+    """collect_embedded=False: attachments are neither inflated nor
+    walked when the dispatcher would discard them anyway."""
+    from sparktika.config import ExtractConfig
+    from sparktika.kernels.pdf import extract_pdf
+    from sparktika.synth import build_pdf_embedded
+
+    r = extract_pdf(build_pdf_embedded(3), collect_embedded=False)
+    assert r.embedded_files == []
+    r2 = extract_document("x.pdf", None, build_pdf_embedded(3),
+                          ExtractConfig(max_embed_depth=0))
+    assert "[Embedded:" not in r2.text_extracted

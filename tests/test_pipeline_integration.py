@@ -773,3 +773,20 @@ def test_span_ranges_merge_overlapping_windows(spark):
     assert (1, 17, 24) in out
     assert (2, 1, 10) in out and (2, 13, 20) in out
     assert len(out) == 4
+
+
+def test_span_ranges_merge_abutting_ranges(spark):
+    """Token ranges that abut with no gap ([1,8] from one repeated gram,
+    [9,16] from another) merge into one maximal interval."""
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [(1, a + " " + b),
+         (2, a + " cut filler words to break the straddle grams"),
+         (3, "other filler words before the second shared run " + b)],
+        "doc_id long, text string")
+    from sparktika.pipeline import dedup
+
+    out = sorted((r["key"], r["span_start"], r["span_end"])
+                 for r in dedup.repeated_ngram_span_ranges(docs).collect())
+    assert (1, 1, 16) in out  # abutting [1,8]+[9,16] merged
