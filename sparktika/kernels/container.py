@@ -34,6 +34,11 @@ class ContainerResult:
     metadata: dict[str, str] = field(default_factory=dict)
 
 
+_OOXML_EMBED_PREFIXES = ("word/embeddings/", "xl/embeddings/",
+                         "ppt/embeddings/")
+_MAX_OOXML_EMBEDS = 64
+
+
 def extract_zip_container(
     data: bytes,
     max_chars: int = -1,
@@ -41,7 +46,11 @@ def extract_zip_container(
     max_entry_bytes: int = 256_000_000,
     depth: int = 0,
     deadline: float | None = None,
+    recurse=None,
 ) -> ContainerResult:
+    """`recurse(name, payload) -> str | None` is the dispatcher's guarded
+    re-entry for OOXML embedded objects (word/xl/ppt embeddings parts,
+    typically Ole10Native-wrapped OLE2 files); None disables."""
     if depth > MAX_PACKAGE_ENTRY_DEPTH:
         raise KernelError(
             f"container nesting exceeded {MAX_PACKAGE_ENTRY_DEPTH} (bomb guard)")
@@ -57,11 +66,34 @@ def extract_zip_container(
         else:
             return ContainerResult(text="", entries=zf.namelist()[:100],
                                    metadata={"Content-Type": ooxml_kind})
-        text = r.text if max_chars == -1 else r.text[:max_chars]
+        md = {**r.metadata, "Content-Type": ooxml_kind}
+        full_text = r.text
+        if recurse is not None:
+            emb_names: list[str] = []
+            for ename in zf.namelist():
+                if len(emb_names) >= _MAX_OOXML_EMBEDS:
+                    break
+                if not ename.startswith(_OOXML_EMBED_PREFIXES):
+                    continue
+                check_deadline(deadline, "ooxml embeddings walk")
+                try:
+                    payload = read_entry(zf, ename, max_ratio,
+                                         max_entry_bytes)
+                    t2 = recurse(ename.rsplit("/", 1)[-1], payload)
+                except Exception:
+                    t2 = None  # corrupt embed never fails the document
+                if t2:
+                    label = ename.rsplit("/", 1)[-1]
+                    full_text += (f"[Embedded: {label}]\n"
+                                  + (t2 if t2.endswith("\n") else t2 + "\n"))
+                    emb_names.append(label)
+            if emb_names:
+                md["embedded-names"] = "; ".join(emb_names)
+        text = full_text if max_chars == -1 else full_text[:max_chars]
         return ContainerResult(
             text=text, entries=[r.kind],
-            truncated=max_chars != -1 and len(r.text) > max_chars,
-            metadata={**r.metadata, "Content-Type": ooxml_kind})
+            truncated=max_chars != -1 and len(full_text) > max_chars,
+            metadata=md)
 
     parts: list[str] = []
     total = 0

@@ -393,7 +393,8 @@ def extract_document(
                 data, max_chars=cfg.max_chars,
                 max_ratio=cfg.max_inflate_ratio,
                 max_entry_bytes=cfg.max_inflate_bytes,
-                deadline=deadline)
+                deadline=deadline,
+                recurse=recurse_embedded if embed_budget > 0 else None)
             md = {k: [v] for k, v in r.metadata.items() if k != "Content-Type"}
             refined = r.metadata.get("Content-Type", detected)
             md["Content-Type"] = [refined]
@@ -599,6 +600,32 @@ def extract_document(
                            text_extracted=text if cfg.parse_content else None,
                            metadata=md, status=status,
                            write_limit_reached=limited)
+            # bare embedded-object container (the shape OOXML
+            # word/embeddings/oleObject*.bin takes): a root-level
+            # Ole10Native packager record wraps a real payload —
+            # re-dispatch it like a transparent wrapper (gzip posture)
+            native = next((e for e in ole.root_children()
+                           if e.obj_type == 2
+                           and e.name == "\x01Ole10Native"), None)
+            if native is not None and embed_budget > 0:
+                from .doc import _parse_ole10native
+
+                fname, payload = _parse_ole10native(ole.read_entry(native))
+                if payload is not None:
+                    r = extract_document(fname or url, None, payload, cfg,
+                                         embed_depth=embed_depth + 1,
+                                         _deadline=deadline)
+                    md = dict(r.metadata)
+                    md["Ole10Native-Wrapper"] = ["true"]
+                    if fname:
+                        md["embedded-filename"] = [fname]
+                    return res(detected=r.content_type_detected,
+                               charset_detected=r.charset_detected,
+                               text_extracted=(r.text_extracted
+                                               if cfg.parse_content else None),
+                               title=r.title, metadata=md, status=r.status,
+                               error=r.error,
+                               write_limit_reached=r.write_limit_reached)
             # valid compound file without a known text payload
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error=f"OLE2 streams {sorted(streams)[:8]} have no v1 parser")

@@ -2967,6 +2967,31 @@ def dedup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id", n=8)
 
 
+@_register(
+    "extract_docx_embedded",
+    """
+SELECT doc_id,
+       'Docx host ' || doc_id || '.' || chr(10) ||
+       '[Embedded: oleObject1.bin]' || chr(10) ||
+       'Embedded att ' || doc_id || '.' || chr(10) AS text_extracted,
+       'oleObject1.bin' AS embedded_name,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_docx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML embedded objects (word/embeddings/oleObject*.bin, the
+    Ole10Native-wrapped OLE2 shape Word produces) recursed through the
+    dispatcher — the OOXML leg of embedded-document recursion alongside
+    OLE2 ObjectPool, .msg attachments, and PDF /EmbeddedFiles."""
+    ext = _payload_extract(spark, sf_dir, "build_docx_embedded", ".docx")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at("metadata", "embedded-names").getItem(0)
+         .alias("embedded_name"),
+        "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3027,6 +3052,7 @@ _GATE_PRIORITY: list[str] = [
     "rel_q22_global_sales_opportunity",
     "extract_pdf_embedded",
     "dedup_span_ranges",
+    "extract_docx_embedded",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -1785,3 +1785,27 @@ def build_pdf_embedded(doc_id: int) -> bytes:
         % len(payload) + payload + b"\nendstream\nendobj\n"
         b"%%EOF\n"
     )
+
+
+def build_docx_embedded(doc_id: int) -> bytes:
+    """docx whose word/embeddings/ carries an Ole10Native-wrapped text
+    payload (the shape Word gives embedded objects) — the OOXML leg of
+    embedded-document recursion (extract_docx_embedded oracle)."""
+    import io as _io
+    import zipfile as _zf
+
+    body = (b"<w:document><w:body><w:p><w:r><w:t>"
+            + f"Docx host {doc_id}.".encode()
+            + b"</w:t></w:r></w:p></w:body></w:document>")
+    ole_bin = _ole2_file({
+        "\x01Ole10Native": _ole10native(f"att{doc_id % 4}.txt",
+                                        f"Embedded att {doc_id}.".encode()),
+        "\x01Ole": b"\x00" * 8,
+    })
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as z:
+        for name, payload in (("[Content_Types].xml", b"<Types/>"),
+                              ("word/document.xml", body),
+                              ("word/embeddings/oleObject1.bin", ole_bin)):
+            z.writestr(_zf.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
+    return buf.getvalue()

@@ -932,3 +932,35 @@ def test_truncated_gzip_fails_closed():
     assert r.status == "failed" and "InflateRatioError" in r.error
     r2 = extract_document("a.txt.gz", None, full)
     assert r2.status == "ok" and "Real text content" in r2.text_extracted
+
+
+def test_docx_embedded_object_recursed():
+    from sparktika.synth import build_docx_embedded
+
+    r = extract_document("x.docx", None, build_docx_embedded(9))
+    assert r.status == "ok"
+    assert r.text_extracted == ("Docx host 9.\n[Embedded: oleObject1.bin]\n"
+                                "Embedded att 9.\n")
+    assert r.metadata["embedded-names"] == ["oleObject1.bin"]
+    r0 = extract_document("x.docx", None, build_docx_embedded(9),
+                          ExtractConfig(max_embed_depth=0))
+    assert r0.text_extracted == "Docx host 9.\n"
+
+
+def test_bare_ole10native_wrapper_transparent():
+    """A standalone oleObject-style OLE2 file (root-level Ole10Native,
+    no office streams) re-dispatches its payload like a gzip wrapper."""
+    from sparktika.synth import _ole10native, _ole2_file
+
+    data = _ole2_file({
+        "\x01Ole10Native": _ole10native("inner.txt", b"Wrapped words here."),
+        "\x01Ole": b"\x00" * 8})
+    r = extract_document("obj.bin", None, data)
+    assert r.status == "ok"
+    assert r.text_extracted == "Wrapped words here."
+    assert r.metadata["Ole10Native-Wrapper"] == ["true"]
+    assert r.metadata["embedded-filename"] == ["inner.txt"]
+    # recursion off: stays the old unsupported compound-file fallback
+    r0 = extract_document("obj.bin", None, data,
+                          ExtractConfig(max_embed_depth=0))
+    assert r0.status == "unsupported"
