@@ -39,6 +39,10 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"BM", "image/bmp"),
     (b"\x00\x00\x01\x00", "image/vnd.microsoft.icon"),
     (b"OggS", "audio/ogg"),
+    (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (b"Rar!\x1a\x07", "application/vnd.rar"),
+    (b"\x1aE\xdf\xa3", "video/webm"),  # EBML (webm/mkv family)
+    (b"\x28\xb5\x2f\xfd", "application/zstd"),
     (b"fLaC", "audio/flac"),
     (b"ID3", "audio/mpeg"),
     (b"\xff\xfb", "audio/mpeg"),
@@ -75,6 +79,10 @@ def _sniff_mp4(data: bytes) -> str | None:
         brand = data[8:12]
         if brand[:3] in (b"M4A",):
             return "audio/mp4"
+        if brand in (b"avif", b"avis"):
+            return "image/avif"
+        if brand in (b"heic", b"heix", b"mif1"):
+            return "image/heic"
         return "video/mp4"
     return None
 

@@ -630,3 +630,23 @@ def test_pdf_embedded_skipped_when_budget_zero():
     r2 = extract_document("x.pdf", None, build_pdf_embedded(3),
                           ExtractConfig(max_embed_depth=0))
     assert "[Embedded:" not in r2.text_extracted
+
+
+def test_mime_breadth_modern_crawl_formats():
+    """Honest detection (status may stay unsupported — never a wrong
+    label) for formats a modern crawl serves constantly."""
+    from sparktika.kernels.mime import detect_mime
+
+    cases = [
+        (b"7z\xbc\xaf\x27\x1c" + bytes(32), "application/x-7z-compressed"),
+        (b"Rar!\x1a\x07\x00" + bytes(32), "application/vnd.rar"),
+        (b"\x1aE\xdf\xa3" + bytes(32), "video/webm"),
+        (b"\x28\xb5\x2f\xfd" + bytes(32), "application/zstd"),
+        (bytes(4) + b"ftypavif" + bytes(16), "image/avif"),
+        (bytes(4) + b"ftypheic" + bytes(16), "image/heic"),
+    ]
+    for payload, expected in cases:
+        assert detect_mime(payload, None, "u") == expected, expected
+        r = extract_document("u", None, payload)
+        assert r.content_type_detected == expected
+        assert r.status == "unsupported"  # honest: no parser, right label
