@@ -163,9 +163,30 @@ def extract_document(
             r = parse_xml_text(xtext, max_depth=cfg.max_depth,
                                deadline=deadline)
             text, limited = _cap_text(r.text, cfg.max_chars)
+            if r.root_tag and r.root_tag.rsplit(":", 1)[-1].lower() == "svg":
+                # refine: SVG is XML, but callers filter on the real type;
+                # root-element attrs give header-level dims (SVG 1.1 §5.1)
+                from .xmlparse import xml_events
+
+                detected = "image/svg+xml"
+                svg_dims = {}
+                for ev in xml_events(xtext[:4096]):
+                    if ev[0] == "start":
+                        for k in ("width", "height", "viewBox"):
+                            if ev[2].get(k):
+                                svg_dims[k] = ev[2][k]
+                        break
+            else:
+                svg_dims = {}
             md = {"Content-Type": [f"{detected}; charset={cs}"],
                   "Content-Encoding": [cs],
                   "n-elements": [str(r.n_elements)]}
+            if "width" in svg_dims:
+                md["Image Width"] = [svg_dims["width"]]
+            if "height" in svg_dims:
+                md["Image Height"] = [svg_dims["height"]]
+            if "viewBox" in svg_dims:
+                md["svg:viewBox"] = [svg_dims["viewBox"]]
             if r.root_tag:
                 md["xml:root"] = [r.root_tag]
             if r.title:

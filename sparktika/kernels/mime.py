@@ -126,7 +126,12 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
     head = data[:1024]
     bom = detect_bom(head)
     stripped = head[bom[1]:] if bom else head
-    if stripped.lstrip(b" \t\r\n").startswith(b"<?xml"):
+    head_l = stripped.lstrip(b" \t\r\n")
+    if head_l.startswith(b"<?xml"):
+        return "application/xml"
+    if head_l[:4].lower() == b"<svg":
+        # bare-root SVG (no xml decl): ride the XML route, which refines
+        # the label to image/svg+xml from the root element
         return "application/xml"
     from .eml import sniff_eml
 

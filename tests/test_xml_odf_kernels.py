@@ -259,3 +259,28 @@ def test_epub_separator_inflation_is_not_truncation():
     # 10 content chars + 3 separator newlines: 13 chars total, ok status
     assert r.text_extracted == "abcde\n\nfghij\n"
     assert r.status == "ok"  # nothing was dropped
+
+
+# --- SVG --------------------------------------------------------------------
+
+def test_svg_route_with_and_without_xml_decl():
+    svg = (b'<svg xmlns="http://www.w3.org/2000/svg" width="120" '
+           b'height="80" viewBox="0 0 120 80">'
+           b"<title>Chart 1</title><text>Label A</text>"
+           b"<g><text>Label B</text></g></svg>")
+    for payload in (svg, b'<?xml version="1.0"?>' + svg):
+        r = extract_document("u.svg", None, payload)
+        assert r.status == "ok"
+        assert r.content_type_detected == "image/svg+xml"
+        assert r.text_extracted == "Chart 1\nLabel A\nLabel B\n"
+        assert r.title == "Chart 1"
+        assert r.metadata["Image Width"] == ["120"]
+        assert r.metadata["Image Height"] == ["80"]
+        assert r.metadata["svg:viewBox"] == ["0 0 120 80"]
+
+
+def test_non_svg_xml_not_relabeled():
+    r = extract_document("u.xml", None,
+                         b"<?xml version='1.0'?><feed><x>t</x></feed>")
+    assert r.content_type_detected == "application/xml"
+    assert "Image Width" not in r.metadata
