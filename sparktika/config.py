@@ -42,6 +42,11 @@ class ExtractConfig:
     extract_main_text: bool = True
     # Metadata-only mode: skip text assembly (ref: parseContent=false path).
     parse_content: bool = True
+    # Opt-in: surface HTML <meta name=... content=...> pairs as metadata
+    # (Tika HtmlParser behavior for description/keywords/og:* tags).
+    # Default off: the reference fixture's pinned 8-key golden count
+    # predates named-meta capture, so parity stays byte-stable.
+    html_meta_tags: bool = False
     # Max nesting depth for embedded-document recursion (.msg embedded
     # messages / binary attachments, .doc ObjectPool objects); 0 disables
     # recursion (one-level degrade). Mirrors the reference's guarded

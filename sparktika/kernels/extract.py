@@ -214,6 +214,7 @@ def extract_document(
                 # like the reference's parseContent=false, no content handler
                 # means no text assembly and no write limit)
                 emit_text=cfg.parse_content,
+                meta_tags=cfg.html_meta_tags,
             )
             mtext = boilerplate.main_text(r.blocks) if cfg.extract_main_text else None
             md: dict[str, list[str]] = {
@@ -225,6 +226,9 @@ def extract_document(
                 md["dc:title"] = [r.title]
             if r.links:
                 md["n-links"] = [str(len(r.links))]
+            for mk, mv in r.meta.items():
+                # opt-in <meta name> pairs; never clobber reserved keys
+                md.setdefault(mk, [mv])
             status = STATUS_TRUNCATED if r.write_limit_reached else STATUS_OK
             return res(detected=detected, charset_detected=cs,
                        text_extracted=r.text if cfg.parse_content else None,

@@ -143,6 +143,10 @@ class HtmlResult:
     links: list[Link]
     blocks: list[Block]
     write_limit_reached: bool
+    # <meta name=... content=...> pairs (first occurrence wins); only
+    # populated when the walk runs with meta_tags=True (opt-in — the
+    # reference fixture's pinned metadata-key count predates this)
+    meta: dict[str, str] = field(default_factory=dict)
 
 
 class _LinkBuilder:
@@ -286,6 +290,7 @@ def scan_html_meta(
     s: str,
     max_depth: int = 200,
     deadline: float | None = None,
+    meta_tags: bool = False,
 ) -> HtmlResult:
     """Structure-only walk for the metadata-only fast path (O26): title,
     depth guard, and deadline — no text assembly, no links, no blocks, no
@@ -304,6 +309,7 @@ def scan_html_meta(
     """
     stack: list[str] = []
     title_parts: list[str] = []
+    meta: dict[str, str] = {}
     in_head = in_title = body_started = body_done = False
     i, n = 0, len(s)
     tick = 0
@@ -388,6 +394,10 @@ def scan_html_meta(
         name = m.group(0).lower()
         j = m.end()
         self_closing = False
+        # attrs are extracted ONLY for <meta> when meta_tags is on —
+        # the lean path's speed comes from skipping attr materialization
+        want_attrs = meta_tags and name == "meta"
+        attrs: dict[str, str] = {}
         while j < n:
             ch = s[j]
             if ch == ">":
@@ -404,8 +414,21 @@ def scan_html_meta(
             if not am:
                 j += 1
                 continue
+            if want_attrs:
+                aname = am.group(1).lower()
+                aval = am.group(2)
+                if aval is None:
+                    aval = ""
+                elif aval[:1] in "\"'":
+                    aval = aval[1:-1]
+                if aname not in attrs:
+                    attrs[aname] = decode_entities(aval)
             j = am.end()
         i = j
+        if want_attrs:
+            mname = attrs.get("name")
+            if mname and "content" in attrs and mname not in meta:
+                meta[mname] = attrs["content"]
         if name == "html":
             continue
         if name == "head":
@@ -436,7 +459,7 @@ def scan_html_meta(
 
     title = _WS_COLLAPSE.sub(" ", "".join(title_parts)).strip() or None
     return HtmlResult(text="", title=title, links=[], blocks=[],
-                      write_limit_reached=False)
+                      meta=meta, write_limit_reached=False)
 
 
 # --- walker -------------------------------------------------------------------
@@ -468,13 +491,16 @@ def parse_html(
     collect_blocks: bool = True,
     deadline: float | None = None,
     emit_text: bool = True,
+    meta_tags: bool = False,
 ) -> HtmlResult:
     # metadata-only fast path: no consumer wants text, links, or blocks —
     # run the dedicated structure-only scanner (same observables, ~3x less
     # per-doc work; differential-fuzzed in tests/test_fuzz.py)
     if not emit_text and not extract_links and not collect_blocks:
-        return scan_html_meta(text, max_depth=max_depth, deadline=deadline)
+        return scan_html_meta(text, max_depth=max_depth, deadline=deadline,
+                              meta_tags=meta_tags)
     writer = TextWriter(max_chars) if emit_text else _NullWriter()
+    meta: dict[str, str] = {}
     links: list[Link] = []
     builder_stack: list[_LinkBuilder] = []
     stack: list[str] = []
@@ -695,6 +721,10 @@ def parse_html(
                     continue
                 if name in DISCARD_ELEMENTS:
                     continue  # tokenizer already consumed script/style bodies
+                if meta_tags and name == "meta":
+                    mname = attrs.get("name")
+                    if mname and "content" in attrs and mname not in meta:
+                        meta[mname] = attrs["content"]
                 if not body_started and not in_head and name not in _HEAD_SCOPE:
                     body_started = True
                 is_void = name in VOID_ELEMENTS or self_closing
@@ -743,5 +773,6 @@ def parse_html(
         title=title,
         links=links,
         blocks=blocks,
+        meta=meta,
         write_limit_reached=limit_hit or writer.limit_reached,
     )

@@ -2992,6 +2992,50 @@ def extract_docx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status")
 
 
+@_register(
+    "extract_html_meta_tags",
+    """
+SELECT doc_id,
+       'Summary of page ' || doc_id || ' with & entity.' AS description,
+       'k' || (doc_id % 5) || ',k' || (doc_id % 7) AS keywords,
+       'Writer ' || (doc_id % 9) AS author,
+       'OG ' || doc_id AS og_title,
+       'Meta page ' || doc_id AS title,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_html_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in <meta name> capture (Tika HtmlParser posture for
+    description/keywords/author/og:* — the metadata a crawl pipeline
+    indexes): first occurrence wins, entity-decoded, reserved keys never
+    clobbered. Runs with html_meta_tags=True; the default-off flag keeps
+    the reference fixture's pinned 8-key golden byte-stable."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_html_meta
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_html_meta(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://meta.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG.with_(html_meta_tags=True))
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.html$", 1).cast("long").alias("doc_id"),
+        F.element_at("metadata", "description").getItem(0).alias("description"),
+        F.element_at("metadata", "keywords").getItem(0).alias("keywords"),
+        F.element_at("metadata", "author").getItem(0).alias("author"),
+        F.element_at("metadata", "og:title").getItem(0).alias("og_title"),
+        "title", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3053,6 +3097,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_pdf_embedded",
     "dedup_span_ranges",
     "extract_docx_embedded",
+    "extract_html_meta_tags",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

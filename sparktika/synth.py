@@ -1809,3 +1809,23 @@ def build_docx_embedded(doc_id: int) -> bytes:
                               ("word/embeddings/oleObject1.bin", ole_bin)):
             z.writestr(_zf.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
     return buf.getvalue()
+
+
+def build_html_meta(doc_id: int) -> bytes:
+    """HTML with named meta tags (extract_html_meta_tags oracle):
+    description / keywords / author / og:title, all pure functions of
+    doc_id; a dup meta pins first-occurrence-wins."""
+    return (
+        "<html><head>"
+        f"<title>Meta page {doc_id}</title>"
+        f'<meta name="description" content="Summary of page {doc_id} '
+        'with &amp; entity.">'
+        f'<meta name="keywords" content="k{doc_id % 5},k{doc_id % 7}">'
+        f'<meta name="author" content="Writer {doc_id % 9}">'
+        f'<meta property="og:type" content="article">'
+        f'<meta name="og:title" content="OG {doc_id}">'
+        f'<meta name="description" content="DUPLICATE ignored">'
+        "</head><body>"
+        f"<p>Body of meta page {doc_id}.</p>"
+        "</body></html>"
+    ).encode()

@@ -219,6 +219,9 @@ _meta_html_chunks = st.lists(
             "<", ">", "</", "<b", "='x'>", "<TITLE>T</TITLE>",
             "<title>deep<b>in</b>side</title>", "<?pi?>", "<!doctype html>",
             "<a href='u'>t</a>", "<img src=x alt='y'>", "<head>",
+            "<meta name='description' content='a &amp; b'>",
+            "<meta name=viewport content=wide>", "<meta content='x'>",
+            "<meta name='dup' content='1'>", "<meta name='dup' content='2'>",
         ]),
     ),
     max_size=50,
@@ -231,14 +234,16 @@ def _observables(html: str, max_depth: int = 40):
 
     def run(fn):
         try:
-            return (None, fn().title)
+            r = fn()
+            return (None, r.title, tuple(sorted(r.meta.items())))
         except DepthLimitError:
-            return ("depth", None)
+            return ("depth", None, ())
 
     full = run(lambda: parse_html(html, max_chars=-1, max_depth=max_depth,
                                   extract_links=True, collect_blocks=True,
-                                  emit_text=True))
-    lean = run(lambda: scan_html_meta(html, max_depth=max_depth))
+                                  emit_text=True, meta_tags=True))
+    lean = run(lambda: scan_html_meta(html, max_depth=max_depth,
+                                      meta_tags=True))
     return full, lean
 
 

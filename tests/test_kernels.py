@@ -650,3 +650,32 @@ def test_mime_breadth_modern_crawl_formats():
         r = extract_document("u", None, payload)
         assert r.content_type_detected == expected
         assert r.status == "unsupported"  # honest: no parser, right label
+
+
+def test_html_meta_tags_opt_in():
+    from sparktika.config import ExtractConfig
+
+    html = (b"<html><head><meta name='description' content='A &amp; B'>"
+            b"<meta name='dup' content='first'>"
+            b"<meta name='dup' content='second'>"
+            b"<meta content='nameless'>"
+            b"<meta name='title' content='never-clobbers'>"
+            b"</head><body><p>x</p>"
+            b"<meta name='inbody' content='also captured'></body></html>")
+    r = extract_document("u", "text/html", html,
+                         ExtractConfig(html_meta_tags=True))
+    assert r.metadata["description"] == ["A & B"]
+    assert r.metadata["dup"] == ["first"]          # first occurrence wins
+    assert r.metadata["inbody"] == ["also captured"]
+    assert "nameless" not in str(r.metadata)
+    # default OFF: parity-stable (no meta keys)
+    r0 = extract_document("u", "text/html", html)
+    assert "description" not in r0.metadata
+    # meta-only fast path captures the same pairs
+    lean = extract_document("u", "text/html", html,
+                            ExtractConfig(html_meta_tags=True,
+                                          parse_content=False,
+                                          extract_links=False,
+                                          extract_main_text=False))
+    assert lean.metadata["description"] == ["A & B"]
+    assert lean.metadata["dup"] == ["first"]
