@@ -43,21 +43,31 @@ def cap_per_host(
     pages: DataFrame,
     n_per_host: int = 3,
     host_col=None,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Per-host document cap (training-data pipelines bound any single
     domain's contribution; head-heavy crawls make this a top-k-per-key,
     not a filter): keep the newest `n_per_host` snapshots per host.
-    One Exchange on host, rank inside the partition — same shape as
-    newest_per_url, so the skew note there applies (the synthetic corpus
-    plants a 50%-of-urls head host on purpose)."""
+
+    Top-k is associative, so SKEW is defused with a two-phase rank: the
+    first window partitions by (host, url-salt) — the planted head host
+    that owns 50% of urls spreads over `salt_buckets` tasks — and keeps
+    n per salted group; the second window ranks the surviving
+    <= salt_buckets * n candidates per host, a bounded partition at any
+    corpus size. Result (including rn) is identical to the naive
+    single-window rank."""
     from pyspark.sql.window import Window
 
     host = host_col if host_col is not None else F.regexp_extract(
         "url", r"^https?://([^/]+)/", 1)
-    w = Window.partitionBy("host").orderBy(
-        F.col("warc_ts").desc(), F.col("url").desc())
-    return (
-        pages.withColumn("host", host)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_per_host)
-    )
+    order = (F.col("warc_ts").desc(), F.col("url").desc())
+    salted = (pages.withColumn("host", host)
+              .withColumn("__salt",
+                          F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    cand = (salted.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= n_per_host).drop("rn"))
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (cand.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= n_per_host)
+            .drop("__salt"))
