@@ -171,3 +171,28 @@ def parse_mp3_header(data: bytes) -> AudioMeta | None:
         else:
             pos += 1
     return None
+
+
+def parse_ogg_header(data: bytes) -> AudioMeta | None:
+    """First packet of the first Ogg page (RFC 3533 framing): Vorbis
+    (\\x01vorbis) and Opus (OpusHead) identification headers yield
+    channels + sample rate without touching audio data."""
+    if data[:4] != b"OggS" or len(data) < 28:
+        return None
+    n_segs = data[26]
+    if len(data) < 27 + n_segs:
+        return None
+    body = data[27 + n_segs:]
+    if body[:7] == b"\x01vorbis" and len(body) >= 16:
+        channels = body[11]
+        rate = int.from_bytes(body[12:16], "little")
+        if channels and 1 <= rate <= 655_350:
+            return AudioMeta("audio/vorbis", rate, channels)
+        return None
+    if body[:8] == b"OpusHead" and len(body) >= 16:
+        channels = body[9]
+        rate = int.from_bytes(body[12:16], "little")  # input sample rate
+        if channels and 1 <= rate <= 655_350:
+            return AudioMeta("audio/opus", rate, channels)
+        return None
+    return None

@@ -675,13 +675,15 @@ def extract_document(
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error="image headers unparseable")
 
-        if detected in ("audio/flac", "audio/mpeg"):
-            # header-level audio metadata (Tika Mp3Parser / FLAC posture:
-            # stream properties into metadata, empty body, no decode)
-            from .audio import parse_flac_streaminfo, parse_mp3_header
+        if detected in ("audio/flac", "audio/mpeg", "audio/ogg"):
+            # header-level audio metadata (Tika Mp3Parser / FLAC / Ogg
+            # posture: stream properties into metadata, empty body)
+            from .audio import (parse_flac_streaminfo, parse_mp3_header,
+                                parse_ogg_header)
 
             am = (parse_flac_streaminfo(data) if detected == "audio/flac"
-                  else parse_mp3_header(data))
+                  else parse_mp3_header(data) if detected == "audio/mpeg"
+                  else parse_ogg_header(data))
             if am is not None:
                 md = {"Content-Type": [am.mime],
                       "samplerate": [str(am.sample_rate)],

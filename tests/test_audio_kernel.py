@@ -215,3 +215,37 @@ def test_mp3_frame_header_metadata_route():
     assert r.metadata["duration-ms"] == ["2000"]  # 32004 B @ 128 kbps
     r2 = extract_document("b.mp3", None, b"ID3" + bytes(100))
     assert r2.status == "unsupported"
+
+
+def test_ogg_vorbis_and_opus_headers():
+    from sparktika.kernels.extract import extract_document
+
+    def ogg_page(packet: bytes) -> bytes:
+        segs = []
+        n = len(packet)
+        while n >= 255:
+            segs.append(255); n -= 255
+        segs.append(n)
+        return (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+                + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00"
+                + bytes([len(segs)]) + bytes(segs) + packet)
+
+    vorbis = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+              + (44100).to_bytes(4, "little") + b"\x00" * 13)
+    r = extract_document("a.ogg", None, ogg_page(vorbis))
+    assert r.status == "ok"
+    assert r.content_type_detected == "audio/vorbis"
+    assert r.metadata["samplerate"] == ["44100"]
+    assert r.metadata["channels"] == ["2"]
+
+    opus = (b"OpusHead" + bytes([1, 1]) + (312).to_bytes(2, "little")
+            + (48000).to_bytes(4, "little") + b"\x00" * 3)
+    r = extract_document("a.opus", None, ogg_page(opus))
+    assert r.status == "ok"
+    assert r.content_type_detected == "audio/opus"
+    assert r.metadata["samplerate"] == ["48000"]
+    assert r.metadata["channels"] == ["1"]
+
+    # unknown codec in Ogg framing: honest unsupported
+    r = extract_document("a.ogg", None, ogg_page(b"\x80theora" + bytes(20)))
+    assert r.status == "unsupported"
