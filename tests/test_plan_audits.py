@@ -1,0 +1,94 @@
+"""Physical-plan pins for the scale-design claims: these assertions are
+the machine-checked version of the '100-TB shape' notes in docstrings —
+column pruning reaches the scan, small sides broadcast, hot paths stay
+shuffle-free. A refactor that silently regresses a plan fails here, not
+in a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sparktika.pipeline.session import build_session
+
+    s = build_session(master="local[4]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_pages_scan_is_column_pruned(spark, tmp_path):
+    """Reading a MATERIALIZED pages table, the scan must read only
+    (url, html, content_type-ish) — never text/lang — and the extraction
+    hot path must contain no Exchange (map-only plan)."""
+    from sparktika.pipeline.extract import extract_pages
+    from sparktika.synth import SYNTH_CONFIG, synth_pages
+
+    path = str(tmp_path / "pages.parquet")
+    synth_pages(spark, SF).write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    plan = _plan(extract_pages(pages, SYNTH_CONFIG))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, "no parquet scan with ReadSchema in plan"
+    for line in scan_lines:
+        schema = line.split("ReadSchema:")[1]
+        assert "text" not in schema and "lang" not in schema, line
+        assert "url" in schema and "html" in schema, line
+    assert "Exchange" not in plan  # map-only: scan -> project -> mapInPandas
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(similarity.brute_force_topk(emb, q, k=3))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_minhash_band_join_shuffles_no_signatures(spark):
+    """The LSH candidate self-join must exchange only band rows
+    (band_id, band_hash, key) — signatures (~1KB/doc) rejoin by key
+    afterwards, so no Exchange may carry the sig array column."""
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    plan = _plan(dedup.minhash_lsh_pairs(sigs, threshold=0.8))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band_id" in line:
+            assert "sig" not in line.split("Exchange")[1].split(",")[0:2][-1]
+    assert "Exchange" in plan  # sanity: the band join does shuffle
+
+
+def test_exact_dedup_single_exchange(spark):
+    from sparktika.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.exact_dedup(docs))
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle on the hash
+
+
+def test_cap_per_host_two_phase_salted(spark):
+    """Both window phases must appear: the salted (host, __salt) rank
+    and the bounded per-host rank — the head host never lands whole in
+    one task."""
+    from sparktika.pipeline import resume
+    from sparktika.synth import synth_pages
+
+    pages = synth_pages(spark, SF)
+    plan = _plan(resume.cap_per_host(pages, n_per_host=3))
+    assert "__salt" in plan
+    assert plan.count("Window") >= 2
