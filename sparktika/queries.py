@@ -3036,6 +3036,116 @@ def extract_html_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title", "status")
 
 
+@_register(
+    "media_audio_headers",
+    """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'audio/flac' WHEN 1 THEN 'audio/mpeg'
+            ELSE CASE WHEN doc_id % 2 = 0 THEN 'audio/vorbis'
+                      ELSE 'audio/opus' END END AS codec,
+       CASE WHEN doc_id % 3 = 1 THEN 48000
+            ELSE CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 WHEN 2 THEN 32000 ELSE 22050 END END AS samplerate,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 2
+                 ELSE 1 + doc_id % 2 END AS INT) AS channels,
+       CASE doc_id % 3
+            WHEN 0 THEN 1000 * (1 + doc_id % 5)
+            WHEN 1 THEN 200 * (1 + doc_id % 4) END AS duration_ms,
+       CASE WHEN doc_id % 3 = 1 THEN
+            CASE doc_id % 6 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+                 WHEN 3 THEN 224 WHEN 4 THEN 256 ELSE 320 END END AS bitrate_kbps,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-level audio metadata across the format family a crawl
+    carries: FLAC STREAMINFO (doc_id%3==0), MP3 frame header + ID3 skip
+    (==1), Ogg Vorbis/Opus identification headers (==2) — all values
+    pure functions of media_id (synth.build_flac/mp3/ogg)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_flac, build_mp3, build_ogg
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            out.append((build_flac, build_mp3, build_ogg)[i % 3](i))
+        return pd.Series(out)
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://a.example.com/"),
+                 F.col("doc_id").cast("string"), F.lit(".audio")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    m = lambda k: F.element_at("metadata", k).getItem(0)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.audio$", 1).cast("long")
+         .alias("media_id"),
+        F.col("content_type_detected").alias("codec"),
+        m("samplerate").cast("int").alias("samplerate"),
+        m("channels").cast("int").alias("channels"),
+        m("duration-ms").cast("int").alias("duration_ms"),
+        m("bitrate-kbps").cast("int").alias("bitrate_kbps"),
+        "status")
+
+
+@_register(
+    "media_webp_meta",
+    """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 300 AS INT) AS width,
+       CAST(16 + (doc_id // 3) % 200 AS INT) AS height,
+       'image/webp' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP header dims through the text dispatcher (lossy/lossless/VP8X
+    rotate by media_id % 3; dims identical across variants by
+    construction)."""
+    ext = _payload_extract(spark, sf_dir, "build_webp", ".webp")
+    m = lambda k: F.element_at("metadata", k).getItem(0)
+    return ext.select(
+        F.col("doc_id").alias("media_id"),
+        m("Image Width").cast("int").alias("width"),
+        m("Image Height").cast("int").alias("height"),
+        "content_type_detected", "status")
+
+
+@_register(
+    "extract_svg_text",
+    """
+SELECT doc_id,
+       'Figure ' || doc_id || chr(10) ||
+       'Label one ' || doc_id || chr(10) ||
+       'Label two ' || doc_id || '.' || chr(10) AS text_extracted,
+       'Figure ' || doc_id AS title,
+       'image/svg+xml' AS content_type_detected,
+       CAST(100 + doc_id % 400 AS INT) AS width,
+       CAST(50 + (doc_id // 2) % 300 AS INT) AS height,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_svg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG through the XML scanner: all text nodes (title first), the
+    root element refines the MIME label and supplies width/height."""
+    ext = _payload_extract(spark, sf_dir, "build_svg", ".svg")
+    m = lambda k: F.element_at("metadata", k).getItem(0)
+    return ext.select(
+        "doc_id", "text_extracted", "title", "content_type_detected",
+        m("Image Width").cast("int").alias("width"),
+        m("Image Height").cast("int").alias("height"),
+        "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3098,6 +3208,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_span_ranges",
     "extract_docx_embedded",
     "extract_html_meta_tags",
+    "media_audio_headers",
+    "media_webp_meta",
+    "extract_svg_text",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -1829,3 +1829,85 @@ def build_html_meta(doc_id: int) -> bytes:
         f"<p>Body of meta page {doc_id}.</p>"
         "</body></html>"
     ).encode()
+
+
+def build_flac(media_id: int) -> bytes:
+    """Minimal FLAC: STREAMINFO only (media_audio_headers oracle).
+    sample_rate/channels/bps/total are pure functions of media_id."""
+    sr = (44100, 48000, 32000, 22050)[media_id % 4]
+    ch = 1 + media_id % 2
+    bps = (16, 24)[media_id % 2]
+    total = sr * (1 + media_id % 5)  # whole seconds -> exact duration_ms
+    b = bytearray(34)
+    b[10] = (sr >> 12) & 0xFF
+    b[11] = (sr >> 4) & 0xFF
+    b[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
+    b[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0x0F)
+    b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
+
+
+def build_mp3(media_id: int) -> bytes:
+    """ID3v2-prefixed MPEG-1 Layer III header + CBR payload sized for an
+    exact 200ms-multiple duration (media_audio_headers oracle)."""
+    br_idx = 9 + media_id % 6          # 128..320 kbps region of the table
+    bitrate = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320)[br_idx]
+    sr_idx = media_id % 3
+    secs = 1 + media_id % 4
+    frame = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    # bitrate*25 bytes <=> exactly 200 ms per unit (25*8/bitrate kbps);
+    # max payload 320*25*4 = 32 KB, inside SYNTH_CONFIG's 64 KB size cap
+    payload_len = bitrate * 25 * secs
+    return (b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0])
+            + frame + b"\x00" * (payload_len - len(frame)))
+
+
+def build_ogg(media_id: int) -> bytes:
+    """Single Ogg page with a Vorbis (even id) or Opus (odd id)
+    identification header (media_audio_headers oracle)."""
+    sr = (44100, 48000, 32000, 22050)[media_id % 4]
+    ch = 1 + media_id % 2
+    if media_id % 2 == 0:
+        packet = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([ch])
+                  + sr.to_bytes(4, "little") + b"\x00" * 13)
+    else:
+        packet = (b"OpusHead" + bytes([1, ch]) + (312).to_bytes(2, "little")
+                  + sr.to_bytes(4, "little") + b"\x00" * 3)
+    return (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+            + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00"
+            + bytes([1, len(packet)]) + packet)
+
+
+def build_webp(media_id: int) -> bytes:
+    """WebP with deterministic dims; variant rotates lossy/lossless/VP8X
+    by media_id % 3 (media_webp_meta oracle)."""
+    import struct as _s
+
+    w, h = 16 + media_id % 300, 16 + (media_id // 3) % 200
+    v = media_id % 3
+    if v == 0:
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + _s.pack("<HH", w, h) + b"\x00" * 8)
+        chunk = b"VP8 " + _s.pack("<I", len(body)) + body
+    elif v == 1:
+        bits = (w - 1) | ((h - 1) << 14)
+        body = bytes([0x2F]) + _s.pack("<I", bits)
+        chunk = b"VP8L" + _s.pack("<I", len(body)) + body
+    else:
+        body = (bytes(4) + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + _s.pack("<I", len(body)) + body
+    return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def build_svg(doc_id: int) -> bytes:
+    """Deterministic SVG (extract_svg_text oracle): title + two labels,
+    width/height pure functions of doc_id."""
+    w, h = 100 + doc_id % 400, 50 + (doc_id // 2) % 300
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+        f'height="{h}"><title>Figure {doc_id}</title>'
+        f"<text>Label one {doc_id}</text>"
+        f"<g><text>Label two {doc_id}.</text></g></svg>"
+    ).encode()
