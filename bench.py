@@ -79,18 +79,25 @@ def main() -> None:
 
     # Min-of-N protocol (CLAUDE.md invariant 6): this sandbox has heavy,
     # time-varying host CPU steal — identical runs vary up to 4.5x — so a
-    # single-shot timing is noise, not signal. Each query runs `repeats`
-    # times inside one invocation and we report the per-query MIN, making
-    # any single driver run robust against a steal burst.
+    # single-shot timing is noise, not signal. Repeat rounds are
+    # INTERLEAVED across queries (round-robin, not back-to-back) so each
+    # query's samples spread over the whole invocation window — a steal
+    # burst then hurts one sample of several queries instead of every
+    # sample of one query; the per-query MIN is reported.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    _suite: list[tuple[str, object]] = []
 
     def bench(name: str, thunk) -> None:
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.monotonic()
-            thunk()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+        _suite.append((name, thunk))
+
+    def run_suite() -> None:
+        for rep in range(repeats):
+            for name, thunk in _suite:
+                t0 = time.monotonic()
+                thunk()
+                dt = time.monotonic() - t0
+                if rep == 0 or dt < timings[name]:
+                    timings[name] = round(dt, 3)
 
     # q1: the flagship — full extraction (mime+charset+HTML/PDF kernels,
     # links, boilerplate, safety statuses) over the whole corpus. The bench
@@ -137,6 +144,7 @@ def main() -> None:
             F.avg("l_quantity").alias("avg_qty"),
             F.count("*").alias("count_order"))))
 
+    run_suite()
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q_extract_full"], 1)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -152,7 +160,7 @@ def main() -> None:
         "corpus_mb": round(corpus_bytes / 1e6, 1),
         "cpus": cpus,
         "repeats": repeats,
-        "timing": "min over repeats per query (host CPU steal protocol)",
+        "timing": "min over interleaved repeat rounds (host CPU steal protocol)",
     }))
     spark.stop()
 
