@@ -253,3 +253,27 @@ def c4_filter(
         F.array_join(kept, "\n").alias("kept_text"),
         ((F.size(kept) >= min_kept_lines) & ~has_forbidden).alias("keep"),
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """REPRODUCIBLE stratified sampling for training-data mixes: per-
+    stratum keep rates applied by a content-independent hash of the key
+    (first 8 hex chars of md5 mod 10000), so the same corpus always
+    yields the same sample — across runs, engines, and cluster sizes —
+    unlike Spark's sample(), whose output depends on partitioning.
+    Rates are permyriad-exact (0.xxxx); pure column algebra, no shuffle."""
+    bucket = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                     16, 10).cast("long") % 10000)
+    rate_expr = F.lit(int(round(default_rate * 10000)))
+    for stratum, rate in rates.items():
+        rate_expr = F.when(F.col(stratum_col) == stratum,
+                           F.lit(int(round(rate * 10000)))).otherwise(rate_expr)
+    return (df.withColumn("__bucket", bucket)
+            .filter(F.col("__bucket") < rate_expr)
+            .drop("__bucket"))

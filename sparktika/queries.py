@@ -3146,6 +3146,30 @@ def extract_svg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status")
 
 
+@_register(
+    "corpus_sample_stratified",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+                  WHEN 'fr' THEN 2000 ELSE 500 END
+""",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling (training-data mix rates per
+    language): content-independent md5-of-key bucketing, so the sample
+    is identical across runs, engines, and cluster sizes — the property
+    Spark's sample() lacks. en 50% / de 30% / fr 20% / rest 5%."""
+    from .pipeline.textstats import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    return deterministic_sample(
+        docs, {"en": 0.5, "de": 0.3, "fr": 0.2}, "lang", "doc_id",
+        default_rate=0.05).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3211,6 +3235,7 @@ _GATE_PRIORITY: list[str] = [
     "media_audio_headers",
     "media_webp_meta",
     "extract_svg_text",
+    "corpus_sample_stratified",
     # core previously-green queries refreshed within the window
     "extract_html_text",
     "extract_pdf_text",

@@ -790,3 +790,21 @@ def test_span_ranges_merge_abutting_ranges(spark):
     out = sorted((r["key"], r["span_start"], r["span_end"])
                  for r in dedup.repeated_ngram_span_ranges(docs).collect())
     assert (1, 1, 16) in out  # abutting [1,8]+[9,16] merged
+
+
+def test_deterministic_sample_reproducible_across_partitionings(spark):
+    """The sample must be identical regardless of partitioning — the
+    property Spark's sample() lacks and reproducible data mixes need."""
+    from sparktika.pipeline.textstats import deterministic_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"en": 0.5, "de": 0.3}
+    a = {r["doc_id"] for r in deterministic_sample(docs, rates).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(docs.repartition(17), rates).collect()}
+    assert a == b and a
+    # rates roughly honored per stratum (md5 is uniform)
+    en_total = docs.filter("lang = 'en'").count()
+    en_kept = len({r["doc_id"] for r in
+                   deterministic_sample(docs, rates).filter("lang='en'").collect()})
+    assert 0.3 * en_total < en_kept < 0.7 * en_total
