@@ -84,7 +84,7 @@ def main() -> None:
     # query's samples spread over the whole invocation window — a steal
     # burst then hurts one sample of several queries instead of every
     # sample of one query; the per-query MIN is reported.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "4")))
     _suite: list[tuple[str, object]] = []
 
     def bench(name: str, thunk) -> None:
