@@ -132,10 +132,10 @@ def extract_zip_container(
             t = parse_html(charset_decode(raw)[0], max_chars=budget).text
         elif detected == "application/zip":
             t = extract_zip_container(raw, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline).text
+                                      depth + 1, deadline, recurse).text
         elif detected == "application/x-tar":
             t = extract_tar_container(raw, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline).text
+                                      depth + 1, deadline, recurse).text
         else:
             continue
         if budget != -1 and len(t) > budget:
@@ -177,6 +177,7 @@ def extract_tar_container(
     max_entry_bytes: int = 256_000_000,
     depth: int = 0,
     deadline: float | None = None,
+    recurse=None,
 ) -> ContainerResult:
     """ustar/pax archive text extraction, same routing and budget semantics
     as the zip path. Pure header walk (tar stores entries uncompressed, so
@@ -228,10 +229,10 @@ def extract_tar_container(
             t, _ = charset_decode(body, is_html=False)
         elif detected == "application/zip":
             t = extract_zip_container(body, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline).text
+                                      depth + 1, deadline, recurse).text
         elif detected == "application/x-tar":
             t = extract_tar_container(body, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline).text
+                                      depth + 1, deadline, recurse).text
         else:
             continue
         if budget != -1 and len(t) > budget:

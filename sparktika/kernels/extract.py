@@ -170,7 +170,10 @@ def extract_document(
 
                 detected = "image/svg+xml"
                 svg_dims = {}
-                for ev in xml_events(xtext[:4096]):
+                # lazy event scan: stops at the ROOT start tag however
+                # long the preamble is — no byte-slice that could truncate
+                # an attribute value mid-way
+                for ev in xml_events(xtext):
                     if ev[0] == "start":
                         for k in ("width", "height", "viewBox"):
                             if ev[2].get(k):
@@ -421,6 +424,9 @@ def extract_document(
                 deadline=deadline,
                 recurse=recurse_embedded if embed_budget > 0 else None)
             md = {k: [v] for k, v in r.metadata.items() if k != "Content-Type"}
+            if "embedded-names" in r.metadata:
+                # same multi-element list shape as the .doc/.pdf paths
+                md["embedded-names"] = r.metadata["embedded-names"].split("; ")
             refined = r.metadata.get("Content-Type", detected)
             md["Content-Type"] = [refined]
             if r.entries:
@@ -498,7 +504,8 @@ def extract_document(
                 data, max_chars=cfg.max_chars,
                 max_ratio=cfg.max_inflate_ratio,
                 max_entry_bytes=cfg.max_inflate_bytes,
-                deadline=deadline)
+                deadline=deadline,
+                recurse=recurse_embedded if embed_budget > 0 else None)
             md = {"Content-Type": ["application/x-tar"]}
             if r.entries:
                 md["container-entries"] = [str(len(r.entries))]

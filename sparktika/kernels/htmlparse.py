@@ -396,8 +396,9 @@ def scan_html_meta(
         self_closing = False
         # attrs are extracted ONLY for <meta> when meta_tags is on —
         # the lean path's speed comes from skipping attr materialization
+        # (including this dict: allocated solely when needed)
         want_attrs = meta_tags and name == "meta"
-        attrs: dict[str, str] = {}
+        attrs: dict[str, str] | None = {} if want_attrs else None
         while j < n:
             ch = s[j]
             if ch == ">":

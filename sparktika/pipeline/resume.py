@@ -55,7 +55,12 @@ def cap_per_host(
     n per salted group; the second window ranks the surviving
     <= salt_buckets * n candidates per host, a bounded partition at any
     corpus size. Result (including rn) is identical to the naive
-    single-window rank."""
+    single-window rank.
+
+    Requires the pages shape (url + warc_ts drive the order and the
+    salt) even when host_col overrides host extraction; a SINGLE url
+    with massive snapshot counts still concentrates in one phase-1 task
+    (run newest_per_url first — re-crawl dedup — to bound that)."""
     from pyspark.sql.window import Window
 
     host = host_col if host_col is not None else F.regexp_extract(

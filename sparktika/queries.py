@@ -2424,7 +2424,7 @@ def media_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _payload_extract(spark: SparkSession, sf_dir: str, builder_name: str,
-                     suffix: str) -> DataFrame:
+                     suffix: str, cfg: ExtractConfig = None) -> DataFrame:
     """pages built from a synth builder over doc_id, through the real
     extraction pipeline (mime sniff -> dispatcher -> kernel)."""
     from pyspark.sql.functions import pandas_udf
@@ -2445,7 +2445,7 @@ def _payload_extract(spark: SparkSession, sf_dir: str, builder_name: str,
                  F.lit(suffix)).alias("url"),
         udf(F.col("doc_id")).alias("html"),
     )
-    ext = extract_pages(pages, SYNTH_CONFIG)
+    ext = extract_pages(pages, cfg if cfg is not None else SYNTH_CONFIG)
     return ext.withColumn(
         "doc_id",
         F.regexp_extract("url", r"/(\d+)\.\w+$", 1).cast("long"))
@@ -3011,24 +3011,10 @@ def extract_html_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes): first occurrence wins, entity-decoded, reserved keys never
     clobbered. Runs with html_meta_tags=True; the default-off flag keeps
     the reference fixture's pinned 8-key golden byte-stable."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BinaryType
-
-    from .synth import build_html_meta
-
-    def payload_fn(ids: pd.Series) -> pd.Series:
-        return pd.Series([build_html_meta(int(i)) for i in ids])
-
-    udf = pandas_udf(payload_fn, BinaryType())
-    docs = _docs(spark, sf_dir)
-    pages = docs.select(
-        F.concat(F.lit("https://meta.example.com/"),
-                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
-        udf(F.col("doc_id")).alias("html"),
-    )
-    ext = extract_pages(pages, SYNTH_CONFIG.with_(html_meta_tags=True))
+    ext = _payload_extract(spark, sf_dir, "build_html_meta", ".html",
+                           cfg=SYNTH_CONFIG.with_(html_meta_tags=True))
     return ext.select(
-        F.regexp_extract("url", r"/(\d+)\.html$", 1).cast("long").alias("doc_id"),
+        "doc_id",
         F.element_at("metadata", "description").getItem(0).alias("description"),
         F.element_at("metadata", "keywords").getItem(0).alias("keywords"),
         F.element_at("metadata", "author").getItem(0).alias("author"),

@@ -964,3 +964,42 @@ def test_bare_ole10native_wrapper_transparent():
     r0 = extract_document("obj.bin", None, data,
                           ExtractConfig(max_embed_depth=0))
     assert r0.status == "unsupported"
+
+
+def test_docx_embeds_survive_nesting_in_plain_zip():
+    """Regression (review pass 4): recursion threads through nested
+    containers — a docx inside a plain zip keeps its embedded-object
+    text instead of silently dropping it."""
+    import io, zipfile
+    from sparktika.synth import build_docx_embedded
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("inner.docx", build_docx_embedded(9))
+    r = extract_document("outer.zip", None, buf.getvalue())
+    assert r.status == "ok"
+    assert "Embedded att 9." in r.text_extracted
+
+
+def test_docx_multiple_embedded_names_is_a_real_list():
+    """embedded-names must be a multi-element list like the .doc/.pdf
+    paths, not one '; '-joined blob."""
+    import io, zipfile
+    from sparktika.synth import _ole2_file, _ole10native
+
+    def obj(i):
+        return _ole2_file({"\x01Ole10Native":
+                           _ole10native(f"n{i}.txt", f"Part {i}.".encode())})
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml",
+                   "<w:document><w:body><w:p><w:r><w:t>Host.</w:t></w:r>"
+                   "</w:p></w:body></w:document>")
+        z.writestr("word/embeddings/oleObject1.bin", obj(1))
+        z.writestr("word/embeddings/oleObject2.bin", obj(2))
+    r = extract_document("m.docx", None, buf.getvalue())
+    assert r.metadata["embedded-names"] == ["oleObject1.bin",
+                                            "oleObject2.bin"]
+    assert "Part 1." in r.text_extracted and "Part 2." in r.text_extracted

@@ -66,11 +66,22 @@ def test_minhash_band_join_shuffles_no_signatures(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id")
-    plan = _plan(dedup.minhash_lsh_pairs(sigs, threshold=0.8))
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning(band_id" in line:
-            assert "sig" not in line.split("Exchange")[1].split(",")[0:2][-1]
-    assert "Exchange" in plan  # sanity: the band join does shuffle
+    # disable broadcast so the band join actually shuffles (at sf0.001
+    # AQE broadcasts the tiny side and no band Exchange exists to audit)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(dedup.minhash_lsh_pairs(sigs, threshold=0.8))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    lines = plan.splitlines()
+    band_exchanges = [i for i, l in enumerate(lines)
+                      if "Exchange hashpartitioning(band_id" in l]
+    assert band_exchanges, "band-join Exchange missing from plan"
+    for i in band_exchanges:
+        # the Exchange's INPUT is its child operator on the next line(s);
+        # its output list must not carry the signature array
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "sig#" not in child, f"signatures ride the band shuffle: {child}"
 
 
 def test_exact_dedup_single_exchange(spark):
