@@ -155,8 +155,20 @@ def extract_document(
 
             import re as _re
 
-            decl = _re.search(rb"""encoding\s*=\s*["']([A-Za-z0-9_.-]+)""",
-                              data[:200])
+            # encoding is trusted only inside a LEADING <?xml ...?>
+            # declaration (XML 1.0 §4.3.3) — a root-element attribute or
+            # comment that merely contains "encoding=" must not win
+            # (ADVICE r3)
+            head = data[:200]
+            bom = charset.detect_bom(head)
+            decl_zone = head[bom[1]:] if bom else head
+            decl_zone = decl_zone.lstrip(b" \t\r\n")
+            decl = None
+            if decl_zone.startswith(b"<?xml"):
+                end = decl_zone.find(b"?>")
+                decl = _re.search(
+                    rb"""encoding\s*=\s*["']([A-Za-z0-9_.-]+)""",
+                    decl_zone[: end if end != -1 else len(decl_zone)])
             cs = (decl.group(1).decode("ascii", "replace").lower()
                   if decl else charset.detect_charset(data, is_html=False))
             xtext, cs = charset.decode(data, cs, is_html=False)
@@ -312,6 +324,23 @@ def extract_document(
                 md["attachment-names"] = r.attachment_names
             status = STATUS_TRUNCATED if limited else STATUS_OK
             return res(detected=detected, title=r.subject,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
+        if detected == "application/mbox":
+            from .mbox import extract_mbox
+
+            r = extract_mbox(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {k: [v] for k, v in r.metadata.items()}
+            md["n-messages"] = [str(r.n_messages)]
+            if r.n_skipped:
+                md["n-skipped-messages"] = [str(r.n_skipped)]
+            if r.subjects:
+                md["subjects"] = r.subjects
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.title,
                        text_extracted=text if cfg.parse_content else None,
                        metadata=md, status=status,
                        write_limit_reached=limited)

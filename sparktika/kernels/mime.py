@@ -133,6 +133,14 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
         # bare-root SVG (no xml decl): ride the XML route, which refines
         # the label to image/svg+xml from the root element
         return "application/xml"
+    if data[:5] == b"From ":
+        # mbox envelope check BEFORE the eml sniff: an mbox's first line
+        # is not header-shaped so sniff_eml rejects it anyway, but keep
+        # the ordering explicit (Tika magic: "From " at offset 0)
+        from .mbox import sniff_mbox
+
+        if sniff_mbox(data):
+            return "application/mbox"
     from .eml import sniff_eml
 
     if sniff_eml(data):

@@ -1072,6 +1072,28 @@ def build_eml(doc_id: int) -> bytes:
         "--B42--\r\n").encode()
 
 
+def build_mbox(doc_id: int) -> bytes:
+    """Deterministic 3-message mbox (extract_mbox_text oracle). Message j
+    (j in 0..2) renders through the eml kernel as
+    "Mbox {id} msg {j}\\nFrom: sender{(id+j)%7}@example.com\\n
+    To: list{id%5}@example.com\\n\\nBody {j} of mailbox {id}.\\n>From
+    quoted line {j}.\\n" (the >From line tests mboxo unquoting: it
+    arrives quoted in the file and must extract unquoted)."""
+    msgs = []
+    for j in range(3):
+        msgs.append(
+            f"From sender{(doc_id + j) % 7}@example.com Thu Jan  1 "
+            f"0{j}:00:00 1970\n"
+            f"From: sender{(doc_id + j) % 7}@example.com\n"
+            f"To: list{doc_id % 5}@example.com\n"
+            f"Subject: Mbox {doc_id} msg {j}\n"
+            "Content-Type: text/plain; charset=utf-8\n"
+            "\n"
+            f"Body {j} of mailbox {doc_id}.\n"
+            f">>From quoted line {j}.\n")
+    return "\n".join(msgs).encode()
+
+
 def build_payload(doc_id: int, text: str) -> bytes:
     kind = doc_id % 20
     if kind <= 9:

@@ -75,6 +75,11 @@ def test_query_matches_oracle(spark, ducks, name):
     if sset != oset:
         diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+    # Queries whose green row would otherwise be vacuous (r3 verdict:
+    # Q22 compared empty sets at every scale) must prove a nonzero
+    # result here so 0 == 0 can never pass silently again.
+    if name in ("rel_q22_global_sales_opportunity",):
+        assert len(srows) > 0, f"{name}: vacuous — oracle comparison on 0 rows"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -125,3 +125,76 @@ def test_synth_plain_text_does_not_misroute():
         payload = build_payload(doc_id, f"document text {doc_id} " * 30)
         detected = detect_mime(payload)
         assert detected.startswith("text/"), (doc_id, detected)
+
+
+# ---------------------------------------------------------------- mbox
+
+from sparktika.kernels.mbox import extract_mbox, sniff_mbox  # noqa: E402
+
+
+def _envelope(sender="alice@example.com", t="00:00:00"):
+    return f"From {sender} Thu Jan  1 {t} 1970\n"
+
+
+def test_mbox_sniff_requires_envelope_and_headers():
+    good = (_envelope() + "From: alice@example.com\nSubject: hi\n\nbody\n")
+    assert sniff_mbox(good.encode())
+    assert detect_mime(good.encode()) == "application/mbox"
+    # prose starting with "From " is NOT an envelope
+    assert not sniff_mbox(b"From here on, things got weird.\nMore prose.\n")
+    # envelope shape but no header block after it
+    assert not sniff_mbox(_envelope().encode() + b"just prose\nno headers\n")
+    # a bare RFC 822 message still routes as eml, not mbox
+    eml = b"From: a@b.c\nSubject: x\nMessage-Id: <1@b.c>\n\nbody\n"
+    assert detect_mime(eml) == "message/rfc822"
+
+
+def test_mbox_splits_and_unquotes():
+    data = (
+        _envelope("a@x.com", "00:00:00")
+        + "From: a@x.com\nSubject: one\n\nfirst body\n>From quoted\n"
+        + ">>From double quoted\n\n"
+        + _envelope("b@x.com", "01:00:00")
+        + "From: b@x.com\nSubject: two\n\nsecond body\n"
+    ).encode()
+    r = extract_mbox(data)
+    assert r.n_messages == 2
+    assert r.subjects == ["one", "two"]
+    # one level of > stripped (mboxo), deeper quoting reduced by one
+    assert "first body\nFrom quoted\n>From double quoted" in r.text
+    assert "second body" in r.text
+    assert r.title == "one"
+
+
+def test_mbox_body_from_line_does_not_split():
+    # a body line starting with "From " that is NOT a full envelope must
+    # not start a new message
+    data = (
+        _envelope() + "From: a@x.com\nSubject: s\n\n"
+        "From my point of view this is one message.\n"
+    ).encode()
+    r = extract_mbox(data)
+    assert r.n_messages == 1
+    assert "From my point of view" in r.text
+
+
+def test_mbox_malformed_message_degrades_not_raises():
+    # second "message" is binary junk: the mailbox still extracts msg 1+3
+    data = (
+        _envelope("a@x.com") + "From: a@x.com\nSubject: ok1\n\nbody1\n\n"
+        + _envelope("b@x.com", "01:00:00") + "\xff\xfe junk no headers\n\n"
+        + _envelope("c@x.com", "02:00:00") + "From: c@x.com\nSubject: ok2\n\nbody2\n"
+    ).encode("latin-1")
+    r = extract_mbox(data)
+    assert r.n_messages >= 2
+    assert "body1" in r.text and "body2" in r.text
+
+
+def test_mbox_dispatch_end_to_end():
+    from sparktika.synth import build_mbox
+
+    r = extract_document("u/1.mbox", None, build_mbox(1))
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/mbox"
+    assert r.metadata["n-messages"] == ["3"]
+    assert r.title == "Mbox 1 msg 0"
