@@ -110,6 +110,9 @@ def main() -> None:
     # amortize per-batch overhead (measured ~10% at local[8]); the 256-row
     # default is right only for the output-heavy full path (invariant 5).
     def q2():
+        # restore whatever the session default was, not a hard-coded 256
+        # (ADVICE r3: a changed session default must survive q2)
+        saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         try:
             _force(
@@ -118,7 +121,7 @@ def main() -> None:
                     extract_links=False))
                 .select("url", "content_type_detected", "status", "metadata"))
         finally:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
     bench("q_extract_meta_only", q2)
 
     # q3: newest-per-url window dedup over pages

@@ -32,6 +32,10 @@ class ContainerResult:
     entries: list[str] = field(default_factory=list)
     truncated: bool = False
     metadata: dict[str, str] = field(default_factory=dict)
+    # embedded-object names as a real list — never round-tripped through
+    # a joined string, so an entry name containing '; ' can't inject
+    # phantom names (ADVICE r3)
+    embedded_names: list[str] = field(default_factory=list)
 
 
 _OOXML_EMBED_PREFIXES = ("word/embeddings/", "xl/embeddings/",
@@ -87,13 +91,13 @@ def extract_zip_container(
                     full_text += (f"[Embedded: {label}]\n"
                                   + (t2 if t2.endswith("\n") else t2 + "\n"))
                     emb_names.append(label)
-            if emb_names:
-                md["embedded-names"] = "; ".join(emb_names)
+        else:
+            emb_names = []
         text = full_text if max_chars == -1 else full_text[:max_chars]
         return ContainerResult(
             text=text, entries=[r.kind],
             truncated=max_chars != -1 and len(full_text) > max_chars,
-            metadata=md)
+            metadata=md, embedded_names=emb_names)
 
     parts: list[str] = []
     total = 0

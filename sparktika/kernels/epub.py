@@ -42,10 +42,17 @@ class EpubResult:
 
 
 def sniff_epub(data: bytes) -> bool:
+    """Conforming OCF packages (mimetype STORED first) are decided from
+    the first local file header alone — the header's name field must be
+    exactly 'mimetype' (ADVICE r3: a substring hit in the head never
+    routes); nonconforming writers get a real zipfile entry read."""
     if data[:4] != b"PK\x03\x04":
         return False
-    if b"mimetype" in data[:256] and EPUB_MIME.encode() in data[:256]:
-        return True
+    from .ooxml import zip_declared_mimetype
+
+    mt = zip_declared_mimetype(data)
+    if mt is not None:
+        return mt == EPUB_MIME
     try:
         with open_zip(data) as zf:
             names = zf.namelist()

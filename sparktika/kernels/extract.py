@@ -435,6 +435,9 @@ def extract_document(
                 md = {"Content-Type": [odf_mime]}
                 if r.kind == "odt":
                     md["n-paragraphs"] = [str(r.n_paragraphs)]
+                elif r.kind == "odp":
+                    md["n-paragraphs"] = [str(r.n_paragraphs)]
+                    md["n-slides"] = [str(r.n_pages)]
                 else:
                     md["n-tables"] = [str(r.n_tables)]
                     md["sheet-names"] = r.sheet_names
@@ -453,9 +456,10 @@ def extract_document(
                 deadline=deadline,
                 recurse=recurse_embedded if embed_budget > 0 else None)
             md = {k: [v] for k, v in r.metadata.items() if k != "Content-Type"}
-            if "embedded-names" in r.metadata:
-                # same multi-element list shape as the .doc/.pdf paths
-                md["embedded-names"] = r.metadata["embedded-names"].split("; ")
+            if r.embedded_names:
+                # same multi-element list shape as the .doc/.pdf paths;
+                # carried as a real list end-to-end (ADVICE r3)
+                md["embedded-names"] = list(r.embedded_names)
             refined = r.metadata.get("Content-Type", detected)
             md["Content-Type"] = [refined]
             if r.entries:

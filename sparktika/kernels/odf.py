@@ -1,4 +1,4 @@
-"""OpenDocument (odt/ods) kernel: zip container + content.xml walk.
+"""OpenDocument (odt/ods/odp) kernel: zip container + content.xml walk.
 
 The reference links all of tika-parsers:1.20 (tika-fork-main
 build.gradle), whose OpenDocumentParser reads content.xml from the ODF
@@ -11,6 +11,10 @@ zip; rounds 1-2 had no ODF route (VERDICT r02 item 8). Semantics:
 - ods: per ``table:table``: the table name line, then one line per
   ``table:table-row`` with cell texts joined by TAB (the xlsx kernel's
   rendering shape). Column-repeat attrs are honored with a cap.
+- odp (round 4): slide frames AND presenter notes render through the
+  same paragraph walk (``draw:frame``/``draw:text-box`` wrap ``text:p``
+  which the walker already collects); ``draw:page`` elements are
+  counted as slides — the pptx kernel's posture.
 
 Bomb posture (invariant 7): entry size/ratio guards before inflate,
 repeat attrs capped, depth guard inherited from the XML event scanner.
@@ -21,11 +25,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .errors import KernelError, check_deadline
-from .ooxml import open_zip, read_entry
+from .ooxml import open_zip, read_entry, zip_declared_mimetype
 from .xmlparse import local_name, xml_events
 
 ODT_MIME = "application/vnd.oasis.opendocument.text"
 ODS_MIME = "application/vnd.oasis.opendocument.spreadsheet"
+ODP_MIME = "application/vnd.oasis.opendocument.presentation"
+_ODF_MIMES = (ODT_MIME, ODS_MIME, ODP_MIME)
 
 _MAX_REPEAT = 1024
 
@@ -33,29 +39,30 @@ _MAX_REPEAT = 1024
 @dataclass
 class OdfResult:
     text: str
-    kind: str  # 'odt' | 'ods'
+    kind: str  # 'odt' | 'ods' | 'odp'
     n_paragraphs: int = 0
     n_tables: int = 0
+    n_pages: int = 0
     sheet_names: list[str] = field(default_factory=list)
 
 
 def sniff_odf(data: bytes) -> str | None:
     """Return the ODF mimetype if the zip's `mimetype` entry declares one.
-    Per the ODF spec the entry is STORED first, so its bytes sit in the
-    first local file header — a cheap prefix check covers well-formed
-    writers and the zipfile fallback covers the rest."""
+    Conforming packages (entry STORED first) are decided from the first
+    local file header alone — the header's name field must be exactly
+    'mimetype', so a coincidental substring elsewhere in the head never
+    misroutes (ADVICE r3); nonconforming writers get a real zipfile
+    entry read."""
     if data[:4] != b"PK\x03\x04":
         return None
-    head = data[:256]
-    if b"mimetype" in head:
-        for m in (ODT_MIME, ODS_MIME):
-            if m.encode() in head:
-                return m
+    mt = zip_declared_mimetype(data)
+    if mt is not None:
+        return mt if mt in _ODF_MIMES else None
     try:
         with open_zip(data) as zf:
             if "mimetype" in zf.namelist():
                 mt = zf.read("mimetype")[:100].decode("ascii", "replace").strip()
-                if mt in (ODT_MIME, ODS_MIME):
+                if mt in _ODF_MIMES:
                     return mt
     except Exception:
         return None
@@ -80,7 +87,10 @@ def extract_odf(
     check_deadline(deadline, "odf content read")
     if mime == ODS_MIME:
         return _walk_ods(text, max_depth, deadline)
-    return _walk_odt(text, max_depth, deadline)
+    r = _walk_odt(text, max_depth, deadline)
+    if mime == ODP_MIME:
+        r.kind = "odp"
+    return r
 
 
 def _attr(attrs: dict[str, str], local: str) -> str | None:
@@ -104,11 +114,14 @@ def _walk_odt(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
     p_nest = 0
     depth = 0
     n_par = 0
+    n_pages = 0
     for ev in xml_events(xml, deadline=deadline):
         kind = ev[0]
         if kind == "start":
             name, attrs, self_closing = ev[1], ev[2], ev[3]
             ln = local_name(name)
+            if ln == "page":
+                n_pages += 1  # draw:page — odp slides; absent in odt
             if not self_closing:
                 depth += 1
                 if depth > max_depth:
@@ -152,7 +165,8 @@ def _walk_odt(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
     text = "\n".join(lines)
     if text:
         text += "\n"
-    return OdfResult(text=text, kind="odt", n_paragraphs=n_par)
+    return OdfResult(text=text, kind="odt", n_paragraphs=n_par,
+                     n_pages=n_pages)
 
 
 def _walk_ods(xml: str, max_depth: int, deadline: float | None) -> OdfResult:

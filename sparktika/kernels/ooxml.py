@@ -61,6 +61,29 @@ def read_entry(zf: zipfile.ZipFile, name: str, max_ratio: float,
     return out
 
 
+def zip_declared_mimetype(data: bytes) -> str | None:
+    """Value of a conforming OCF/ODF `mimetype` entry: FIRST local file
+    header, name exactly 'mimetype' (parsed at offset 30 from the header
+    fields — a coincidental substring hit elsewhere in the head never
+    routes; ADVICE r3), STORED, small. None when absent/nonconforming —
+    callers fall back to a real zipfile entry read."""
+    if data[:4] != b"PK\x03\x04" or len(data) < 38:
+        return None
+    flags = int.from_bytes(data[6:8], "little")
+    method = int.from_bytes(data[8:10], "little")
+    size = int.from_bytes(data[18:22], "little")
+    nlen = int.from_bytes(data[26:28], "little")
+    elen = int.from_bytes(data[28:30], "little")
+    if nlen != 8 or data[30:38] != b"mimetype":
+        return None
+    if method != 0 or flags & 0x8:  # must be STORED, no data descriptor
+        return None
+    if not 0 < size <= 256:
+        return None
+    start = 38 + elen
+    return data[start:start + size].decode("ascii", "replace").strip() or None
+
+
 def is_ooxml(zf: zipfile.ZipFile) -> str | None:
     names = set(zf.namelist())
     if "[Content_Types].xml" not in names:

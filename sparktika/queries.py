@@ -2572,6 +2572,34 @@ def extract_ods_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_odp_text",
+    """
+SELECT doc_id,
+       'Slide one ' || doc_id || chr(10) ||
+       'Point A ' || doc_id || '.' || chr(10) ||
+       'Note for slide one ' || doc_id || '.' || chr(10) ||
+       'Slide two ' || doc_id || chr(10) ||
+       'Point B & C ' || doc_id || '.' || chr(10) AS text_extracted,
+       'application/vnd.oasis.opendocument.presentation'
+         AS content_type_detected,
+       CAST(2 AS BIGINT) AS n_slides,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_odp_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument presentation: draw:page frames AND presenter notes
+    through the paragraph walk (Tika 1.20 OpenDocumentParser covers the
+    whole odt/ods/odp family — the r3 verdict's top format gap)."""
+    ext = _payload_extract(spark, sf_dir, "build_odp", ".odp")
+    return ext.select(
+        "doc_id", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "n-slides").getItem(0)
+         .cast("long").alias("n_slides"),
+        "status")
+
+
+@_register(
     "extract_epub_text",
     """
 SELECT doc_id,

@@ -1549,6 +1549,46 @@ def build_odt(doc_id: int) -> bytes:
     return _odf_zip("application/vnd.oasis.opendocument.text", content)
 
 
+def build_odp(doc_id: int) -> bytes:
+    """Deterministic .odp (extract_odp_text oracle): 2 slides (title +
+    body frames) + presenter notes on slide 1. Kernel output:
+      "Slide one {id}\\nPoint A {id}.\\nNote for slide one {id}.\\n
+       Slide two {id}\\nPoint B & C {id}.\\n"
+    """
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+        'xmlns:presentation="urn:oasis:names:tc:opendocument:'
+        'xmlns:presentation:1.0">'
+        "<office:body><office:presentation>"
+        '<draw:page draw:name="page1">'
+        '<draw:frame presentation:class="title"><draw:text-box>'
+        f"<text:p>Slide one {doc_id}</text:p>"
+        "</draw:text-box></draw:frame>"
+        '<draw:frame presentation:class="outline"><draw:text-box>'
+        f"<text:p>Point A {doc_id}.</text:p>"
+        "</draw:text-box></draw:frame>"
+        "<presentation:notes><draw:frame><draw:text-box>"
+        f"<text:p>Note for slide one {doc_id}.</text:p>"
+        "</draw:text-box></draw:frame></presentation:notes>"
+        "</draw:page>"
+        '<draw:page draw:name="page2">'
+        '<draw:frame presentation:class="title"><draw:text-box>'
+        f"<text:p>Slide two {doc_id}</text:p>"
+        "</draw:text-box></draw:frame>"
+        '<draw:frame presentation:class="outline"><draw:text-box>'
+        f"<text:p>Point B &amp; C {doc_id}.</text:p>"
+        "</draw:text-box></draw:frame>"
+        "</draw:page>"
+        "</office:presentation></office:body></office:document-content>"
+    ).encode("utf-8")
+    return _odf_zip("application/vnd.oasis.opendocument.presentation",
+                    content)
+
+
 def build_ods(doc_id: int) -> bytes:
     """Deterministic .ods (extract_ods_text oracle): one sheet, 2 rows.
     Kernel output (xlsx-kernel rendering shape):

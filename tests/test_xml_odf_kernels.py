@@ -284,3 +284,64 @@ def test_non_svg_xml_not_relabeled():
                          b"<?xml version='1.0'?><feed><x>t</x></feed>")
     assert r.content_type_detected == "application/xml"
     assert "Image Width" not in r.metadata
+
+
+# ----------------------------------------------------------------- odp
+
+def test_odp_slides_and_notes():
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_odp
+
+    r = extract_document("u/9.odp", None, build_odp(9))
+    assert r.status == "ok"
+    assert r.content_type_detected == \
+        "application/vnd.oasis.opendocument.presentation"
+    assert r.text_extracted == (
+        "Slide one 9\nPoint A 9.\nNote for slide one 9.\n"
+        "Slide two 9\nPoint B & C 9.\n")
+    assert r.metadata["n-slides"] == ["2"]
+
+
+def test_odf_sniff_requires_first_entry_mimetype():
+    """A zip whose FIRST entry merely CONTAINS the ODF mime string (but
+    is not named 'mimetype') must not route as ODF (ADVICE r3)."""
+    import io
+    import zipfile
+
+    from sparktika.kernels.epub import sniff_epub
+    from sparktika.kernels.odf import sniff_odf
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("notes.txt", (1980, 1, 1, 0, 0, 0)),
+                   "application/vnd.oasis.opendocument.text mimetype "
+                   "application/epub+zip",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr(zipfile.ZipInfo("data.txt", (1980, 1, 1, 0, 0, 0)),
+                   "hello", compress_type=zipfile.ZIP_DEFLATED)
+    data = buf.getvalue()
+    assert sniff_odf(data) is None
+    assert not sniff_epub(data)
+    # ...and the dispatcher still extracts it as a plain zip container
+    from sparktika.kernels.extract import extract_document
+
+    r = extract_document("u/x.zip", None, data)
+    assert r.status == "ok"
+    assert "hello" in (r.text_extracted or "")
+
+
+def test_odf_sniff_nonconforming_writer_falls_back():
+    """mimetype entry present but NOT first: the zipfile fallback still
+    identifies the package."""
+    import io
+    import zipfile
+
+    from sparktika.kernels.odf import ODT_MIME, sniff_odf
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("content.xml", (1980, 1, 1, 0, 0, 0)),
+                   "<x/>", compress_type=zipfile.ZIP_DEFLATED)
+        z.writestr(zipfile.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0)),
+                   ODT_MIME, compress_type=zipfile.ZIP_STORED)
+    assert sniff_odf(buf.getvalue()) == ODT_MIME
