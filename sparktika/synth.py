@@ -1094,6 +1094,115 @@ def build_mbox(doc_id: int) -> bytes:
     return "\n".join(msgs).encode()
 
 
+def _7z_number(n: int) -> bytes:
+    """7z variable-length number (7zFormat.txt REAL_UINT64): value bits
+    split between the first byte's low bits and little-endian extra
+    bytes signalled by the first byte's high bits."""
+    if n < 0x80:
+        return bytes([n])
+    extra = b""
+    mask = 0x80
+    first_high = 0
+    for i in range(8):
+        extra += bytes([(n >> (8 * i)) & 0xFF])
+        first_high |= mask
+        mask >>= 1
+        rest = n >> (8 * (i + 1))
+        if rest < (mask if mask else 1):
+            if mask:
+                first_high |= rest
+            return bytes([first_high]) + extra
+    return bytes([0xFF]) + extra
+
+
+def build_7z(members: list[tuple[str, bytes]], lzma2_from: int = 1 << 30,
+             encode_header: bool = False) -> bytes:
+    """Minimal valid 7z archive: one folder per member; member index >=
+    lzma2_from uses a raw-LZMA2 folder (props byte 22 == the 8 MiB dict
+    of preset 6), the rest Copy folders; header plain by default or
+    LZMA2-encoded (kEncodedHeader) when encode_header is set; correct
+    start/next-header CRCs either way."""
+    import binascii as _crc
+    import lzma as _lzma
+
+    packed_parts: list[bytes] = []
+    pack_sizes: list[int] = []
+    folder_descs: list[bytes] = []
+    unpack_sizes: list[int] = []
+    for i, (_, body) in enumerate(members):
+        if i >= lzma2_from:
+            comp = _lzma.compress(
+                body, format=_lzma.FORMAT_RAW,
+                filters=[{"id": _lzma.FILTER_LZMA2, "preset": 6}])
+            packed_parts.append(comp)
+            pack_sizes.append(len(comp))
+            # flag: id size 1 + has-attrs; id 0x21 (LZMA2); props = dict byte
+            folder_descs.append(b"\x01\x21\x21\x01\x16")
+        else:
+            packed_parts.append(body)
+            pack_sizes.append(len(body))
+            folder_descs.append(b"\x01\x01\x00")  # 1 coder, id 0x00 Copy
+        unpack_sizes.append(len(body))
+
+    hdr = bytearray()
+    hdr += bytes([0x01])  # kHeader
+    hdr += bytes([0x04])  # kMainStreamsInfo
+    hdr += bytes([0x06]) + _7z_number(0) + _7z_number(len(members))  # kPackInfo
+    hdr += bytes([0x09])
+    for s in pack_sizes:
+        hdr += _7z_number(s)
+    hdr += bytes([0x00])  # end PackInfo
+    hdr += bytes([0x07, 0x0B]) + _7z_number(len(members)) + b"\x00"  # kUnpackInfo/kFolder/external
+    for d in folder_descs:
+        hdr += d
+    hdr += bytes([0x0C])
+    for s in unpack_sizes:
+        hdr += _7z_number(s)
+    hdr += bytes([0x00])  # end UnpackInfo
+    hdr += bytes([0x00])  # end MainStreamsInfo
+    hdr += bytes([0x05]) + _7z_number(len(members))  # kFilesInfo
+    names = b"\x00" + b"".join(
+        (name + "\x00").encode("utf-16-le") for name, _ in members)
+    hdr += bytes([0x11]) + _7z_number(len(names)) + names  # kName
+    hdr += bytes([0x00])  # end FilesInfo
+    hdr += bytes([0x00])  # end Header
+    hdr = bytes(hdr)
+
+    packed = b"".join(packed_parts)
+    if encode_header:
+        comp_hdr = _lzma.compress(
+            hdr, format=_lzma.FORMAT_RAW,
+            filters=[{"id": _lzma.FILTER_LZMA2, "preset": 6}])
+        enc = bytearray()
+        enc += bytes([0x17])  # kEncodedHeader + StreamsInfo for the header
+        enc += bytes([0x06]) + _7z_number(len(packed)) + _7z_number(1)
+        enc += bytes([0x09]) + _7z_number(len(comp_hdr)) + bytes([0x00])
+        enc += bytes([0x07, 0x0B]) + _7z_number(1) + b"\x00"
+        enc += b"\x01\x21\x21\x01\x16"  # LZMA2 folder, props byte 22
+        enc += bytes([0x0C]) + _7z_number(len(hdr)) + bytes([0x00])
+        enc += bytes([0x00])  # end StreamsInfo
+        packed += comp_hdr
+        hdr = bytes(enc)
+    start = (len(packed).to_bytes(8, "little")
+             + len(hdr).to_bytes(8, "little")
+             + (_crc.crc32(hdr) & 0xFFFFFFFF).to_bytes(4, "little"))
+    return (b"7z\xbc\xaf\x27\x1c\x00\x04"
+            + (_crc.crc32(start) & 0xFFFFFFFF).to_bytes(4, "little")
+            + start + packed + hdr)
+
+
+def build_7z_doc(doc_id: int) -> bytes:
+    """Deterministic .7z (extract_7z_text oracle): two text members —
+    member 0 stored (Copy), member 1 LZMA2-compressed. Kernel output:
+      "Stored note {id}.\\nPacked note {id}. (line repeats)\\n" x3
+    """
+    m0 = f"Stored note {doc_id}.\n".encode()
+    m1 = ("".join(f"Packed note {doc_id}. (line repeats)\n"
+                  for _ in range(3))).encode()
+    return build_7z([(f"a{doc_id}.txt", m0), (f"b{doc_id}.txt", m1)],
+                    lzma2_from=1)
+
+
 def build_payload(doc_id: int, text: str) -> bytes:
     kind = doc_id % 20
     if kind <= 9:

@@ -323,3 +323,26 @@ def test_odf_sniff_and_extract_fail_closed(payload):
     assert mt is None or mt.startswith("application/vnd.oasis")
     r = extract_document("u.odt", None, b"PK\x03\x04" + payload, _CFG)
     assert r.status in VALID_STATUSES
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_7z_magic_prefixed_garbage_never_raises(payload):
+    """Random bytes behind the 7z magic: the route must fail to a status
+    row, never raise out of the dispatcher (invariant 7)."""
+    from sparktika.kernels.extract import extract_document
+
+    r = extract_document("u/f.7z", None, b"7z\xbc\xaf\x27\x1c" + payload)
+    assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_mbox_garbage_never_raises(payload):
+    from sparktika.kernels.extract import extract_document
+
+    head = b"From a@b.c Thu Jan  1 00:00:00 1970\nFrom: a@b.c\nSubject: s\n\n"
+    r = extract_document("u/f.mbox", None, head + payload)
+    assert r.status in ("ok", "failed", "unsupported", "truncated", "timeout")

@@ -1,0 +1,167 @@
+"""7z kernel: round-trips, solid folders, encoded headers, bomb/refusal
+posture (invariant 7 — content never raises out of the dispatcher)."""
+
+from __future__ import annotations
+
+import binascii
+import bz2
+import lzma
+
+import pytest
+
+from sparktika.kernels.errors import InflateRatioError, KernelError
+from sparktika.kernels.extract import extract_document
+from sparktika.kernels.mime import detect_mime
+from sparktika.kernels.sevenzip import extract_7z
+from sparktika.synth import _7z_number, build_7z, build_7z_doc
+
+
+def _finish(packed: bytes, hdr: bytes) -> bytes:
+    start = (len(packed).to_bytes(8, "little")
+             + len(hdr).to_bytes(8, "little")
+             + (binascii.crc32(hdr) & 0xFFFFFFFF).to_bytes(4, "little"))
+    return (b"7z\xbc\xaf\x27\x1c\x00\x04"
+            + (binascii.crc32(start) & 0xFFFFFFFF).to_bytes(4, "little")
+            + start + packed + hdr)
+
+
+def _one_folder_archive(coder_desc: bytes, packed: bytes, unpack_size: int,
+                        names: list[str], num_substreams: list[int] | None = None,
+                        substream_sizes: list[int] | None = None) -> bytes:
+    hdr = bytearray()
+    hdr += bytes([0x01, 0x04])
+    hdr += bytes([0x06]) + _7z_number(0) + _7z_number(1)
+    hdr += bytes([0x09]) + _7z_number(len(packed)) + bytes([0x00])
+    hdr += bytes([0x07, 0x0B]) + _7z_number(1) + b"\x00" + coder_desc
+    hdr += bytes([0x0C]) + _7z_number(unpack_size) + bytes([0x00])
+    if num_substreams is not None:
+        hdr += bytes([0x08, 0x0D])
+        for n in num_substreams:
+            hdr += _7z_number(n)
+        if substream_sizes:
+            hdr += bytes([0x09])
+            for s in substream_sizes:
+                hdr += _7z_number(s)
+        hdr += bytes([0x00])
+    hdr += bytes([0x00])  # end MainStreamsInfo
+    hdr += bytes([0x05]) + _7z_number(len(names))
+    nm = b"\x00" + b"".join((n + "\x00").encode("utf-16-le") for n in names)
+    hdr += bytes([0x11]) + _7z_number(len(nm)) + nm
+    hdr += bytes([0x00, 0x00])
+    return _finish(packed, bytes(hdr))
+
+
+def test_7z_number_roundtrip():
+    from sparktika.kernels.sevenzip import _Buf
+
+    for n in (0, 1, 0x7F, 0x80, 0x3FFF, 0x4000, 123456, 2**31, 2**40 + 7):
+        buf = _Buf(_7z_number(n))
+        assert buf.number() == n, n
+
+
+def test_copy_and_lzma2_members():
+    r = extract_7z(build_7z_doc(5))
+    assert r.entries == ["a5.txt", "b5.txt"]
+    assert r.text.startswith("Stored note 5.\n")
+    assert r.text.count("Packed note 5. (line repeats)") == 3
+
+
+def test_encoded_header():
+    arc = build_7z([("x.txt", b"alpha\n"), ("y.txt", b"beta\n")],
+                   lzma2_from=1, encode_header=True)
+    r = extract_7z(arc)
+    assert r.entries == ["x.txt", "y.txt"]
+    assert r.text == "alpha\nbeta\n"
+
+
+def test_solid_folder_substreams():
+    """Two files sharing one LZMA2 folder, split via SubStreamsInfo."""
+    body = b"first file text\n" + b"second file text\n"
+    comp = lzma.compress(body, format=lzma.FORMAT_RAW,
+                         filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+    arc = _one_folder_archive(
+        b"\x01\x21\x21\x01\x16", comp, len(body), ["f1.txt", "f2.txt"],
+        num_substreams=[2], substream_sizes=[16])
+    r = extract_7z(arc)
+    assert r.entries == ["f1.txt", "f2.txt"]
+    assert r.text == "first file text\nsecond file text\n"
+
+
+def test_bzip2_folder():
+    body = b"bzip2 member text\n"
+    comp = bz2.compress(body)
+    arc = _one_folder_archive(b"\x01\x03\x04\x02\x02", comp, len(body),
+                              ["z.txt"])
+    r = extract_7z(arc)
+    assert r.text == "bzip2 member text\n"
+
+
+def test_aes_refused():
+    arc = _one_folder_archive(b"\x01\x04\x06\xf1\x07\x01", b"xx", 2,
+                              ["enc.txt"])
+    with pytest.raises(KernelError, match="encrypted"):
+        extract_7z(arc)
+
+
+def test_multi_coder_refused():
+    # numCoders = 2 in the folder
+    hdr_folder = _7z_number(2) + b"\x01\x00\x01\x00"
+    hdr = bytearray()
+    hdr += bytes([0x01, 0x04])
+    hdr += bytes([0x06]) + _7z_number(0) + _7z_number(1)
+    hdr += bytes([0x09]) + _7z_number(2) + bytes([0x00])
+    hdr += bytes([0x07, 0x0B]) + _7z_number(1) + b"\x00" + hdr_folder
+    hdr += bytes([0x0C]) + _7z_number(2) + bytes([0x00, 0x00, 0x00])
+    arc = _finish(b"ab", bytes(hdr))
+    with pytest.raises(KernelError, match="coder"):
+        extract_7z(arc)
+
+
+def test_lying_unpack_size_bomb_guard():
+    """Folder declares a huge unpack size from a tiny packed stream: the
+    ratio guard fires BEFORE any decompression."""
+    body = b"\x00" * 64
+    comp = lzma.compress(body, format=lzma.FORMAT_RAW,
+                         filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+    arc = _one_folder_archive(b"\x01\x21\x21\x01\x16", comp,
+                              50_000_000, ["bomb.txt"])
+    with pytest.raises(InflateRatioError):
+        extract_7z(arc, max_ratio=200.0, max_entry_bytes=256_000_000)
+
+
+def test_header_crc_mismatch():
+    arc = bytearray(build_7z_doc(1))
+    arc[-1] ^= 0xFF  # corrupt last header byte
+    with pytest.raises(KernelError, match="CRC"):
+        extract_7z(bytes(arc))
+
+
+def test_truncated_never_raises_through_dispatcher():
+    arc = build_7z_doc(2)
+    # cuts keep the 6-byte magic intact so the 7z route is actually
+    # entered (shorter prefixes legitimately re-sniff as other types)
+    for cut in (8, 16, 40, len(arc) - 3):
+        r = extract_document("u/t.7z", None, arc[:cut])
+        assert r.status in ("failed", "unsupported"), (cut, r.status)
+
+
+def test_dispatch_end_to_end():
+    data = build_7z_doc(9)
+    assert detect_mime(data) == "application/x-7z-compressed"
+    r = extract_document("u/9.7z", None, data)
+    assert r.status == "ok"
+    assert r.metadata["container-entries"] == ["2"]
+    assert "Stored note 9." in r.text_extracted
+    assert "Packed note 9." in r.text_extracted
+
+
+def test_nested_zip_inside_7z():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("inner.txt", "nested zip text\n")
+    arc = build_7z([("inner.zip", buf.getvalue())])
+    r = extract_7z(arc)
+    assert "nested zip text" in r.text
