@@ -139,6 +139,12 @@ class PdfResult:
     # /EmbeddedFiles name tree; payloads already went through the
     # guarded inflate. The dispatcher recurses them (embed budget).
     embedded_files: list = field(default_factory=list)
+    # (obj_num, DecodedImage) pairs for image XObjects the repo's own
+    # decoders could handle (include_images only) — Tika includeImages
+    # parity (ref: main/TikaForkMain.java:98,307-311 emits extracted
+    # images as embedded documents); undecodable images are counted in
+    # pdf:image-count but not emitted
+    images: list = field(default_factory=list)
 
 
 def _inflate(data: bytes, max_ratio: float, max_bytes: int) -> bytes:
@@ -532,6 +538,15 @@ class _PdfDoc:
                     self.n_streams += 1
         self._stream_cache[num] = out
         return out
+
+    def raw_stream(self, num: int) -> bytes | None:
+        """UNfiltered stream bytes (for codec payloads like DCTDecode
+        that must reach their real decoder intact)."""
+        body = self.bodies.get(num)
+        if body is None:
+            return None
+        sm = _STREAM_RE.search(body)
+        return sm.group(1) if sm is not None else None
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, Ref) and depth < 32:
@@ -1130,6 +1145,58 @@ def _collect_embedded_files(doc: "_PdfDoc", root: dict,
     return out
 
 
+def _decode_image_xobject(doc: "_PdfDoc", num: int, head: dict):
+    """Decode one image XObject with the repo's own decoders; None when
+    the codec/colorspace is out of scope (counted, not emitted). Scope:
+    DCTDecode payloads via the JPEG decoder (baseline + progressive),
+    Flate/unfiltered 8-bpc DeviceRGB/DeviceGray sample arrays. JBIG2/
+    JPX/CCITT and predictor-coded samples are skipped."""
+    from .image import _MAX_PIXELS, DecodedImage, decode_jpeg
+
+    try:
+        w = int(doc.resolve(head.get("Width")) or 0)
+        h = int(doc.resolve(head.get("Height")) or 0)
+        if not (0 < w and 0 < h and w * h <= _MAX_PIXELS):
+            return None
+        filt = head.get("Filter")
+        if isinstance(filt, list) and len(filt) == 1:
+            filt = filt[0]
+        if filt == "DCTDecode":
+            raw = doc.raw_stream(num)
+            if not raw:
+                return None
+            return decode_jpeg(raw)
+        if filt in (None, "FlateDecode"):
+            parms = doc.resolve(head.get("DecodeParms"))
+            if isinstance(parms, dict) and int(
+                    doc.resolve(parms.get("Predictor")) or 1) > 1:
+                return None  # PNG predictors: out of scope
+            bpc = int(doc.resolve(head.get("BitsPerComponent")) or 8)
+            cs = doc.resolve(head.get("ColorSpace"))
+            if bpc != 8 or cs not in ("DeviceRGB", "DeviceGray"):
+                return None
+            samples = doc.obj_stream(num)  # guarded inflate
+            if samples is None:
+                return None
+            import numpy as np
+
+            if cs == "DeviceRGB":
+                if len(samples) < w * h * 3:
+                    return None
+                px = np.frombuffer(samples[: w * h * 3],
+                                   dtype=np.uint8).reshape(h, w, 3)
+            else:
+                if len(samples) < w * h:
+                    return None
+                g = np.frombuffer(samples[: w * h],
+                                  dtype=np.uint8).reshape(h, w, 1)
+                px = np.repeat(g, 3, axis=2)
+            return DecodedImage(width=w, height=h, pixels=px.copy())
+        return None
+    except Exception:
+        return None  # a corrupt image never fails the document
+
+
 def extract_pdf(
     data: bytes,
     max_inflate_ratio: float = 200.0,
@@ -1191,20 +1258,27 @@ def extract_pdf(
     text = render_pages(page_spans)
     meta = _doc_metadata(doc, data)
     meta["pdf:version"] = version
+    images: list = []
     if include_images:
-        # O24 minimal surface (ref default off, TikaForkMain.java:98,307-311):
-        # count image XObjects + inline BI/ID/EI blocks into metadata rather
-        # than emitting embedded documents
+        # O24 (ref default off, TikaForkMain.java:98,307-311): count image
+        # XObjects + inline BI/ID/EI blocks into metadata, AND emit the
+        # payloads the repo's own decoders can handle (r3 verdict item 6 —
+        # Tika with includeImages emits them as embedded documents)
         n_images = 0
         for num in sorted(doc.bodies):
             head = doc.obj_dict(num)
             if isinstance(head, dict) and head.get("Subtype") == "Image":
                 n_images += 1
+                check_deadline(deadline, "pdf image decode")
+                img = _decode_image_xobject(doc, num, head)
+                if img is not None:
+                    images.append((num, img))
         n_inline = sum(
             _count_inline_images(_page_content(doc, page) or b"")
             for page in pages)
         meta["pdf:image-count"] = str(n_images + n_inline)
         meta["pdf:inline-image-count"] = str(n_inline)
+        meta["pdf:decoded-image-count"] = str(len(images))
     page_nchars = [sum(len(s[3]) for s in spans) for spans in page_spans]
     page_unmapped = [
         sum(len(_CTRL_RE.findall(s[3])) for s in spans)
@@ -1213,4 +1287,4 @@ def extract_pdf(
     return PdfResult(text=text, metadata=meta, n_streams=doc.n_streams,
                      xmp=_doc_xmp(doc), n_pages=max(len(page_spans), len(pages)),
                      page_nchars=page_nchars, page_unmapped=page_unmapped,
-                     embedded_files=embedded_files)
+                     embedded_files=embedded_files, images=images)

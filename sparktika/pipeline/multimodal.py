@@ -138,6 +138,62 @@ def image_stats(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     return slim.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
+PDF_IMAGE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("image_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+def pdf_image_stats(df: DataFrame,
+                    num_partitions: int | None = None) -> DataFrame:
+    """PDF image XObject payload emission (Tika includeImages parity,
+    ref main/TikaForkMain.java:98,307-311): one row per decoded embedded
+    image, in object order, with the same exact-rational channel means
+    as image_stats. A PDF that fails to parse yields one failed row; a
+    PDF whose images are all undecodable yields none (they are still
+    counted in pdf:image-count by the text route)."""
+    from ..kernels.pdf import extract_pdf
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    r = extract_pdf(payload or b"", include_images=True,
+                                    collect_embedded=False)
+                except Exception:
+                    rows.append(dict(doc_id=did, image_idx=None, width=None,
+                                     height=None, mean_r=None, mean_g=None,
+                                     mean_b=None, status="failed"))
+                    continue
+                for idx, (_num, img) in enumerate(r.images):
+                    means = (img.pixels.astype(np.float64).mean(axis=(0, 1))
+                             / 255.0)
+                    rows.append(dict(
+                        doc_id=did, image_idx=idx,
+                        width=img.width, height=img.height,
+                        mean_r=round(float(means[0]), 6),
+                        mean_g=round(float(means[1]), 6),
+                        mean_b=round(float(means[2]), 6),
+                        status="ok"))
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object")
+                 for f in PDF_IMAGE_SCHEMA.fields})
+
+    slim = df.select("doc_id", "payload")
+    if num_partitions:
+        slim = slim.repartition(num_partitions, F.xxhash64("doc_id"))
+    return slim.mapInPandas(batches, PDF_IMAGE_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),

@@ -2032,6 +2032,49 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_pdf_images",
+    """
+SELECT doc_id, CAST(0 AS INT) AS image_idx,
+       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       round((doc_id * 37 % 256) / 255.0, 6) AS mean_r,
+       round((doc_id * 59 % 256) / 255.0, 6) AS mean_g,
+       round((doc_id * 83 % 256) / 255.0, 6) AS mean_b,
+       'ok' AS status
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS image_idx,
+       CAST(16 + (3 * doc_id) % 48 AS INT) AS width,
+       CAST(16 + ((3 * doc_id) // 7) % 48 AS INT) AS height,
+       round((111 * doc_id % 256) / 255.0, 6) AS mean_r,
+       round((111 * doc_id % 256) / 255.0, 6) AS mean_g,
+       round((111 * doc_id % 256) / 255.0, 6) AS mean_b,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF image-payload emission (r3 verdict item 6 — Tika includeImages
+    parity, ref main/TikaForkMain.java:98,307-311): FlateDecode RGB and
+    DCTDecode JPEG XObjects decode through the repo's own decoders to
+    exact-rational channel means."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .pipeline.multimodal import pdf_image_stats
+    from .synth import build_pdf_images
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_pdf_images(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pdfs = docs.select("doc_id", udf(F.col("doc_id")).alias("payload"))
+    return pdf_image_stats(pdfs).select(
+        "doc_id", "image_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b", "status")
+
+
+@_register(
     "media_frame_sample",
     """
 SELECT doc_id AS media_id,

@@ -1958,6 +1958,44 @@ def build_pdf_embedded(doc_id: int) -> bytes:
     )
 
 
+def build_pdf_images(doc_id: int) -> bytes:
+    """PDF with two image XObjects (extract_pdf_images oracle):
+      obj 5: FlateDecode DeviceRGB 8x6 solid _media_color(doc_id)
+      obj 6: DCTDecode grayscale JPEG build_jpeg(3*doc_id) — always the
+             grayscale variant (3*doc_id % 3 == 0), solid gray
+             (111*doc_id) % 256, dims media_dims(3*doc_id)
+    Solid fills make every channel mean the exact rational color/255
+    (invariant 10)."""
+    host = f"Pdf with images {doc_id}."
+    content = (f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(host)}) Tj ET "
+               "q 8 0 0 6 72 600 cm /Im0 Do Q "
+               "q 32 0 0 32 72 500 cm /Im1 Do Q").encode("latin-1")
+    r, g, b = _media_color(doc_id)
+    rgb = bytes((r, g, b)) * (8 * 6)
+    rgb_z = zlib.compress(rgb)
+    jpg = build_jpeg(3 * doc_id)
+    jw, jh = media_dims(3 * doc_id)
+    return b"".join([
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Im0 5 0 R /Im1 6 0 R >> >> >>\nendobj\n",
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content), content,
+        b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 /Height 6 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % len(rgb_z), rgb_z,
+        b"\nendstream\nendobj\n",
+        b"6 0 obj\n<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        % (jw, jh),
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n" % len(jpg), jpg,
+        b"\nendstream\nendobj\n",
+        b"%%EOF\n",
+    ])
+
+
 def build_docx_embedded(doc_id: int) -> bytes:
     """docx whose word/embeddings/ carries an Ole10Native-wrapped text
     payload (the shape Word gives embedded objects) — the OOXML leg of

@@ -638,7 +638,6 @@ def test_mime_breadth_modern_crawl_formats():
     from sparktika.kernels.mime import detect_mime
 
     cases = [
-        (b"7z\xbc\xaf\x27\x1c" + bytes(32), "application/x-7z-compressed"),
         (b"Rar!\x1a\x07\x00" + bytes(32), "application/vnd.rar"),
         (b"\x1aE\xdf\xa3" + bytes(32), "video/webm"),
         (b"\x28\xb5\x2f\xfd" + bytes(32), "application/zstd"),
@@ -650,6 +649,11 @@ def test_mime_breadth_modern_crawl_formats():
         r = extract_document("u", None, payload)
         assert r.content_type_detected == expected
         assert r.status == "unsupported"  # honest: no parser, right label
+    # 7z grew a real parser in round 4: truncated magic-only payloads now
+    # fail the parse honestly instead of reporting unsupported
+    r = extract_document("u", None, b"7z\xbc\xaf\x27\x1c" + bytes(32))
+    assert r.content_type_detected == "application/x-7z-compressed"
+    assert r.status == "failed"
 
 
 def test_html_meta_tags_opt_in():
@@ -679,3 +683,61 @@ def test_html_meta_tags_opt_in():
                                           extract_main_text=False))
     assert lean.metadata["description"] == ["A & B"]
     assert lean.metadata["dup"] == ["first"]
+
+
+def test_pdf_image_payload_emission():
+    """include_images decodes Flate-RGB and DCTDecode XObjects into
+    pixel-exact DecodedImages, in object order (r3 verdict item 6)."""
+    import numpy as np
+
+    from sparktika.kernels.pdf import extract_pdf
+    from sparktika.synth import build_pdf_images, _media_color, media_dims
+
+    r = extract_pdf(build_pdf_images(7), include_images=True)
+    assert r.metadata["pdf:decoded-image-count"] == "2"
+    assert [num for num, _ in r.images] == [5, 6]
+    flate = r.images[0][1]
+    assert (flate.width, flate.height) == (8, 6)
+    assert tuple(flate.pixels[0, 0]) == _media_color(7)
+    assert (flate.pixels == flate.pixels[0, 0]).all()
+    jpeg = r.images[1][1]
+    assert (jpeg.width, jpeg.height) == media_dims(21)
+    assert (jpeg.pixels == (111 * 7) % 256).all()
+    # default path emits nothing
+    r0 = extract_pdf(build_pdf_images(7), include_images=False)
+    assert r0.images == []
+
+
+def test_pdf_image_unsupported_codecs_counted_not_emitted():
+    """JBIG2/predictor-coded images are skipped (still counted) and a
+    corrupt DCT stream never fails the document."""
+    import zlib as _z
+
+    from sparktika.kernels.pdf import extract_pdf
+
+    body = _z.compress(b"\x00" * 24)
+    pdf = b"".join([
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n",
+        # JBIG2: unsupported filter
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /JBIG2Decode "
+        b"/Length 4 >>\nstream\nabcd\nendstream\nendobj\n",
+        # predictor-coded Flate: unsupported
+        b"6 0 obj\n<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 15 /Colors 3 /Columns 2 >> "
+        b"/Length %d >>\nstream\n" % len(body), body,
+        b"\nendstream\nendobj\n",
+        # corrupt DCTDecode payload
+        b"7 0 obj\n<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length 6 >>\nstream\n\xff\xd8\xff\x00ab\nendstream\nendobj\n",
+        b"%%EOF\n",
+    ])
+    r = extract_pdf(pdf, include_images=True)
+    assert r.metadata["pdf:image-count"] == "3"
+    assert r.metadata["pdf:decoded-image-count"] == "0"
+    assert r.images == []
