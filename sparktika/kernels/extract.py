@@ -627,6 +627,11 @@ def extract_document(
                                 elif "WordDocument" in subnames:
                                     t2 = extract_doc_ole(
                                         sub, deadline=deadline).text
+                                elif "PowerPoint Document" in subnames:
+                                    from .ppt import extract_ppt_ole
+
+                                    t2 = extract_ppt_ole(
+                                        sub, deadline=deadline).text
                                 else:
                                     t2 = None
                         except DeadlineError:

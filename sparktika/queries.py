@@ -2421,7 +2421,9 @@ SELECT doc_id,
          '[Embedded: note' || (doc_id % 6) || '.txt]' || chr(10) ||
          'Embedded note ' || doc_id || '.' || chr(10) ||
          '[Embedded: _1002]' || chr(10) ||
-         'Inner doc ' || doc_id || '.' || chr(10)
+         'Inner doc ' || doc_id || '.' || chr(10) ||
+         '[Embedded: _1003]' || chr(10) ||
+         'Embedded slide ' || doc_id || '.' || chr(10)
        END AS text_extracted,
        CASE WHEN doc_id % 2 = 0 THEN 'Deep ' || doc_id END AS title,
        'ok' AS status

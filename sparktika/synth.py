@@ -1466,11 +1466,23 @@ def build_msg_deep(msg_id: int) -> bytes:
         ])
 
 
+def _ppt_streams(text: str) -> dict[str, bytes]:
+    """Minimal `PowerPoint Document` stream: one container record with a
+    latin-1 TextBytesAtom (MS-PPT record header: verAndInstance u16,
+    recType u16, recLen u32)."""
+    import struct as _struct
+
+    atom = _struct.pack("<HHI", 0, 0x0FA8, len(text)) + text.encode("latin-1")
+    container = _struct.pack("<HHI", 0x000F, 0x03E8, len(atom)) + atom
+    return {"PowerPoint Document": container}
+
+
 def build_doc_embedded(doc_id: int) -> bytes:
     """Word97 .doc whose ObjectPool carries extractable payloads (the
     extract_embedded_recursive oracle, odd doc_ids): a packaged text file
-    (\\x01Ole10Native) and an embedded Word sub-document — both routed
-    back through the dispatcher / tree-scoped office kernels."""
+    (\\x01Ole10Native), an embedded Word sub-document, and (round 4) an
+    embedded PowerPoint presentation storage — all routed back through
+    the dispatcher / tree-scoped office kernels."""
     streams = _word_streams(f"Host doc {doc_id}.\r")
     return _ole2_file(
         streams,
@@ -1479,6 +1491,8 @@ def build_doc_embedded(doc_id: int) -> bytes:
                       _ole10native(f"note{doc_id % 6}.txt",
                                    f"Embedded note {doc_id}.".encode())},
             "_1002": {**_word_streams(f"Inner doc {doc_id}.\r"),
+                      "\x01Ole": b"\x00" * 8},
+            "_1003": {**_ppt_streams(f"Embedded slide {doc_id}."),
                       "\x01Ole": b"\x00" * 8},
         })])
 

@@ -788,13 +788,14 @@ def test_doc_objectpool_payload_extraction():
     assert r.text_extracted == (
         "Host doc 7.\n"
         "[Embedded: note1.txt]\nEmbedded note 7.\n"
-        "[Embedded: _1002]\nInner doc 7.\n")
-    assert r.metadata["embedded-names"] == ["note1.txt", "_1002"]
+        "[Embedded: _1002]\nInner doc 7.\n"
+        "[Embedded: _1003]\nEmbedded slide 7.\n")
+    assert r.metadata["embedded-names"] == ["note1.txt", "_1002", "_1003"]
     # recursion off -> host text only, embeds stay counted
     r0 = extract_document("d.doc", None, build_doc_embedded(7),
                           ExtractConfig(max_embed_depth=0))
     assert r0.text_extracted == "Host doc 7.\n"
-    assert r0.metadata["n-embedded-objects"] == ["2"]
+    assert r0.metadata["n-embedded-objects"] == ["3"]
 
 
 def test_ole2_dispatch_is_root_scoped():
@@ -1003,3 +1004,24 @@ def test_docx_multiple_embedded_names_is_a_real_list():
     assert r.metadata["embedded-names"] == ["oleObject1.bin",
                                             "oleObject2.bin"]
     assert "Part 1." in r.text_extracted and "Part 2." in r.text_extracted
+
+
+def test_embedded_ppt_storage_scoped_dispatch():
+    """An embedded `PowerPoint Document` storage runs the PPT kernel over
+    a ScopedOle view — and must NOT reroute the host .doc (invariant 12:
+    dispatch stays root-scoped)."""
+    from sparktika.kernels.ole2 import Ole2File, ScopedOle
+    from sparktika.kernels.ppt import extract_ppt_ole
+    from sparktika.synth import build_doc_embedded
+
+    data = build_doc_embedded(11)
+    r = extract_document("u/11.doc", None, data)
+    assert r.content_type_detected == "application/msword"  # host wins
+    assert "[Embedded: _1003]\nEmbedded slide 11.\n" in r.text_extracted
+    # direct scoped-kernel run over the sub-storage
+    ole = Ole2File(data)
+    pool = next(e for e in ole.root_children()
+                if e.obj_type == 1 and e.name == "ObjectPool")
+    st = next(e for e in ole.storage_children(pool) if e.name == "_1003")
+    pr = extract_ppt_ole(ScopedOle(ole, st))
+    assert pr.text == "Embedded slide 11.\n"
