@@ -328,6 +328,20 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected in ("text/vcard", "text/calendar"):
+            from .vcal import extract_vcal
+
+            r = extract_vcal(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {k: [v] for k, v in r.metadata.items()}
+            md["n-cards" if r.kind == "vcard" else "n-events"] = \
+                [str(r.n_components)]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.title,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/mbox":
             from .mbox import extract_mbox
 

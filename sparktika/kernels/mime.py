@@ -133,6 +133,12 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
         # bare-root SVG (no xml decl): ride the XML route, which refines
         # the label to image/svg+xml from the root element
         return "application/xml"
+    if head_l[:6].upper() == b"BEGIN:":
+        from .vcal import sniff_vcal
+
+        vc = sniff_vcal(data)
+        if vc is not None:
+            return vc
     if data[:5] == b"From ":
         # mbox envelope check BEFORE the eml sniff: an mbox's first line
         # is not header-shaped so sniff_eml rejects it anyway, but keep

@@ -1623,6 +1623,67 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_vcf_text",
+    """
+SELECT doc_id,
+       'Person ' || doc_id AS title,
+       'Person ' || doc_id || chr(10) ||
+       'Example Person' || doc_id || chr(10) ||
+       'p' || doc_id || '@example.com' || chr(10) ||
+       '+1-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || chr(10) ||
+       'Note line ' || doc_id || ', with comma' || chr(10) ||
+       'Org ' || (doc_id % 9) || chr(10) ||
+       'Card two ' || doc_id || chr(10) AS text_extracted,
+       'text/vcard' AS content_type_detected,
+       CAST(2 AS BIGINT) AS n_cards,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_vcf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vCard kernel end-to-end (RFC 6350 content lines: soft folding,
+    escaped commas, structured N, binary PHOTO skipped; Tika 1.20
+    VCardParser posture via tika-parsers, gradle.properties:5)."""
+    ext = _payload_extract(spark, sf_dir, "build_vcf", ".vcf")
+    return ext.select(
+        "doc_id", "title", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "n-cards").getItem(0)
+         .cast("long").alias("n_cards"),
+        "status")
+
+
+@_register(
+    "extract_ics_text",
+    """
+SELECT doc_id,
+       'Meeting ' || doc_id AS title,
+       'Meeting ' || doc_id || chr(10) ||
+       '2024' || lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0') ||
+       '01T090000Z' || chr(10) ||
+       'Room ' || (doc_id % 20) || chr(10) ||
+       'Agenda' || chr(10) || ' line ' || doc_id || chr(10) ||
+       'Followup ' || doc_id || chr(10) ||
+       '202406' || lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0') ||
+       'T100000Z' || chr(10) AS text_extracted,
+       'text/calendar' AS content_type_detected,
+       CAST(2 AS BIGINT) AS n_events,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_ics_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCalendar kernel end-to-end (RFC 5545: VEVENT properties extract,
+    VTODO excluded, escaped \\n in DESCRIPTION; Tika 1.20 ICalParser
+    posture via tika-parsers)."""
+    ext = _payload_extract(spark, sf_dir, "build_ics", ".ics")
+    return ext.select(
+        "doc_id", "title", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "n-events").getItem(0)
+         .cast("long").alias("n_events"),
+        "status")
+
+
+@_register(
     "extract_mbox_text",
     """
 SELECT doc_id AS mbox_id,

@@ -1203,6 +1203,57 @@ def build_7z_doc(doc_id: int) -> bytes:
                     lzma2_from=1)
 
 
+def build_vcf(doc_id: int) -> bytes:
+    """Deterministic 2-card vCard file (extract_vcf_text oracle): folded
+    NOTE line + escaped comma + structured N. Kernel output:
+      "Person {id}\\nPerson{id} Example\\np{id}@example.com\\n
+       +1-555-0{id%100:02d}\\nNote line {id}, with comma\\n
+       Org {id%9}\\nCard two {id}\\n"
+    """
+    return (
+        "BEGIN:VCARD\r\n"
+        "VERSION:4.0\r\n"
+        f"FN:Person {doc_id}\r\n"
+        f"N:Example;Person{doc_id};;;\r\n"
+        f"EMAIL;TYPE=work:p{doc_id}@example.com\r\n"
+        f"TEL:+1-555-0{doc_id % 100:02d}\r\n"
+        f"NOTE:Note line {doc_id}\\,\r\n"
+        "  with comma\r\n"
+        "PHOTO:data-skipped\r\n"
+        "END:VCARD\r\n"
+        "BEGIN:VCARD\r\n"
+        f"ORG:Org {doc_id % 9}\r\n"
+        f"FN:Card two {doc_id}\r\n"
+        "END:VCARD\r\n").encode()
+
+
+def build_ics(doc_id: int) -> bytes:
+    """Deterministic iCalendar file (extract_ics_text oracle): 2 VEVENTs
+    + a VTODO that must NOT contribute. Kernel output:
+      "Meeting {id}\\n20240(1+id%9)01T090000Z\\nRoom {id%20}\\n
+       Agenda line {id}\\nFollowup {id}\\n2024060(1+id%9)T100000Z\\n"
+    """
+    m = 1 + doc_id % 9
+    return (
+        "BEGIN:VCALENDAR\r\n"
+        "VERSION:2.0\r\n"
+        "PRODID:-//synth//EN\r\n"
+        "BEGIN:VEVENT\r\n"
+        f"SUMMARY:Meeting {doc_id}\r\n"
+        f"DTSTART:2024{m:02d}01T090000Z\r\n"
+        f"LOCATION:Room {doc_id % 20}\r\n"
+        f"DESCRIPTION:Agenda\\n line {doc_id}\r\n"
+        "END:VEVENT\r\n"
+        "BEGIN:VTODO\r\n"
+        "SUMMARY:Hidden todo\r\n"
+        "END:VTODO\r\n"
+        "BEGIN:VEVENT\r\n"
+        f"SUMMARY:Followup {doc_id}\r\n"
+        f"DTSTART:202406{m:02d}T100000Z\r\n"
+        "END:VEVENT\r\n"
+        "END:VCALENDAR\r\n").encode()
+
+
 def build_payload(doc_id: int, text: str) -> bytes:
     kind = doc_id % 20
     if kind <= 9:

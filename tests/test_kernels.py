@@ -741,3 +741,34 @@ def test_pdf_image_unsupported_codecs_counted_not_emitted():
     assert r.metadata["pdf:image-count"] == "3"
     assert r.metadata["pdf:decoded-image-count"] == "0"
     assert r.images == []
+
+
+def test_vcard_ical_kernels():
+    from sparktika.kernels.mime import detect_mime
+    from sparktika.kernels.vcal import extract_vcal, sniff_vcal
+    from sparktika.synth import build_ics, build_vcf
+
+    assert sniff_vcal(build_vcf(1)) == "text/vcard"
+    assert sniff_vcal(build_ics(1)) == "text/calendar"
+    assert detect_mime(build_vcf(1)) == "text/vcard"
+    assert detect_mime(build_ics(1)) == "text/calendar"
+    # prose mentioning BEGIN:VCARD mid-file never misroutes
+    assert detect_mime(b"notes about BEGIN:VCARD syntax\n") == "text/plain"
+
+    r = extract_vcal(build_vcf(4))
+    assert r.n_components == 2 and r.title == "Person 4"
+    assert "PHOTO" not in r.text and "data-skipped" not in r.text
+
+    r = extract_vcal(build_ics(4))
+    assert r.n_components == 2 and r.title == "Meeting 4"
+    assert "Hidden todo" not in r.text  # VTODO excluded
+
+    # folding + escapes
+    folded = (b"BEGIN:VCARD\r\nFN:Split\r\n  name\r\n"
+              b"NOTE:semi\; and \\\\ back\r\nEND:VCARD\r\n")
+    r = extract_vcal(folded)
+    assert r.text == "Split name\nsemi; and \\ back\n"
+
+    # malformed: never raises, still a result
+    r = extract_vcal(b"BEGIN:VCARD\njunk without colon\nFN\x00:x\n")
+    assert isinstance(r.text, str)
