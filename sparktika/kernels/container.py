@@ -26,6 +26,45 @@ from .ooxml import extract_docx, extract_pptx, extract_xlsx, is_ooxml, open_zip,
 MAX_PACKAGE_ENTRY_DEPTH = 20
 
 
+def route_member_text(
+    body: bytes,
+    name: str,
+    budget: int,
+    max_ratio: float,
+    max_entry_bytes: int,
+    depth: int,
+    deadline: float | None,
+    recurse,
+) -> str | None:
+    """ONE member-routing switch shared by the zip, tar, and 7z
+    containers (r4 review: three hand-rolled copies had already diverged
+    — the zip copy's text/html branch was dead because the broader
+    text/ prefix test preceded it). Returns extracted text, or None when
+    the member type carries none. html BEFORE the text/ prefix test."""
+    detected = mime_mod.detect_mime(body, None, name)
+    if detected == "text/html":
+        from .htmlparse import parse_html
+
+        return parse_html(charset_decode(body)[0], max_chars=budget,
+                          deadline=deadline).text
+    if detected.startswith("text/") or detected == "application/xml":
+        return charset_decode(body, is_html=False)[0]
+    if detected == "application/zip":
+        return extract_zip_container(body, budget, max_ratio,
+                                     max_entry_bytes, depth + 1, deadline,
+                                     recurse).text
+    if detected == "application/x-tar":
+        return extract_tar_container(body, budget, max_ratio,
+                                     max_entry_bytes, depth + 1, deadline,
+                                     recurse).text
+    if detected == "application/x-7z-compressed":
+        from .sevenzip import extract_7z
+
+        return extract_7z(body, budget, max_ratio, max_entry_bytes,
+                          depth + 1, deadline, recurse).text
+    return None
+
+
 @dataclass
 class ContainerResult:
     text: str
@@ -127,20 +166,9 @@ def extract_zip_container(
                 truncated = True
             else:
                 raise
-        detected = mime_mod.detect_mime(raw, None, info.filename)
-        if detected.startswith("text/") or detected == "application/xml":
-            t, _ = charset_decode(raw, is_html=False)
-        elif detected == "text/html":
-            from .htmlparse import parse_html
-
-            t = parse_html(charset_decode(raw)[0], max_chars=budget).text
-        elif detected == "application/zip":
-            t = extract_zip_container(raw, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline, recurse).text
-        elif detected == "application/x-tar":
-            t = extract_tar_container(raw, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline, recurse).text
-        else:
+        t = route_member_text(raw, info.filename, budget, max_ratio,
+                              max_entry_bytes, depth, deadline, recurse)
+        if t is None:
             continue
         if budget != -1 and len(t) > budget:
             t = t[:budget]
@@ -224,20 +252,9 @@ def extract_tar_container(
         if truncated:
             continue
         budget = max_chars - total if max_chars != -1 else -1
-        detected = mime_mod.detect_mime(body, None, name)
-        if detected == "text/html":
-            from .htmlparse import parse_html
-
-            t = parse_html(charset_decode(body)[0], max_chars=budget).text
-        elif detected.startswith("text/") or detected == "application/xml":
-            t, _ = charset_decode(body, is_html=False)
-        elif detected == "application/zip":
-            t = extract_zip_container(body, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline, recurse).text
-        elif detected == "application/x-tar":
-            t = extract_tar_container(body, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline, recurse).text
-        else:
+        t = route_member_text(body, name, budget, max_ratio,
+                              max_entry_bytes, depth, deadline, recurse)
+        if t is None:
             continue
         if budget != -1 and len(t) > budget:
             t = t[:budget]

@@ -32,7 +32,7 @@ import re
 from dataclasses import dataclass, field
 
 from .eml import extract_eml, sniff_eml
-from .errors import DeadlineError
+from .errors import DeadlineError, check_deadline
 
 _MAX_MESSAGES = 10_000
 
@@ -96,11 +96,7 @@ def extract_mbox(data: bytes, deadline: float | None = None) -> MboxResult:
     result = MboxResult(text="", title=None)
     parts: list[str] = []
     for raw in _split_messages(data)[:_MAX_MESSAGES]:
-        if deadline is not None:
-            import time
-
-            if time.monotonic() > deadline:
-                raise DeadlineError("mbox parse deadline exceeded")
+        check_deadline(deadline, "mbox message")
         body = _QUOTED_FROM_RE.sub(rb"\1", raw).rstrip(b"\r\n")
         try:
             r = extract_eml(body, deadline=deadline)

@@ -138,6 +138,9 @@ class _StreamsInfo:
     # per folder: number of substreams; substream sizes flattened
     num_substreams: list[int] = field(default_factory=list)
     substream_sizes: list[int] = field(default_factory=list)
+    # per folder: whether UnpackInfo carried a folder-level CRC (needed to
+    # size the SubStreamsInfo digest vector correctly)
+    folder_crc_defined: list[bool] = field(default_factory=list)
 
 
 def _parse_folder(buf: _Buf) -> _Folder:
@@ -204,12 +207,14 @@ def _parse_streams_info(buf: _Buf) -> _StreamsInfo:
         nid = buf.byte()
         while nid != _K_END:
             if nid == _K_CRC:
-                defined = buf.bits_or_all(num_folders)
-                buf.take(4 * sum(defined))
+                info.folder_crc_defined = buf.bits_or_all(num_folders)
+                buf.take(4 * sum(info.folder_crc_defined))
             else:
                 raise KernelError(f"7z: unexpected id {nid} in UnpackInfo")
             nid = buf.byte()
         nid = buf.byte()
+    if not info.folder_crc_defined:
+        info.folder_crc_defined = [False] * len(info.folders)
     info.num_substreams = [1] * len(info.folders)
     have_explicit_sizes = False
     if nid == _K_SUBSTREAMS:
@@ -236,7 +241,14 @@ def _parse_streams_info(buf: _Buf) -> _StreamsInfo:
             nid = buf.byte()
         while nid != _K_END:
             if nid == _K_CRC:
-                n_dig = sum(info.num_substreams)
+                # digest vector covers only streams with UNKNOWN CRC: a
+                # single-substream folder whose CRC was already written as
+                # a folder digest in UnpackInfo is excluded (7zFormat.txt;
+                # r4 review finding — sizing it as sum(num_substreams)
+                # misparsed spec-conforming mixed archives)
+                n_dig = sum(
+                    0 if (cnt == 1 and info.folder_crc_defined[fi]) else cnt
+                    for fi, cnt in enumerate(info.num_substreams))
                 defined = buf.bits_or_all(n_dig)
                 buf.take(4 * sum(defined))
             else:
@@ -254,6 +266,28 @@ def _parse_streams_info(buf: _Buf) -> _StreamsInfo:
     if nid != _K_END:
         raise KernelError(f"7z: unexpected id {nid} after StreamsInfo")
     return info
+
+
+def _lzma_filter_spec(cid: bytes, props: bytes) -> dict:
+    """Decode the coder's properties blob into an lzma raw-filter spec
+    from scratch (no private-API dependency — r4 review finding):
+    LZMA2 carries a 1-byte dictionary-size code, LZMA1 a packed
+    (pb*5+lp)*9+lc byte plus a u32le dictionary size."""
+    if cid == _CODER_LZMA2:
+        if len(props) != 1 or props[0] > 40:
+            raise KernelError("7z: bad LZMA2 properties")
+        p = props[0]
+        dict_size = (0xFFFFFFFF if p == 40
+                     else (2 | (p & 1)) << (p // 2 + 11))
+        return {"id": lzma.FILTER_LZMA2, "dict_size": max(dict_size, 4096)}
+    if len(props) != 5 or props[0] >= 9 * 5 * 5:
+        raise KernelError("7z: bad LZMA1 properties")
+    d = props[0]
+    lc, rem = d % 9, d // 9
+    lp, pb = rem % 5, rem // 5
+    dict_size = int.from_bytes(props[1:5], "little")
+    return {"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp, "pb": pb,
+            "dict_size": max(dict_size, 4096)}
 
 
 def _decode_folder(folder: _Folder, packed: bytes, max_ratio: float,
@@ -276,11 +310,7 @@ def _decode_folder(folder: _Folder, packed: bytes, max_ratio: float,
             raise InflateRatioError("7z: bzip2 folder exceeded declared size")
         return out
     if cid in (_CODER_LZMA2, _CODER_LZMA1):
-        fid = (lzma.FILTER_LZMA2 if cid == _CODER_LZMA2 else lzma.FILTER_LZMA1)
-        try:
-            filt = lzma._decode_filter_properties(fid, folder.props)
-        except Exception as e:
-            raise KernelError(f"7z: bad LZMA properties: {e}") from e
+        filt = _lzma_filter_spec(cid, folder.props)
         dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
         try:
             out = dec.decompress(packed, max_length=out_size)
@@ -355,9 +385,7 @@ def extract_7z(
     """7z member text extraction with the zip/tar containers' routing and
     budget semantics (returns a ContainerResult)."""
     from .container import (MAX_PACKAGE_ENTRY_DEPTH, ContainerResult,
-                            extract_tar_container, extract_zip_container)
-    from . import mime as mime_mod
-    from .charset import decode as charset_decode
+                            route_member_text)
 
     if depth > MAX_PACKAGE_ENTRY_DEPTH:
         raise KernelError(
@@ -389,31 +417,45 @@ def extract_7z(
             raise KernelError(f"7z: unexpected id {nid} in header")
         nid = buf.byte()
 
-    # materialize member payloads: walk folders in order, slicing their
-    # decompressed output by substream sizes
-    payloads: list[bytes] = []
-    pack_offsets = [base + info.pack_pos]
-    for s in info.pack_sizes[:-1]:
-        pack_offsets.append(pack_offsets[-1] + s)
-    pack_i = 0
+    # map substreams onto (folder_idx, offset_in_folder, size) WITHOUT
+    # decompressing anything yet: folders decode lazily in the member
+    # loop so a small max_chars budget stops the work early instead of
+    # inflating gigabytes first (r4 review finding; the zip path's
+    # budget-capped-inflate posture)
+    member_slices: list[tuple[int, int, int]] = []
     sub_i = 0
-    for fi, folder in enumerate(info.folders):
-        check_deadline(deadline, "7z folder decode")
-        if pack_i >= len(info.pack_sizes):
-            raise KernelError("7z: folder has no pack stream")
-        off = pack_offsets[pack_i]
-        packed = data[off: off + info.pack_sizes[pack_i]]
-        pack_i += folder.num_pack_streams
-        out = _decode_folder(folder, packed, max_ratio, max_entry_bytes)
+    for fi in range(len(info.folders)):
         pos = 0
         for _ in range(info.num_substreams[fi]):
             size = info.substream_sizes[sub_i]
             sub_i += 1
-            payloads.append(out[pos: pos + size])
+            member_slices.append((fi, pos, size))
             pos += size
 
+    pack_offsets = [base + info.pack_pos]
+    for s in info.pack_sizes[:-1]:
+        pack_offsets.append(pack_offsets[-1] + s)
+
+    # one-folder cache: members arrive in folder order, so just-in-time
+    # sequential decode never re-inflates
+    cached: tuple[int, bytes] | None = None
+
+    def folder_bytes(fi: int) -> bytes:
+        nonlocal cached
+        if cached is not None and cached[0] == fi:
+            return cached[1]
+        if fi >= len(info.pack_sizes):
+            raise KernelError("7z: folder has no pack stream")
+        check_deadline(deadline, "7z folder decode")
+        off = pack_offsets[fi]
+        packed = data[off: off + info.pack_sizes[fi]]
+        out = _decode_folder(info.folders[fi], packed, max_ratio,
+                             max_entry_bytes)
+        cached = (fi, out)
+        return out
+
     if not names:
-        names = [f"file{i}" for i in range(len(payloads))]
+        names = [f"file{i}" for i in range(len(member_slices))]
         has_stream = [True] * len(names)
 
     parts: list[str] = []
@@ -424,29 +466,19 @@ def extract_7z(
     for i, name in enumerate(names):
         if i < len(has_stream) and not has_stream[i]:
             continue  # empty file / directory entry
-        if pi >= len(payloads):
+        if pi >= len(member_slices):
             break
-        body = payloads[pi]
+        fi, off_f, size = member_slices[pi]
         pi += 1
         entry_names.append(name)
         check_deadline(deadline, "7z member route")
         if truncated:
-            continue
+            continue  # names still recorded; no further decompression
+        body = folder_bytes(fi)[off_f: off_f + size]
         budget = max_chars - total if max_chars != -1 else -1
-        detected = mime_mod.detect_mime(body, None, name)
-        if detected == "text/html":
-            from .htmlparse import parse_html
-
-            t = parse_html(charset_decode(body)[0], max_chars=budget).text
-        elif detected.startswith("text/") or detected == "application/xml":
-            t, _ = charset_decode(body, is_html=False)
-        elif detected == "application/zip":
-            t = extract_zip_container(body, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline, recurse).text
-        elif detected == "application/x-tar":
-            t = extract_tar_container(body, budget, max_ratio, max_entry_bytes,
-                                      depth + 1, deadline, recurse).text
-        else:
+        t = route_member_text(body, name, budget, max_ratio,
+                              max_entry_bytes, depth, deadline, recurse)
+        if t is None:
             continue
         if budget != -1 and len(t) > budget:
             t = t[:budget]

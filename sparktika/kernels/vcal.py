@@ -91,6 +91,11 @@ def extract_vcal(data: bytes, deadline: float | None = None) -> VcalResult:
     title: str | None = None
     n_comp = 0
     in_component = False  # flips at BEGIN:VCARD / BEGIN:VEVENT
+    # nested sub-components (VALARM inside VEVENT, embedded groups) must
+    # not leak their SUMMARY/DESCRIPTION into the event's text or steal
+    # the title (r4 review finding) — suppress while any non-target
+    # component is open inside the target one
+    suppress = 0
     props = ICAL_PROPS if is_ical else VCARD_PROPS
     i = 0
     for name, value in _content_lines(text):
@@ -105,14 +110,23 @@ def extract_vcal(data: bytes, deadline: float | None = None) -> VcalResult:
                 if n_comp > _MAX_COMPONENTS:
                     break
                 in_component = True
+                suppress = 0
+            elif in_component:
+                suppress += 1
             continue
         if name == "END":
             comp = value.upper()
+            if suppress and not (
+                    (is_ical and comp == "VEVENT")
+                    or (not is_ical and comp == "VCARD")):
+                suppress -= 1
+                continue
             if (is_ical and comp == "VEVENT") or (not is_ical
                                                   and comp == "VCARD"):
                 in_component = False
+                suppress = 0
             continue
-        if not in_component or not value:
+        if not in_component or suppress or not value:
             continue
         if name in props:
             if title is None and name == ("SUMMARY" if is_ical else "FN"):

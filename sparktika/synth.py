@@ -1206,10 +1206,10 @@ def build_7z_doc(doc_id: int) -> bytes:
 def build_vcf(doc_id: int) -> bytes:
     """Deterministic 2-card vCard file (extract_vcf_text oracle): folded
     NOTE line + escaped comma + structured N. Kernel output:
-      "Person {id}\\nPerson{id} Example\\np{id}@example.com\\n
+      "Person {id}\\nExample Person{id}\\np{id}@example.com\\n
        +1-555-0{id%100:02d}\\nNote line {id}, with comma\\n
        Org {id%9}\\nCard two {id}\\n"
-    """
+    (N is family-then-given: components join in written order.)"""
     return (
         "BEGIN:VCARD\r\n"
         "VERSION:4.0\r\n"

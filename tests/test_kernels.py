@@ -772,3 +772,25 @@ def test_vcard_ical_kernels():
     # malformed: never raises, still a result
     r = extract_vcal(b"BEGIN:VCARD\njunk without colon\nFN\x00:x\n")
     assert isinstance(r.text, str)
+
+
+def test_ical_valarm_does_not_leak():
+    """r4 review finding: a VALARM nested in a VEVENT must not leak its
+    SUMMARY/DESCRIPTION into the text or steal the title."""
+    from sparktika.kernels.vcal import extract_vcal
+
+    ics = (b"BEGIN:VCALENDAR\r\n"
+           b"BEGIN:VEVENT\r\n"
+           b"BEGIN:VALARM\r\n"
+           b"ACTION:EMAIL\r\n"
+           b"SUMMARY:Alarm mail subject\r\n"
+           b"DESCRIPTION:Reminder body\r\n"
+           b"END:VALARM\r\n"
+           b"SUMMARY:Real meeting\r\n"
+           b"LOCATION:Room 1\r\n"
+           b"END:VEVENT\r\n"
+           b"END:VCALENDAR\r\n")
+    r = extract_vcal(ics)
+    assert r.title == "Real meeting"
+    assert r.text == "Real meeting\nRoom 1\n"
+    assert "Alarm" not in r.text and "Reminder" not in r.text

@@ -1025,3 +1025,15 @@ def test_embedded_ppt_storage_scoped_dispatch():
     st = next(e for e in ole.storage_children(pool) if e.name == "_1003")
     pr = extract_ppt_ole(ScopedOle(ole, st))
     assert pr.text == "Embedded slide 11.\n"
+
+
+def test_zip_html_member_parses_to_body_text():
+    """r4 review finding: the zip member router's text/html branch was
+    dead (shadowed by the text/ prefix test), so zip HTML members leaked
+    raw markup. All three containers must agree via the shared router."""
+    html = (b"<html><head><title>T</title></head>"
+            b"<body><p>zip html body</p></body></html>")
+    data = _zip_bytes({"page.html": html})
+    r = extract_zip_container(data)
+    assert "zip html body" in r.text
+    assert "<html>" not in r.text and "<p>" not in r.text

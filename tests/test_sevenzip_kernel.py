@@ -165,3 +165,89 @@ def test_nested_zip_inside_7z():
     arc = build_7z([("inner.zip", buf.getvalue())])
     r = extract_7z(arc)
     assert "nested zip text" in r.text
+
+
+def test_mixed_folder_crc_digest_sizing():
+    """Spec-conforming archive mixing a folder-CRC'd single-file folder
+    with a solid 2-file folder whose SubStreams digests cover ONLY the
+    unknown-CRC streams (r4 review finding: sizing the digest vector as
+    sum(num_substreams) misparsed this shape)."""
+    m0 = b"single member text\n"
+    solid = b"solid one\n" + b"solid two\n"
+    comp = lzma.compress(solid, format=lzma.FORMAT_RAW,
+                         filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+    packed = m0 + comp
+    hdr = bytearray()
+    hdr += bytes([0x01, 0x04])
+    hdr += bytes([0x06]) + _7z_number(0) + _7z_number(2)
+    hdr += bytes([0x09]) + _7z_number(len(m0)) + _7z_number(len(comp))
+    hdr += bytes([0x00])
+    hdr += bytes([0x07, 0x0B]) + _7z_number(2) + b"\x00"
+    hdr += b"\x01\x01\x00"          # folder 0: Copy
+    hdr += b"\x01\x21\x21\x01\x16"  # folder 1: LZMA2
+    hdr += bytes([0x0C]) + _7z_number(len(m0)) + _7z_number(len(solid))
+    # UnpackInfo kCRC: folder 0 has a CRC, folder 1 does not
+    hdr += bytes([0x0A, 0x00, 0b10000000])
+    hdr += binascii.crc32(m0).to_bytes(4, "little")
+    hdr += bytes([0x00])  # end UnpackInfo
+    # SubStreams: folder counts 1,2; one explicit size for the solid pair;
+    # digest vector covers ONLY the 2 unknown-CRC solid streams
+    hdr += bytes([0x08, 0x0D]) + _7z_number(1) + _7z_number(2)
+    hdr += bytes([0x09]) + _7z_number(10)
+    hdr += bytes([0x0A, 0x01])  # AllAreDefined for the 2 unknown streams
+    hdr += binascii.crc32(b"solid one\n").to_bytes(4, "little")
+    hdr += binascii.crc32(b"solid two\n").to_bytes(4, "little")
+    hdr += bytes([0x00])  # end SubStreams
+    hdr += bytes([0x00])  # end MainStreamsInfo
+    hdr += bytes([0x05]) + _7z_number(3)
+    nm = b"\x00" + b"".join((n + "\x00").encode("utf-16-le")
+                            for n in ("a.txt", "b.txt", "c.txt"))
+    hdr += bytes([0x11]) + _7z_number(len(nm)) + nm
+    hdr += bytes([0x00, 0x00])
+    r = extract_7z(_finish(packed, bytes(hdr)))
+    assert r.entries == ["a.txt", "b.txt", "c.txt"]
+    assert r.text == "single member text\nsolid one\nsolid two\n"
+
+
+def test_truncation_stops_decompression():
+    """max_chars reached in folder 0 -> later folders are never decoded
+    (lazy just-in-time decode, r4 review finding)."""
+    import sparktika.kernels.sevenzip as sz
+
+    members = [(f"m{i}.txt", f"member {i} text ".encode() * 50)
+               for i in range(6)]
+    arc = build_7z(members, lzma2_from=1)
+    calls = []
+    orig = sz._decode_folder
+
+    def spy(folder, packed, *a, **k):
+        calls.append(1)
+        return orig(folder, packed, *a, **k)
+
+    sz._decode_folder = spy
+    try:
+        r = extract_7z(arc, max_chars=100)
+    finally:
+        sz._decode_folder = orig
+    assert r.truncated
+    assert len(r.entries) == 6          # names still recorded
+    assert len(calls) == 1              # only the first folder decoded
+
+
+def test_nested_7z_inside_7z():
+    inner = build_7z([("leaf.txt", b"nested seven zip text\n")])
+    outer = build_7z([("inner.7z", inner)])
+    r = extract_7z(outer)
+    assert "nested seven zip text" in r.text
+
+
+def test_lzma1_folder_manual_props():
+    body = b"lzma1 member text\n" * 4
+    comp = lzma.compress(body, format=lzma.FORMAT_ALONE)[13:]
+    props = lzma._encode_filter_properties(
+        {"id": lzma.FILTER_LZMA1, "preset": 6})
+    desc = (b"\x01" + bytes([0x20 | 3]) + b"\x03\x01\x01"
+            + _7z_number(len(props)) + props)
+    arc = _one_folder_archive(desc, comp, len(body), ["l.txt"])
+    r = extract_7z(arc)
+    assert r.text == body.decode()
