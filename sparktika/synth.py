@@ -1203,6 +1203,34 @@ def build_7z_doc(doc_id: int) -> bytes:
                     lzma2_from=1)
 
 
+def _bmff_box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def build_heif(media_id: int) -> bytes:
+    """Deterministic AVIF/HEIC header (media_heif_meta oracle): ftyp
+    (even ids avif, odd heic) + meta box with pitm -> ipma -> ipco/ispe.
+    Primary item dims = media_dims(media_id); a second thumbnail ispe
+    (8x8) exercises primary-item resolution. Header-only — no coded
+    payload (the kernel never decodes tiles)."""
+    import struct as _struct
+
+    w, h = media_dims(media_id)
+    brand = b"avif" if media_id % 2 == 0 else b"heic"
+    ftyp = _bmff_box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand + b"mif1")
+    pitm = _bmff_box(b"pitm", b"\x00\x00\x00\x00" + _struct.pack(">H", 1))
+    ispe1 = _bmff_box(b"ispe", b"\x00\x00\x00\x00" + _struct.pack(">II", w, h))
+    ispe2 = _bmff_box(b"ispe", b"\x00\x00\x00\x00" + _struct.pack(">II", 8, 8))
+    ipco = _bmff_box(b"ipco", ispe1 + ispe2)
+    # ipma v0 flags0: 1 entry: item 1 -> property index 1 (the primary ispe)
+    ipma = _bmff_box(b"ipma", b"\x00\x00\x00\x00"
+                     + _struct.pack(">I", 1) + _struct.pack(">H", 1)
+                     + bytes([1, 1]))
+    iprp = _bmff_box(b"iprp", ipco + ipma)
+    meta = _bmff_box(b"meta", b"\x00\x00\x00\x00" + pitm + iprp)
+    return ftyp + meta
+
+
 def build_vcf(doc_id: int) -> bytes:
     """Deterministic 2-card vCard file (extract_vcf_text oracle): folded
     NOTE line + escaped comma + structured N. Kernel output:

@@ -905,3 +905,41 @@ def test_webp_header_dimensions_all_variants():
     bad = bad[:23] + b"\x00\x00\x00" + bad[26:]
     assert image_dimensions(bad) is None
     assert image_dimensions(b"RIFF\x00\x00\x00\x00WEBPVP8 ") is None
+
+
+def test_heif_primary_item_beats_largest_ispe():
+    """pitm/ipma resolution must pick the PRIMARY item's ispe even when
+    another property (e.g. a full-res auxiliary) is larger."""
+    import struct
+
+    from sparktika.kernels.image import image_dimensions
+    from sparktika.synth import _bmff_box
+
+    ftyp = _bmff_box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+    pitm = _bmff_box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 2))
+    ispe_big = _bmff_box(b"ispe",
+                         b"\x00\x00\x00\x00" + struct.pack(">II", 999, 999))
+    ispe_primary = _bmff_box(b"ispe",
+                             b"\x00\x00\x00\x00" + struct.pack(">II", 40, 30))
+    ipco = _bmff_box(b"ipco", ispe_big + ispe_primary)
+    ipma = _bmff_box(b"ipma", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                     + struct.pack(">H", 2) + bytes([1, 2]))
+    meta = _bmff_box(b"meta", b"\x00\x00\x00\x00" + pitm
+                     + _bmff_box(b"iprp", ipco + ipma))
+    assert image_dimensions(ftyp + meta) == ("image/avif", 40, 30)
+    # no associations -> largest-ispe fallback
+    meta2 = _bmff_box(b"meta", b"\x00\x00\x00\x00"
+                      + _bmff_box(b"iprp", ipco))
+    assert image_dimensions(ftyp + meta2) == ("image/avif", 999, 999)
+    # truncated meta box -> None (honest unsupported), never a raise
+    assert image_dimensions((ftyp + meta)[:40]) is None
+
+
+def test_heif_dispatch_end_to_end():
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_heif
+
+    r = extract_document("u/3.heic", None, build_heif(3))
+    assert r.status == "ok"
+    assert r.content_type_detected == "image/heic"
+    assert r.metadata["Image Width"] == ["19"]
