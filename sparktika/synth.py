@@ -1231,6 +1231,31 @@ def build_heif(media_id: int) -> bytes:
     return ftyp + meta
 
 
+def _tnef_attr(level: int, att_id: int, raw: bytes) -> bytes:
+    import struct as _struct
+
+    return (bytes([level]) + _struct.pack("<II", att_id, len(raw)) + raw
+            + _struct.pack("<H", sum(raw) & 0xFFFF))
+
+
+def build_tnef(doc_id: int) -> bytes:
+    """Deterministic winmail.dat (extract_tnef_text oracle): subject +
+    CRLF body + one titled text attachment that the dispatcher recurses.
+    Kernel output:
+      "Tnef mail {id}\\nTnef body {id}.\\nSecond line.\\n
+       [Attachment: memo{id%4}.txt]\\nAttached memo {id}.\\n"
+    """
+    subject = f"Tnef mail {doc_id}\x00".encode("cp1252")
+    body = f"Tnef body {doc_id}.\r\nSecond line.\r\n\x00".encode("cp1252")
+    title = f"memo{doc_id % 4}.txt\x00".encode("cp1252")
+    payload = f"Attached memo {doc_id}.".encode()
+    return (b"\x78\x9f\x3e\x22" + b"\x01\x00"
+            + _tnef_attr(1, 0x00018004, subject)
+            + _tnef_attr(1, 0x0002800C, body)
+            + _tnef_attr(2, 0x00018010, title)
+            + _tnef_attr(2, 0x0006800F, payload))
+
+
 def build_vcf(doc_id: int) -> bytes:
     """Deterministic 2-card vCard file (extract_vcf_text oracle): folded
     NOTE line + escaped comma + structured N. Kernel output:

@@ -198,3 +198,29 @@ def test_mbox_dispatch_end_to_end():
     assert r.content_type_detected == "application/mbox"
     assert r.metadata["n-messages"] == ["3"]
     assert r.title == "Mbox 1 msg 0"
+
+
+# ---------------------------------------------------------------- tnef
+
+def test_tnef_kernel_and_dispatch():
+    from sparktika.kernels.tnef import extract_tnef
+    from sparktika.synth import _tnef_attr, build_tnef
+
+    r = extract_document("u/5.dat", None, build_tnef(5))
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/vnd.ms-tnef"
+    assert r.title == "Tnef mail 5"
+    assert r.text_extracted == (
+        "Tnef mail 5\nTnef body 5.\nSecond line.\n"
+        "[Attachment: memo1.txt]\nAttached memo 5.\n")
+    # corrupt checksum: that attribute is skipped, the rest extracts
+    bad = (b"\x78\x9f\x3e\x22\x01\x00"
+           + _tnef_attr(1, 0x00018004, b"Good subject\x00")[:-2] + b"\xff\xff"
+           + _tnef_attr(1, 0x0002800C, b"Body stays.\x00"))
+    t = extract_tnef(bad)
+    assert t.subject is None and "Body stays." in t.text
+    # truncated mid-attribute: clean stop, never a raise
+    data = build_tnef(5)
+    for cut in (8, 20, len(data) - 3):
+        rr = extract_document("u/t.dat", None, data[:cut])
+        assert rr.status in ("ok", "failed", "unsupported"), cut
