@@ -9,7 +9,7 @@ fingerprint (inherently procedural) is the one pandas-UDF member.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Marker words per language — shared verbatim with the DuckDB oracle
 # (kernels/textstats.py LANG_MARKERS is the kernel-side equivalent for
@@ -277,3 +277,44 @@ def deterministic_sample(
     return (df.withColumn("__bucket", bucket)
             .filter(F.col("__bucket") < rate_expr)
             .drop("__bucket"))
+
+
+def concat_chunk_map(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    context_len: int = 2048,
+    n_shards: int = 32,
+    shard_expr: "F.Column | None" = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing MAP: documents are
+    (logically) concatenated in key order within a deterministic shard
+    and split into fixed ``context_len``-token windows; each document
+    reports which chunk its first and last token land in. This is the
+    padding-free packing step of LLM training pipelines (documents cross
+    chunk boundaries; nothing is dropped).
+
+    Plan: one window (cumsum of token counts per shard, ordered by key)
+    — a single Exchange on the shard id, no UDF, no iteration. At 100 TB
+    the shard count bounds window-partition size; shards are
+    independent, so skew is the hash's problem, not the operator's."""
+    toks = token_count_col(F.col(text_col))
+    # default shard = xxhash64 (uniform at scale); callers needing a
+    # cross-engine-reproducible layout pass their own expression
+    shard = (shard_expr if shard_expr is not None
+             else F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+    w = (Window.partitionBy("shard").orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.select(key_col, toks.alias("n_tokens"), shard.alias("shard"))
+           .withColumn("cum", F.sum("n_tokens").over(w))
+           .withColumn("start_chunk",
+                       ((F.col("cum") - F.col("n_tokens"))
+                        / context_len).cast("long"))
+           .withColumn("end_chunk",
+                       (F.when(F.col("n_tokens") > 0, F.col("cum") - 1)
+                         .otherwise(F.col("cum") - F.col("n_tokens"))
+                        / context_len).cast("long")))
+    return out.select(key_col, "shard", "n_tokens", "start_chunk",
+                      "end_chunk",
+                      (F.col("end_chunk") - F.col("start_chunk") + 1)
+                      .cast("long").alias("n_chunks"))

@@ -514,7 +514,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "text_fingerprint_md5",
     "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
 )
 def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2500,6 +2499,52 @@ def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_concat_chunks",
+    r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM t)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS start_chunk,
+       CAST((CASE WHEN n_tokens > 0 THEN cum - 1
+                  ELSE cum - n_tokens END) // 512 AS BIGINT) AS end_chunk,
+       CAST((CASE WHEN n_tokens > 0 THEN cum - 1
+                  ELSE cum - n_tokens END) // 512
+            - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks
+FROM c
+""",
+)
+def corpus_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing map (padding-free LLM
+    batch assembly: shard-ordered docs concatenate and split into fixed
+    512-token context windows, documents crossing boundaries). One
+    window cumsum per shard — single Exchange, zero UDF; the oracle is
+    the identical window algebra. Shard here is doc_id % 8 so both
+    engines agree (production default is xxhash64)."""
+    from .pipeline.textstats import concat_chunk_map
+
+    docs = _docs(spark, sf_dir)
+    out = concat_chunk_map(docs, "text", "doc_id", context_len=512,
+                           shard_expr=(F.col("doc_id") % 8).cast("long"))
+    return out.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_chunk", "end_chunk", "n_chunks")
+
+
+@_register(
     "text_chunking",
     """
 WITH g AS (
@@ -3446,12 +3491,14 @@ _GATE_PRIORITY: list[str] = [
     "extract_ics_text",
     "media_heif_meta",
     "extract_tnef_text",
+    "corpus_concat_chunks",
     # 2) the queries whose newest hard row dated from round 2, minus
     #    media_features and dedup_normalized (displaced for the heif and
     #    tnef slots: media_features' decoders are pixel-pinned in pytest
     #    and covered by the r3-gated media_jpeg/tiff/resize rows;
     #    dedup_normalized is a trivial variant of in-window dedup_exact;
-    #    the 50-slot window is hard)
+    #    text_fingerprint_md5 is a one-expression md5 prefix pinned by
+    #    pytest and its winnowing sibling; the 50-slot window is hard)
     #    (r3 verdict item 3: every oracle row must be <=1 round old)
     "dedup_embedding_cosine",
     "dedup_exact",

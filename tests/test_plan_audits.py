@@ -103,3 +103,26 @@ def test_cap_per_host_two_phase_salted(spark):
     plan = _plan(resume.cap_per_host(pages, n_per_host=3))
     assert "__salt" in plan
     assert plan.count("Window") >= 2
+
+
+def test_concat_chunk_map_single_exchange_and_tiling(spark):
+    """Sequence packing: exactly one Exchange (the shard window), zero
+    Python; and within every shard the docs tile the concatenated token
+    stream with no gaps or overlaps."""
+    from sparktika.pipeline.textstats import concat_chunk_map
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = concat_chunk_map(docs, "text", "doc_id", context_len=512)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+    rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    pos = {}
+    for r in rows:
+        cur = pos.get(r["shard"], 0)
+        assert r["start_chunk"] == cur // 512
+        if r["n_tokens"] > 0:
+            assert r["end_chunk"] == (cur + r["n_tokens"] - 1) // 512
+            assert r["n_chunks"] == r["end_chunk"] - r["start_chunk"] + 1
+        pos[r["shard"]] = cur + r["n_tokens"]
