@@ -276,3 +276,40 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 32,
+    threshold: float = 0.95,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): spherical k-means
+    clusters the embedding space, then near-duplicate pruning runs ONLY
+    inside each cluster — the cluster id is the blocking key, so the
+    quadratic cosine join is bounded at (corpus/K)^2 per cluster instead
+    of corpus^2. Returns the KEEP/DROP verdict per vector: within every
+    cosine-dup pair the larger id drops (deterministic, matches the
+    paper's keep-one-per-group policy).
+
+    Scale shape: centroid training is K x dim driver-side (broadcast
+    class); assignment is a zero-shuffle Arrow matmul pass; the pair join
+    shuffles on cluster id only; the drop set is bare ids. At 100 TB the
+    lever is n_clusters — SemDeDup used 50k clusters for LAION-scale."""
+    cents = train_ivf_centroids(emb, n_centroids=n_clusters, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    assigned = (ivf_assign(emb, cents, nprobe=1, id_col=id_col,
+                           vec_col=vec_col)
+                .select(F.col("id").alias(id_col),
+                        F.col("vec").alias(vec_col),
+                        F.col("centroid_ids")[0].alias("cluster")))
+    pairs = embedding_near_dup_pairs(assigned, threshold=threshold,
+                                     block_col="cluster", id_col=id_col,
+                                     vec_col=vec_col)
+    drops = (pairs.select(F.col("id_b").alias(id_col)).distinct())
+    return (assigned.select(id_col, "cluster")
+            .join(drops.withColumn("__drop", F.lit(True)), id_col, "left")
+            .select(id_col, "cluster",
+                    F.coalesce(F.col("__drop"), F.lit(False)).alias("is_dup")))

@@ -748,6 +748,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+@_register("dedup_semantic")  # RO: k-means clustering isn't SQL-expressible
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): spherical-k-means clusters bound the
+    quadratic cosine join; within-pair larger id drops. Rows-only gate
+    (iterative clustering); planted near-dup recall pinned in
+    tests/test_pipeline_integration.py."""
+    emb = _emb(spark, sf_dir)
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") % 25 == 0)
+           .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    return similarity.semantic_dedup(planted, n_clusters=8, threshold=0.999)
+
+
 # =====================================================================
 # Relational family (SURVEY.md §2.B categories over the TPC-H-ish tables)
 # =====================================================================

@@ -808,3 +808,29 @@ def test_deterministic_sample_reproducible_across_partitionings(spark):
     en_kept = len({r["doc_id"] for r in
                    deterministic_sample(docs, rates).filter("lang='en'").collect()})
     assert 0.3 * en_total < en_kept < 0.7 * en_total
+
+
+def test_semantic_dedup_planted_exact_copies(spark):
+    """SemDeDup composition: exact planted copies must be flagged with
+    recall 1.0 at threshold ~1.0, the originals kept, and clusters must
+    actually bound the join (pair search never crosses clusters)."""
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copies = (emb.filter(F.col("vec_id") % 25 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    n_planted = copies.count()
+    out = semantic_dedup(emb.unionByName(copies), n_clusters=8,
+                         threshold=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    # every planted copy flagged as dup (its original has the smaller id)
+    flagged = [v for v in rows if v >= 1_000_000 and rows[v]["is_dup"]]
+    assert len(flagged) == n_planted
+    # copies land in the SAME cluster as their originals (exact vectors)
+    for v in (v for v in rows if v >= 1_000_000):
+        assert rows[v]["cluster"] == rows[v - 1_000_000]["cluster"]
+    # originals are kept
+    assert all(not rows[v]["is_dup"] for v in rows
+               if v < 1_000_000 and (v % 25) == 0)
