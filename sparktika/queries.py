@@ -514,6 +514,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_fingerprint_md5",
     "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
 )
 def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,6 +563,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_normalized",
     "WITH " + _DUP_CORPUS_SQL + """
 SELECT key, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_sha
 FROM corpus
@@ -3517,7 +3519,6 @@ _GATE_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_newest_per_url",
     "dedup_ngram_spans",
-    "dedup_normalized",
     "dedup_token_jaccard",
     "events_hourly_rollup",
     "events_sessionize",
@@ -3549,7 +3550,6 @@ _GATE_PRIORITY: list[str] = [
     "rel_window_latest_event",
     "resume_anti_join",
     "sim_topk_bruteforce",
-    "text_fingerprint_md5",
     "text_lang_id",
     "text_oov_rate",
     "text_quality",
