@@ -58,10 +58,21 @@ def route_member_text(
                                      max_entry_bytes, depth + 1, deadline,
                                      recurse).text
     if detected == "application/x-7z-compressed":
+        from .errors import DeadlineError
         from .sevenzip import extract_7z
 
-        return extract_7z(body, budget, max_ratio, max_entry_bytes,
-                          depth + 1, deadline, recurse).text
+        try:
+            return extract_7z(body, budget, max_ratio, max_entry_bytes,
+                              depth + 1, deadline, recurse).text
+        except DeadlineError:
+            raise  # the shared per-document budget always propagates
+        except KernelError:
+            # a refused member (corrupt header, AES, filter chain — all
+            # by-design status-row refusals when standalone) must not
+            # fail the OUTER container and lose its siblings' text
+            # (r4 review finding); the bomb guards fired before any
+            # decompression, so skipping is safe
+            return None
     return None
 
 

@@ -1273,30 +1273,41 @@ def _heif_dimensions(data: bytes) -> tuple[str, int, int] | None:
                     if b2 == b"ipco":
                         ipco_props = list(_boxes(data, s2, e2, 3))
                     elif b2 == b"ipma":
-                        ver = data[s2]
-                        flags = int.from_bytes(data[s2 + 1: s2 + 4], "big")
-                        (cnt,) = struct.unpack_from(">I", data, s2 + 4)
-                        pos = s2 + 8
-                        for _ in range(min(cnt, 10_000)):
-                            if ver == 0:
-                                (iid,) = struct.unpack_from(">H", data, pos)
-                                pos += 2
-                            else:
-                                (iid,) = struct.unpack_from(">I", data, pos)
-                                pos += 4
-                            ac = data[pos]
-                            pos += 1
-                            idxs = []
-                            for _ in range(ac):
-                                if flags & 1:
-                                    (v,) = struct.unpack_from(">H", data,
-                                                              pos)
-                                    pos += 2
-                                    idxs.append(v & 0x7FFF)
-                                else:
-                                    idxs.append(data[pos] & 0x7F)
-                                    pos += 1
-                            assoc[iid] = idxs
+                        # parsed in its own guard and bounded by the BOX
+                        # END, not just the declared count — a corrupt
+                        # ipma must neither walk into following boxes nor
+                        # kill the largest-ispe fallback (r4 review)
+                        try:
+                            ver = data[s2]
+                            flags = int.from_bytes(data[s2 + 1: s2 + 4],
+                                                   "big")
+                            (cnt,) = struct.unpack_from(">I", data, s2 + 4)
+                            pos = s2 + 8
+                            found: dict[int, list[int]] = {}
+                            for _ in range(min(cnt, 10_000)):
+                                id_w = 2 if ver == 0 else 4
+                                if pos + id_w + 1 > e2:
+                                    raise KernelError("ipma truncated")
+                                iid = int.from_bytes(
+                                    data[pos: pos + id_w], "big")
+                                pos += id_w
+                                ac = data[pos]
+                                pos += 1
+                                idx_w = 2 if flags & 1 else 1
+                                if pos + ac * idx_w > e2:
+                                    raise KernelError("ipma truncated")
+                                idxs = []
+                                for _ in range(ac):
+                                    v = int.from_bytes(
+                                        data[pos: pos + idx_w], "big")
+                                    pos += idx_w
+                                    idxs.append(
+                                        v & (0x7FFF if idx_w == 2
+                                             else 0x7F))
+                                found[iid] = idxs
+                            assoc = found
+                        except (struct.error, IndexError, KernelError):
+                            assoc = {}
 
         def ispe_at(idx: int):
             if 1 <= idx <= len(ipco_props):

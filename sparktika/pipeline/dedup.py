@@ -407,6 +407,18 @@ def duplicate_clusters(
     star = (per_doc.join(rep, "shingle")
             .select("key", "root").filter(F.col("key") != F.col("root"))
             .distinct())
+    return components_from_edges(star, max_iter=max_iter)
+
+
+def components_from_edges(star: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(key, cluster) connected components over an edge list (key, root)
+    by iterative min-label propagation with pointer jumping — the CC
+    core shared by the n-gram duplicate clusters and semantic dedup
+    (r4 review: pairwise drop policies over-prune on similarity chains;
+    keep-one-per-GROUP needs the transitive closure). Same guarantees
+    as documented on duplicate_clusters: one shuffle-join + min-agg per
+    round, localCheckpoint lineage cuts, O(log diameter) rounds,
+    RAISES on non-convergence."""
     # undirected edge list (both directions) for label propagation
     edges = star.unionByName(
         star.select(F.col("root").alias("key"), F.col("key").alias("root"))
@@ -441,7 +453,7 @@ def duplicate_clusters(
             break
     if not converged:
         raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"components_from_edges did not converge in {max_iter} rounds "
             "(raise max_iter; silent partial clusters are worse than an "
             "error)")
     return labels.select("key", F.col("label").alias("cluster"))

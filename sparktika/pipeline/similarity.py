@@ -290,25 +290,35 @@ def semantic_dedup(
     clusters the embedding space, then near-duplicate pruning runs ONLY
     inside each cluster — the cluster id is the blocking key, so the
     quadratic cosine join is bounded at (corpus/K)^2 per cluster instead
-    of corpus^2. Returns the KEEP/DROP verdict per vector: within every
-    cosine-dup pair the larger id drops (deterministic, matches the
-    paper's keep-one-per-group policy).
+    of corpus^2. Returns the KEEP/DROP verdict per vector: cosine-dup
+    pairs close transitively into groups (connected components — r4
+    review: dropping every pair's larger id over-prunes on similarity
+    chains a~b~c where only b duplicates anything kept) and each group
+    keeps exactly its smallest id.
 
     Scale shape: centroid training is K x dim driver-side (broadcast
-    class); assignment is a zero-shuffle Arrow matmul pass; the pair join
-    shuffles on cluster id only; the drop set is bare ids. At 100 TB the
-    lever is n_clusters — SemDeDup used 50k clusters for LAION-scale."""
+    class); the assignment pass is persisted (it feeds both sides of
+    the pair self-join — unpersisted it would recompute the corpus-wide
+    Arrow matmul 3x); the pair join shuffles on cluster id only; the CC
+    loop runs over bare id pairs. At 100 TB the lever is n_clusters —
+    SemDeDup used 50k clusters for LAION-scale."""
+    from .dedup import components_from_edges
+
     cents = train_ivf_centroids(emb, n_centroids=n_clusters, iters=iters,
                                 id_col=id_col, vec_col=vec_col)
     assigned = (ivf_assign(emb, cents, nprobe=1, id_col=id_col,
                            vec_col=vec_col)
                 .select(F.col("id").alias(id_col),
                         F.col("vec").alias(vec_col),
-                        F.col("centroid_ids")[0].alias("cluster")))
+                        F.col("centroid_ids")[0].alias("cluster"))
+                .persist())
     pairs = embedding_near_dup_pairs(assigned, threshold=threshold,
                                      block_col="cluster", id_col=id_col,
                                      vec_col=vec_col)
-    drops = (pairs.select(F.col("id_b").alias(id_col)).distinct())
+    comps = components_from_edges(
+        pairs.select(F.col("id_a").alias("key"), F.col("id_b").alias("root")))
+    drops = (comps.filter(F.col("key") != F.col("cluster"))
+             .select(F.col("key").alias(id_col)))
     return (assigned.select(id_col, "cluster")
             .join(drops.withColumn("__drop", F.lit(True)), id_col, "left")
             .select(id_col, "cluster",

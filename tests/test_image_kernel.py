@@ -943,3 +943,28 @@ def test_heif_dispatch_end_to_end():
     assert r.status == "ok"
     assert r.content_type_detected == "image/heic"
     assert r.metadata["Image Width"] == ["19"]
+
+
+def test_heif_corrupt_ipma_falls_back_to_largest_ispe():
+    """r4 second review: an ipma declaring more entries than its box
+    holds must not kill the largest-ispe fallback or read past the box
+    end into following boxes."""
+    import struct
+
+    from sparktika.kernels.image import image_dimensions
+    from sparktika.synth import _bmff_box
+
+    ftyp = _bmff_box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+    pitm = _bmff_box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+    ispe = _bmff_box(b"ispe",
+                     b"\x00\x00\x00\x00" + struct.pack(">II", 40, 30))
+    ipco = _bmff_box(b"ipco", ispe)
+    # declares 1000 entries, carries one
+    ipma_bad = _bmff_box(b"ipma", b"\x00\x00\x00\x00"
+                         + struct.pack(">I", 1000)
+                         + struct.pack(">H", 1) + bytes([1, 1]))
+    meta = _bmff_box(b"meta", b"\x00\x00\x00\x00" + pitm
+                     + _bmff_box(b"iprp", ipco + ipma_bad))
+    # trailing mdat that a count-driven walk would stray into
+    tail = _bmff_box(b"mdat", b"\x00\x01" * 64)
+    assert image_dimensions(ftyp + meta + tail) == ("image/avif", 40, 30)

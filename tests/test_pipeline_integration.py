@@ -834,3 +834,28 @@ def test_semantic_dedup_planted_exact_copies(spark):
     # originals are kept
     assert all(not rows[v]["is_dup"] for v in rows
                if v < 1_000_000 and (v % 25) == 0)
+
+
+def test_semantic_dedup_chain_keeps_one_per_group(spark):
+    """r4 second review: a~b, b~c similarity chain (a!~c) is ONE group —
+    exactly the smallest id survives, not only `a` with `c` over-pruned."""
+    from pyspark.sql import Row, functions as F
+
+    from sparktika.pipeline.similarity import semantic_dedup
+
+    import math
+    # unit vectors at 0deg, 20deg, 40deg: cos(20deg)=0.94 >= t, cos(40deg)=0.766 < t
+    def v(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))] + [0.0] * 6
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=v(0)),
+        Row(vec_id=2, embedding=v(20)),
+        Row(vec_id=3, embedding=v(40)),
+        Row(vec_id=100, embedding=[0.0] * 7 + [1.0]),  # far-away singleton
+    ])
+    out = {r["vec_id"]: r["is_dup"]
+           for r in semantic_dedup(emb, n_clusters=1, threshold=0.9,
+                                   iters=1).collect()}
+    assert out == {1: False, 2: True, 3: True, 100: False}

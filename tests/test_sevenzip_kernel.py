@@ -251,3 +251,18 @@ def test_lzma1_folder_manual_props():
     arc = _one_folder_archive(desc, comp, len(body), ["l.txt"])
     r = extract_7z(arc)
     assert r.text == body.decode()
+
+
+def test_refused_7z_member_keeps_container_siblings():
+    """r4 second review: a zip carrying a corrupt/refused 7z member must
+    still yield the sibling members' text, not fail wholesale."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("good.txt", "good text here\n")
+        z.writestr("bad.7z", b"7z\xbc\xaf\x27\x1c" + b"\x00" * 10)
+    r = extract_document("u/x.zip", None, buf.getvalue())
+    assert r.status == "ok"
+    assert "good text here" in r.text_extracted
