@@ -196,3 +196,58 @@ def parse_ogg_header(data: bytes) -> AudioMeta | None:
             return AudioMeta("audio/opus", rate, channels)
         return None
     return None
+
+
+def parse_id3_tags(data: bytes) -> dict[str, str]:
+    """ID3v2 text frames -> Tika-style keys (title / xmpDM:artist /
+    xmpDM:album — the Mp3Parser metadata users actually consume).
+    Handles v2.2 (3-byte ids/sizes), v2.3 (plain 32-bit sizes) and v2.4
+    (syncsafe sizes); text encodings latin-1 / utf-16(+BOM) / utf-16-be
+    / utf-8. Unknown frames are skipped by size; anything malformed
+    stops the walk with whatever was parsed (never raises)."""
+    out: dict[str, str] = {}
+    if data[:3] != b"ID3" or len(data) < 10:
+        return out
+    ver = data[3]
+    tag_size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    end = min(10 + tag_size, len(data))
+    pos = 10
+    if data[5] & 0x40 and ver >= 3:  # extended header: skip by its size
+        if pos + 4 > end:
+            return out
+        ext = int.from_bytes(data[pos: pos + 4], "big")
+        pos += ext if ver == 4 else ext + 4
+    names = ({b"TT2": "title", b"TP1": "xmpDM:artist", b"TAL": "xmpDM:album"}
+             if ver == 2 else
+             {b"TIT2": "title", b"TPE1": "xmpDM:artist",
+              b"TALB": "xmpDM:album"})
+    id_w = 3 if ver == 2 else 4
+    try:
+        for _ in range(256):
+            hdr_w = id_w + (3 if ver == 2 else 6)
+            if pos + hdr_w > end:
+                break
+            fid = data[pos: pos + id_w]
+            if fid.strip(b"\x00") == b"":
+                break  # padding
+            if ver == 2:
+                size = int.from_bytes(data[pos + 3: pos + 6], "big")
+            elif ver == 4:
+                b_ = data[pos + 4: pos + 8]
+                size = ((b_[0] & 0x7F) << 21) | ((b_[1] & 0x7F) << 14) \
+                    | ((b_[2] & 0x7F) << 7) | (b_[3] & 0x7F)
+            else:
+                size = int.from_bytes(data[pos + 4: pos + 8], "big")
+            body = data[pos + hdr_w: pos + hdr_w + size]
+            pos += hdr_w + size
+            if fid in names and body:
+                enc, payload = body[0], body[1:]
+                codec = ("latin-1", "utf-16", "utf-16-be",
+                         "utf-8")[enc] if enc < 4 else "latin-1"
+                val = payload.decode(codec, "replace").strip("\x00").strip()
+                if val:
+                    out[names[fid]] = val
+    except (IndexError, ValueError):
+        pass
+    return out

@@ -788,7 +788,15 @@ def extract_document(
                     md["duration-ms"] = [str(am.duration_ms)]
                 if am.bitrate_kbps:
                     md["bitrate-kbps"] = [str(am.bitrate_kbps)]
-                return res(detected=am.mime, text_extracted="",
+                title = None
+                if detected == "audio/mpeg":
+                    from .audio import parse_id3_tags
+
+                    tags = parse_id3_tags(data)
+                    for k, v in tags.items():
+                        md[k] = [v]
+                    title = tags.get("title")
+                return res(detected=am.mime, text_extracted="", title=title,
                            metadata=md, status=STATUS_OK)
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error="audio headers unparseable")

@@ -2135,6 +2135,31 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_mp3_tags",
+    """
+SELECT doc_id AS media_id,
+       'Track ' || doc_id AS title,
+       'Artist ' || (doc_id % 5) AS artist,
+       'Album ' || (doc_id % 7) AS album,
+       'audio/mpeg' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame metadata (title/artist/album) through the audio
+    route — the Mp3Parser tag surface Tika users consume (keys title /
+    xmpDM:artist / xmpDM:album)."""
+    ext = _payload_extract(spark, sf_dir, "build_mp3_id3", ".mp3")
+    return ext.select(
+        F.col("doc_id").alias("media_id"),
+        "title",
+        F.element_at("metadata", "xmpDM:artist").getItem(0).alias("artist"),
+        F.element_at("metadata", "xmpDM:album").getItem(0).alias("album"),
+        "content_type_detected", "status")
+
+
+@_register(
     "media_heif_meta",
     """
 SELECT doc_id AS media_id,

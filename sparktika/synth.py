@@ -2190,6 +2190,32 @@ def build_mp3(media_id: int) -> bytes:
             + frame + b"\x00" * (payload_len - len(frame)))
 
 
+def build_mp3_id3(media_id: int) -> bytes:
+    """MP3 with real ID3v2.3 TIT2/TPE1/TALB text frames (extract_mp3_tags
+    oracle): title "Track {id}", artist "Artist {id%5}", album
+    "Album {id%7}"; audio frame identical to build_mp3's shape. NEW
+    corpus per invariant 2 — build_mp3 (empty tag) stays frozen for
+    media_audio_headers."""
+    import struct as _struct
+
+    def frame(fid: bytes, text: str) -> bytes:
+        body = b"\x00" + text.encode("latin-1")
+        return fid + _struct.pack(">I", len(body)) + b"\x00\x00" + body
+
+    frames = (frame(b"TIT2", f"Track {media_id}")
+              + frame(b"TPE1", f"Artist {media_id % 5}")
+              + frame(b"TALB", f"Album {media_id % 7}"))
+    sz = len(frames)
+    hdr = (b"ID3" + bytes([3, 0, 0])
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F]))
+    br_idx = 9 + media_id % 6
+    bitrate = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320)[br_idx]
+    mpeg = bytes([0xFF, 0xFB, (br_idx << 4) | ((media_id % 3) << 2), 0x00])
+    return hdr + frames + mpeg + b"\x00" * (bitrate * 25 - len(mpeg))
+
+
 def build_ogg(media_id: int) -> bytes:
     """Single Ogg page with a Vorbis (even id) or Opus (odd id)
     identification header (media_audio_headers oracle)."""

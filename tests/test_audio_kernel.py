@@ -249,3 +249,47 @@ def test_ogg_vorbis_and_opus_headers():
     # unknown codec in Ogg framing: honest unsupported
     r = extract_document("a.ogg", None, ogg_page(b"\x80theora" + bytes(20)))
     assert r.status == "unsupported"
+
+
+def test_id3_tags_versions_and_encodings():
+    import struct
+
+    from sparktika.kernels.audio import parse_id3_tags
+
+    def tag(ver, frames):
+        sz = len(frames)
+        return (b"ID3" + bytes([ver, 0, 0])
+                + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F]) + frames)
+
+    # v2.4 syncsafe frame sizes, utf-8 encoding
+    body = b"\x03" + "Tïtle ünïcode".encode("utf-8")
+    f24 = (b"TIT2" + bytes([(len(body) >> 21) & 0x7F,
+                            (len(body) >> 14) & 0x7F,
+                            (len(body) >> 7) & 0x7F, len(body) & 0x7F])
+           + b"\x00\x00" + body)
+    assert parse_id3_tags(tag(4, f24))["title"] == "Tïtle ünïcode"
+    # v2.2 three-byte ids/sizes
+    b22 = b"\x00Old Title"
+    f22 = b"TT2" + len(b22).to_bytes(3, "big") + b22
+    assert parse_id3_tags(tag(2, f22))["title"] == "Old Title"
+    # utf-16 with BOM (v2.3)
+    b16 = b"\x01" + "utf16 name".encode("utf-16")
+    f16 = b"TPE1" + struct.pack(">I", len(b16)) + b"\x00\x00" + b16
+    assert parse_id3_tags(tag(3, f16))["xmpDM:artist"] == "utf16 name"
+    # garbage: empty dict, no raise
+    assert parse_id3_tags(b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f" + b"\xff" * 64) \
+        == parse_id3_tags(b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f" + b"\xff" * 64)
+    assert parse_id3_tags(b"not id3") == {}
+
+
+def test_mp3_id3_dispatch_title():
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_mp3_id3
+
+    r = extract_document("u/9.mp3", None, build_mp3_id3(9))
+    assert r.status == "ok"
+    assert r.title == "Track 9"
+    assert r.metadata["xmpDM:artist"] == ["Artist 4"]
+    assert r.metadata["xmpDM:album"] == ["Album 2"]
+    assert r.metadata["samplerate"][0] != "0"
