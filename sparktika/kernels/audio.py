@@ -251,3 +251,49 @@ def parse_id3_tags(data: bytes) -> dict[str, str]:
     except (IndexError, ValueError):
         pass
     return out
+
+
+def parse_flac_comments(data: bytes) -> dict[str, str]:
+    """FLAC VORBIS_COMMENT block (format spec §9.5 / Vorbis comment
+    spec) -> the same Tika-style keys as the ID3 path (title /
+    xmpDM:artist / xmpDM:album). Field names match case-insensitively;
+    comment and block counts are capped; malformed data returns whatever
+    parsed (never raises)."""
+    out: dict[str, str] = {}
+    if data[:4] != b"fLaC":
+        return out
+    wanted = {"title": "title", "artist": "xmpDM:artist",
+              "album": "xmpDM:album"}
+    pos = 4
+    try:
+        for _ in range(64):  # metadata block cap
+            if pos + 4 > len(data):
+                break
+            head = data[pos]
+            size = int.from_bytes(data[pos + 1: pos + 4], "big")
+            body = data[pos + 4: pos + 4 + size]
+            if head & 0x7F == 4:  # VORBIS_COMMENT
+                p = 0
+                vlen = int.from_bytes(body[p: p + 4], "little")
+                p += 4 + vlen
+                cnt = int.from_bytes(body[p: p + 4], "little")
+                p += 4
+                for _ in range(min(cnt, 1024)):
+                    if p + 4 > len(body):
+                        break
+                    clen = int.from_bytes(body[p: p + 4], "little")
+                    p += 4
+                    field = body[p: p + clen].decode("utf-8", "replace")
+                    p += clen
+                    if "=" in field:
+                        k, v = field.split("=", 1)
+                        key = wanted.get(k.lower())
+                        if key and v and key not in out:
+                            out[key] = v
+                break
+            pos += 4 + size
+            if head & 0x80:  # last-block flag
+                break
+    except (IndexError, ValueError):
+        pass
+    return out

@@ -789,10 +789,12 @@ def extract_document(
                 if am.bitrate_kbps:
                     md["bitrate-kbps"] = [str(am.bitrate_kbps)]
                 title = None
-                if detected == "audio/mpeg":
-                    from .audio import parse_id3_tags
+                if detected in ("audio/mpeg", "audio/flac"):
+                    from .audio import parse_flac_comments, parse_id3_tags
 
-                    tags = parse_id3_tags(data)
+                    tags = (parse_id3_tags(data)
+                            if detected == "audio/mpeg"
+                            else parse_flac_comments(data))
                     for k, v in tags.items():
                         md[k] = [v]
                     title = tags.get("title")

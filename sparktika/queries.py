@@ -2135,6 +2135,35 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_flac_tags",
+    """
+SELECT doc_id AS media_id,
+       'Flac ' || doc_id AS title,
+       'Artist ' || (doc_id % 5) AS artist,
+       'Album ' || (doc_id % 7) AS album,
+       CAST([44100, 48000, 32000, 22050][CAST(1 + doc_id % 4 AS INT)]
+            AS BIGINT) AS samplerate,
+       'audio/flac' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_flac_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC VORBIS_COMMENT tag metadata (title/artist/album) through the
+    audio route, alongside the STREAMINFO fields — the FLAC tag surface
+    matching the ID3 path's keys."""
+    ext = _payload_extract(spark, sf_dir, "build_flac_tags", ".flac")
+    return ext.select(
+        F.col("doc_id").alias("media_id"),
+        "title",
+        F.element_at("metadata", "xmpDM:artist").getItem(0).alias("artist"),
+        F.element_at("metadata", "xmpDM:album").getItem(0).alias("album"),
+        F.element_at("metadata", "samplerate").getItem(0)
+         .cast("long").alias("samplerate"),
+        "content_type_detected", "status")
+
+
+@_register(
     "extract_mp3_tags",
     """
 SELECT doc_id AS media_id,

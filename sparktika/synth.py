@@ -2174,6 +2174,27 @@ def build_flac(media_id: int) -> bytes:
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
 
 
+def build_flac_tags(media_id: int) -> bytes:
+    """FLAC with STREAMINFO + VORBIS_COMMENT block (extract_flac_tags
+    oracle): TITLE "Flac {id}", ARTIST "Artist {id%5}", ALBUM
+    "Album {id%7}". NEW corpus per invariant 2 — build_flac (STREAMINFO
+    only) stays frozen for media_audio_headers."""
+    base = build_flac(media_id)
+    # clear the STREAMINFO last-block flag, append the comment block
+    si = bytes([base[4] & 0x7F]) + base[5:]
+    comments = [f"TITLE=Flac {media_id}",
+                f"ARTIST=Artist {media_id % 5}",
+                f"ALBUM=Album {media_id % 7}"]
+    vendor = b"sparktika"
+    body = (len(vendor).to_bytes(4, "little") + vendor
+            + len(comments).to_bytes(4, "little"))
+    for c in comments:
+        cb = c.encode()
+        body += len(cb).to_bytes(4, "little") + cb
+    block = bytes([0x80 | 4]) + len(body).to_bytes(3, "big") + body
+    return base[:4] + si + block
+
+
 def build_mp3(media_id: int) -> bytes:
     """ID3v2-prefixed MPEG-1 Layer III header + CBR payload sized for an
     exact 200ms-multiple duration (media_audio_headers oracle)."""

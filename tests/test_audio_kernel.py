@@ -293,3 +293,21 @@ def test_mp3_id3_dispatch_title():
     assert r.metadata["xmpDM:artist"] == ["Artist 4"]
     assert r.metadata["xmpDM:album"] == ["Album 2"]
     assert r.metadata["samplerate"][0] != "0"
+
+
+def test_flac_vorbis_comments():
+    from sparktika.kernels.audio import parse_flac_comments
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_flac, build_flac_tags
+
+    tags = parse_flac_comments(build_flac_tags(3))
+    assert tags == {"title": "Flac 3", "xmpDM:artist": "Artist 3",
+                    "xmpDM:album": "Album 3"}
+    # STREAMINFO-only file: no tags, no raise
+    assert parse_flac_comments(build_flac(3)) == {}
+    # truncated comment block: whatever parsed, never a raise
+    data = build_flac_tags(3)
+    for cut in (10, 50, len(data) - 4):
+        parse_flac_comments(data[:cut])
+    r = extract_document("u/3.flac", None, build_flac_tags(3))
+    assert r.title == "Flac 3" and r.status == "ok"
