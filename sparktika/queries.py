@@ -3561,19 +3561,22 @@ _GATE_PRIORITY: list[str] = [
     "media_heif_meta",
     "extract_tnef_text",
     "corpus_concat_chunks",
+    "extract_mp3_tags",
+    "extract_flac_tags",
     # 2) the queries whose newest hard row dated from round 2, minus
     #    media_features and dedup_normalized (displaced for the heif and
     #    tnef slots: media_features' decoders are pixel-pinned in pytest
     #    and covered by the r3-gated media_jpeg/tiff/resize rows;
     #    dedup_normalized is a trivial variant of in-window dedup_exact;
     #    text_fingerprint_md5 is a one-expression md5 prefix pinned by
-    #    pytest and its winnowing sibling; the 50-slot window is hard)
+    #    pytest and its winnowing sibling; dedup_token_jaccard and
+    #    metrics_by_host carry r1 AND r2 green rows plus pytest; the
+    #    50-slot window is hard)
     #    (r3 verdict item 3: every oracle row must be <=1 round old)
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_newest_per_url",
     "dedup_ngram_spans",
-    "dedup_token_jaccard",
     "events_hourly_rollup",
     "events_sessionize",
     "extract_charset",
@@ -3589,7 +3592,6 @@ _GATE_PRIORITY: list[str] = [
     "extract_truncation",
     "extract_xlsx_text",
     "extract_zip_text",
-    "metrics_by_host",
     "rel_agg_pricing_summary",
     "rel_anti_join_inactive_customers",
     "rel_asof_join",
