@@ -11,9 +11,11 @@ Scope (deliberately bounded — stdlib codecs only):
 
 - signature + start header (CRC-verified), plain AND LZMA/LZMA2-encoded
   headers
-- folders with exactly ONE coder among Copy (00), LZMA1 (030101),
-  LZMA2 (21), BZip2 (040202); multi-coder chains (BCJ filters etc.) and
-  AES-encrypted archives (06F107xx) raise KernelError -> status row
+- single-coder folders among Copy (00), LZMA1 (030101), LZMA2 (21),
+  BZip2 (040202), plus LZMA1/LZMA2 folders chained behind the stdlib
+  branch filters (BCJ x86/ARM/ARMT/PPC/SPARC/IA64, delta) — 7-Zip's
+  default executable compression; BCJ2 (multi-stream) and AES-encrypted
+  archives (06F107xx) raise KernelError -> status row
 - SubStreamsInfo (several files sharing one solid folder), empty-stream
   file entries, GNU-style UTF-16LE names
 - members re-route through the same MIME detect -> text logic as the
@@ -64,6 +66,19 @@ _CODER_LZMA2 = b"\x21"
 _CODER_LZMA1 = b"\x03\x01\x01"
 _CODER_BZIP2 = b"\x04\x02\x02"
 _CODER_AES_PREFIX = b"\x06\xf1\x07"
+
+# branch (BCJ/delta) preprocessors stdlib liblzma can chain in front of
+# LZMA1/LZMA2 — covers 7-Zip's DEFAULT executable compression (BCJ x86
+# + LZMA2). BCJ2 (4-stream) stays unsupported: its coder is 2-in/4-out.
+_BRANCH_CODERS = {
+    b"\x03\x03\x01\x03": lzma.FILTER_X86,
+    b"\x03\x03\x02\x05": lzma.FILTER_POWERPC,
+    b"\x03\x03\x03\x01": lzma.FILTER_IA64,
+    b"\x03\x03\x05\x01": lzma.FILTER_ARM,
+    b"\x03\x03\x07\x01": lzma.FILTER_ARMTHUMB,
+    b"\x03\x03\x08\x05": lzma.FILTER_SPARC,
+    b"\x03": lzma.FILTER_DELTA,
+}
 
 
 class _Buf:
@@ -124,10 +139,27 @@ class _Buf:
 
 @dataclass
 class _Folder:
-    coder_id: bytes = b""
-    props: bytes = b""
+    # (coder_id, props) per coder; with every coder 1-in/1-out, stream
+    # index i (in or out) belongs to coder i
+    coders: list = field(default_factory=list)
+    bind_pairs: list = field(default_factory=list)  # (in_idx, out_idx)
+    packed_in: int = 0   # the in-stream fed by the folder's pack stream
+    final_out: int = 0   # the out-stream no bind pair consumes
     unpack_size: int = 0
     num_pack_streams: int = 1
+
+    @property
+    def decode_chain(self) -> list[int]:
+        """Coder indices in DATA-FLOW order from the packed stream to
+        the folder output (packed -> primary codec -> branch filters)."""
+        by_out = {op: ip for ip, op in self.bind_pairs}
+        chain = [self.packed_in]
+        for _ in range(len(self.coders)):
+            nxt = by_out.get(chain[-1])
+            if nxt is None:
+                break
+            chain.append(nxt)
+        return chain
 
 
 @dataclass
@@ -145,30 +177,40 @@ class _StreamsInfo:
 
 def _parse_folder(buf: _Buf) -> _Folder:
     num_coders = buf.number()
-    if num_coders != 1:
-        raise KernelError(
-            f"7z: {num_coders}-coder folder unsupported (filter chains "
-            "refused by design)")
-    flag = buf.byte()
-    id_size = flag & 0x0F
-    coder_id = buf.take(id_size)
-    if coder_id[:3] == _CODER_AES_PREFIX:
-        raise KernelError("7z: encrypted archive (AES coder) refused")
-    num_in = num_out = 1
-    if flag & 0x10:  # complex coder
-        num_in = buf.number()
-        num_out = buf.number()
-    props = b""
-    if flag & 0x20:
-        props = buf.take(buf.number())
-    if num_out != 1:
-        raise KernelError("7z: multi-output coder unsupported")
-    # with one single-in/out coder there are no bind pairs; packed-stream
-    # indices appear only when num_pack_streams > 1
-    f = _Folder(coder_id=coder_id, props=props)
-    f.num_pack_streams = num_in
-    if num_in != 1:
-        raise KernelError("7z: multi-input coder unsupported")
+    if not 1 <= num_coders <= 4:
+        raise KernelError(f"7z: {num_coders}-coder folder unsupported")
+    f = _Folder()
+    for _ in range(num_coders):
+        flag = buf.byte()
+        id_size = flag & 0x0F
+        coder_id = buf.take(id_size)
+        if coder_id[:3] == _CODER_AES_PREFIX:
+            raise KernelError("7z: encrypted archive (AES coder) refused")
+        num_in = num_out = 1
+        if flag & 0x10:  # complex coder
+            num_in = buf.number()
+            num_out = buf.number()
+        props = b""
+        if flag & 0x20:
+            props = buf.take(buf.number())
+        if num_in != 1 or num_out != 1:
+            raise KernelError(
+                "7z: multi-stream coder unsupported (BCJ2 posture: "
+                "refused to a status row)")
+        f.coders.append((coder_id, props))
+    f.bind_pairs = [(buf.number(), buf.number())
+                    for _ in range(num_coders - 1)]
+    bound_ins = {ip for ip, _ in f.bind_pairs}
+    bound_outs = {op for _, op in f.bind_pairs}
+    free_ins = [i for i in range(num_coders) if i not in bound_ins]
+    free_outs = [o for o in range(num_coders) if o not in bound_outs]
+    if len(free_ins) != 1 or len(free_outs) != 1:
+        raise KernelError("7z: folder stream graph unsupported")
+    # with exactly one packed stream no explicit index list is stored
+    f.packed_in = free_ins[0]
+    f.final_out = free_outs[0]
+    if len(f.decode_chain) != num_coders:
+        raise KernelError("7z: folder bind pairs do not form a chain")
     return f
 
 
@@ -203,7 +245,10 @@ def _parse_streams_info(buf: _Buf) -> _StreamsInfo:
         if buf.byte() != _K_UNPACK_SIZES:
             raise KernelError("7z: UnpackInfo missing kCodersUnpackSize")
         for f in info.folders:
-            f.unpack_size = buf.number()  # one out stream per folder
+            # one size per OUT stream (all coders); the folder's size is
+            # the unbound (final) out stream's
+            sizes = [buf.number() for _ in range(len(f.coders))]
+            f.unpack_size = sizes[f.final_out]
         nid = buf.byte()
         while nid != _K_END:
             if nid == _K_CRC:
@@ -300,24 +345,55 @@ def _decode_folder(folder: _Folder, packed: bytes, max_ratio: float,
         raise InflateRatioError(
             f"7z folder inflate ratio {out_size / max(len(packed), 1):.0f} "
             f"exceeds cap {max_ratio}")
-    cid = folder.coder_id
-    if cid == _CODER_COPY:
-        return packed[:out_size]
-    if cid == _CODER_BZIP2:
-        dec = bz2.BZ2Decompressor()
-        out = dec.decompress(packed, out_size + 1)
-        if len(out) > out_size:
-            raise InflateRatioError("7z: bzip2 folder exceeded declared size")
-        return out
-    if cid in (_CODER_LZMA2, _CODER_LZMA1):
-        filt = _lzma_filter_spec(cid, folder.props)
-        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
-        try:
-            out = dec.decompress(packed, max_length=out_size)
-        except lzma.LZMAError as e:
-            raise KernelError(f"7z: LZMA stream error: {e}") from e
-        return out
-    raise KernelError(f"7z: unsupported coder id {cid.hex()}")
+    chain = folder.decode_chain
+    if len(chain) == 1:
+        cid, props = folder.coders[chain[0]]
+        if cid == _CODER_COPY:
+            return packed[:out_size]
+        if cid == _CODER_BZIP2:
+            dec = bz2.BZ2Decompressor()
+            out = dec.decompress(packed, out_size + 1)
+            if len(out) > out_size:
+                raise InflateRatioError(
+                    "7z: bzip2 folder exceeded declared size")
+            return out
+        if cid in (_CODER_LZMA2, _CODER_LZMA1):
+            filt = _lzma_filter_spec(cid, props)
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW,
+                                        filters=[filt])
+            try:
+                out = dec.decompress(packed, max_length=out_size)
+            except lzma.LZMAError as e:
+                raise KernelError(f"7z: LZMA stream error: {e}") from e
+            return out
+        raise KernelError(f"7z: unsupported coder id {cid.hex()}")
+    # filter chain: packed -> LZMA1/LZMA2 -> branch filters (BCJ/delta).
+    # liblzma wants encoder order (branches first, primary last), i.e.
+    # the reverse of the decode chain.
+    primary_cid, primary_props = folder.coders[chain[0]]
+    if primary_cid not in (_CODER_LZMA2, _CODER_LZMA1):
+        raise KernelError(
+            f"7z: chain primary {primary_cid.hex()} unsupported")
+    specs = []
+    for ci in reversed(chain[1:]):
+        cid, props = folder.coders[ci]
+        fid = _BRANCH_CODERS.get(cid)
+        if fid is None:
+            raise KernelError(f"7z: unsupported chain coder {cid.hex()}")
+        if fid == lzma.FILTER_DELTA:
+            specs.append({"id": fid,
+                          "dist": (props[0] + 1) if props else 1})
+        else:
+            if props:
+                # nonzero BCJ start offsets are exotic; refuse honestly
+                raise KernelError("7z: BCJ start offset unsupported")
+            specs.append({"id": fid})
+    specs.append(_lzma_filter_spec(primary_cid, primary_props))
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=specs)
+    try:
+        return dec.decompress(packed, max_length=out_size)
+    except lzma.LZMAError as e:
+        raise KernelError(f"7z: LZMA chain stream error: {e}") from e
 
 
 def _parse_files_info(buf: _Buf) -> tuple[list[str], list[bool]]:

@@ -103,9 +103,11 @@ def test_aes_refused():
         extract_7z(arc)
 
 
-def test_multi_coder_refused():
-    # numCoders = 2 in the folder
-    hdr_folder = _7z_number(2) + b"\x01\x00\x01\x00"
+def test_multi_stream_coder_refused():
+    """BCJ2-style coder (2-in/4-out, complex flag) is refused — its
+    stream graph is not a chain."""
+    # flag 0x11: id size 1 + complex; num_in=2, num_out=4
+    hdr_folder = _7z_number(1) + b"\x11\x00" + _7z_number(2) + _7z_number(4)
     hdr = bytearray()
     hdr += bytes([0x01, 0x04])
     hdr += bytes([0x06]) + _7z_number(0) + _7z_number(1)
@@ -115,6 +117,53 @@ def test_multi_coder_refused():
     arc = _finish(b"ab", bytes(hdr))
     with pytest.raises(KernelError, match="coder"):
         extract_7z(arc)
+
+
+def _chain_archive(branch_desc: bytes, chain_filters, body: bytes,
+                   name: str) -> bytes:
+    """One folder: packed -> LZMA2 (coder 0) -> branch filter (coder 1).
+    Bind pair connects coder-1 in to coder-0 out; final out = coder 1."""
+    comp = lzma.compress(body, format=lzma.FORMAT_RAW, filters=chain_filters)
+    hdr = bytearray()
+    hdr += bytes([0x01, 0x04])
+    hdr += bytes([0x06]) + _7z_number(0) + _7z_number(1)
+    hdr += bytes([0x09]) + _7z_number(len(comp)) + bytes([0x00])
+    hdr += bytes([0x07, 0x0B]) + _7z_number(1) + b"\x00"
+    hdr += _7z_number(2)                 # two coders
+    hdr += b"\x21\x21\x01\x16"           # coder 0: LZMA2 (flag/id/props)
+    hdr += branch_desc                   # coder 1: branch filter
+    hdr += _7z_number(1) + _7z_number(0)  # bind pair: in 1 <- out 0
+    hdr += bytes([0x0C]) + _7z_number(len(body)) + _7z_number(len(body))
+    hdr += bytes([0x00, 0x00])
+    hdr += bytes([0x05]) + _7z_number(1)
+    nm = b"\x00" + (name + "\x00").encode("utf-16-le")
+    hdr += bytes([0x11]) + _7z_number(len(nm)) + nm
+    hdr += bytes([0x00, 0x00])
+    return _finish(comp, bytes(hdr))
+
+
+def test_bcj_x86_lzma2_chain():
+    """7-Zip's default executable chain: BCJ x86 + LZMA2."""
+    # mostly text (so the member still routes as text/plain) with one
+    # x86 CALL opcode per long line so the BCJ transform actually fires
+    body = (b"text " * 60 + b"\xe8\x11\x22\x33\x44" + b" tail\n") * 8
+    arc = _chain_archive(
+        b"\x04\x03\x03\x01\x03",  # flag: idsize 4; id 03030103 (BCJ x86)
+        [{"id": lzma.FILTER_X86}, {"id": lzma.FILTER_LZMA2, "preset": 6}],
+        body, "prog.txt")
+    r = extract_7z(arc)
+    assert r.text == body.decode("latin-1")
+
+
+def test_delta_lzma2_chain():
+    body = b"abcdabcdabcdabcd" * 32 + b"\n"
+    arc = _chain_archive(
+        b"\x21\x03\x01\x03",  # flag 0x21: idsize 1 + attrs; id 03; props=[3] -> dist 4
+        [{"id": lzma.FILTER_DELTA, "dist": 4},
+         {"id": lzma.FILTER_LZMA2, "preset": 6}],
+        body, "d.txt")
+    r = extract_7z(arc)
+    assert r.text == body.decode("latin-1")
 
 
 def test_lying_unpack_size_bomb_guard():
