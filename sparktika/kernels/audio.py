@@ -137,6 +137,12 @@ _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
 _MP3_RATES = (44100, 48000, 32000)
 
 
+def _syncsafe32(data: bytes, off: int) -> int:
+    """ID3v2 syncsafe 28-bit integer at `off` (7 bits per byte)."""
+    return ((data[off] & 0x7F) << 21) | ((data[off + 1] & 0x7F) << 14) \
+        | ((data[off + 2] & 0x7F) << 7) | (data[off + 3] & 0x7F)
+
+
 def parse_mp3_header(data: bytes) -> AudioMeta | None:
     """First MPEG-1 Layer III frame header (after an optional ID3v2 tag):
     bitrate/sample-rate/channel mode, and a constant-bitrate duration
@@ -144,10 +150,7 @@ def parse_mp3_header(data: bytes) -> AudioMeta | None:
     Mp3Parser emits without decoding audio."""
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:
-        # syncsafe 28-bit tag size
-        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
-            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-        pos = 10 + sz
+        pos = 10 + _syncsafe32(data, 6)
     # scan a bounded window for the frame sync (junk tolerance); the
     # 4-byte header needs pos+3 readable, so the last valid pos is len-4
     end = min(pos + 65536, len(data) - 3)
@@ -202,21 +205,29 @@ def parse_id3_tags(data: bytes) -> dict[str, str]:
     """ID3v2 text frames -> Tika-style keys (title / xmpDM:artist /
     xmpDM:album — the Mp3Parser metadata users actually consume).
     Handles v2.2 (3-byte ids/sizes), v2.3 (plain 32-bit sizes) and v2.4
-    (syncsafe sizes); text encodings latin-1 / utf-16(+BOM) / utf-16-be
-    / utf-8. Unknown frames are skipped by size; anything malformed
-    stops the walk with whatever was parsed (never raises)."""
+    (syncsafe sizes); tag-level unsynchronisation is reversed; v2.4
+    frames carrying compression/encryption/data-length-indicator flags
+    are skipped honestly (their bodies aren't plain text). Text
+    encodings latin-1 / utf-16(+BOM) / utf-16-be / utf-8. Frame bodies
+    are clamped to the TAG end and value length is capped — a lying
+    frame size must never turn the audio payload into a metadata string
+    (bomb posture; r4 review). Anything malformed stops the walk with
+    whatever was parsed (never raises)."""
     out: dict[str, str] = {}
     if data[:3] != b"ID3" or len(data) < 10:
         return out
     ver = data[3]
-    tag_size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
-        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-    end = min(10 + tag_size, len(data))
-    pos = 10
+    tag = data[10: min(10 + _syncsafe32(data, 6), len(data))]
+    if data[5] & 0x80:
+        # tag-level unsynchronisation: remove the 0xFF,0x00 stuffing
+        # before walking frames (v2.2/v2.3 posture; harmless for v2.4)
+        tag = tag.replace(b"\xff\x00", b"\xff")
+    end = len(tag)
+    pos = 0
     if data[5] & 0x40 and ver >= 3:  # extended header: skip by its size
         if pos + 4 > end:
             return out
-        ext = int.from_bytes(data[pos: pos + 4], "big")
+        ext = int.from_bytes(tag[pos: pos + 4], "big")
         pos += ext if ver == 4 else ext + 4
     names = ({b"TT2": "title", b"TP1": "xmpDM:artist", b"TAL": "xmpDM:album"}
              if ver == 2 else
@@ -228,21 +239,31 @@ def parse_id3_tags(data: bytes) -> dict[str, str]:
             hdr_w = id_w + (3 if ver == 2 else 6)
             if pos + hdr_w > end:
                 break
-            fid = data[pos: pos + id_w]
+            fid = tag[pos: pos + id_w]
             if fid.strip(b"\x00") == b"":
                 break  # padding
             if ver == 2:
-                size = int.from_bytes(data[pos + 3: pos + 6], "big")
+                size = int.from_bytes(tag[pos + 3: pos + 6], "big")
+                flags = 0
             elif ver == 4:
-                b_ = data[pos + 4: pos + 8]
-                size = ((b_[0] & 0x7F) << 21) | ((b_[1] & 0x7F) << 14) \
-                    | ((b_[2] & 0x7F) << 7) | (b_[3] & 0x7F)
+                size = _syncsafe32(tag, pos + 4)
+                flags = tag[pos + 9]
             else:
-                size = int.from_bytes(data[pos + 4: pos + 8], "big")
-            body = data[pos + hdr_w: pos + hdr_w + size]
+                size = int.from_bytes(tag[pos + 4: pos + 8], "big")
+                flags = tag[pos + 9]
+            # clamp to the TAG end — a lying size must not slice into
+            # the audio payload (r4 review repro: 100 MB title string)
+            body = tag[pos + hdr_w: min(pos + hdr_w + size, end)]
             pos += hdr_w + size
+            # format flags meaning the body isn't plain text: skip
+            # honestly rather than decode garbage. v2.3 packs
+            # compression/encryption in the HIGH bits of the format
+            # byte; v2.4 uses the low nibble (compression / encryption /
+            # unsync / data-length-indicator).
+            if (ver == 3 and flags & 0xC0) or (ver == 4 and flags & 0x0F):
+                continue
             if fid in names and body:
-                enc, payload = body[0], body[1:]
+                enc, payload = body[0], body[1: 4096]
                 codec = ("latin-1", "utf-16", "utf-16-be",
                          "utf-8")[enc] if enc < 4 else "latin-1"
                 val = payload.decode(codec, "replace").strip("\x00").strip()

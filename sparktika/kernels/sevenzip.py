@@ -146,7 +146,6 @@ class _Folder:
     packed_in: int = 0   # the in-stream fed by the folder's pack stream
     final_out: int = 0   # the out-stream no bind pair consumes
     unpack_size: int = 0
-    num_pack_streams: int = 1
 
     @property
     def decode_chain(self) -> list[int]:

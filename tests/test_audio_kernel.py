@@ -277,10 +277,54 @@ def test_id3_tags_versions_and_encodings():
     b16 = b"\x01" + "utf16 name".encode("utf-16")
     f16 = b"TPE1" + struct.pack(">I", len(b16)) + b"\x00\x00" + b16
     assert parse_id3_tags(tag(3, f16))["xmpDM:artist"] == "utf16 name"
-    # garbage: empty dict, no raise
-    assert parse_id3_tags(b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f" + b"\xff" * 64) \
-        == parse_id3_tags(b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f" + b"\xff" * 64)
+    # garbage: empty dict, no raise (r4 review: the old assert compared
+    # two identical calls — a tautology)
+    assert parse_id3_tags(
+        b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f" + b"\xff" * 64) == {}
     assert parse_id3_tags(b"not id3") == {}
+
+
+def test_id3_lying_frame_size_never_slices_audio():
+    """r4 review repro: a frame declaring a huge size must be clamped to
+    the TAG end — the audio payload can never become a metadata value."""
+    import struct
+
+    from sparktika.kernels.audio import parse_id3_tags
+
+    body = b"\x00Hi"
+    frame = b"TIT2" + struct.pack(">I", 0x0FFFFFFF) + b"\x00\x00" + body
+    sz = len(frame)
+    tag = (b"ID3" + bytes([3, 0, 0])
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F]) + frame)
+    audio = b"AUDIODATA-NOT-TEXT" * 64
+    tags = parse_id3_tags(tag + audio)
+    title = tags.get("title", "")
+    assert "AUDIODATA" not in title
+    assert len(title) <= 4096
+
+
+def test_id3_unsync_and_flagged_frames():
+    import struct
+
+    from sparktika.kernels.audio import parse_id3_tags
+
+    # v2.3 tag-level unsynchronisation: 0xFF 0x00 stuffing reversed
+    raw_body = b"\x00Caf\xff\x00e title"   # stuffed form of b"Caf\xffe"
+    frame = b"TIT2" + struct.pack(">I", len(raw_body)) + b"\x00\x00" + raw_body
+    sz = len(frame)
+    tag = (b"ID3" + bytes([3, 0, 0x80])
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F]) + frame)
+    assert parse_id3_tags(tag)["title"] == "Caf\xffe title"
+    # v2.3 compressed frame (format flag 0x80): skipped, not garbage
+    cbody = b"\x00zlibgarbage"
+    cframe = (b"TIT2" + struct.pack(">I", len(cbody)) + b"\x00\x80" + cbody)
+    sz = len(cframe)
+    tag2 = (b"ID3" + bytes([3, 0, 0])
+            + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                     (sz >> 7) & 0x7F, sz & 0x7F]) + cframe)
+    assert "title" not in parse_id3_tags(tag2)
 
 
 def test_mp3_id3_dispatch_title():
