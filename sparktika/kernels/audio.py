@@ -294,26 +294,77 @@ def parse_flac_comments(data: bytes) -> dict[str, str]:
             size = int.from_bytes(data[pos + 1: pos + 4], "big")
             body = data[pos + 4: pos + 4 + size]
             if head & 0x7F == 4:  # VORBIS_COMMENT
-                p = 0
-                vlen = int.from_bytes(body[p: p + 4], "little")
-                p += 4 + vlen
-                cnt = int.from_bytes(body[p: p + 4], "little")
-                p += 4
-                for _ in range(min(cnt, 1024)):
-                    if p + 4 > len(body):
-                        break
-                    clen = int.from_bytes(body[p: p + 4], "little")
-                    p += 4
-                    field = body[p: p + clen].decode("utf-8", "replace")
-                    p += clen
-                    if "=" in field:
-                        k, v = field.split("=", 1)
-                        key = wanted.get(k.lower())
-                        if key and v and key not in out:
-                            out[key] = v
+                out = _vorbis_comment_fields(body)
                 break
             pos += 4 + size
             if head & 0x80:  # last-block flag
+                break
+    except (IndexError, ValueError):
+        pass
+    return out
+
+
+def _vorbis_comment_fields(body: bytes) -> dict[str, str]:
+    """Vendor string + KEY=value fields of a Vorbis comment structure
+    (shared by FLAC's VORBIS_COMMENT block and Ogg's comment packets)."""
+    wanted = {"title": "title", "artist": "xmpDM:artist",
+              "album": "xmpDM:album"}
+    out: dict[str, str] = {}
+    p = 0
+    vlen = int.from_bytes(body[p: p + 4], "little")
+    p += 4 + vlen
+    cnt = int.from_bytes(body[p: p + 4], "little")
+    p += 4
+    for _ in range(min(cnt, 1024)):
+        if p + 4 > len(body):
+            break
+        clen = int.from_bytes(body[p: p + 4], "little")
+        p += 4
+        field = body[p: p + min(clen, 4096)].decode("utf-8", "replace")
+        p += clen
+        if "=" in field:
+            k, v = field.split("=", 1)
+            key = wanted.get(k.lower())
+            if key and v and key not in out:
+                out[key] = v
+    return out
+
+
+def parse_ogg_comments(data: bytes) -> dict[str, str]:
+    """Vorbis/Opus comment tags from an Ogg stream: pages reassemble
+    into packets via segment lacing (RFC 3533), and the packet starting
+    \\x03vorbis (Vorbis comment header, packet 2) or OpusTags parses
+    with the shared Vorbis-comment field reader. Bounded: first 8 pages
+    / 1 MB; malformed framing returns whatever parsed."""
+    out: dict[str, str] = {}
+    pos = 0
+    packets: list[bytes] = []
+    current = bytearray()
+    try:
+        for _ in range(8):
+            if data[pos: pos + 4] != b"OggS" or pos + 27 > len(data):
+                break
+            n_segs = data[pos + 26]
+            lacing = data[pos + 27: pos + 27 + n_segs]
+            body_start = pos + 27 + n_segs
+            p = body_start
+            for seg in lacing:
+                current += data[p: p + seg]
+                p += seg
+                if seg < 255:
+                    packets.append(bytes(current))
+                    current = bytearray()
+                if len(packets) >= 4:
+                    break
+            pos = p
+            if len(packets) >= 4 or pos >= min(len(data), 1_000_000):
+                break
+        for pkt in packets:
+            if pkt[:7] == b"\x03vorbis":
+                out = _vorbis_comment_fields(pkt[7:])
+                break
+            if pkt[:8] == b"OpusTags":
+                out = _vorbis_comment_fields(pkt[8:])
                 break
     except (IndexError, ValueError):
         pass

@@ -789,12 +789,15 @@ def extract_document(
                 if am.bitrate_kbps:
                     md["bitrate-kbps"] = [str(am.bitrate_kbps)]
                 title = None
-                if detected in ("audio/mpeg", "audio/flac"):
-                    from .audio import parse_flac_comments, parse_id3_tags
+                if detected in ("audio/mpeg", "audio/flac", "audio/ogg"):
+                    from .audio import (parse_flac_comments,
+                                        parse_id3_tags, parse_ogg_comments)
 
                     tags = (parse_id3_tags(data)
                             if detected == "audio/mpeg"
-                            else parse_flac_comments(data))
+                            else parse_flac_comments(data)
+                            if detected == "audio/flac"
+                            else parse_ogg_comments(data))
                     for k, v in tags.items():
                         md[k] = [v]
                     title = tags.get("title")

@@ -2135,6 +2135,30 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_ogg_tags",
+    """
+SELECT doc_id AS media_id,
+       'Ogg ' || doc_id AS title,
+       'Artist ' || (doc_id % 5) AS artist,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/vorbis' ELSE 'audio/opus' END
+         AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis/Opus comment tags through the audio route: RFC 3533
+    page/packet reassembly + the shared Vorbis-comment field reader —
+    completes the audio tag triad (ID3 / FLAC / Ogg)."""
+    ext = _payload_extract(spark, sf_dir, "build_ogg_tags", ".ogg")
+    return ext.select(
+        F.col("doc_id").alias("media_id"),
+        "title",
+        F.element_at("metadata", "xmpDM:artist").getItem(0).alias("artist"),
+        "content_type_detected", "status")
+
+
+@_register(
     "extract_flac_tags",
     """
 SELECT doc_id AS media_id,
@@ -3563,6 +3587,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_concat_chunks",
     "extract_mp3_tags",
     "extract_flac_tags",
+    "extract_ogg_tags",
     # 2) the queries whose newest hard row dated from round 2, minus
     #    media_features and dedup_normalized (displaced for the heif and
     #    tnef slots: media_features' decoders are pixel-pinned in pytest
@@ -3577,7 +3602,6 @@ _GATE_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_newest_per_url",
     "dedup_ngram_spans",
-    "events_hourly_rollup",
     "events_sessionize",
     "extract_charset",
     "extract_docx_hdrftr",

@@ -2253,6 +2253,47 @@ def build_ogg(media_id: int) -> bytes:
             + bytes([1, len(packet)]) + packet)
 
 
+def _ogg_page(packets: list[bytes], seq: int) -> bytes:
+    lacing = bytearray()
+    body = bytearray()
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+        body += p
+    return (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+            + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + bytes([len(lacing)]) + bytes(lacing) + bytes(body))
+
+
+def build_ogg_tags(media_id: int) -> bytes:
+    """Ogg with identification + comment headers (extract_ogg_tags
+    oracle): Vorbis (even id) / OpusTags (odd id) comment packets carry
+    TITLE "Ogg {id}", ARTIST "Artist {id%5}". The comment packet rides a
+    SECOND page so page/packet reassembly is actually exercised. NEW
+    corpus per invariant 2 — build_ogg stays frozen."""
+    sr = (44100, 48000, 32000, 22050)[media_id % 4]
+    ch = 1 + media_id % 2
+    comments = [f"TITLE=Ogg {media_id}", f"ARTIST=Artist {media_id % 5}"]
+    vendor = b"sparktika"
+    fields = (len(vendor).to_bytes(4, "little") + vendor
+              + len(comments).to_bytes(4, "little"))
+    for c in comments:
+        cb = c.encode()
+        fields += len(cb).to_bytes(4, "little") + cb
+    if media_id % 2 == 0:
+        ident = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([ch])
+                 + sr.to_bytes(4, "little") + b"\x00" * 13)
+        comment = b"\x03vorbis" + fields + b"\x01"  # framing bit
+    else:
+        ident = (b"OpusHead" + bytes([1, ch]) + (312).to_bytes(2, "little")
+                 + sr.to_bytes(4, "little") + b"\x00" * 3)
+        comment = b"OpusTags" + fields
+    return _ogg_page([ident], 0) + _ogg_page([comment], 1)
+
+
 def build_webp(media_id: int) -> bytes:
     """WebP with deterministic dims; variant rotates lossy/lossless/VP8X
     by media_id % 3 (media_webp_meta oracle)."""

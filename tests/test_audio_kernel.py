@@ -355,3 +355,32 @@ def test_flac_vorbis_comments():
         parse_flac_comments(data[:cut])
     r = extract_document("u/3.flac", None, build_flac_tags(3))
     assert r.title == "Flac 3" and r.status == "ok"
+
+
+def test_ogg_comment_tags():
+    from sparktika.kernels.audio import parse_ogg_comments
+    from sparktika.synth import _ogg_page, build_ogg, build_ogg_tags
+
+    assert parse_ogg_comments(build_ogg_tags(4)) == {
+        "title": "Ogg 4", "xmpDM:artist": "Artist 4"}
+    assert parse_ogg_comments(build_ogg_tags(7)) == {
+        "title": "Ogg 7", "xmpDM:artist": "Artist 2"}
+    # identification-only stream: no tags, no raise
+    assert parse_ogg_comments(build_ogg(4)) == {}
+    # packet spanning pages via 255-lacing continuation
+    big_comment = (b"\x03vorbis" + (0).to_bytes(4, "little")
+                   + (1).to_bytes(4, "little")
+                   + (600).to_bytes(4, "little")
+                   + b"TITLE=" + b"x" * 594)
+    page1 = _ogg_page([b"\x01vorbis" + b"\x00" * 22], 0)
+    # manual split: first 255*2 bytes with lacing [255,255] (no
+    # terminator), remainder on the next page
+    head = (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+            + (1).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + bytes([2, 255, 255]) + big_comment[:510])
+    tail = _ogg_page([big_comment[510:]], 2)
+    tags = parse_ogg_comments(page1 + head + tail)
+    assert tags["title"] == "x" * 594
+    # truncated mid-page: never raises
+    for cut in (10, 40, 100):
+        parse_ogg_comments(build_ogg_tags(4)[:cut])
