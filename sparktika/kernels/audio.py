@@ -218,16 +218,23 @@ def parse_id3_tags(data: bytes) -> dict[str, str]:
         return out
     ver = data[3]
     tag = data[10: min(10 + _syncsafe32(data, 6), len(data))]
-    if data[5] & 0x80:
+    if data[5] & 0x80 and ver <= 3:
         # tag-level unsynchronisation: remove the 0xFF,0x00 stuffing
-        # before walking frames (v2.2/v2.3 posture; harmless for v2.4)
+        # before walking frames. v2.2/v2.3 ONLY: in v2.4 unsync is
+        # applied per-frame and syncsafe frame sizes count the STORED
+        # (still-stuffed) bytes, so a global removal here would shrink
+        # the buffer under the declared sizes and desync the walk —
+        # v2.4 frames with the unsync format flag are skipped below.
         tag = tag.replace(b"\xff\x00", b"\xff")
     end = len(tag)
     pos = 0
     if data[5] & 0x40 and ver >= 3:  # extended header: skip by its size
         if pos + 4 > end:
             return out
-        ext = int.from_bytes(tag[pos: pos + 4], "big")
+        # v2.4 ext-header size is syncsafe and INCLUDES its own 4 size
+        # bytes; v2.3 is plain big-endian and EXCLUDES them.
+        ext = (_syncsafe32(tag, pos) if ver == 4
+               else int.from_bytes(tag[pos: pos + 4], "big"))
         pos += ext if ver == 4 else ext + 4
     names = ({b"TT2": "title", b"TP1": "xmpDM:artist", b"TAL": "xmpDM:album"}
              if ver == 2 else

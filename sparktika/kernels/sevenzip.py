@@ -364,6 +364,12 @@ def _decode_folder(folder: _Folder, packed: bytes, max_ratio: float,
                 out = dec.decompress(packed, max_length=out_size)
             except lzma.LZMAError as e:
                 raise KernelError(f"7z: LZMA stream error: {e}") from e
+            if len(out) < out_size:
+                # truncated/corrupt stream: short output would silently
+                # slice later substreams of a solid folder into empty
+                # members — surface a status row instead (r4 advice)
+                raise KernelError(
+                    f"7z: folder truncated ({len(out)} < {out_size})")
             return out
         raise KernelError(f"7z: unsupported coder id {cid.hex()}")
     # filter chain: packed -> LZMA1/LZMA2 -> branch filters (BCJ/delta).
@@ -390,9 +396,13 @@ def _decode_folder(folder: _Folder, packed: bytes, max_ratio: float,
     specs.append(_lzma_filter_spec(primary_cid, primary_props))
     dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=specs)
     try:
-        return dec.decompress(packed, max_length=out_size)
+        out = dec.decompress(packed, max_length=out_size)
     except lzma.LZMAError as e:
         raise KernelError(f"7z: LZMA chain stream error: {e}") from e
+    if len(out) < out_size:
+        raise KernelError(
+            f"7z: chain folder truncated ({len(out)} < {out_size})")
+    return out
 
 
 def _parse_files_info(buf: _Buf) -> tuple[list[str], list[bool]]:
@@ -414,7 +424,14 @@ def _parse_files_info(buf: _Buf) -> tuple[list[str], list[bool]]:
             if buf.byte() != 0:
                 raise KernelError("7z: external names unsupported")
             raw = buf.take(end - buf.pos)
-            for chunk in raw.decode("utf-16-le", "replace").split("\x00"):
+            chunks = raw.decode("utf-16-le", "replace").split("\x00")
+            if chunks and chunks[-1] == "":
+                # names are NUL-terminated, so the split always yields a
+                # trailing empty chunk — dropping it keeps a SHORT name
+                # vector falling back to file{n} instead of shadowing a
+                # slot with an empty-string name (r4 advice)
+                chunks.pop()
+            for chunk in chunks:
                 if len(names) < num_files:
                     names.append(chunk)
         # mtimes/attributes/dummy: skipped by size

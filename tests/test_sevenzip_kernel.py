@@ -315,3 +315,33 @@ def test_refused_7z_member_keeps_container_siblings():
     r = extract_document("u/x.zip", None, buf.getvalue())
     assert r.status == "ok"
     assert "good text here" in r.text_extracted
+
+
+def test_short_name_vector_falls_back_not_empty():
+    """r4 advice: a kName vector holding fewer names than num_files must
+    leave the remaining slots on the file{n} fallback — the trailing NUL
+    terminator's empty split chunk must not occupy a slot as ''."""
+    from sparktika.kernels.sevenzip import _Buf, _parse_files_info
+
+    nm = b"\x00" + "a.txt\x00".encode("utf-16-le")  # ONE name, 3 files
+    fi = (_7z_number(3)
+          + bytes([0x11]) + _7z_number(len(nm)) + nm
+          + bytes([0x00]))
+    names, _has = _parse_files_info(_Buf(fi))
+    assert names == ["a.txt", "file1", "file2"]
+
+
+def test_truncated_lzma_folder_surfaces_error():
+    """r4 advice: an LZMA stream that ends cleanly BEFORE the declared
+    unpack size must raise (-> status row), not hand back short bytes
+    that silently slice later solid-folder substreams into empties."""
+    body = b"short folder text\n"
+    comp = lzma.compress(body, format=lzma.FORMAT_RAW,
+                         filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+    arc = _one_folder_archive(b"\x01\x21\x21\x01\x16", comp,
+                              len(body) + 64, ["t.txt"])
+    with pytest.raises(KernelError, match="truncated"):
+        extract_7z(arc)
+    # and through the dispatcher: a failed status row, never a raise
+    r = extract_document("u/t.7z", None, arc)
+    assert r.status != "ok"
