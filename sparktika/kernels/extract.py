@@ -71,6 +71,7 @@ def extract_document(
     true_size: int | None = None,
     embed_depth: int = 0,
     _deadline: float | None = None,
+    _embed_path: str = "",
 ) -> ExtractResult:
     """`true_size` lets the Spark layer ship only a 1KB sniff head for
     oversize documents (single-scan short-circuit) while the kernel still
@@ -92,6 +93,18 @@ def extract_document(
     data = data or b""
     n_bytes = true_size if true_size is not None else len(data)
     declared = content_type or None
+
+    # embedded-resource accounting (reference-reserved names,
+    # main/TikaConstants.java:20-27) — defined before res() so every
+    # early return sees bound names; populated by recurse_embedded below
+    embed_paths: list[str] = []
+    _embed_limit = [False]
+    _embed_seq = [0]
+
+    def embed_child_path(name: str | None) -> str:
+        _embed_seq[0] += 1
+        leaf = (name or "").strip().lstrip("/") or f"embedded-{_embed_seq[0]}"
+        return f"{_embed_path}/{leaf}"
 
     def res(**kw) -> ExtractResult:
         base = dict(
@@ -116,6 +129,12 @@ def extract_document(
         md.setdefault("Content-Type", [base["content_type_detected"]])
         md["parsing_time"] = [str(base["parse_ms"])]
         md["write_limit_reached"] = [str(base.get("write_limit_reached", False)).lower()]
+        if embed_paths:
+            # hierarchical per-child paths, recursion order (reference
+            # name EMBEDDED_RESOURCE_PATH, TikaConstants.java:26-27)
+            md.setdefault("embedded_resource_path", list(embed_paths))
+        if _embed_limit[0]:
+            md["embedded_resource_limit_reached"] = ["true"]
         if base["text_extracted"] is not None:
             base["n_chars_out"] = len(base["text_extracted"])
         return ExtractResult(**base)
@@ -129,16 +148,33 @@ def extract_document(
 
     # embedded-document recursion plumbing, shared by the PDF/OLE2
     # branches (ref: guarded embedded auto-detect parse,
-    # ConfigurableAutoDetectParser.java:131-165)
+    # ConfigurableAutoDetectParser.java:131-165). Reference-reserved
+    # metadata names (main/TikaConstants.java:20-27): every child that
+    # re-enters the dispatcher records a hierarchical
+    # `embedded_resource_path` ("/name" segments, Tika's
+    # RecursiveParserWrapper convention), and exhausting the
+    # max_embed_depth budget while embedded payloads remain raises
+    # `embedded_resource_limit_reached` on the OUTER document.
     embed_budget = cfg.max_embed_depth - embed_depth
 
     def recurse_embedded(name: str, payload: bytes) -> str | None:
         """Guarded re-entry for embedded payload bytes; only OK /
         truncated results contribute text, anything else degrades to
-        nothing (the outer doc's status is never affected)."""
+        nothing (the outer doc's status is never affected). Called at an
+        exhausted depth budget it contributes NO text but marks
+        embedded_resource_limit_reached — the caller-side budget gate
+        moved here so the trip is observable (r4 verdict item 4)."""
+        child_path = embed_child_path(name)
+        if embed_budget <= 0:
+            _embed_limit[0] = True
+            return None
         r2 = extract_document(name, None, payload, cfg,
                               embed_depth=embed_depth + 1,
-                              _deadline=deadline)
+                              _deadline=deadline, _embed_path=child_path)
+        embed_paths.append(child_path)
+        embed_paths.extend(r2.metadata.get("embedded_resource_path", []))
+        if r2.metadata.get("embedded_resource_limit_reached") == ["true"]:
+            _embed_limit[0] = True
         if r2.status in (STATUS_OK, STATUS_TRUNCATED):
             return r2.text_extracted or None
         return None
@@ -260,25 +296,26 @@ def extract_document(
                 max_inflate_bytes=cfg.max_inflate_bytes,
                 deadline=deadline,
                 include_images=cfg.pdf_extract_inline_images,
-                collect_embedded=embed_budget > 0,
+                collect_embedded=True,
             )
             # /EmbeddedFiles attachments recurse through the dispatcher
             # under the shared deadline/budget (PDF 32000 §7.11.4; Tika's
-            # PDFParser embedded-document path)
+            # PDFParser embedded-document path); at an exhausted budget
+            # recurse_embedded contributes nothing but flags
+            # embedded_resource_limit_reached
             pdf_text = r.text
             emb_names = []
-            if embed_budget > 0:
-                for fname, payload in r.embedded_files:
-                    try:
-                        t2 = recurse_embedded(fname, payload)
-                    except DeadlineError:
-                        raise
-                    except Exception:
-                        t2 = None  # corrupt attachment never fails the PDF
-                    if t2:
-                        pdf_text += (f"[Embedded: {fname}]\n"
-                                     + (t2 if t2.endswith("\n") else t2 + "\n"))
-                        emb_names.append(fname)
+            for fname, payload in r.embedded_files:
+                try:
+                    t2 = recurse_embedded(fname, payload)
+                except DeadlineError:
+                    raise
+                except Exception:
+                    t2 = None  # corrupt attachment never fails the PDF
+                if t2:
+                    pdf_text += (f"[Embedded: {fname}]\n"
+                                 + (t2 if t2.endswith("\n") else t2 + "\n"))
+                    emb_names.append(fname)
             text, limited = _cap_text(pdf_text, cfg.max_chars)
             # Tika-1.20-parity key set (39 distinct keys on the reference
             # fixture, test/TikaProcessTest.java:129-133); engine fields
@@ -333,7 +370,7 @@ def extract_document(
 
             r = extract_tnef(
                 data, deadline=deadline,
-                recurse=recurse_embedded if embed_budget > 0 else None)
+                recurse=recurse_embedded)
             text, limited = _cap_text(r.text, cfg.max_chars)
             md = {k: [v] for k, v in r.metadata.items()}
             md["n-attachments"] = [str(r.n_attachments)]
@@ -485,7 +522,7 @@ def extract_document(
                 max_ratio=cfg.max_inflate_ratio,
                 max_entry_bytes=cfg.max_inflate_bytes,
                 deadline=deadline,
-                recurse=recurse_embedded if embed_budget > 0 else None)
+                recurse=recurse_embedded)
             md = {k: [v] for k, v in r.metadata.items() if k != "Content-Type"}
             if r.embedded_names:
                 # same multi-element list shape as the .doc/.pdf paths;
@@ -569,7 +606,7 @@ def extract_document(
                 max_ratio=cfg.max_inflate_ratio,
                 max_entry_bytes=cfg.max_inflate_bytes,
                 deadline=deadline,
-                recurse=recurse_embedded if embed_budget > 0 else None)
+                recurse=recurse_embedded)
             md = {"Content-Type": ["application/x-7z-compressed"]}
             if r.entries:
                 md["container-entries"] = [str(len(r.entries))]
@@ -587,7 +624,7 @@ def extract_document(
                 max_ratio=cfg.max_inflate_ratio,
                 max_entry_bytes=cfg.max_inflate_bytes,
                 deadline=deadline,
-                recurse=recurse_embedded if embed_budget > 0 else None)
+                recurse=recurse_embedded)
             md = {"Content-Type": ["application/x-tar"]}
             if r.entries:
                 md["container-entries"] = [str(len(r.entries))]
@@ -637,44 +674,53 @@ def extract_document(
                 # kernel over a tree-scoped view (never re-serialized)
                 doc_text = r.text
                 emb_names: list[str] = []
-                if embed_budget > 0:
-                    for obj in embedded_objects(ole):
-                        try:
-                            if obj.kind == "bytes":
-                                t2 = recurse_embedded(
-                                    obj.filename or obj.name, obj.data)
-                            else:
-                                sub = ScopedOle(ole, obj.storage)
-                                # classify by DIRECT children only — the
-                                # subtree set would let a nested
-                                # ObjectPool's Workbook misroute an
-                                # embedded Word doc (invariant 12)
-                                subnames = {e.name
-                                            for e in sub.root_children()
-                                            if e.obj_type == 2}
-                                if subnames & {"Workbook", "Book"}:
-                                    t2 = extract_xls_ole(
-                                        sub, deadline=deadline).text
-                                elif "WordDocument" in subnames:
-                                    t2 = extract_doc_ole(
-                                        sub, deadline=deadline).text
-                                elif "PowerPoint Document" in subnames:
-                                    from .ppt import extract_ppt_ole
+                for obj in embedded_objects(ole):
+                    try:
+                        if obj.kind == "bytes":
+                            t2 = recurse_embedded(
+                                obj.filename or obj.name, obj.data)
+                        elif embed_budget <= 0:
+                            # office sub-storages would parse below;
+                            # budget exhausted -> flag, no text
+                            _embed_limit[0] = True
+                            t2 = None
+                        else:
+                            sub = ScopedOle(ole, obj.storage)
+                            # classify by DIRECT children only — the
+                            # subtree set would let a nested
+                            # ObjectPool's Workbook misroute an
+                            # embedded Word doc (invariant 12)
+                            subnames = {e.name
+                                        for e in sub.root_children()
+                                        if e.obj_type == 2}
+                            if subnames & {"Workbook", "Book"}:
+                                t2 = extract_xls_ole(
+                                    sub, deadline=deadline).text
+                            elif "WordDocument" in subnames:
+                                t2 = extract_doc_ole(
+                                    sub, deadline=deadline).text
+                            elif "PowerPoint Document" in subnames:
+                                from .ppt import extract_ppt_ole
 
-                                    t2 = extract_ppt_ole(
-                                        sub, deadline=deadline).text
-                                else:
-                                    t2 = None
-                        except DeadlineError:
-                            raise
-                        except Exception:
-                            t2 = None  # corrupt embed never fails the doc
-                        if t2:
-                            label = obj.filename or obj.name
-                            doc_text += (f"[Embedded: {label}]\n"
-                                         + (t2 if t2.endswith("\n")
-                                            else t2 + "\n"))
-                            emb_names.append(label)
+                                t2 = extract_ppt_ole(
+                                    sub, deadline=deadline).text
+                            else:
+                                t2 = None
+                            if t2 is not None:
+                                # tree-scoped office parse: record the
+                                # child path (no dispatcher re-entry)
+                                embed_paths.append(embed_child_path(
+                                    obj.filename or obj.name))
+                    except DeadlineError:
+                        raise
+                    except Exception:
+                        t2 = None  # corrupt embed never fails the doc
+                    if t2:
+                        label = obj.filename or obj.name
+                        doc_text += (f"[Embedded: {label}]\n"
+                                     + (t2 if t2.endswith("\n")
+                                        else t2 + "\n"))
+                        emb_names.append(label)
                 text, limited = _cap_text(doc_text, cfg.max_chars)
                 status = STATUS_TRUNCATED if limited else STATUS_OK
                 md = {"Content-Type": ["application/msword"],
@@ -708,8 +754,15 @@ def extract_document(
             if is_msg(list(streams)):
                 r = extract_msg(
                     ole,
-                    recurse=recurse_embedded if embed_budget > 0 else None,
+                    recurse=recurse_embedded,
                     embed_budget=max(embed_budget, 0))
+                # embedded MESSAGES descend inside msg.py (tree-scoped,
+                # no dispatcher re-entry): merge their relative paths /
+                # budget-floor flag into the reference-named keys
+                embed_paths.extend(f"{_embed_path}/{p}"
+                                   for p in r.embedded_paths)
+                if r.embed_limit_hit:
+                    _embed_limit[0] = True
                 text, limited = _cap_text(r.text, cfg.max_chars)
                 md = {k: [v] for k, v in r.metadata.items()}
                 md["n-recipients"] = [str(r.n_recipients)]

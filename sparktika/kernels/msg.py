@@ -61,6 +61,12 @@ class MsgResult:
     n_recipients: int = 0
     n_attachments: int = 0
     attachments: list[MsgAttachment] = field(default_factory=list)
+    # relative embedded-message paths ("embedded-N", nested as
+    # "embedded-N/embedded-M") + budget-floor flag, consumed by the
+    # dispatcher for the reference-reserved embedded_resource_* names
+    # (main/TikaConstants.java:20-27)
+    embedded_paths: list[str] = field(default_factory=list)
+    embed_limit_hit: bool = False
 
 
 def is_msg(stream_names: list[str]) -> bool:
@@ -99,7 +105,7 @@ def _extract_attachments(
     roots: list,
     recurse=None,
     embed_budget: int = 0,
-) -> list[MsgAttachment]:
+) -> tuple[list[MsgAttachment], list[str], bool]:
     """Walk __attach_version1.0_#NNNNNNNN sub-storages in name order:
     filename (PidTagAttachLongFilename, falling back to the 8.3
     PidTagAttachFilename), payload size, and content.
@@ -117,11 +123,13 @@ def _extract_attachments(
     .doc/.pdf/.msg/image yields real text; failures degrade to
     size-only, never raise (invariant 7)."""
     out: list[MsgAttachment] = []
+    rel_paths: list[str] = []
+    limit_hit = False
     storages = sorted(
         (e for e in roots
          if e.obj_type == 1 and e.name.startswith("__attach_version1.0_")),
         key=lambda e: e.name)
-    for st in storages:
+    for idx, st in enumerate(storages, 1):
         all_kids = ole.storage_children(st)
         kids = {k.name: k for k in all_kids if k.obj_type == 2}
         fname = (_read_prop(ole, kids, _ATTACH_LONG_FILENAME)
@@ -133,13 +141,25 @@ def _extract_attachments(
         emb = next((k for k in all_kids
                     if k.obj_type == 1 and k.name == _ATTACH_DATA_OBJ), None)
         if emb is not None:
+            rel = f"embedded-{idx}"
             if embed_budget > 0:
-                inner = extract_msg(ole, recurse=recurse,
+                # binary payloads inside the EMBEDDED message route back
+                # through the dispatcher with this message's segment
+                # prefixed, so embedded_resource_path stays hierarchical
+                wrapped = (None if recurse is None else
+                           (lambda n, p, _r=rel: recurse(f"{_r}/{n}", p)))
+                inner = extract_msg(ole, recurse=wrapped,
                                     embed_budget=embed_budget - 1,
                                     scope=emb, subject_heading=False)
                 emb_subject = inner.subject
                 text = inner.text or None
+                rel_paths.append(rel)
+                rel_paths.extend(f"{rel}/{q}" for q in inner.embedded_paths)
+                limit_hit = limit_hit or inner.embed_limit_hit
             else:
+                # budget floor: degrade to one-level subject+body AND
+                # flag it (embedded_resource_limit_reached)
+                limit_hit = True
                 ekids = {k.name: k for k in ole.storage_children(emb)
                          if k.obj_type == 2}
                 emb_subject = _read_prop(ole, ekids, _SUBJECT)
@@ -158,7 +178,7 @@ def _extract_attachments(
                 text = None  # degrade to size-only
         out.append(MsgAttachment(filename=fname, n_bytes=n_bytes, text=text,
                                  embedded_subject=emb_subject))
-    return out
+    return out, rel_paths, limit_hit
 
 
 def extract_msg(
@@ -228,7 +248,8 @@ def extract_msg(
         text = (text + "\n\n" if text else "") + body
     if text:
         text += "\n"
-    attachments = _extract_attachments(ole, roots, recurse, embed_budget)
+    attachments, emb_rel_paths, emb_limit_hit = _extract_attachments(
+        ole, roots, recurse, embed_budget)
     for a in attachments:
         if not (a.filename or a.n_bytes or a.embedded_subject or a.text):
             continue  # placeholder storage: counted, nothing to render
@@ -263,4 +284,5 @@ def extract_msg(
         md["attachment-names"] = "; ".join(att_names)
     return MsgResult(text=text, subject=subject, metadata=md,
                      n_recipients=n_recipients, n_attachments=n_attachments,
-                     attachments=attachments)
+                     attachments=attachments, embedded_paths=emb_rel_paths,
+                     embed_limit_hit=emb_limit_hit)

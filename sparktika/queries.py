@@ -2681,7 +2681,11 @@ SELECT doc_id,
          'Embedded slide ' || doc_id || '.' || chr(10)
        END AS text_extracted,
        CASE WHEN doc_id % 2 = 0 THEN 'Deep ' || doc_id END AS title,
-       'ok' AS status
+       'ok' AS status,
+       CASE WHEN doc_id % 2 = 0 THEN '/embedded-1;/embedded-1/embedded-1'
+            ELSE '/note' || (doc_id % 6) || '.txt;/_1002;/_1003'
+       END AS embedded_paths,
+       FALSE AS embed_limit_reached
 FROM documents
 """,
 )
@@ -2717,7 +2721,17 @@ def extract_embedded_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.(msg|doc)$", 1)
          .cast("long").alias("doc_id"),
-        "text_extracted", "title", "status")
+        "text_extracted", "title", "status",
+        # reference-reserved names (main/TikaConstants.java:20-27),
+        # surfaced r5: hierarchical per-child paths + depth-budget flag
+        F.coalesce(
+            F.array_join(F.col("metadata")["embedded_resource_path"], ";"),
+            F.lit("")).alias("embedded_paths"),
+        F.coalesce(
+            F.element_at(
+                F.col("metadata")["embedded_resource_limit_reached"], 1)
+            == "true",
+            F.lit(False)).alias("embed_limit_reached"))
 
 
 @_register(

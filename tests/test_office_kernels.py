@@ -1037,3 +1037,38 @@ def test_zip_html_member_parses_to_body_text():
     r = extract_zip_container(data)
     assert "zip html body" in r.text
     assert "<html>" not in r.text and "<p>" not in r.text
+
+
+def test_embedded_resource_path_and_limit_flag():
+    """r5 (r4 verdict item 4): the reference-reserved metadata names
+    (main/TikaConstants.java:20-27) are surfaced — hierarchical
+    embedded_resource_path per child, and embedded_resource_limit_reached
+    on the OUTER doc when the max_embed_depth budget trips."""
+    import dataclasses
+
+    from sparktika.config import DEFAULT_CONFIG
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_doc_embedded, build_msg_deep
+
+    r = extract_document("u/2.msg", None, build_msg_deep(2))
+    assert r.metadata["embedded_resource_path"] == [
+        "/embedded-1", "/embedded-1/embedded-1"]
+    assert "embedded_resource_limit_reached" not in r.metadata
+
+    r = extract_document("u/3.doc", None, build_doc_embedded(3))
+    assert r.metadata["embedded_resource_path"] == [
+        "/note3.txt", "/_1002", "/_1003"]
+
+    floor = dataclasses.replace(DEFAULT_CONFIG, max_embed_depth=0)
+    for url, payload in (("u/2.msg", build_msg_deep(2)),
+                         ("u/3.doc", build_doc_embedded(3))):
+        r = extract_document(url, None, payload, floor)
+        assert r.status == "ok"
+        assert r.metadata["embedded_resource_limit_reached"] == ["true"]
+        assert "embedded_resource_path" not in r.metadata
+
+    # depth 1: first level parses (paths recorded), deeper level trips
+    one = dataclasses.replace(DEFAULT_CONFIG, max_embed_depth=1)
+    r = extract_document("u/2.msg", None, build_msg_deep(2), one)
+    assert r.metadata["embedded_resource_path"] == ["/embedded-1"]
+    assert r.metadata["embedded_resource_limit_reached"] == ["true"]
