@@ -1675,17 +1675,21 @@ SELECT doc_id,
        '+1-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || chr(10) ||
        'Note line ' || doc_id || ', with comma' || chr(10) ||
        'Org ' || (doc_id % 9) || chr(10) ||
-       'Card two ' || doc_id || chr(10) AS text_extracted,
+       'Card two ' || doc_id || chr(10) ||
+       'Legacy ' || doc_id || chr(10) ||
+       'Café note one continued ' || doc_id || chr(10) AS text_extracted,
        'text/vcard' AS content_type_detected,
-       CAST(2 AS BIGINT) AS n_cards,
+       CAST(3 AS BIGINT) AS n_cards,
        'ok' AS status
 FROM documents
 """,
 )
 def extract_vcf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vCard kernel end-to-end (RFC 6350 content lines: soft folding,
-    escaped commas, structured N, binary PHOTO skipped; Tika 1.20
-    VCardParser posture via tika-parsers, gradle.properties:5)."""
+    escaped commas, structured N, binary PHOTO skipped, plus a legacy
+    vCard 2.1 card with ENCODING=QUOTED-PRINTABLE soft line breaks and
+    =XX escapes; Tika 1.20 VCardParser posture via tika-parsers,
+    gradle.properties:5)."""
     ext = _payload_extract(spark, sf_dir, "build_vcf", ".vcf")
     return ext.select(
         "doc_id", "title", "text_extracted", "content_type_detected",

@@ -1277,6 +1277,18 @@ def build_vcf(doc_id: int) -> bytes:
         "BEGIN:VCARD\r\n"
         f"ORG:Org {doc_id % 9}\r\n"
         f"FN:Card two {doc_id}\r\n"
+        "END:VCARD\r\n"
+        # card 3 (r5): legacy vCard 2.1 writer — QUOTED-PRINTABLE NOTE
+        # with an inline =C3=A9 escape and a trailing-'=' soft line
+        # break (RFC 2045 §6.7 semantics; the one encoding 3.0/4.0
+        # dropped). Kernel output appends:
+        #   "Legacy {id}\nCafé note one continued {id}\n"
+        "BEGIN:VCARD\r\n"
+        "VERSION:2.1\r\n"
+        f"FN:Legacy {doc_id}\r\n"
+        "NOTE;ENCODING=QUOTED-PRINTABLE;CHARSET=UTF-8:"
+        "Caf=C3=A9 note one =\r\n"
+        f"continued {doc_id}\r\n"
         "END:VCARD\r\n").encode()
 
 

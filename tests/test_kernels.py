@@ -756,8 +756,11 @@ def test_vcard_ical_kernels():
     assert detect_mime(b"notes about BEGIN:VCARD syntax\n") == "text/plain"
 
     r = extract_vcal(build_vcf(4))
-    assert r.n_components == 2 and r.title == "Person 4"
+    assert r.n_components == 3 and r.title == "Person 4"
     assert "PHOTO" not in r.text and "data-skipped" not in r.text
+    # vCard 2.1 QUOTED-PRINTABLE (r5): soft line break joined, =XX decoded
+    assert "Café note one continued 4" in r.text
+    assert "=C3" not in r.text and "=\n" not in r.text
 
     r = extract_vcal(build_ics(4))
     assert r.n_components == 2 and r.title == "Meeting 4"
@@ -794,3 +797,26 @@ def test_ical_valarm_does_not_leak():
     assert r.title == "Real meeting"
     assert r.text == "Real meeting\nRoom 1\n"
     assert "Alarm" not in r.text and "Reminder" not in r.text
+
+
+def test_vcard_qp_edge_cases():
+    """QP decoding edges: bare QUOTED-PRINTABLE param (2.1 allows
+    nameless params), malformed =X escape passes through literally,
+    trailing '=' at EOF never raises."""
+    from sparktika.kernels.vcal import extract_vcal
+
+    r = extract_vcal(b"BEGIN:VCARD\r\n"
+                     b"NOTE;QUOTED-PRINTABLE:a=20b=\r\n"
+                     b"tail\r\nEND:VCARD\r\n")
+    assert "a btail" in r.text
+    # malformed =ZZ passes through literally; the trailing '=' soft
+    # break is unconditional per RFC 2045 (joins even an END line —
+    # bounded by file size, never raises)
+    r = extract_vcal(b"BEGIN:VCARD\r\n"
+                     b"NOTE;ENCODING=QUOTED-PRINTABLE:bad =ZZ esc=\r\n"
+                     b"END:VCARD\r\n")
+    assert "bad =ZZ esc" in r.text
+    # trailing '=' on the LAST line: nothing to join, never raises
+    r = extract_vcal(b"BEGIN:VCARD\r\n"
+                     b"NOTE;ENCODING=QUOTED-PRINTABLE:tail=")
+    assert isinstance(r.text, str)
