@@ -540,10 +540,12 @@ def extract_document(
                        write_limit_reached=r.truncated)
 
         if detected in ("application/gzip", "application/x-bzip2",
-                        "application/x-xz"):
+                        "application/x-xz", "application/zstd"):
             # single-member compressed wrapper (.txt.gz / .csv.bz2 /
-            # .tar.xz ...): guarded decompress via the stdlib codec, then
-            # re-dispatch on the inner payload under the shared deadline
+            # .tar.xz / .zst ...): guarded decompress (stdlib codec, or
+            # the from-scratch RFC 8878 decoder for zstd — Python 3.11
+            # ships none), then re-dispatch on the inner payload under
+            # the shared deadline
             cap = min(int(max(n_bytes, 1024) * cfg.max_inflate_ratio),
                       cfg.max_inflate_bytes)
             if detected == "application/gzip":
@@ -563,6 +565,14 @@ def extract_document(
                 d = _bz2.BZ2Decompressor()
                 inner = d.decompress(data, max_length=cap)
                 overflow = not d.eof
+            elif detected == "application/zstd":
+                from .zstd import decompress_zstd
+
+                codec, suffix = "zstd", ".zst"
+                # raises InflateRatioError past cap / KernelError on
+                # corruption -> failed status via the outer handler
+                inner = decompress_zstd(data, cap)
+                overflow = False
             else:
                 import lzma as _lzma
 
@@ -578,6 +588,7 @@ def extract_document(
             inner_codec = ("gzip" if inner[:2] == b"\x1f\x8b"
                            else "bzip2" if inner[:3] == b"BZh"
                            else "xz" if inner[:6] == b"\xfd7zXZ\x00"
+                           else "zstd" if inner[:4] == b"\x28\xb5\x2f\xfd"
                            else None)
             if inner_codec is not None:
                 # compressed-in-compressed chains compound the ratio

@@ -43,6 +43,10 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"Rar!\x1a\x07", "application/vnd.rar"),
     (b"\x1aE\xdf\xa3", "video/webm"),  # EBML (webm/mkv family)
     (b"\x28\xb5\x2f\xfd", "application/zstd"),
+    # zstd skippable frames (RFC 8878 §3.1.2): 0x184D2A50..5F LE — real
+    # .zst files may lead with one (e.g. seekable-format seek tables)
+    *((bytes([0x50 + i, 0x2A, 0x4D, 0x18]), "application/zstd")
+      for i in range(16)),
     (b"fLaC", "audio/flac"),
     (b"ID3", "audio/mpeg"),
     (b"\xff\xfb", "audio/mpeg"),

@@ -2338,3 +2338,49 @@ def build_svg(doc_id: int) -> bytes:
         f"<text>Label one {doc_id}</text>"
         f"<g><text>Label two {doc_id}.</text></g></svg>"
     ).encode()
+
+
+def build_zstd_frame(payload: bytes, block_size: int = 1 << 16) -> bytes:
+    """Store-mode zstd frame (RFC 8878): raw blocks, single-segment,
+    frame-content-size + XXH64 content checksum. Valid for any decoder
+    (round-trips through the CLI in pytest); used for deterministic
+    oracle corpora — the compressed paths (FSE/Huffman) are pinned
+    against CLI-generated goldens instead."""
+    from .kernels.zstd import xxh64
+
+    out = bytearray((0xFD2FB528).to_bytes(4, "little"))
+    n = len(payload)
+    if n <= 255:
+        out.append(0x24)          # FCS flag 0 + single-segment + checksum
+        out.append(n)
+    else:
+        out.append((2 << 6) | 0x24)  # 4-byte FCS
+        out += n.to_bytes(4, "little")
+    pos = 0
+    while True:
+        chunk = payload[pos:pos + block_size]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        out += ((len(chunk) << 3) | last).to_bytes(3, "little")
+        out += chunk
+        if last:
+            break
+    out += (xxh64(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+def build_zstd_txt(doc_id: int) -> bytes:
+    """zstd-wrapped text (extract_zstd_text oracle). Odd ids carry a
+    leading skippable frame (magic 0x184D2A5x) that must be ignored;
+    ids % 3 == 0 get a multi-block body (payload longer than the
+    64-byte block size forces 3+ raw blocks)."""
+    body = f"Zstd note {doc_id} body.\n".encode()
+    if doc_id % 3 == 0:
+        body += b"Filler line for multiple blocks.\n" * 8
+    frame = build_zstd_frame(body, block_size=64 if doc_id % 3 == 0
+                             else 1 << 16)
+    if doc_id % 2 == 1:
+        skip = ((0x184D2A50 + doc_id % 16).to_bytes(4, "little")
+                + (8).to_bytes(4, "little") + b"\xaa" * 8)
+        frame = skip + frame
+    return frame
