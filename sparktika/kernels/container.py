@@ -117,6 +117,10 @@ def extract_zip_container(
             r = extract_docx(data, max_ratio, max_entry_bytes)
         elif ooxml_kind.endswith("presentationml.presentation"):
             r = extract_pptx(data, max_ratio, max_entry_bytes)
+        elif ooxml_kind.endswith("binary.macroenabled.12"):
+            from .xlsb import extract_xlsb
+
+            r = extract_xlsb(data, max_ratio, max_entry_bytes)
         else:
             return ContainerResult(text="", entries=zf.namelist()[:100],
                                    metadata={"Content-Type": ooxml_kind})

@@ -90,6 +90,8 @@ def is_ooxml(zf: zipfile.ZipFile) -> str | None:
         return None
     if "xl/workbook.xml" in names:
         return "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    if "xl/workbook.bin" in names:  # XLSB binary hybrid (MS-XLSB)
+        return "application/vnd.ms-excel.sheet.binary.macroenabled.12"
     if "word/document.xml" in names:
         return "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
     if any(n.startswith("ppt/slides/slide") for n in names):

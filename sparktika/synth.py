@@ -2384,3 +2384,84 @@ def build_zstd_txt(doc_id: int) -> bytes:
                 + (8).to_bytes(4, "little") + b"\xaa" * 8)
         frame = skip + frame
     return frame
+
+
+def _xlsb_rec(rid: int, payload: bytes = b"") -> bytes:
+    """[MS-XLSB] §2.1.4 framing: 7-bit-continued record id + size."""
+    out = bytearray()
+    if rid < 0x80:
+        out.append(rid)
+    else:
+        out += bytes([(rid & 0x7F) | 0x80, rid >> 7])
+    size = len(payload)
+    while True:
+        b = size & 0x7F
+        size >>= 7
+        out.append(b | (0x80 if size else 0))
+        if not size:
+            break
+    return bytes(out) + payload
+
+
+def build_xlsb(doc_id: int) -> bytes:
+    """Deterministic .xlsb (extract_xlsb_text oracle): two sheets
+    covering shared-string / inline-string / RK-int / RK-x100 / real /
+    bool / blank / error cells. Kernel output (xlsx rendering shape;
+    .5/.25 are binary-exact per invariant 10):
+      "Data{id%3}\\nItem {id}\\tDesc {id}\\n{id}\\t{id}.5\\t{id}.25\\n
+       Extra\\nTRUE\\t#DIV/0!\\t\\tTail {id}\\n"
+    """
+    import io as _io
+    import struct as _struct
+    import zipfile as _zf
+
+    def ws(s: str) -> bytes:  # XLWideString
+        return len(s).to_bytes(4, "little") + s.encode("utf-16-le")
+
+    def cell(col: int, rid: int, body: bytes) -> bytes:
+        return _xlsb_rec(rid, col.to_bytes(4, "little") + b"\x00" * 4
+                         + body)
+
+    def row(rw: int) -> bytes:
+        return _xlsb_rec(0x00, rw.to_bytes(4, "little") + b"\x00" * 13)
+
+    sst = (_xlsb_rec(0x19F, (1).to_bytes(4, "little") * 2)
+           + _xlsb_rec(0x13, b"\x00" + ws(f"Item {doc_id}")))
+    sheet1 = (
+        _xlsb_rec(0x91)                                    # BeginSheetData
+        + row(0)
+        + cell(0, 0x07, (0).to_bytes(4, "little"))         # isst -> Item
+        + cell(1, 0x06, ws(f"Desc {doc_id}"))              # inline string
+        + row(1)
+        + cell(0, 0x02, (((doc_id << 2) | 2)               # RK int
+                         .to_bytes(4, "little")))
+        + cell(1, 0x05, _struct.pack("<d", doc_id + 0.5))  # real
+        + cell(2, 0x02, ((((doc_id * 100 + 25) << 2) | 3)  # RK int /100
+                         .to_bytes(4, "little")))
+        + _xlsb_rec(0x92))                                 # EndSheetData
+    sheet2 = (
+        _xlsb_rec(0x91)
+        + row(0)
+        + cell(0, 0x04, b"\x01")                           # TRUE
+        + cell(1, 0x03, b"\x07")                           # #DIV/0!
+        + cell(2, 0x01, b"")                               # blank
+        + cell(3, 0x06, ws(f"Tail {doc_id}"))
+        + _xlsb_rec(0x92))
+    wb = (_xlsb_rec(0x9C, b"\x00" * 8 + ws("rId1")
+                    + ws(f"Data{doc_id % 3}"))
+          + _xlsb_rec(0x9C, b"\x00" * 8 + ws("rId2") + ws("Extra")))
+    rels = (b'<Relationships><Relationship Id="rId1" Type="t" '
+            b'Target="worksheets/sheet1.bin"/>'
+            b'<Relationship Id="rId2" Type="t" '
+            b'Target="worksheets/sheet2.bin"/></Relationships>')
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as z:
+        for name, payload in (
+                ("[Content_Types].xml", b"<Types/>"),
+                ("xl/workbook.bin", wb),
+                ("xl/_rels/workbook.bin.rels", rels),
+                ("xl/sharedStrings.bin", sst),
+                ("xl/worksheets/sheet1.bin", sheet1),
+                ("xl/worksheets/sheet2.bin", sheet2)):
+            z.writestr(_zf.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
+    return buf.getvalue()

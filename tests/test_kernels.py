@@ -640,15 +640,22 @@ def test_mime_breadth_modern_crawl_formats():
     cases = [
         (b"Rar!\x1a\x07\x00" + bytes(32), "application/vnd.rar"),
         (b"\x1aE\xdf\xa3" + bytes(32), "video/webm"),
-        (b"\x28\xb5\x2f\xfd" + bytes(32), "application/zstd"),
-        (bytes(4) + b"ftypavif" + bytes(16), "image/avif"),
-        (bytes(4) + b"ftypheic" + bytes(16), "image/heic"),
     ]
     for payload, expected in cases:
         assert detect_mime(payload, None, "u") == expected, expected
         r = extract_document("u", None, payload)
         assert r.content_type_detected == expected
         assert r.status == "unsupported"  # honest: no parser, right label
+    # zstd gained a real decoder in r5: a corrupt frame is now an honest
+    # FAILURE (right label, error surfaced), not unsupported
+    r = extract_document("u", None, b"\x28\xb5\x2f\xfd" + bytes(32))
+    assert r.content_type_detected == "application/zstd"
+    assert r.status == "failed"
+    # HEIF family: dims-only metadata since r4
+    for payload, expected in [(bytes(4) + b"ftypavif" + bytes(16), "image/avif"),
+                              (bytes(4) + b"ftypheic" + bytes(16), "image/heic")]:
+        r = extract_document("u", None, payload)
+        assert r.content_type_detected == expected
     # 7z grew a real parser in round 4: truncated magic-only payloads now
     # fail the parse honestly instead of reporting unsupported
     r = extract_document("u", None, b"7z\xbc\xaf\x27\x1c" + bytes(32))

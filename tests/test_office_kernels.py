@@ -1072,3 +1072,100 @@ def test_embedded_resource_path_and_limit_flag():
     r = extract_document("u/2.msg", None, build_msg_deep(2), one)
     assert r.metadata["embedded_resource_path"] == ["/embedded-1"]
     assert r.metadata["embedded_resource_limit_reached"] == ["true"]
+
+
+def _xlsb_grid_as_xlsx(doc_id: int) -> bytes:
+    """The build_xlsb grid re-expressed as .xlsx for cross-format
+    parity (same sheets, same cell values, shared + inline strings)."""
+    import io
+    import zipfile
+
+    sheet1 = (
+        '<worksheet><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        f'<c r="B1" t="inlineStr"><is><t>Desc {doc_id}</t></is></c></row>'
+        f'<row r="2"><c r="A2"><v>{doc_id}</v></c>'
+        f'<c r="B2"><v>{doc_id + 0.5}</v></c>'
+        f'<c r="C2"><v>{doc_id + 0.25}</v></c></row>'
+        '</sheetData></worksheet>').encode()
+    sheet2 = (
+        '<worksheet><sheetData>'
+        '<row r="1"><c r="A1" t="b"><v>1</v></c>'
+        '<c r="B1" t="e"><v>#DIV/0!</v></c>'
+        '<c r="C1"/>'
+        f'<c r="D1" t="inlineStr"><is><t>Tail {doc_id}</t></is></c></row>'
+        '</sheetData></worksheet>').encode()
+    sst = (f'<sst><si><t>Item {doc_id}</t></si></sst>').encode()
+    wb = (f'<workbook><sheets>'
+          f'<sheet name="Data{doc_id % 3}" sheetId="1" r:id="rId1"/>'
+          f'<sheet name="Extra" sheetId="2" r:id="rId2"/>'
+          f'</sheets></workbook>').encode()
+    rels = (b'<Relationships><Relationship Id="rId1" Type="t" '
+            b'Target="worksheets/sheet1.xml"/>'
+            b'<Relationship Id="rId2" Type="t" '
+            b'Target="worksheets/sheet2.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, payload in (("[Content_Types].xml", b"<Types/>"),
+                              ("xl/workbook.xml", wb),
+                              ("xl/_rels/workbook.xml.rels", rels),
+                              ("xl/sharedStrings.xml", sst),
+                              ("xl/worksheets/sheet1.xml", sheet1),
+                              ("xl/worksheets/sheet2.xml", sheet2)):
+            z.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)),
+                       payload)
+    return buf.getvalue()
+
+
+def test_xlsb_xlsx_cell_text_parity():
+    """r4 verdict item 3 done-criterion: the binary and XML paths render
+    the same grid to the same text."""
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_xlsb
+
+    for i in (0, 7, 123, 4567):
+        rb = extract_document(f"u/{i}.xlsb", None, build_xlsb(i))
+        rx = extract_document(f"u/{i}.xlsx", None, _xlsb_grid_as_xlsx(i))
+        assert rb.status == rx.status == "ok"
+        assert rb.text_extracted == rx.text_extracted, i
+
+
+def test_xlsb_formula_result_twins_and_errors():
+    """Formula cells contribute their cached VALUE; unknown error codes
+    degrade to #ERR; a huge lying cch never slices past the record."""
+    from sparktika.kernels.xlsb import _sheet_text
+    from sparktika.synth import _xlsb_rec
+
+    def cell(col, rid, body):
+        return _xlsb_rec(rid, col.to_bytes(4, "little") + b"\x00" * 4 + body)
+
+    import struct
+    ws_lying = (0xFFFFFF).to_bytes(4, "little") + "hi".encode("utf-16-le")
+    buf = (_xlsb_rec(0x00, b"\x00" * 17)
+           + cell(0, 0x09, struct.pack("<d", 2.5) + b"\x00\x00")   # FmlaNum
+           + cell(1, 0x0A, b"\x00")                                 # FmlaBool
+           + cell(2, 0x0B, b"\x63")                                 # odd err
+           + cell(3, 0x08, ws_lying))                               # lying cch
+    rows = _sheet_text(buf, [])
+    assert rows == ["2.5\tFALSE\t#ERR\thi"]
+
+
+def test_xlsb_robustness_never_raises():
+    """Truncated / corrupt record streams stop with what parsed."""
+    import io
+    import zipfile
+
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_xlsb
+
+    data = build_xlsb(3)
+    r = extract_document("u/3.xlsb", None, data[:len(data) // 2])
+    assert r.status in ("ok", "failed", "unsupported")  # never raises
+    # valid zip, garbage record stream
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", b"<Types/>")
+        z.writestr("xl/workbook.bin", b"\xff" * 500)
+        z.writestr("xl/worksheets/sheet1.bin", b"\x81" * 300)
+    r = extract_document("u/g.xlsb", None, buf.getvalue())
+    assert r.status == "ok" and isinstance(r.text_extracted, str)
