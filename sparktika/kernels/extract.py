@@ -382,6 +382,22 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/vnd.ms-outlook-pst":
+            from .pst import extract_pst
+
+            r = extract_pst(data, recurse=recurse_embedded,
+                            max_chars=cfg.max_chars, deadline=deadline)
+            md = {k: [v] for k, v in r.metadata.items()}
+            md["n-messages"] = [str(r.n_messages)]
+            md["n-folders"] = [str(r.n_folders)]
+            if r.folder_names:
+                md["folder-names"] = list(r.folder_names)
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected, title=r.title,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected in ("text/vcard", "text/calendar"):
             from .vcal import extract_vcal
 

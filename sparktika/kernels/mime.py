@@ -56,6 +56,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x7fELF", "application/x-executable"),
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
+    (b"!BDN", "application/vnd.ms-outlook-pst"),
 )
 
 # HTML sniff tags (case-insensitive), per a WHATWG-style table.

@@ -1694,6 +1694,59 @@ def extract_tnef_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_pst_text",
+    """
+WITH msg AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n FROM documents)
+SELECT doc_id,
+       'Pst subject ' || doc_id || '-0' AS title,
+       'Pst subject ' || doc_id || '-0' || chr(10) ||
+       'From: Sender 0' || chr(10) ||
+       'To: rcpt0@example.com' || chr(10) || chr(10) ||
+       'Pst body ' || doc_id || ' message 0.' || chr(10) ||
+       CASE WHEN doc_id % 2 = 0 THEN
+         '[Attachment: att' || doc_id || '.txt]' || chr(10) ||
+         'Attached note ' || doc_id || '.' || chr(10)
+       ELSE '' END ||
+       'Pst subject ' || doc_id || '-1' || chr(10) ||
+       'From: Sender 1' || chr(10) ||
+       'To: rcpt1@example.com' || chr(10) || chr(10) ||
+       'Pst body ' || doc_id || ' message 1.' || chr(10) ||
+       CASE WHEN n >= 3 THEN
+         'Pst subject ' || doc_id || '-2' || chr(10) ||
+         'From: Sender 2' || chr(10) ||
+         'To: rcpt2@example.com' || chr(10) || chr(10) ||
+         'Pst body ' || doc_id || ' message 2.' || chr(10)
+       ELSE '' END ||
+       CASE WHEN n >= 4 THEN
+         'Pst subject ' || doc_id || '-3' || chr(10) ||
+         'From: Sender 3' || chr(10) ||
+         'To: rcpt3@example.com' || chr(10) || chr(10) ||
+         'Pst body ' || doc_id || ' message 3.' || chr(10)
+       ELSE '' END AS text_extracted,
+       CAST(n AS BIGINT) AS n_messages,
+       'Inbox ' || (doc_id % 5) AS folder_name,
+       'ok' AS status
+FROM msg
+""",
+)
+def extract_pst_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlook PST kernel end-to-end (r4 verdict item 2): from-spec
+    [MS-PST] NDB b-trees -> LTP heap/BTH property contexts -> message
+    rendering, with attachment subnodes recursed through the dispatcher
+    under the shared embed budget. Tika 1.20 parity: java-libpst via
+    tika-parsers (reference build.gradle)."""
+    ext = _payload_extract(spark, sf_dir, "build_pst", ".pst")
+    return ext.select(
+        "doc_id", "title", "text_extracted",
+        F.element_at("metadata", "n-messages").getItem(0)
+         .cast("long").alias("n_messages"),
+        F.element_at("metadata", "folder-names").getItem(0)
+         .alias("folder_name"),
+        "status")
+
+
+@_register(
     "extract_vcf_text",
     """
 SELECT doc_id,

@@ -2465,3 +2465,194 @@ def build_xlsb(doc_id: int) -> bytes:
                 ("xl/worksheets/sheet2.bin", sheet2)):
             z.writestr(_zf.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
     return buf.getvalue()
+
+
+def _pst_pc_block(props: list[tuple[int, int, object]]) -> bytes:
+    """Heap-on-node block holding one property context ([MS-PST] LTP):
+    HNHDR + BTH header + sorted 8-byte records + variable values, with
+    the HNPAGEMAP trailer. props: (propid, ptype, value) where value is
+    int (inline) or bytes (heap item)."""
+    items: list[bytes] = []
+    recs: list[bytes] = []
+    # item 1 = BTH header, item 2 = record array; values from item 3
+    next_idx = 3
+    for pid, ptype, val in sorted(props):
+        if isinstance(val, int):
+            dw = val & 0xFFFFFFFF
+        else:
+            dw = next_idx << 5  # HID of the value item
+            items.append(val)
+            next_idx += 1
+        recs.append(pid.to_bytes(2, "little") + ptype.to_bytes(2, "little")
+                    + dw.to_bytes(4, "little"))
+    bth = bytes([0xB5, 2, 6, 0]) + (2 << 5).to_bytes(4, "little")
+    all_items = [bth, b"".join(recs)] + items
+    body = bytearray()
+    offsets = [12]
+    for it in all_items:
+        body += it
+        offsets.append(12 + len(body))
+    ib_hnpm = 12 + len(body)
+    hdr = (ib_hnpm.to_bytes(2, "little") + bytes([0xEC, 0xBC])
+           + (1 << 5).to_bytes(4, "little") + bytes(4))
+    pagemap = (len(all_items).to_bytes(2, "little") + bytes(2)
+               + b"".join(o.to_bytes(2, "little") for o in offsets))
+    return hdr + bytes(body) + pagemap
+
+
+def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
+    """Minimal valid Unicode PST (bCryptMethod none): blocks with
+    64-aligned trailers, multi-level NBT/BBT pages when needed.
+    messages: dicts with subject/sender/to/body and optional
+    attachment=(fname, payload)."""
+    PT_UNI, PT_BIN, PT_LONG = 0x001F, 0x0102, 0x0003
+
+    blocks: list[tuple[int, bytes]] = []     # (bid, raw)
+    next_bid = [4]
+
+    def add_block(raw: bytes) -> int:
+        bid = next_bid[0]
+        next_bid[0] += 4
+        blocks.append((bid, raw))
+        return bid
+
+    def add_xblock(raw: bytes) -> int:
+        """internal-bit bid pointing at child leaf blocks."""
+        bid = next_bid[0] + 2                # set the internal bit
+        next_bid[0] += 4
+        blocks.append((bid, raw))
+        return bid
+
+    nodes: list[tuple[int, int, int, int]] = []  # (nid,bidData,bidSub,parent)
+    folder_nid = (8 << 5) | 0x02
+    nodes.append((folder_nid,
+                  add_block(_pst_pc_block(
+                      [(0x3001, PT_UNI, folder_name.encode("utf-16-le"))])),
+                  0, folder_nid))
+    for k, m in enumerate(messages):
+        props = [(0x0037, PT_UNI, m["subject"].encode("utf-16-le")),
+                 (0x0C1A, PT_UNI, m["sender"].encode("utf-16-le")),
+                 (0x0E04, PT_UNI, m["to"].encode("utf-16-le")),
+                 (0x1000, PT_UNI, m["body"].encode("utf-16-le"))]
+        bid_data = add_block(_pst_pc_block(props))
+        bid_sub = 0
+        if m.get("attachment"):
+            fname, payload = m["attachment"]
+            apc = _pst_pc_block(
+                [(0x3705, PT_LONG, 1),
+                 (0x3707, PT_UNI, fname.encode("utf-16-le")),
+                 (0x3701, PT_BIN, payload)])
+            abid = add_block(apc)
+            anid = (1 << 5) | 0x08
+            sl = (bytes([2, 0]) + (1).to_bytes(2, "little") + bytes(4)
+                  + anid.to_bytes(8, "little") + abid.to_bytes(8, "little")
+                  + (0).to_bytes(8, "little"))
+            bid_sub = add_block(sl)
+        nid = ((16 + k) << 5) | 0x04
+        nodes.append((nid, bid_data, bid_sub, folder_nid))
+
+    # ---- serialize: header | blocks (64-aligned) | pages (512-aligned)
+    out = bytearray(1024)                     # header zone
+    bbt_entries: list[tuple[int, int, int]] = []  # (bid, ib, cb)
+    for bid, raw in blocks:
+        ib = (len(out) + 63) & ~63
+        out += bytes(ib - len(out))
+        env = (len(raw) + 16 + 63) & ~63
+        blk = bytearray(env)
+        blk[:len(raw)] = raw
+        blk[env - 16:env] = (len(raw).to_bytes(2, "little") + bytes(6)
+                             + bid.to_bytes(8, "little"))
+        out += blk
+        bbt_entries.append((bid, ib, len(raw)))
+
+    next_pbid = [1 << 20]
+
+    def write_page(entries: list[bytes], cb_ent: int, level: int,
+                   ptype: int) -> tuple[int, int, int]:
+        """-> (first_key, bid, ib) of the written page."""
+        ib = (len(out) + 511) & ~511
+        out.extend(bytes(ib - len(out)))
+        bid = next_pbid[0]
+        next_pbid[0] += 4
+        page = bytearray(512)
+        joined = b"".join(entries)
+        page[:len(joined)] = joined
+        page[488] = len(entries)
+        page[489] = 488 // cb_ent
+        page[490] = cb_ent
+        page[491] = level
+        page[496] = ptype
+        page[497] = ptype
+        page[504:512] = bid.to_bytes(8, "little")
+        out.extend(page)
+        first_key = int.from_bytes(entries[0][:8], "little")
+        return first_key, bid, ib
+
+    def write_btree(leaf_entries: list[bytes], cb_ent: int,
+                    ptype: int) -> tuple[int, int]:
+        """Chunk leaves into pages; add intermediate levels as needed."""
+        per = 488 // cb_ent
+        level = 0
+        entries = leaf_entries
+        while True:
+            pages = []
+            for i in range(0, len(entries), per):
+                pages.append(write_page(entries[i:i + per], cb_ent,
+                                        level, ptype))
+            if len(pages) == 1:
+                return pages[0][1], pages[0][2]
+            entries = [key.to_bytes(8, "little")
+                       + bid.to_bytes(8, "little") + ib.to_bytes(8, "little")
+                       for key, bid, ib in pages]
+            cb_ent = 24
+            per = 488 // 24
+            level += 1
+
+    bbt_leaves = [bid.to_bytes(8, "little") + ib.to_bytes(8, "little")
+                  + cb.to_bytes(2, "little") + (1).to_bytes(2, "little")
+                  + bytes(4)
+                  for bid, ib, cb in sorted(bbt_entries)]
+    nbt_leaves = [nid.to_bytes(8, "little") + bd.to_bytes(8, "little")
+                  + bs.to_bytes(8, "little") + parent.to_bytes(4, "little")
+                  + bytes(4)
+                  for nid, bd, bs, parent in sorted(nodes)]
+    bbt_bid, bbt_ib = write_btree(bbt_leaves, 24, 0x80)
+    nbt_bid, nbt_ib = write_btree(nbt_leaves, 32, 0x81)
+
+    hdr = bytearray(564)
+    hdr[0:4] = b"!BDN"
+    hdr[8:10] = b"SM"
+    hdr[10:12] = (23).to_bytes(2, "little")   # wVer: Unicode
+    hdr[12:14] = (19).to_bytes(2, "little")   # wVerClient
+    root = 180
+    hdr[root + 4:root + 12] = len(out).to_bytes(8, "little")  # ibFileEof
+    hdr[root + 36:root + 44] = nbt_bid.to_bytes(8, "little")
+    hdr[root + 44:root + 52] = nbt_ib.to_bytes(8, "little")
+    hdr[root + 52:root + 60] = bbt_bid.to_bytes(8, "little")
+    hdr[root + 60:root + 68] = bbt_ib.to_bytes(8, "little")
+    hdr[512] = 0x80                           # bSentinel
+    hdr[513] = 0                              # bCryptMethod: none
+    out[:564] = hdr
+    return bytes(out)
+
+
+def build_pst(doc_id: int) -> bytes:
+    """Deterministic Unicode .pst (extract_pst_text oracle): an Inbox
+    folder with 2 + doc_id % 3 messages; even doc_ids attach a .txt to
+    message 0. Kernel output per message k:
+      "Pst subject {id}-{k}\\nFrom: Sender {k}\\n
+       To: rcpt{k}@example.com\\n\\nPst body {id} message {k}.\\n"
+    with "[Attachment: att{id}.txt]\\nAttached note {id}.\\n" appended
+    to message 0 on even ids."""
+    n = 2 + doc_id % 3
+    msgs = []
+    for k in range(n):
+        m = {"subject": f"Pst subject {doc_id}-{k}",
+             "sender": f"Sender {k}",
+             "to": f"rcpt{k}@example.com",
+             "body": f"Pst body {doc_id} message {k}."}
+        if k == 0 and doc_id % 2 == 0:
+            m["attachment"] = (f"att{doc_id}.txt",
+                               f"Attached note {doc_id}.\n".encode())
+        msgs.append(m)
+    return _pst_file(f"Inbox {doc_id % 5}", msgs)

@@ -1,0 +1,125 @@
+"""PST kernel: [MS-PST] NDB/LTP walk, message rendering, attachment
+recursion, multi-level b-trees, refusal + bomb posture (invariant 7)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sparktika.kernels.errors import KernelError
+from sparktika.kernels.extract import extract_document
+from sparktika.kernels.mime import detect_mime
+from sparktika.kernels.pst import extract_pst
+from sparktika.synth import _pst_file, build_pst
+
+
+def test_basic_store_and_mime():
+    data = build_pst(4)
+    assert detect_mime(data) == "application/vnd.ms-outlook-pst"
+    r = extract_pst(data)
+    assert r.n_messages == 3 and r.folder_names == ["Inbox 4"]
+    assert r.title == "Pst subject 4-0"
+    assert "Pst body 4 message 2." in r.text
+
+
+def test_dispatcher_attachment_recursion_and_paths():
+    r = extract_document("u/4.pst", None, build_pst(4))
+    assert r.status == "ok"
+    assert "[Attachment: att4.txt]\nAttached note 4.\n" in r.text_extracted
+    assert r.metadata["embedded_resource_path"] == ["/att4.txt"]
+    assert r.metadata["n-messages"] == ["3"]
+    assert r.metadata["folder-names"] == ["Inbox 4"]
+
+
+def test_nested_pst_attachment_recurses():
+    inner = build_pst(1)
+    msgs = [{"subject": "Outer", "sender": "S", "to": "t@x",
+             "body": "outer body", "attachment": ("inner.pst", inner)}]
+    outer = _pst_file("Top", msgs)
+    r = extract_document("u/o.pst", None, outer)
+    assert r.status == "ok"
+    assert "Pst body 1 message 0." in r.text_extracted  # inner surfaced
+    assert r.metadata["embedded_resource_path"][0] == "/inner.pst"
+
+
+def test_multilevel_btrees():
+    """41 nodes / 40+ blocks force 2-level NBT and BBT pages."""
+    msgs = [{"subject": f"S{k}", "sender": f"F{k}", "to": f"t{k}@x",
+             "body": f"body number {k}"} for k in range(40)]
+    data = _pst_file("Big", msgs)
+    r = extract_pst(data)
+    assert r.n_messages == 40
+    assert all(f"body number {k}" in r.text for k in range(40))
+
+
+def test_subject_prefix_marker_stripped():
+    msgs = [{"subject": "\x01\x05RE: hello", "sender": "A", "to": "b@x",
+             "body": "x"}]
+    r = extract_pst(_pst_file("F", msgs))
+    assert r.title == "RE: hello"
+    assert r.text.startswith("RE: hello\n")
+
+
+def test_ansi_and_encrypted_refused():
+    data = bytearray(build_pst(1))
+    data[10:12] = (14).to_bytes(2, "little")  # ANSI wVer
+    with pytest.raises(KernelError, match="ANSI"):
+        extract_pst(bytes(data))
+    data = bytearray(build_pst(1))
+    data[513] = 1  # NDB_CRYPT_PERMUTE
+    with pytest.raises(KernelError, match="perm"):
+        extract_pst(bytes(data))
+    # through the dispatcher: status rows, never raises
+    r = extract_document("u/e.pst", None, bytes(data))
+    assert r.status == "failed" and "perm" in r.error
+
+
+def test_truncation_and_corruption_never_escape():
+    data = build_pst(6)
+    for cut in range(0, len(data), max(1, len(data) // 40)):
+        r = extract_document("u/t.pst", None, data[:cut])
+        assert r.status in ("ok", "failed", "unsupported")
+    rng = random.Random(5)
+    for _ in range(120):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        r = extract_document("u/c.pst", None, bytes(b))
+        assert r.status in ("ok", "failed", "unsupported")
+
+
+def test_max_chars_truncates():
+    r = extract_pst(build_pst(2), max_chars=40)
+    assert r.truncated and len(r.text) == 40
+
+
+def test_btree_cycle_is_a_bomb_not_a_hang():
+    """A page whose child BREF points back at itself must error."""
+    data = bytearray(build_pst(1))
+    # find the NBT root page via the header BREF and make it level 1
+    # pointing at itself
+    ib = int.from_bytes(data[180 + 44:180 + 52], "little")
+    bid = int.from_bytes(data[180 + 36:180 + 44], "little")
+    entry = (0).to_bytes(8, "little") + bid.to_bytes(8, "little") \
+        + ib.to_bytes(8, "little")
+    data[ib:ib + 24] = entry
+    data[ib + 488] = 1    # cEnt
+    data[ib + 490] = 24   # cbEnt
+    data[ib + 491] = 1    # level
+    with pytest.raises(KernelError):
+        extract_pst(bytes(data))
+
+
+def test_message_count_cap():
+    import sparktika.kernels.pst as pstmod
+
+    old = pstmod._MAX_MESSAGES
+    pstmod._MAX_MESSAGES = 3
+    try:
+        msgs = [{"subject": f"S{k}", "sender": "F", "to": "t@x",
+                 "body": "b"} for k in range(5)]
+        with pytest.raises(KernelError, match="cap"):
+            extract_pst(_pst_file("F", msgs))
+    finally:
+        pstmod._MAX_MESSAGES = old
