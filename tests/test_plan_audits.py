@@ -126,3 +126,64 @@ def test_concat_chunk_map_single_exchange_and_tiling(spark):
             assert r["end_chunk"] == (cur + r["n_tokens"] - 1) // 512
             assert r["n_chunks"] == r["end_chunk"] - r["start_chunk"] + 1
         pos[r["shard"]] = cur + r["n_tokens"]
+
+
+def test_semantic_dedup_reuses_materialized_assignment(spark):
+    """r4 verdict item 7: the k-means assignment pass is materialized
+    ONCE (eager localCheckpoint) and every downstream consumer reads the
+    checkpointed RDD — no plan may re-run the corpus-wide Arrow matmul
+    (which would appear as extra ArrowEvalPython/FlatMapsInPandas
+    stages), and no CacheManager entry may linger."""
+    from pyspark.sql import Row
+
+    from sparktika.pipeline.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 3 + j) % 7) for j in range(8)])
+         for i in range(60)])
+    out = semantic_dedup(emb, n_clusters=2, threshold=0.999, iters=1)
+    plan = _plan(out)
+    # every corpus touch goes through the checkpointed assignment RDD
+    assert "Scan ExistingRDD" in plan
+    # the assignment matmul ran at checkpoint time; the verdict plan
+    # itself must not contain another python-eval over raw embeddings
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    out.collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pdf_image_stats_is_map_only(spark):
+    """r4 verdict item 7: PDF image payload decoding must stay a pure
+    map (scan -> project -> mapInPandas), no Exchange."""
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline.multimodal import pdf_image_stats
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter("doc_id < 20"))  # limit() would inject its own Exchange
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from sparktika.synth import build_pdf_images
+
+    def payload_fn(ids):
+        return pd.Series([build_pdf_images(int(i)) for i in ids])
+
+    payload = pandas_udf(payload_fn, BinaryType())
+    pdfs = docs.select("doc_id", payload(F.col("doc_id")).alias("payload"))
+    plan = _plan(pdf_image_stats(pdfs))
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """r4 verdict item 7: decontamination joins the corpus map-side
+    against a BROADCAST benchmark n-gram set — the corpus must never
+    shuffle on n-gram."""
+    from sparktika.pipeline.dedup import benchmark_contamination
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.limit(5).select("doc_id", "text")
+    plan = _plan(benchmark_contamination(docs, bench))
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning(ngram" not in plan
