@@ -149,13 +149,18 @@ def main() -> None:
 
     run_suite()
 
-    # Heavy non-headline operators (r3 verdict item 9): single-shot
-    # timings recorded as a per-round artifact so the scale evidence for
-    # CC / span ranges / contamination accrues a time series instead of
-    # living in prose. Single-shot (not min-of-N): these are tens of
-    # seconds each and their round-over-round trend, not the exact
-    # value, is the signal. Disable with SPARK_GRAFT_HEAVY=0.
+    # Heavy non-headline operators (r3 verdict item 9): recorded as a
+    # per-round artifact so the scale evidence for CC / span ranges /
+    # contamination accrues a time series. r4 verdict item 6: the r4
+    # single-shot CC numbers swung 7.2-37.6 s with host steal (the
+    # iterative loop runs a count() per pointer-jump round, so it
+    # samples the steal distribution many times) — heavy ops now use
+    # the SAME interleaved min-of-repeats protocol as the headline
+    # suite (default 2 rounds; SPARK_GRAFT_HEAVY_REPEATS to change,
+    # SPARK_GRAFT_HEAVY=0 to disable).
     heavy: dict[str, float] = {}
+    heavy_repeats = max(1, int(os.environ.get("SPARK_GRAFT_HEAVY_REPEATS",
+                                              "2")))
     if os.environ.get("SPARK_GRAFT_HEAVY", "1") != "0":
         heavy_suite = {
             "dedup_cluster_components": lambda: _force(
@@ -169,10 +174,13 @@ def main() -> None:
                     docs.filter(F.col("doc_id") % 97 == 0),
                     "text", "doc_id")),
         }
-        for name, thunk in heavy_suite.items():
-            t0 = time.monotonic()
-            thunk()
-            heavy[name] = round(time.monotonic() - t0, 3)
+        for rep in range(heavy_repeats):
+            for name, thunk in heavy_suite.items():
+                t0 = time.monotonic()
+                thunk()
+                dt = round(time.monotonic() - t0, 3)
+                if rep == 0 or dt < heavy[name]:
+                    heavy[name] = dt
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q_extract_full"], 1)
@@ -191,7 +199,9 @@ def main() -> None:
         "repeats": repeats,
         "timing": "min over interleaved repeat rounds (host CPU steal protocol)",
         **({"heavy_ops": heavy,
-            "heavy_ops_timing": "single-shot, full documents table"}
+            "heavy_ops_timing": (
+                f"min over {heavy_repeats} interleaved rounds, "
+                "full documents table")}
            if heavy else {}),
     }))
     spark.stop()
