@@ -886,9 +886,18 @@ def extract_document(
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error="audio headers unparseable")
 
-        # recognized-but-unparsed (media, ...) and unknown binary
+        # recognized-but-unparsed (media, ...) and unknown binary.
+        # Deliberate refusals say so in metadata (r4 verdict: a RAR
+        # refusal must be distinguishable from a gap).
+        _BY_DESIGN = {
+            "application/vnd.rar": "proprietary format, refused by design",
+        }
+        reason = _BY_DESIGN.get(detected)
+        md = {"refusal-reason": [reason]} if reason else {}
         return res(detected=detected, status=STATUS_UNSUPPORTED,
-                   error=f"no parser for {detected}")
+                   metadata=md,
+                   error=(f"no parser for {detected}"
+                          + (f" ({reason})" if reason else "")))
 
     except DeadlineError as e:
         return res(detected=detected, status=STATUS_TIMEOUT, error=str(e))
