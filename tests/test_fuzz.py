@@ -346,3 +346,63 @@ def test_mbox_garbage_never_raises(payload):
     head = b"From a@b.c Thu Jan  1 00:00:00 1970\nFrom: a@b.c\nSubject: s\n\n"
     r = extract_document("u/f.mbox", None, head + payload)
     assert r.status in ("ok", "failed", "unsupported", "truncated", "timeout")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_zstd_magic_prefixed_garbage_never_raises(payload):
+    """Random bytes behind the zstd magic: status row, never a raise
+    and never an uncaught IndexError from a lying length (r5)."""
+    from sparktika.kernels.extract import extract_document
+
+    r = extract_document("u/f.zst", None, b"\x28\xb5\x2f\xfd" + payload)
+    assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_pst_magic_prefixed_garbage_never_raises(payload):
+    from sparktika.kernels.extract import extract_document
+
+    r = extract_document("u/f.pst", None, b"!BDN" + payload)
+    assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+@given(st.binary(max_size=2048), st.integers(0, 40))
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_pst_mutated_valid_store_never_raises(payload, n_flips):
+    """Byte flips over a VALID store exercise deep NDB/LTP paths."""
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_pst
+
+    data = bytearray(build_pst(1))
+    for i in range(n_flips):
+        if payload[i % max(len(payload), 1):][:1]:
+            pos = payload[i % len(payload)] * max(len(data) // 256, 1) % len(data)
+            data[pos] ^= payload[(i * 7) % len(payload)]
+    r = extract_document("u/m.pst", None, bytes(data))
+    assert r.status in ("ok", "failed", "unsupported", "truncated", "timeout")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_xlsb_record_garbage_never_raises(payload):
+    """Garbage record streams inside a valid zip must stop with what
+    parsed, never raise."""
+    import io
+    import zipfile
+
+    from sparktika.kernels.extract import extract_document
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", b"<Types/>")
+        z.writestr("xl/workbook.bin", payload)
+        z.writestr("xl/sharedStrings.bin", payload[::-1])
+        z.writestr("xl/worksheets/sheet1.bin", payload)
+    r = extract_document("u/f.xlsb", None, buf.getvalue())
+    assert r.status in ("ok", "failed", "unsupported", "truncated")

@@ -871,6 +871,7 @@ def test_semantic_dedup_leaves_no_cache_entry(spark):
 
     from sparktika.pipeline.similarity import semantic_dedup
 
+    spark.catalog.clearCache()  # other tests may legitimately cache
     emb = spark.createDataFrame(
         [Row(vec_id=i, embedding=[float((i * 7 + j) % 5) for j in range(8)])
          for i in range(40)])

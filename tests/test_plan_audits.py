@@ -138,6 +138,7 @@ def test_semantic_dedup_reuses_materialized_assignment(spark):
 
     from sparktika.pipeline.similarity import semantic_dedup
 
+    spark.catalog.clearCache()  # isolate from any prior audit's state
     emb = spark.createDataFrame(
         [Row(vec_id=i, embedding=[float((i * 3 + j) % 7) for j in range(8)])
          for i in range(60)])
