@@ -21,10 +21,10 @@ Honest limits: Unicode PSTs only (wVer 23; ANSI refuses with a status
 row), bCryptMethod NDB_CRYPT_NONE only — the permute/cyclic ciphers
 need the spec's 256-byte table verbatim, and a misremembered table
 would SILENTLY corrupt text, so encrypted stores refuse loudly
-instead. Multi-block data trees (XBLOCK/XXBLOCK), 2+-level b-trees, and
-subnode trees are fully supported; multi-BLOCK heap nodes (hid block
-index > 0, rare for PC-sized payloads) degrade per-message rather than
-failing the store; caps bound pages/blocks/output (invariant 7).
+instead. Multi-block data trees (XBLOCK/XXBLOCK), 2+-level b-trees, subnode
+trees, AND multi-block heap nodes (HID block index selects the i-th
+data block; HNHDR/HNPAGEHDR pages read uniformly) are supported; caps
+bound pages/blocks/output (invariant 7).
 """
 
 from __future__ import annotations
@@ -165,25 +165,32 @@ class _Ndb:
             raise KernelError("pst: block trailer mismatch")
         return raw
 
-    def read_data(self, bid: int, depth: int = 0) -> bytes:
-        """Data-tree resolution: leaf blocks, XBLOCK (cLevel 1) and
-        XXBLOCK (cLevel 2) chains ([MS-PST] §2.2.2.8.3)."""
+    def read_data_blocks(self, bid: int, depth: int = 0) -> list[bytes]:
+        """Data-tree resolution preserving LEAF-BLOCK boundaries: leaf
+        blocks, XBLOCK (cLevel 1) and XXBLOCK (cLevel 2) chains
+        ([MS-PST] §2.2.2.8.3). Boundaries matter for multi-block heap
+        nodes, whose HID block index addresses the i-th data block."""
         if bid == 0:
-            return b""
+            return []
         if depth > 3:
             raise KernelError("pst: data tree too deep")
         check_deadline(self.deadline, "pst data tree")
         raw = self._raw_block(bid)
         if not bid & 2:
-            return raw
+            return [raw]
         if len(raw) < 8 or raw[0] != 1:
             raise KernelError("pst: bad XBLOCK")
         c_ent = _u(raw, 2, 2)
         if 8 + 8 * c_ent > len(raw):
             raise KernelError("pst: XBLOCK entries overflow")
-        parts = [self.read_data(_u(raw, 8 + 8 * i, 8), depth + 1)
-                 for i in range(c_ent)]
-        return b"".join(parts)
+        parts: list[bytes] = []
+        for i in range(c_ent):
+            parts.extend(self.read_data_blocks(_u(raw, 8 + 8 * i, 8),
+                                               depth + 1))
+        return parts
+
+    def read_data(self, bid: int, depth: int = 0) -> bytes:
+        return b"".join(self.read_data_blocks(bid, depth))
 
     def subnodes(self, bid_sub: int, depth: int = 0) -> dict[int, tuple[int, int]]:
         """Subnode tree -> {nid: (bidData, bidSub)}."""
@@ -218,12 +225,12 @@ class _Heap:
 
     def __init__(self, ndb: _Ndb, bid_data: int):
         self.ndb = ndb
-        raw = ndb.read_data(bid_data)
-        # multi-block heaps: each 8192-byte data block is its own heap
-        # page; our blocks are single for PC-sized payloads, but split
-        # conservatively by the XBLOCK boundaries -> approximate by the
-        # whole buffer when single-block (the common PC case)
-        self.pages = [raw]
+        # multi-block heaps: each DATA BLOCK is its own heap page (block
+        # 0 leads with HNHDR, later pages with HNPAGEHDR/HNBITMAPHDR —
+        # all of which start with the 2-byte ibHnpm, so item() reads
+        # every page uniformly); HID block index selects the page
+        self.pages = ndb.read_data_blocks(bid_data)
+        raw = self.pages[0] if self.pages else b""
         if not raw or len(raw) < 12:
             raise KernelError("pst: heap node too small")
         if raw[2] != 0xEC:

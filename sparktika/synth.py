@@ -2534,7 +2534,16 @@ def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
                  (0x0C1A, PT_UNI, m["sender"].encode("utf-16-le")),
                  (0x0E04, PT_UNI, m["to"].encode("utf-16-le")),
                  (0x1000, PT_UNI, m["body"].encode("utf-16-le"))]
-        bid_data = add_block(_pst_pc_block(props))
+        if m.get("raw_pages"):
+            # pre-built heap pages (multi-block HN test shape): leaf
+            # blocks chained by an XBLOCK
+            leaf_bids = [add_block(p) for p in m["raw_pages"]]
+            xb = (bytes([1, 1]) + len(leaf_bids).to_bytes(2, "little")
+                  + sum(len(p) for p in m["raw_pages"]).to_bytes(4, "little")
+                  + b"".join(b.to_bytes(8, "little") for b in leaf_bids))
+            bid_data = add_xblock(xb)
+        else:
+            bid_data = add_block(_pst_pc_block(props))
         bid_sub = 0
         if m.get("attachment"):
             fname, payload = m["attachment"]

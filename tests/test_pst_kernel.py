@@ -123,3 +123,47 @@ def test_message_count_cap():
             extract_pst(_pst_file("F", msgs))
     finally:
         pstmod._MAX_MESSAGES = old
+
+
+def test_multiblock_heap_node():
+    """A PC whose heap spans TWO data blocks chained by an XBLOCK: the
+    HID block index must address the second page (HNPAGEHDR shape)."""
+    def ws(s):
+        return s.encode("utf-16-le")
+
+    def page(items: list[bytes], first: bool) -> bytes:
+        body = b"".join(items)
+        hdr_len = 12 if first else 2
+        offsets = [hdr_len]
+        for it in items:
+            offsets.append(offsets[-1] + len(it))
+        ib_hnpm = offsets[-1]
+        pagemap = (len(items).to_bytes(2, "little") + bytes(2)
+                   + b"".join(o.to_bytes(2, "little") for o in offsets))
+        if first:
+            hdr = (ib_hnpm.to_bytes(2, "little") + bytes([0xEC, 0xBC])
+                   + (1 << 5).to_bytes(4, "little") + bytes(4))
+        else:
+            hdr = ib_hnpm.to_bytes(2, "little")
+        return hdr + body + pagemap
+
+    PT_UNI = 0x001F
+    # page 1, item 1 -> hid = (1 << 5) | (1 << 16)
+    far_hid = (1 << 5) | (1 << 16)
+    recs = (  # subject inline on page 0 (item 3), body on page 1
+        (0x0037).to_bytes(2, "little") + PT_UNI.to_bytes(2, "little")
+        + (3 << 5).to_bytes(4, "little")
+        + (0x1000).to_bytes(2, "little") + PT_UNI.to_bytes(2, "little")
+        + far_hid.to_bytes(4, "little"))
+    bth = bytes([0xB5, 2, 6, 0]) + (2 << 5).to_bytes(4, "little")
+    page0 = page([bth, recs, ws("Far subject")], first=True)
+    page1 = page([ws("Body from the second heap page")], first=False)
+
+    from sparktika.kernels.pst import extract_pst
+    from sparktika.synth import _pst_file
+
+    data = _pst_file("F", [{"subject": "unused", "sender": "s", "to": "t",
+                            "body": "unused", "raw_pages": [page0, page1]}])
+    r = extract_pst(data)
+    assert r.title == "Far subject"
+    assert "Body from the second heap page" in r.text
