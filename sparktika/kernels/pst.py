@@ -17,10 +17,11 @@ follows the spec:
        dispatcher's guarded `recurse`; folders (0x02) contribute
        display names to metadata.
 
-Honest limits: Unicode PSTs only (wVer 23; ANSI refuses with a status
-row), bCryptMethod NDB_CRYPT_NONE only — the permute/cyclic ciphers
-need the spec's 256-byte table verbatim, and a misremembered table
-would SILENTLY corrupt text, so encrypted stores refuse loudly
+Both on-disk formats parse: Unicode (wVer >= 23, 8-byte BIDs) and
+ANSI (wVer 14/15, 4-byte BIDs) — the LTP layer is format-identical.
+Honest limit: bCryptMethod NDB_CRYPT_NONE only — the permute/cyclic
+ciphers need the spec's 256-byte table verbatim, and a misremembered
+table would SILENTLY corrupt text, so encrypted stores refuse loudly
 instead. Multi-block data trees (XBLOCK/XXBLOCK), 2+-level b-trees, subnode
 trees, AND multi-block heap nodes (HID block index selects the i-th
 data block; HNHDR/HNPAGEHDR pages read uniformly) are supported; caps
@@ -84,29 +85,55 @@ def _u(data: bytes, off: int, n: int) -> int:
 
 
 class _Ndb:
-    """Node database layer: b-trees, blocks, data/subnode trees."""
+    """Node database layer: b-trees, blocks, data/subnode trees.
+
+    Width-parameterized over the two on-disk formats ([MS-PST]
+    §2.2.2.6): Unicode (wVer >= 23, 8-byte BIDs/IBs, ROOT at 180,
+    16-byte block trailers) and ANSI (wVer 14/15, 4-byte BIDs/IBs,
+    ROOT at 164, 12-byte block trailers). The LTP layer above is
+    format-identical."""
 
     def __init__(self, data: bytes, deadline: float | None):
         self.data = data
         self.deadline = deadline
-        if len(data) < 564:
+        if len(data) < 512:
             raise KernelError("pst: truncated header")
         if data[:4] != _MAGIC or data[8:10] != b"SM":
             raise KernelError("pst: bad magic")
         ver = _u(data, 10, 2)
-        if ver < 23:
-            raise KernelError(
-                f"pst: ANSI store (wVer {ver}) unsupported — Unicode only")
-        crypt = data[513]
+        if ver >= 23:
+            self.fmt = "unicode"
+            w = self.W = 8
+            root = 180
+            crypt_off = 513
+            # ROOT: dwReserved(4) ibFileEof(8) ibAMapLast(8)
+            # cbAMapFree(8) cbPMapFree(8) BREF_NBT(16) BREF_BBT(16)
+            nbt_off, bbt_off = root + 36, root + 52
+            self.trailer_len = 16
+            self.page_meta = 488      # cEnt/cEntMax/cbEnt/cLevel offset
+            self.page_type = 496
+            self.page_bid = (504, 8)
+        elif ver in (14, 15):
+            self.fmt = "ansi"
+            w = self.W = 4
+            root = 164
+            crypt_off = 461
+            # ANSI ROOT: dwReserved(4) ibFileEof(4) ibAMapLast(4)
+            # cbAMapFree(4) cbPMapFree(4) BREF_NBT(8) BREF_BBT(8)
+            nbt_off, bbt_off = root + 20, root + 28
+            self.trailer_len = 12
+            self.page_meta = 496
+            self.page_type = 500
+            self.page_bid = (504, 4)  # ptype/ptypeRepeat/wSig then bid
+        else:
+            raise KernelError(f"pst: unknown wVer {ver}")
+        crypt = data[crypt_off]
         if crypt != 0:
             raise KernelError(
                 f"pst: bCryptMethod {crypt} (permute/cyclic) unsupported "
                 "— refusing rather than risking silent garbage")
-        # ROOT at 180: dwReserved(4) ibFileEof(8) ibAMapLast(8)
-        # cbAMapFree(8) cbPMapFree(8) BREF_NBT(16) BREF_BBT(16)
-        root = 180
-        self.nbt_bref = (_u(data, root + 36, 8), _u(data, root + 44, 8))
-        self.bbt_bref = (_u(data, root + 52, 8), _u(data, root + 60, 8))
+        self.nbt_bref = (_u(data, nbt_off, w), _u(data, nbt_off + w, w))
+        self.bbt_bref = (_u(data, bbt_off, w), _u(data, bbt_off + w, w))
         self.blocks: dict[int, tuple[int, int]] = {}   # bid -> (ib, cb)
         self.nodes: dict[int, tuple[int, int, int]] = {}  # nid->(bidD,bidS,parent)
         self._walk_bt(self.bbt_bref, is_nbt=False, depth=0, seen=set())
@@ -115,6 +142,7 @@ class _Ndb:
     def _walk_bt(self, bref: tuple[int, int], is_nbt: bool, depth: int,
                  seen: set) -> None:
         check_deadline(self.deadline, "pst btree")
+        w = self.W
         bid, ib = bref
         if depth > _MAX_TREE_DEPTH or len(seen) > _MAX_PAGES:
             raise KernelError("pst: b-tree too deep/wide")
@@ -124,30 +152,31 @@ class _Ndb:
         page = self.data[ib:ib + 512]
         if len(page) < 512:
             raise KernelError("pst: b-tree page out of file")
-        c_ent = page[488]
-        cb_ent = page[490]
-        level = page[491]
-        ptype = page[496]
+        area = self.page_meta
+        c_ent = page[area]
+        cb_ent = page[area + 2]
+        level = page[area + 3]
+        ptype = page[self.page_type]
         if ptype not in (0x80, 0x81):
             raise KernelError("pst: bad b-tree page type")
-        if _u(page, 504, 8) != bid:
+        if _u(page, *self.page_bid) != bid:
             raise KernelError("pst: page trailer bid mismatch")
-        if cb_ent == 0 or c_ent * cb_ent > 488:
+        if cb_ent == 0 or c_ent * cb_ent > area:
             raise KernelError("pst: b-tree page entry overflow")
         for i in range(c_ent):
             e = page[i * cb_ent:(i + 1) * cb_ent]
-            if level > 0:  # BTENTRY: btkey(8) + BREF(16)
-                self._walk_bt((_u(e, 8, 8), _u(e, 16, 8)), is_nbt,
+            if level > 0:  # BTENTRY: btkey(W) + BREF(2W)
+                self._walk_bt((_u(e, w, w), _u(e, 2 * w, w)), is_nbt,
                               depth + 1, seen)
-            elif is_nbt:   # NBTENTRY: nid(8) bidData(8) bidSub(8) parent(4)
+            elif is_nbt:   # NBTENTRY: nid(W) bidData(W) bidSub(W) parent(4)
                 if len(self.nodes) >= _MAX_NODES:
                     raise KernelError("pst: node count exceeds cap")
-                self.nodes[_u(e, 0, 8) & 0xFFFFFFFF] = (
-                    _u(e, 8, 8), _u(e, 16, 8), _u(e, 24, 4))
-            else:          # BBTENTRY: BREF(16) cb(2) cRef(2)
+                self.nodes[_u(e, 0, w) & 0xFFFFFFFF] = (
+                    _u(e, w, w), _u(e, 2 * w, w), _u(e, 3 * w, 4))
+            else:          # BBTENTRY: BREF(2W) cb(2) cRef(2)
                 if len(self.blocks) >= _MAX_BLOCKS:
                     raise KernelError("pst: block count exceeds cap")
-                self.blocks[_u(e, 0, 8)] = (_u(e, 8, 8), _u(e, 16, 2))
+                self.blocks[_u(e, 0, w)] = (_u(e, w, w), _u(e, 2 * w, 2))
 
     def _raw_block(self, bid: int) -> bytes:
         if bid not in self.blocks:
@@ -158,11 +187,16 @@ class _Ndb:
         raw = self.data[ib:ib + cb]
         if len(raw) != cb:
             raise KernelError("pst: block out of file")
-        # trailer sits at the end of the 64-aligned envelope
-        total = (cb + 16 + 63) & ~63
-        tr = self.data[ib + total - 16: ib + total]
-        if len(tr) == 16 and (_u(tr, 0, 2) != cb or _u(tr, 8, 8) != bid):
-            raise KernelError("pst: block trailer mismatch")
+        # trailer sits at the end of the 64-aligned envelope; layouts:
+        # Unicode {cb(2) wSig(2) dwCRC(4) bid(8)}, ANSI {cb(2) wSig(2)
+        # bid(4) dwCRC(4)}
+        tlen = self.trailer_len
+        total = (cb + tlen + 63) & ~63
+        tr = self.data[ib + total - tlen: ib + total]
+        if len(tr) == tlen:
+            tr_bid = _u(tr, 8, 8) if self.fmt == "unicode" else _u(tr, 4, 4)
+            if _u(tr, 0, 2) != cb or tr_bid != bid:
+                raise KernelError("pst: block trailer mismatch")
         return raw
 
     def read_data_blocks(self, bid: int, depth: int = 0) -> list[bytes]:
@@ -175,17 +209,18 @@ class _Ndb:
         if depth > 3:
             raise KernelError("pst: data tree too deep")
         check_deadline(self.deadline, "pst data tree")
+        w = self.W
         raw = self._raw_block(bid)
         if not bid & 2:
             return [raw]
         if len(raw) < 8 or raw[0] != 1:
             raise KernelError("pst: bad XBLOCK")
         c_ent = _u(raw, 2, 2)
-        if 8 + 8 * c_ent > len(raw):
+        if 8 + w * c_ent > len(raw):
             raise KernelError("pst: XBLOCK entries overflow")
         parts: list[bytes] = []
         for i in range(c_ent):
-            parts.extend(self.read_data_blocks(_u(raw, 8 + 8 * i, 8),
+            parts.extend(self.read_data_blocks(_u(raw, 8 + w * i, w),
                                                depth + 1))
         return parts
 
@@ -193,29 +228,32 @@ class _Ndb:
         return b"".join(self.read_data_blocks(bid, depth))
 
     def subnodes(self, bid_sub: int, depth: int = 0) -> dict[int, tuple[int, int]]:
-        """Subnode tree -> {nid: (bidData, bidSub)}."""
+        """Subnode tree -> {nid: (bidData, bidSub)}. Entry areas start
+        at 8 (Unicode, after dwPadding) / 4 (ANSI, no padding)."""
         if bid_sub == 0:
             return {}
         if depth > 3:
             raise KernelError("pst: subnode tree too deep")
+        w = self.W
+        base = 8 if self.fmt == "unicode" else 4
         raw = self._raw_block(bid_sub)
-        if len(raw) < 8 or raw[0] != 2:
+        if len(raw) < base or raw[0] != 2:
             raise KernelError("pst: bad subnode block")
         level = raw[1]
         c_ent = _u(raw, 2, 2)
         out: dict[int, tuple[int, int]] = {}
-        if level == 0:  # SLENTRY: nid(8) bidData(8) bidSub(8)
-            if 8 + 24 * c_ent > len(raw):
+        if level == 0:  # SLENTRY: nid(W) bidData(W) bidSub(W)
+            if base + 3 * w * c_ent > len(raw):
                 raise KernelError("pst: SLBLOCK overflow")
             for i in range(c_ent):
-                o = 8 + 24 * i
-                out[_u(raw, o, 8) & 0xFFFFFFFF] = (_u(raw, o + 8, 8),
-                                                   _u(raw, o + 16, 8))
-        else:           # SIENTRY: nid(8) bid(8)
-            if 8 + 16 * c_ent > len(raw):
+                o = base + 3 * w * i
+                out[_u(raw, o, w) & 0xFFFFFFFF] = (_u(raw, o + w, w),
+                                                   _u(raw, o + 2 * w, w))
+        else:           # SIENTRY: nid(W) bid(W)
+            if base + 2 * w * c_ent > len(raw):
                 raise KernelError("pst: SIBLOCK overflow")
             for i in range(c_ent):
-                out.update(self.subnodes(_u(raw, 8 + 16 * i + 8, 8),
+                out.update(self.subnodes(_u(raw, base + 2 * w * i + w, w),
                                          depth + 1))
         return out
 
@@ -412,7 +450,7 @@ def extract_pst(data: bytes, recurse=None, max_chars: int = -1,
     if max_chars != -1 and len(full) > max_chars:
         full = full[:max_chars]
         truncated = True
-    md = {"Content-Type": PST_MIME, "pst-format": "unicode"}
+    md = {"Content-Type": PST_MIME, "pst-format": ndb.fmt}
     return PstResult(text=full, title=title, n_messages=n_msgs,
                      n_folders=len(folders), folder_names=folders,
                      metadata=md, truncated=truncated)

@@ -2500,12 +2500,17 @@ def _pst_pc_block(props: list[tuple[int, int, object]]) -> bytes:
     return hdr + bytes(body) + pagemap
 
 
-def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
-    """Minimal valid Unicode PST (bCryptMethod none): blocks with
-    64-aligned trailers, multi-level NBT/BBT pages when needed.
-    messages: dicts with subject/sender/to/body and optional
-    attachment=(fname, payload)."""
+def _pst_file(folder_name: str, messages: list[dict],
+              fmt: str = "unicode") -> bytes:
+    """Minimal valid PST (bCryptMethod none) in either on-disk format
+    (fmt='unicode' 8-byte BIDs / 'ansi' 4-byte): blocks with 64-aligned
+    trailers, multi-level NBT/BBT pages when needed. messages: dicts
+    with subject/sender/to/body and optional attachment=(fname,
+    payload)."""
     PT_UNI, PT_BIN, PT_LONG = 0x001F, 0x0102, 0x0003
+    W = 8 if fmt == "unicode" else 4          # BID/IB width
+    TLEN = 16 if fmt == "unicode" else 12     # block trailer length
+    AREA = 488 if fmt == "unicode" else 496   # page entry area
 
     blocks: list[tuple[int, bytes]] = []     # (bid, raw)
     next_bid = [4]
@@ -2540,7 +2545,7 @@ def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
             leaf_bids = [add_block(p) for p in m["raw_pages"]]
             xb = (bytes([1, 1]) + len(leaf_bids).to_bytes(2, "little")
                   + sum(len(p) for p in m["raw_pages"]).to_bytes(4, "little")
-                  + b"".join(b.to_bytes(8, "little") for b in leaf_bids))
+                  + b"".join(b.to_bytes(W, "little") for b in leaf_bids))
             bid_data = add_xblock(xb)
         else:
             bid_data = add_block(_pst_pc_block(props))
@@ -2553,9 +2558,10 @@ def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
                  (0x3701, PT_BIN, payload)])
             abid = add_block(apc)
             anid = (1 << 5) | 0x08
-            sl = (bytes([2, 0]) + (1).to_bytes(2, "little") + bytes(4)
-                  + anid.to_bytes(8, "little") + abid.to_bytes(8, "little")
-                  + (0).to_bytes(8, "little"))
+            sl = (bytes([2, 0]) + (1).to_bytes(2, "little")
+                  + bytes(4 if fmt == "unicode" else 0)
+                  + anid.to_bytes(W, "little") + abid.to_bytes(W, "little")
+                  + (0).to_bytes(W, "little"))
             bid_sub = add_block(sl)
         nid = ((16 + k) << 5) | 0x04
         nodes.append((nid, bid_data, bid_sub, folder_nid))
@@ -2566,11 +2572,16 @@ def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
     for bid, raw in blocks:
         ib = (len(out) + 63) & ~63
         out += bytes(ib - len(out))
-        env = (len(raw) + 16 + 63) & ~63
+        env = (len(raw) + TLEN + 63) & ~63
         blk = bytearray(env)
         blk[:len(raw)] = raw
-        blk[env - 16:env] = (len(raw).to_bytes(2, "little") + bytes(6)
-                             + bid.to_bytes(8, "little"))
+        if fmt == "unicode":   # {cb(2) wSig(2) dwCRC(4) bid(8)}
+            tr = (len(raw).to_bytes(2, "little") + bytes(6)
+                  + bid.to_bytes(8, "little"))
+        else:                  # ANSI {cb(2) wSig(2) bid(4) dwCRC(4)}
+            tr = (len(raw).to_bytes(2, "little") + bytes(2)
+                  + bid.to_bytes(4, "little") + bytes(4))
+        blk[env - TLEN:env] = tr
         out += blk
         bbt_entries.append((bid, ib, len(raw)))
 
@@ -2586,21 +2597,24 @@ def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
         page = bytearray(512)
         joined = b"".join(entries)
         page[:len(joined)] = joined
-        page[488] = len(entries)
-        page[489] = 488 // cb_ent
-        page[490] = cb_ent
-        page[491] = level
-        page[496] = ptype
-        page[497] = ptype
-        page[504:512] = bid.to_bytes(8, "little")
+        page[AREA] = len(entries)
+        page[AREA + 1] = AREA // cb_ent
+        page[AREA + 2] = cb_ent
+        page[AREA + 3] = level
+        if fmt == "unicode":
+            page[496] = page[497] = ptype
+            page[504:512] = bid.to_bytes(8, "little")
+        else:
+            page[500] = page[501] = ptype
+            page[504:508] = bid.to_bytes(4, "little")
         out.extend(page)
-        first_key = int.from_bytes(entries[0][:8], "little")
+        first_key = int.from_bytes(entries[0][:W], "little")
         return first_key, bid, ib
 
     def write_btree(leaf_entries: list[bytes], cb_ent: int,
                     ptype: int) -> tuple[int, int]:
         """Chunk leaves into pages; add intermediate levels as needed."""
-        per = 488 // cb_ent
+        per = AREA // cb_ent
         level = 0
         entries = leaf_entries
         while True:
@@ -2610,37 +2624,50 @@ def _pst_file(folder_name: str, messages: list[dict]) -> bytes:
                                         level, ptype))
             if len(pages) == 1:
                 return pages[0][1], pages[0][2]
-            entries = [key.to_bytes(8, "little")
-                       + bid.to_bytes(8, "little") + ib.to_bytes(8, "little")
+            entries = [key.to_bytes(W, "little")
+                       + bid.to_bytes(W, "little") + ib.to_bytes(W, "little")
                        for key, bid, ib in pages]
-            cb_ent = 24
-            per = 488 // 24
+            cb_ent = 3 * W
+            per = AREA // cb_ent
             level += 1
 
-    bbt_leaves = [bid.to_bytes(8, "little") + ib.to_bytes(8, "little")
+    bbt_leaves = [bid.to_bytes(W, "little") + ib.to_bytes(W, "little")
                   + cb.to_bytes(2, "little") + (1).to_bytes(2, "little")
-                  + bytes(4)
+                  + (bytes(4) if fmt == "unicode" else b"")
                   for bid, ib, cb in sorted(bbt_entries)]
-    nbt_leaves = [nid.to_bytes(8, "little") + bd.to_bytes(8, "little")
-                  + bs.to_bytes(8, "little") + parent.to_bytes(4, "little")
-                  + bytes(4)
+    nbt_leaves = [nid.to_bytes(W, "little") + bd.to_bytes(W, "little")
+                  + bs.to_bytes(W, "little") + parent.to_bytes(4, "little")
+                  + (bytes(4) if fmt == "unicode" else b"")
                   for nid, bd, bs, parent in sorted(nodes)]
-    bbt_bid, bbt_ib = write_btree(bbt_leaves, 24, 0x80)
-    nbt_bid, nbt_ib = write_btree(nbt_leaves, 32, 0x81)
+    bbt_bid, bbt_ib = write_btree(
+        bbt_leaves, 2 * W + 4 + (4 if fmt == "unicode" else 0), 0x80)
+    nbt_bid, nbt_ib = write_btree(nbt_leaves, 3 * W + (8 if fmt == "unicode"
+                                                      else 4), 0x81)
 
     hdr = bytearray(564)
     hdr[0:4] = b"!BDN"
     hdr[8:10] = b"SM"
-    hdr[10:12] = (23).to_bytes(2, "little")   # wVer: Unicode
     hdr[12:14] = (19).to_bytes(2, "little")   # wVerClient
-    root = 180
-    hdr[root + 4:root + 12] = len(out).to_bytes(8, "little")  # ibFileEof
-    hdr[root + 36:root + 44] = nbt_bid.to_bytes(8, "little")
-    hdr[root + 44:root + 52] = nbt_ib.to_bytes(8, "little")
-    hdr[root + 52:root + 60] = bbt_bid.to_bytes(8, "little")
-    hdr[root + 60:root + 68] = bbt_ib.to_bytes(8, "little")
-    hdr[512] = 0x80                           # bSentinel
-    hdr[513] = 0                              # bCryptMethod: none
+    if fmt == "unicode":
+        hdr[10:12] = (23).to_bytes(2, "little")
+        root = 180
+        hdr[root + 4:root + 12] = len(out).to_bytes(8, "little")
+        hdr[root + 36:root + 44] = nbt_bid.to_bytes(8, "little")
+        hdr[root + 44:root + 52] = nbt_ib.to_bytes(8, "little")
+        hdr[root + 52:root + 60] = bbt_bid.to_bytes(8, "little")
+        hdr[root + 60:root + 68] = bbt_ib.to_bytes(8, "little")
+        hdr[512] = 0x80                       # bSentinel
+        hdr[513] = 0                          # bCryptMethod: none
+    else:
+        hdr[10:12] = (14).to_bytes(2, "little")
+        root = 164
+        hdr[root + 4:root + 8] = len(out).to_bytes(4, "little")
+        hdr[root + 20:root + 24] = nbt_bid.to_bytes(4, "little")
+        hdr[root + 24:root + 28] = nbt_ib.to_bytes(4, "little")
+        hdr[root + 28:root + 32] = bbt_bid.to_bytes(4, "little")
+        hdr[root + 32:root + 36] = bbt_ib.to_bytes(4, "little")
+        hdr[460] = 0x80                       # bSentinel
+        hdr[461] = 0                          # bCryptMethod: none
     out[:564] = hdr
     return bytes(out)
 

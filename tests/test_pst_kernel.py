@@ -61,11 +61,31 @@ def test_subject_prefix_marker_stripped():
     assert r.text.startswith("RE: hello\n")
 
 
-def test_ansi_and_encrypted_refused():
-    data = bytearray(build_pst(1))
-    data[10:12] = (14).to_bytes(2, "little")  # ANSI wVer
-    with pytest.raises(KernelError, match="ANSI"):
-        extract_pst(bytes(data))
+def test_ansi_format_parses():
+    """ANSI stores (wVer 14, 4-byte BIDs) parse fully: messages,
+    attachments through the dispatcher, multi-level trees."""
+    msgs = [{"subject": f"A{k}", "sender": f"S{k}", "to": f"t{k}@x",
+             "body": f"ansi body {k}"} for k in range(3)]
+    msgs[0]["attachment"] = ("n.txt", b"ansi attached\n")
+    data = _pst_file("Old Inbox", msgs, fmt="ansi")
+    r = extract_pst(data)
+    assert r.n_messages == 3 and r.metadata["pst-format"] == "ansi"
+    rd = extract_document("u/a.pst", None, data)
+    assert "[Attachment: n.txt]\nansi attached\n" in rd.text_extracted
+    big = _pst_file("Big", [{"subject": f"S{k}", "sender": "F", "to": "t@x",
+                             "body": f"bb {k}"} for k in range(40)],
+                    fmt="ansi")
+    rb = extract_pst(big)
+    assert rb.n_messages == 40
+    assert all(f"bb {k}" in rb.text for k in range(40))
+    # a bad wVer still refuses
+    bad = bytearray(build_pst(1))
+    bad[10:12] = (9).to_bytes(2, "little")
+    with pytest.raises(KernelError, match="wVer"):
+        extract_pst(bytes(bad))
+
+
+def test_encrypted_refused():
     data = bytearray(build_pst(1))
     data[513] = 1  # NDB_CRYPT_PERMUTE
     with pytest.raises(KernelError, match="perm"):
