@@ -614,8 +614,15 @@ def extract_document(
                                  "(ratio-compounding bomb)")
             inner_name = (url[: -len(suffix)]
                           if url.lower().endswith(suffix) else url)
+            # transparent wrapper: SAME embed depth (no level consumed)
+            # but the budget and path prefix must survive the hop — a
+            # reset would let .zst/.msg alternation nest unboundedly
+            # and would strip parents from embedded_resource_path
+            # (r5 review)
             r = extract_document(inner_name, None, inner, cfg,
-                                 true_size=len(inner), _deadline=deadline)
+                                 true_size=len(inner), _deadline=deadline,
+                                 embed_depth=embed_depth,
+                                 _embed_path=_embed_path)
             md = dict(r.metadata)
             md["Content-Encoding-Outer"] = [codec]
             return res(detected=r.content_type_detected,

@@ -314,11 +314,21 @@ class _Pc:
         if cb_key != 2 or cb_ent != 6:
             raise KernelError("pst: PC BTH shape mismatch")
         self.props: dict[int, tuple[int, int]] = {}
-        self._read_bth(_u(hdr, 4, 4), levels)
+        # r5 review: a crafted BTH with self-referential intermediate
+        # records recurses fanout^levels — guard with a visited set,
+        # a hard record cap, and the shared deadline (invariant 7)
+        self._bth_seen: set[tuple[int, int]] = set()
+        self._read_bth(_u(hdr, 4, 4), min(levels, 8))
 
     def _read_bth(self, hid: int, level: int) -> None:
         if hid == 0:
             return
+        check_deadline(self.ndb.deadline, "pst BTH walk")
+        if (hid, level) in self._bth_seen or len(self._bth_seen) > 4096:
+            raise KernelError("pst: BTH cycle/fan-out bomb")
+        self._bth_seen.add((hid, level))
+        if len(self.props) > 4096:
+            raise KernelError("pst: BTH property count exceeds cap")
         rec = self.heap.item(hid)
         if level > 0:  # intermediate: key(2) + hidNextLevel(4)
             for o in range(0, len(rec) - 5, 6):
@@ -376,6 +386,7 @@ def extract_pst(data: bytes, recurse=None, max_chars: int = -1,
     markers with recursed payload text)."""
     ndb = _Ndb(data, deadline)
     out: list[str] = []
+    out_chars = 0
     title: str | None = None
     folders: list[str] = []
     n_msgs = 0
@@ -443,7 +454,8 @@ def extract_pst(data: bytes, recurse=None, max_chars: int = -1,
                 if t2:
                     text += t2 if t2.endswith("\n") else t2 + "\n"
         out.append(text)
-        if max_chars != -1 and sum(len(t) for t in out) > max_chars:
+        out_chars += len(text)  # running total: the walk stays O(n)
+        if max_chars != -1 and out_chars > max_chars:
             truncated = True
             break
     full = "".join(out)

@@ -119,7 +119,12 @@ def _content_lines(text: str):
             while value.endswith("=") and i < len(lines):
                 value = value[:-1] + lines[i]
                 i += 1
-            value = _decode_qp(value)
+            # vCard 2.1 QP values carry NO backslash escaping — running
+            # _unescape over the decoded bytes would turn a literal
+            # '\n' (e.g. from =5Cn, a Windows path) into a newline
+            # (r5 review)
+            yield name, _decode_qp(value).strip()
+            continue
         yield name, _unescape(value.strip())
 
 

@@ -111,8 +111,10 @@ def _rk_value(raw: int) -> float:
 
 
 def _fmt_num(val: float) -> str:
-    # same collapse as ooxml._fmt_xlsx_number, starting from a float
-    if val == int(val) and abs(val) < 1e15:
+    # same collapse as ooxml._fmt_xlsx_number, starting from a float;
+    # NaN/inf render as repr (int(nan) would raise — r5 review)
+    if val == val and abs(val) != float("inf") \
+            and val == int(val) and abs(val) < 1e15:
         return str(int(val))
     return repr(val)
 
@@ -155,8 +157,8 @@ def _sheet_text(buf: bytes, shared: list[str]) -> list[str]:
             elif rid == _BRT_CELL_ISST:
                 idx = int.from_bytes(body[:4], "little")
                 cells.append(shared[idx] if idx < len(shared) else "")
-        except (IndexError, struct.error):
-            cells.append("")
+        except (IndexError, struct.error, ValueError, OverflowError):
+            cells.append("")  # one malformed cell never fails the sheet
     flush()
     return rows
 

@@ -827,3 +827,14 @@ def test_vcard_qp_edge_cases():
     r = extract_vcal(b"BEGIN:VCARD\r\n"
                      b"NOTE;ENCODING=QUOTED-PRINTABLE:tail=")
     assert isinstance(r.text, str)
+
+
+def test_vcard_qp_backslash_sequences_stay_literal():
+    """r5 review: QP-decoded 2.1 values carry no backslash escaping —
+    =5Cn (a Windows path segment) must stay a literal backslash-n."""
+    from sparktika.kernels.vcal import extract_vcal
+
+    r = extract_vcal(b"BEGIN:VCARD\r\n"
+                     b"NOTE;ENCODING=QUOTED-PRINTABLE:path C:=5Cnotes=5Cnew\r\n"
+                     b"END:VCARD\r\n")
+    assert "path C:\\notes\\new" in r.text

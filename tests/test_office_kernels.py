@@ -1169,3 +1169,24 @@ def test_xlsb_robustness_never_raises():
         z.writestr("xl/worksheets/sheet1.bin", b"\x81" * 300)
     r = extract_document("u/g.xlsb", None, buf.getvalue())
     assert r.status == "ok" and isinstance(r.text_extracted, str)
+
+
+def test_xlsb_nan_inf_cells_degrade_not_fail():
+    """r5 review: NaN/inf doubles (BrtCellReal) and inf RKs must render
+    per-cell, never raise out of the sheet walk."""
+    import struct
+
+    from sparktika.kernels.xlsb import _sheet_text
+    from sparktika.synth import _xlsb_rec
+
+    def cell(col, rid, body):
+        return _xlsb_rec(rid, col.to_bytes(4, "little") + b"\x00" * 4 + body)
+
+    buf = (_xlsb_rec(0x00, b"\x00" * 17)
+           + cell(0, 0x05, struct.pack("<d", float("nan")))
+           + cell(1, 0x05, struct.pack("<d", float("inf")))
+           + cell(2, 0x02, (0xFFFFFFF8).to_bytes(4, "little"))
+           + cell(3, 0x06, (2).to_bytes(4, "little")
+                  + "ok".encode("utf-16-le")))
+    rows = _sheet_text(buf, [])
+    assert len(rows) == 1 and rows[0].endswith("\tok")

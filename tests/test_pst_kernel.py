@@ -187,3 +187,85 @@ def test_multiblock_heap_node():
     r = extract_pst(data)
     assert r.title == "Far subject"
     assert "Body from the second heap page" in r.text
+
+
+def test_bth_fanout_bomb_dies_fast():
+    """r5 review: a BTH whose intermediate records point back at their
+    own heap item would recurse fanout^levels — must error, not hang."""
+    import time
+
+    def page(items, first=True):
+        body = b"".join(items)
+        offsets = [12]
+        for it in items:
+            offsets.append(offsets[-1] + len(it))
+        pagemap = (len(items).to_bytes(2, "little") + bytes(2)
+                   + b"".join(o.to_bytes(2, "little") for o in offsets))
+        hdr = (offsets[-1].to_bytes(2, "little") + bytes([0xEC, 0xBC])
+               + (1 << 5).to_bytes(4, "little") + bytes(4))
+        return hdr + body + pagemap
+
+    # BTH header: levels=200, root -> item 2; item 2 = intermediate
+    # records all pointing back at item 2
+    bth = bytes([0xB5, 2, 6, 200]) + (2 << 5).to_bytes(4, "little")
+    rec = (b"\x00\x00" + (2 << 5).to_bytes(4, "little")) * 40
+    page0 = page([bth, rec])
+
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import _pst_file
+
+    data = _pst_file("F", [{"subject": "x", "sender": "s", "to": "t",
+                            "body": "b", "raw_pages": [page0]}])
+    t0 = time.monotonic()
+    r = extract_document("u/bomb.pst", None, data)
+    assert time.monotonic() - t0 < 5.0
+    assert r.status in ("ok", "failed")  # degraded, never hung
+
+
+def test_wrapper_hop_preserves_embed_budget_and_path():
+    """r5 review: gzip/zstd wrapper re-dispatch must not reset the
+    embed budget (msg->zst->msg alternation would nest unboundedly) and
+    must keep the parent path prefix."""
+    import gzip
+
+    from sparktika.config import DEFAULT_CONFIG
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import _pst_file
+
+    # depth chain: outer pst -> attachment inner.pst.gz -> inner pst ->
+    # attachment leaf.txt ; with max_embed_depth=2 the leaf parse sits
+    # at depth 2 and parses; with 1, the inner pst's attachment trips
+    inner = _pst_file("In", [{"subject": "I", "sender": "s", "to": "t",
+                              "body": "inner body",
+                              "attachment": ("leaf.txt", b"leaf text\n")}])
+    outer = _pst_file("Out", [{"subject": "O", "sender": "s", "to": "t",
+                               "body": "outer body",
+                               "attachment": ("inner.pst.gz",
+                                              gzip.compress(inner))}])
+    r = extract_document("u/o.pst", None, outer)
+    assert "leaf text" in r.text_extracted
+    # hierarchical path: the leaf is recorded under the gz attachment
+    assert "/inner.pst.gz/leaf.txt" in r.metadata["embedded_resource_path"]
+    import dataclasses
+    one = dataclasses.replace(DEFAULT_CONFIG, max_embed_depth=1)
+    r1 = extract_document("u/o.pst", None, outer, one)
+    assert "leaf text" not in (r1.text_extracted or "")
+    assert r1.metadata["embedded_resource_limit_reached"] == ["true"]
+
+
+def test_many_small_messages_linear_walk():
+    """r5 review: per-message truncation accounting is O(n), not O(n^2)
+    — 2,000 small messages must extract in well under a second of
+    Python time (was ~quadratic re-summing)."""
+    import time
+
+    from sparktika.kernels.pst import extract_pst
+    from sparktika.synth import _pst_file
+
+    msgs = [{"subject": f"S{k}", "sender": "F", "to": "t@x", "body": "b"}
+            for k in range(2000)]
+    data = _pst_file("Many", msgs)
+    t0 = time.monotonic()
+    r = extract_pst(data, max_chars=10_000_000)
+    assert r.n_messages == 2000
+    assert time.monotonic() - t0 < 5.0
