@@ -406,3 +406,103 @@ def test_xlsb_record_garbage_never_raises(payload):
         z.writestr("xl/worksheets/sheet1.bin", payload)
     r = extract_document("u/f.xlsb", None, buf.getvalue())
     assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+@given(st.lists(
+    st.lists(st.one_of(
+        st.integers(-2**28, 2**28 - 1),
+        st.booleans(),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0,
+                                       blacklist_characters="\t\x7f"),
+                max_size=12)),
+        min_size=1, max_size=5),
+    min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_xlsb_xlsx_differential_random_grids(grid):
+    """Property: ANY grid of ints/bools/strings renders to the same
+    text through the binary (XLSB) and XML (xlsx) walkers."""
+    import io
+    import struct
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import _xlsb_rec
+
+    def cell_b(col, v):
+        pre = col.to_bytes(4, "little") + b"\x00" * 4
+        if isinstance(v, bool):
+            return _xlsb_rec(0x04, pre + (b"\x01" if v else b"\x00"))
+        if isinstance(v, int):
+            return _xlsb_rec(0x05, pre + struct.pack("<d", float(v)))
+        return _xlsb_rec(0x06, pre + len(v).to_bytes(4, "little")
+                         + v.encode("utf-16-le"))
+
+    def cell_x(ref, v):
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, int):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t>{escape(v)}</t></is>'
+                f'</c>')
+
+    sheet_b = _xlsb_rec(0x91)
+    rows_x = []
+    for r, row in enumerate(grid):
+        sheet_b += _xlsb_rec(0x00, r.to_bytes(4, "little") + b"\x00" * 13)
+        cells_x = []
+        for c, v in enumerate(row):
+            sheet_b += cell_b(c, v)
+            cells_x.append(cell_x(f"{chr(65 + c)}{r + 1}", v))
+        rows_x.append(f'<row r="{r + 1}">' + "".join(cells_x) + "</row>")
+    sheet_b += _xlsb_rec(0x92)
+    sheet_x = ("<worksheet><sheetData>" + "".join(rows_x)
+               + "</sheetData></worksheet>").encode()
+
+    def zf(entries):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, p in entries.items():
+                z.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), p)
+        return buf.getvalue()
+
+    wb_b = _xlsb_rec(0x9C, b"\x00" * 8
+                     + (4).to_bytes(4, "little") + "rId1".encode("utf-16-le")
+                     + (1).to_bytes(4, "little") + "G".encode("utf-16-le"))
+    rels_b = (b'<Relationships><Relationship Id="rId1" Type="t" '
+              b'Target="worksheets/sheet1.bin"/></Relationships>')
+    xlsb = zf({"[Content_Types].xml": b"<Types/>", "xl/workbook.bin": wb_b,
+               "xl/_rels/workbook.bin.rels": rels_b,
+               "xl/worksheets/sheet1.bin": sheet_b})
+    wb_x = b'<workbook><sheets><sheet name="G" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    rels_x = (b'<Relationships><Relationship Id="rId1" Type="t" '
+              b'Target="worksheets/sheet1.xml"/></Relationships>')
+    xlsx = zf({"[Content_Types].xml": b"<Types/>", "xl/workbook.xml": wb_x,
+               "xl/_rels/workbook.xml.rels": rels_x,
+               "xl/worksheets/sheet1.xml": sheet_x})
+    rb = extract_document("u/g.xlsb", None, xlsb)
+    rx = extract_document("u/g.xlsx", None, xlsx)
+    assert rb.text_extracted == rx.text_extracted
+
+
+@given(st.binary(max_size=30000), st.sampled_from([1, 3, 19]))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_zstd_cli_roundtrip_property(payload, level):
+    """Property: anything the reference zstd CLI emits, the from-spec
+    decoder reproduces byte-identically."""
+    import shutil
+    import subprocess
+
+    import pytest as _pytest
+
+    from sparktika.kernels.zstd import decompress_zstd
+
+    cli = shutil.which("zstd") or "/root/miniconda/bin/zstd"
+    try:
+        comp = subprocess.run([cli, f"-{level}", "-c"], input=payload,
+                              capture_output=True, timeout=30).stdout
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        _pytest.skip("zstd CLI unavailable")
+    assert decompress_zstd(comp, 10_000_000) == payload
