@@ -372,6 +372,105 @@ class _Pc:
         return v[1]
 
 
+class _Tc:
+    """Table context ([MS-PST] §2.3.4): TCINFO column descriptors over
+    fixed-width rows with a cell-existence bitmap. Used here for the
+    recipient table (subnode NID type 0x12) — java-libpst parity for
+    messages that carry no PidTagDisplayTo property."""
+
+    def __init__(self, ndb: _Ndb, bid_data: int, bid_sub: int):
+        self.ndb = ndb
+        self.heap = _Heap(ndb, bid_data)
+        self.subs = ndb.subnodes(bid_sub)
+        if self.heap.client_sig != 0x7C:
+            raise KernelError("pst: node is not a table context")
+        info = self.heap.item(self.heap.user_root)
+        if len(info) < 22 or info[0] != 0x7C:
+            raise KernelError("pst: bad TCINFO")
+        c_cols = info[1]
+        if len(info) < 22 + 8 * c_cols or c_cols > 128:
+            raise KernelError("pst: TCINFO columns overflow")
+        self.rgib = [_u(info, 2 + 2 * i, 2) for i in range(4)]
+        hnid_rows = _u(info, 14, 4)
+        self.cols = []
+        for i in range(c_cols):
+            o = 22 + 8 * i
+            tag = _u(info, o, 4)
+            self.cols.append((tag >> 16, tag & 0xFFFF,        # propid, type
+                              _u(info, o + 4, 2), info[o + 6],  # ib, cb
+                              info[o + 7]))                     # iBit
+        width = self.rgib[3]
+        if width == 0 or width > 8192:
+            raise KernelError("pst: bad TC row width")
+        self.rows: list[bytes] = []
+        if hnid_rows:
+            if hnid_rows & 0x1F:  # subnode-hosted: rows never span blocks
+                sub = self.subs.get(hnid_rows)
+                if sub is None:
+                    raise KernelError("pst: TC rows subnode missing")
+                blocks = ndb.read_data_blocks(sub[0])
+            else:
+                blocks = [self.heap.item(hnid_rows)]
+            for blk in blocks:
+                for i in range(len(blk) // width):
+                    self.rows.append(blk[i * width:(i + 1) * width])
+                    if len(self.rows) > 100_000:
+                        raise KernelError("pst: TC row count exceeds cap")
+
+    def cell(self, row: bytes, propid: int):
+        """Raw typed value for propid in a row, or None if the column
+        is absent or the cell-existence bit is clear."""
+        for pid, ptype, ib, cb, ibit in self.cols:
+            if pid != propid:
+                continue
+            bm_off = self.rgib[2] + ibit // 8
+            if bm_off >= len(row) or not row[bm_off] & (1 << (7 - ibit % 8)):
+                return None
+            raw = row[ib:ib + cb]
+            if ptype in (0x0002, 0x0003):
+                return int.from_bytes(raw, "little")
+            if ptype == 0x001F:
+                hnid = int.from_bytes(raw, "little")
+                if hnid == 0:
+                    return None
+                if hnid & 0x1F:
+                    sub = self.subs.get(hnid)
+                    data = self.ndb.read_data(sub[0]) if sub else b""
+                else:
+                    data = self.heap.item(hnid)
+                return data.decode("utf-16-le", "replace")
+            return raw
+        return None
+
+
+_RECIP_DISPLAY_NAME = 0x3001
+_RECIP_TYPE = 0x0C15
+
+
+def _recipients_fallback(ndb: _Ndb, subs: dict) -> tuple[str | None, str | None]:
+    """(to, cc) display strings from the message's recipient-table
+    subnode (NID type 0x12), for messages without PidTagDisplayTo."""
+    for snid, (sd, ss) in sorted(subs.items()):
+        if snid & 0x1F != 0x12:
+            continue
+        try:
+            tc = _Tc(ndb, sd, ss)
+        except KernelError:
+            return None, None
+        to, cc = [], []
+        for row in tc.rows:
+            try:
+                name = tc.cell(row, _RECIP_DISPLAY_NAME)
+                rtype = tc.cell(row, _RECIP_TYPE)
+            except KernelError:
+                continue
+            if not name:
+                continue
+            (cc if rtype == 2 else to if rtype == 1 else []).append(name)
+        return ("; ".join(to) or None), ("; ".join(cc) or None)
+    return None, None
+
+
 def _clean_subject(s: str | None) -> str | None:
     # PST subjects may carry a 2-char prefix-length marker (\x01 + len)
     if s and s[0] == "\x01":
@@ -422,8 +521,15 @@ def extract_pst(data: bytes, recurse=None, max_chars: int = -1,
         if sender:
             lines.append(f"From: {sender}")
         to = pc.string(_DISPLAY_TO)
+        cc = None
+        if to is None:
+            # java-libpst parity: fall back to the recipient TABLE
+            # (subnode NID type 0x12) when the PC carries no DisplayTo
+            to, cc = _recipients_fallback(ndb, pc.subs)
         if to:
             lines.append(f"To: {to}")
+        if cc:
+            lines.append(f"Cc: {cc}")
         text = "\n".join(lines)
         body = pc.string(_BODY)
         if body:

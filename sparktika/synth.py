@@ -2500,6 +2500,44 @@ def _pst_pc_block(props: list[tuple[int, int, object]]) -> bytes:
     return hdr + bytes(body) + pagemap
 
 
+def _pst_tc_recipients(recips: list[tuple[str, int]]) -> bytes:
+    """Heap block holding a recipient TABLE CONTEXT ([MS-PST] §2.3.4):
+    TCINFO (2 columns: PidTagDisplayName PT_UNICODE, PidTagRecipientType
+    PT_LONG) + fixed-width rows (rowid + 2x4-byte cells + CEB byte);
+    display strings are further heap items."""
+    c_cols = 2
+    rgib = (12, 12, 12, 13)   # 4-byte end, 2-byte end, 1-byte end, width
+    cols = ((0x3001001F).to_bytes(4, "little") + (4).to_bytes(2, "little")
+            + bytes([4, 0])
+            + (0x0C150003).to_bytes(4, "little") + (8).to_bytes(2, "little")
+            + bytes([4, 1]))
+    rows = bytearray()
+    names: list[bytes] = []
+    for i, (name, rtype) in enumerate(recips):
+        hnid = (3 + i) << 5    # heap items 3..N hold the names
+        names.append(name.encode("utf-16-le"))
+        rows += (i.to_bytes(4, "little") + hnid.to_bytes(4, "little")
+                 + rtype.to_bytes(4, "little") + b"\xc0")  # CEB bits 0,1
+    tcinfo = (bytes([0x7C, c_cols])
+              + b"".join(x.to_bytes(2, "little") for x in rgib)
+              + (0).to_bytes(4, "little")        # hidRowIndex (unused)
+              + (2 << 5).to_bytes(4, "little")   # hnidRows -> item 2
+              + (0).to_bytes(4, "little")        # hidIndex
+              + cols)
+    items = [tcinfo, bytes(rows)] + names
+    body = bytearray()
+    offsets = [12]
+    for it in items:
+        body += it
+        offsets.append(12 + len(body))
+    ib_hnpm = 12 + len(body)
+    hdr = (ib_hnpm.to_bytes(2, "little") + bytes([0xEC, 0x7C])
+           + (1 << 5).to_bytes(4, "little") + bytes(4))
+    pagemap = (len(items).to_bytes(2, "little") + bytes(2)
+               + b"".join(o.to_bytes(2, "little") for o in offsets))
+    return hdr + bytes(body) + pagemap
+
+
 def _pst_file(folder_name: str, messages: list[dict],
               fmt: str = "unicode") -> bytes:
     """Minimal valid PST (bCryptMethod none) in either on-disk format
@@ -2537,8 +2575,9 @@ def _pst_file(folder_name: str, messages: list[dict],
     for k, m in enumerate(messages):
         props = [(0x0037, PT_UNI, m["subject"].encode("utf-16-le")),
                  (0x0C1A, PT_UNI, m["sender"].encode("utf-16-le")),
-                 (0x0E04, PT_UNI, m["to"].encode("utf-16-le")),
                  (0x1000, PT_UNI, m["body"].encode("utf-16-le"))]
+        if m.get("to") is not None:
+            props.append((0x0E04, PT_UNI, m["to"].encode("utf-16-le")))
         if m.get("raw_pages"):
             # pre-built heap pages (multi-block HN test shape): leaf
             # blocks chained by an XBLOCK
@@ -2550,18 +2589,24 @@ def _pst_file(folder_name: str, messages: list[dict],
         else:
             bid_data = add_block(_pst_pc_block(props))
         bid_sub = 0
+        sl_entries: list[tuple[int, int]] = []
+        if m.get("recipients"):
+            sl_entries.append(((0x12 | (0x34 << 5)),
+                               add_block(_pst_tc_recipients(m["recipients"]))))
         if m.get("attachment"):
             fname, payload = m["attachment"]
             apc = _pst_pc_block(
                 [(0x3705, PT_LONG, 1),
                  (0x3707, PT_UNI, fname.encode("utf-16-le")),
                  (0x3701, PT_BIN, payload)])
-            abid = add_block(apc)
-            anid = (1 << 5) | 0x08
-            sl = (bytes([2, 0]) + (1).to_bytes(2, "little")
+            sl_entries.append(((1 << 5) | 0x08, add_block(apc)))
+        if sl_entries:
+            sl = (bytes([2, 0]) + len(sl_entries).to_bytes(2, "little")
                   + bytes(4 if fmt == "unicode" else 0)
-                  + anid.to_bytes(W, "little") + abid.to_bytes(W, "little")
-                  + (0).to_bytes(W, "little"))
+                  + b"".join(nid_.to_bytes(W, "little")
+                             + bid_.to_bytes(W, "little")
+                             + (0).to_bytes(W, "little")
+                             for nid_, bid_ in sorted(sl_entries)))
             bid_sub = add_block(sl)
         nid = ((16 + k) << 5) | 0x04
         nodes.append((nid, bid_data, bid_sub, folder_nid))

@@ -269,3 +269,29 @@ def test_many_small_messages_linear_walk():
     r = extract_pst(data, max_chars=10_000_000)
     assert r.n_messages == 2000
     assert time.monotonic() - t0 < 5.0
+
+
+def test_recipient_table_fallback():
+    """TC (table context) parsing: messages without PidTagDisplayTo
+    render To/Cc from the recipient-table subnode (NID type 0x12) —
+    java-libpst parity."""
+    msgs = [{"subject": "R", "sender": "s", "to": None, "body": "recip body",
+             "recipients": [("Alice A", 1), ("Bob B", 2), ("Carol C", 1)]}]
+    r = extract_pst(_pst_file("F", msgs))
+    assert "To: Alice A; Carol C\n" in r.text
+    assert "Cc: Bob B\n" in r.text
+    # explicit DisplayTo still wins over the table
+    msgs2 = [{"subject": "R", "sender": "s", "to": "direct@x",
+              "body": "b", "recipients": [("Ignored", 1)]}]
+    r2 = extract_pst(_pst_file("F", msgs2))
+    assert "To: direct@x\n" in r2.text and "Ignored" not in r2.text
+    # recipients + attachment coexist in one subnode tree
+    msgs3 = [{"subject": "R2", "sender": "s", "to": None, "body": "b",
+              "recipients": [("Dave", 1)],
+              "attachment": ("a.txt", b"att text\n")}]
+    r3 = extract_document("u/r.pst", None, _pst_file("F", msgs3))
+    assert "To: Dave\n" in r3.text_extracted
+    assert "att text" in r3.text_extracted
+    # ANSI stores get the same fallback
+    r4 = extract_pst(_pst_file("F", msgs, fmt="ansi"))
+    assert "To: Alice A; Carol C\n" in r4.text
