@@ -47,6 +47,8 @@ _MAX_TREE_DEPTH = 8
 _SUBJECT = 0x0037
 _SENDER_NAME = 0x0C1A
 _DISPLAY_TO = 0x0E04
+_DISPLAY_CC = 0x0E03
+_DISPLAY_BCC = 0x0E02
 _BODY = 0x1000
 _DISPLAY_NAME = 0x3001
 _ATTACH_DATA = 0x3701
@@ -392,13 +394,15 @@ class _Tc:
             raise KernelError("pst: TCINFO columns overflow")
         self.rgib = [_u(info, 2 + 2 * i, 2) for i in range(4)]
         hnid_rows = _u(info, 14, 4)
-        self.cols = []
+        self.cols: dict[int, tuple[int, int, int, int]] = {}
         for i in range(c_cols):
             o = 22 + 8 * i
             tag = _u(info, o, 4)
-            self.cols.append((tag >> 16, tag & 0xFFFF,        # propid, type
-                              _u(info, o + 4, 2), info[o + 6],  # ib, cb
-                              info[o + 7]))                     # iBit
+            # propid -> (ptype, ib, cb, iBit); dict lookup so cell()
+            # is O(1) per call, not a descriptor rescan (r5 review 2)
+            self.cols.setdefault(tag >> 16, (tag & 0xFFFF,
+                                             _u(info, o + 4, 2),
+                                             info[o + 6], info[o + 7]))
         width = self.rgib[3]
         if width == 0 or width > 8192:
             raise KernelError("pst: bad TC row width")
@@ -413,33 +417,40 @@ class _Tc:
                 blocks = [self.heap.item(hnid_rows)]
             for blk in blocks:
                 for i in range(len(blk) // width):
+                    if (i & 0x3FF) == 0:
+                        check_deadline(ndb.deadline, "pst TC rows")
                     self.rows.append(blk[i * width:(i + 1) * width])
                     if len(self.rows) > 100_000:
                         raise KernelError("pst: TC row count exceeds cap")
 
     def cell(self, row: bytes, propid: int):
-        """Raw typed value for propid in a row, or None if the column
-        is absent or the cell-existence bit is clear."""
-        for pid, ptype, ib, cb, ibit in self.cols:
-            if pid != propid:
-                continue
-            bm_off = self.rgib[2] + ibit // 8
-            if bm_off >= len(row) or not row[bm_off] & (1 << (7 - ibit % 8)):
+        """Typed value for propid in a row, or None if the column is
+        absent, the cell-existence bit is clear, or the type is one
+        this reader does not handle (never raw bytes — r5 review 2:
+        bytes leaking into a str join failed the whole store)."""
+        col = self.cols.get(propid)
+        if col is None:
+            return None
+        ptype, ib, cb, ibit = col
+        bm_off = self.rgib[2] + ibit // 8
+        if bm_off >= len(row) or not row[bm_off] & (1 << (7 - ibit % 8)):
+            return None
+        raw = row[ib:ib + cb]
+        if ptype in (0x0002, 0x0003):
+            return int.from_bytes(raw, "little")
+        if ptype in (0x001F, 0x001E):
+            hnid = int.from_bytes(raw, "little")
+            if hnid == 0:
                 return None
-            raw = row[ib:ib + cb]
-            if ptype in (0x0002, 0x0003):
-                return int.from_bytes(raw, "little")
-            if ptype == 0x001F:
-                hnid = int.from_bytes(raw, "little")
-                if hnid == 0:
-                    return None
-                if hnid & 0x1F:
-                    sub = self.subs.get(hnid)
-                    data = self.ndb.read_data(sub[0]) if sub else b""
-                else:
-                    data = self.heap.item(hnid)
-                return data.decode("utf-16-le", "replace")
-            return raw
+            if hnid & 0x1F:
+                sub = self.subs.get(hnid)
+                data = self.ndb.read_data(sub[0]) if sub else b""
+            else:
+                data = self.heap.item(hnid)
+            # PT_STRING8 (0x001E): the standard string type in ANSI
+            # stores decodes as cp1252, mirroring _Pc.string
+            return (data.decode("utf-16-le", "replace") if ptype == 0x001F
+                    else data.decode("cp1252", "replace"))
         return None
 
 
@@ -455,13 +466,19 @@ def _recipients_fallback(ndb: _Ndb, subs: dict) -> tuple[str | None, str | None]
             continue
         try:
             tc = _Tc(ndb, sd, ss)
+        except DeadlineError:
+            raise  # a timeout is never "no recipients" (r5 review 2)
         except KernelError:
             return None, None
         to, cc = [], []
-        for row in tc.rows:
+        for ri, row in enumerate(tc.rows):
+            if (ri & 0x3FF) == 0:
+                check_deadline(ndb.deadline, "pst recipients")
             try:
                 name = tc.cell(row, _RECIP_DISPLAY_NAME)
                 rtype = tc.cell(row, _RECIP_TYPE)
+            except DeadlineError:
+                raise
             except KernelError:
                 continue
             if not name:
@@ -521,15 +538,18 @@ def extract_pst(data: bytes, recurse=None, max_chars: int = -1,
         if sender:
             lines.append(f"From: {sender}")
         to = pc.string(_DISPLAY_TO)
-        cc = None
-        if to is None:
+        cc = pc.string(_DISPLAY_CC)
+        bcc = pc.string(_DISPLAY_BCC)
+        if to is None and cc is None:
             # java-libpst parity: fall back to the recipient TABLE
-            # (subnode NID type 0x12) when the PC carries no DisplayTo
+            # (subnode NID type 0x12) when the PC carries no Display*
             to, cc = _recipients_fallback(ndb, pc.subs)
         if to:
             lines.append(f"To: {to}")
         if cc:
             lines.append(f"Cc: {cc}")
+        if bcc:
+            lines.append(f"Bcc: {bcc}")
         text = "\n".join(lines)
         body = pc.string(_BODY)
         if body:

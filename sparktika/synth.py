@@ -2500,14 +2500,16 @@ def _pst_pc_block(props: list[tuple[int, int, object]]) -> bytes:
     return hdr + bytes(body) + pagemap
 
 
-def _pst_tc_recipients(recips: list[tuple[str, int]]) -> bytes:
+def _pst_tc_recipients(recips: list[tuple[str, int]],
+                       string8: bool = False) -> bytes:
     """Heap block holding a recipient TABLE CONTEXT ([MS-PST] §2.3.4):
     TCINFO (2 columns: PidTagDisplayName PT_UNICODE, PidTagRecipientType
     PT_LONG) + fixed-width rows (rowid + 2x4-byte cells + CEB byte);
     display strings are further heap items."""
     c_cols = 2
     rgib = (12, 12, 12, 13)   # 4-byte end, 2-byte end, 1-byte end, width
-    cols = ((0x3001001F).to_bytes(4, "little") + (4).to_bytes(2, "little")
+    name_tag = 0x3001001E if string8 else 0x3001001F
+    cols = (name_tag.to_bytes(4, "little") + (4).to_bytes(2, "little")
             + bytes([4, 0])
             + (0x0C150003).to_bytes(4, "little") + (8).to_bytes(2, "little")
             + bytes([4, 1]))
@@ -2515,7 +2517,7 @@ def _pst_tc_recipients(recips: list[tuple[str, int]]) -> bytes:
     names: list[bytes] = []
     for i, (name, rtype) in enumerate(recips):
         hnid = (3 + i) << 5    # heap items 3..N hold the names
-        names.append(name.encode("utf-16-le"))
+        names.append(name.encode("cp1252" if string8 else "utf-16-le"))
         rows += (i.to_bytes(4, "little") + hnid.to_bytes(4, "little")
                  + rtype.to_bytes(4, "little") + b"\xc0")  # CEB bits 0,1
     tcinfo = (bytes([0x7C, c_cols])
@@ -2578,6 +2580,10 @@ def _pst_file(folder_name: str, messages: list[dict],
                  (0x1000, PT_UNI, m["body"].encode("utf-16-le"))]
         if m.get("to") is not None:
             props.append((0x0E04, PT_UNI, m["to"].encode("utf-16-le")))
+        if m.get("cc") is not None:
+            props.append((0x0E03, PT_UNI, m["cc"].encode("utf-16-le")))
+        if m.get("bcc") is not None:
+            props.append((0x0E02, PT_UNI, m["bcc"].encode("utf-16-le")))
         if m.get("raw_pages"):
             # pre-built heap pages (multi-block HN test shape): leaf
             # blocks chained by an XBLOCK
@@ -2592,7 +2598,9 @@ def _pst_file(folder_name: str, messages: list[dict],
         sl_entries: list[tuple[int, int]] = []
         if m.get("recipients"):
             sl_entries.append(((0x12 | (0x34 << 5)),
-                               add_block(_pst_tc_recipients(m["recipients"]))))
+                               add_block(_pst_tc_recipients(
+                                   m["recipients"],
+                                   string8=m.get("recip_string8", False)))))
         if m.get("attachment"):
             fname, payload = m["attachment"]
             apc = _pst_pc_block(

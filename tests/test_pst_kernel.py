@@ -295,3 +295,18 @@ def test_recipient_table_fallback():
     # ANSI stores get the same fallback
     r4 = extract_pst(_pst_file("F", msgs, fmt="ansi"))
     assert "To: Alice A; Carol C\n" in r4.text
+
+
+def test_pc_cc_bcc_and_string8_recipients():
+    """r5 second review: PC-level Cc/Bcc render symmetrically with To,
+    and PT_STRING8 recipient names (ANSI-typical) decode as cp1252
+    instead of leaking bytes into the join."""
+    msgs = [{"subject": "S", "sender": "s", "to": "a@x", "cc": "c@x",
+             "bcc": "b@x", "body": "bd"}]
+    r = extract_pst(_pst_file("F", msgs))
+    assert "To: a@x\nCc: c@x\nBcc: b@x\n" in r.text
+    msgs2 = [{"subject": "S8", "sender": "s", "to": None, "body": "bd",
+              "recipients": [("Ana\xe9", 1), ("Bo", 2)],
+              "recip_string8": True}]
+    r2 = extract_pst(_pst_file("F", msgs2, fmt="ansi"))
+    assert "To: Ana\xe9\n" in r2.text and "Cc: Bo\n" in r2.text
