@@ -19,6 +19,8 @@ follows the spec:
 
 Both on-disk formats parse: Unicode (wVer >= 23, 8-byte BIDs) and
 ANSI (wVer 14/15, 4-byte BIDs) — the LTP layer is format-identical.
+OST files share the NDB (wVer 36+ falls in the Unicode branch) and
+route through the same path when unencrypted.
 Honest limit: bCryptMethod NDB_CRYPT_NONE only — the permute/cyclic
 ciphers need the spec's 256-byte table verbatim, and a misremembered
 table would SILENTLY corrupt text, so encrypted stores refuse loudly
