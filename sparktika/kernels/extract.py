@@ -382,6 +382,21 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/x-sqlite3":
+            from .sqlite import extract_sqlite
+
+            r = extract_sqlite(data, max_chars=cfg.max_chars,
+                               deadline=deadline)
+            md = {k: [v] for k, v in r.metadata.items()}
+            md["n-tables"] = [str(r.n_tables)]
+            if r.table_names:
+                md["table-names"] = list(r.table_names)
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected == "application/vnd.ms-outlook-pst":
             from .pst import extract_pst
 

@@ -2745,3 +2745,26 @@ def build_pst(doc_id: int) -> bytes:
                                f"Attached note {doc_id}.\n".encode())
         msgs.append(m)
     return _pst_file(f"Inbox {doc_id % 5}", msgs)
+
+
+def build_sqlite(doc_id: int) -> bytes:
+    """Deterministic SQLite database (extract_sqlite_text oracle),
+    serialized in-memory (stdlib sqlite3, no temp files). Kernel output
+    (spreadsheet rendering shape; .5 floats binary-exact):
+      "notes\\n{k}\\tNote {id}-{k}\\t{id+k}.5  (k < 2 + id%3)\\n
+       tags\\nalpha {id%7}\\nbeta {id%5}\\n"
+    """
+    import sqlite3 as _sq
+
+    con = _sq.connect(":memory:")
+    con.execute("CREATE TABLE notes (k INTEGER, label TEXT, score REAL)")
+    for k in range(2 + doc_id % 3):
+        con.execute("INSERT INTO notes VALUES (?,?,?)",
+                    (k, f"Note {doc_id}-{k}", doc_id + k + 0.5))
+    con.execute("CREATE TABLE tags (name TEXT)")
+    con.execute("INSERT INTO tags VALUES (?), (?)",
+                (f"alpha {doc_id % 7}", f"beta {doc_id % 5}"))
+    con.commit()
+    data = con.serialize()
+    con.close()
+    return bytes(data)

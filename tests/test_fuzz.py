@@ -509,3 +509,14 @@ def test_zstd_cli_roundtrip_property(payload, level):
         _pytest.skip("zstd CLI failed in this environment")
     comp = proc.stdout
     assert decompress_zstd(comp, 10_000_000) == payload
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_sqlite_magic_prefixed_garbage_never_raises(payload):
+    from sparktika.kernels.extract import extract_document
+
+    r = extract_document("u/f.sqlite", None,
+                         b"SQLite format 3\x00" + payload)
+    assert r.status in ("ok", "failed", "unsupported", "truncated")
