@@ -222,14 +222,25 @@ class _Db:
 
 def extract_sqlite(data: bytes, max_chars: int = -1,
                    deadline: float | None = None) -> SqliteResult:
+    import struct
+
     db = _Db(data, deadline)
-    # sqlite_schema rows: (type, name, tbl_name, rootpage, sql)
+    # sqlite_schema rows: (type, name, tbl_name, rootpage, sql).
+    # IndexError/struct.error from truncated cells degrade like
+    # KernelError — structural lies never escape the kernel boundary
+    _SOFT = (KernelError, IndexError, struct.error, OverflowError)
     tables: list[tuple[str, int]] = []
-    for rec in db.walk_table(1):
-        if len(rec) >= 4 and rec[0] == "table":
-            name, root = rec[1], rec[3]
-            if isinstance(name, str) and not name.startswith("sqlite_"):
-                tables.append((name, root if isinstance(root, int) else 0))
+    try:
+        for rec in db.walk_table(1):
+            if len(rec) >= 4 and rec[0] == "table":
+                name, root = rec[1], rec[3]
+                if isinstance(name, str) and not name.startswith("sqlite_"):
+                    tables.append((name,
+                                   root if isinstance(root, int) else 0))
+    except _SOFT as e:
+        if isinstance(e, KernelError) and not tables:
+            raise
+        # keep whatever schema prefix parsed
     parts: list[str] = []
     n_chars = 0
     truncated = False
@@ -259,7 +270,7 @@ def extract_sqlite(data: bytes, max_chars: int = -1,
                 if max_chars != -1 and n_chars > max_chars:
                     truncated = True
                     break
-        except KernelError:
+        except _SOFT:
             pass  # corrupt table: keep its parsed prefix + siblings
         if truncated:
             break
