@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .errors import KernelError, check_deadline
+from .errors import DeadlineError, KernelError, check_deadline
 
 SQLITE_MIME = "application/x-sqlite3"
 MAGIC = b"SQLite format 3\x00"
@@ -62,11 +62,70 @@ def _varint(buf: bytes, pos: int) -> tuple[int, int]:
     return (v << 8) | buf[pos + 8], pos + 9
 
 
-def _fmt_float(val: float) -> str:
-    if val == val and abs(val) != float("inf") \
-            and val == int(val) and abs(val) < 1e15:
-        return str(int(val))
-    return repr(val)
+# shared spreadsheet-family float collapse (r5 review 3: three verbatim
+# copies would let a future NaN-class fix silently diverge oracles)
+from .xlsb import _fmt_num as _fmt_float  # noqa: E402
+
+
+def _declared_columns(sql: str):
+    """(declared names, primary-key names) from CREATE TABLE sql, or
+    (None, None) when unparseable. Tolerant mini-parser: top-level
+    comma split, quoted identifiers, inline + table-level PRIMARY KEY."""
+    import re
+
+    m = re.search(r"\((.*)\)", sql, re.S)
+    if not m:
+        return None, None
+    parts, depth, cur = [], 0, []
+    for ch in m.group(1):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    names, pks = [], []
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        up = part.upper()
+        if up.startswith(("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+                          "CONSTRAINT")):
+            if up.startswith("PRIMARY"):
+                inner = re.search(r"\((.*?)\)", part, re.S)
+                if inner:
+                    pks = [c.strip().strip('"`[]').split()[0]
+                           for c in inner.group(1).split(",") if c.strip()]
+            continue
+        nm = part.split()[0].strip('"`[]')
+        names.append(nm)
+        if "PRIMARY KEY" in up:
+            pks.append(nm)
+    return (names, pks) if names else (None, None)
+
+
+def _without_rowid_perm(sql: str):
+    """Stored->declared permutation for a WITHOUT ROWID table: the
+    index-btree record stores PK columns FIRST, then the rest in
+    declared order — Tika's SELECT * rendering wants declared order
+    (r5 review 3). None when the schema is unparseable."""
+    names, pks = _declared_columns(sql)
+    if not names or not pks:
+        return None
+    if len(set(names)) != len(names):
+        # quoted multi-word identifiers truncate to their first token
+        # (consistently on both sides, so ORDER survives) — but a
+        # truncation COLLISION would mis-permute; fall back to stored
+        return None
+    stored = pks + [n for n in names if n not in pks]
+    if sorted(stored) != sorted(names):
+        return None
+    return [stored.index(n) for n in names]
 
 
 class _Db:
@@ -229,29 +288,38 @@ def extract_sqlite(data: bytes, max_chars: int = -1,
     # IndexError/struct.error from truncated cells degrade like
     # KernelError — structural lies never escape the kernel boundary
     _SOFT = (KernelError, IndexError, struct.error, OverflowError)
-    tables: list[tuple[str, int]] = []
+    tables: list[tuple[str, int, str]] = []
     try:
         for rec in db.walk_table(1):
             if len(rec) >= 4 and rec[0] == "table":
                 name, root = rec[1], rec[3]
+                sql = rec[4] if len(rec) >= 5 and isinstance(rec[4], str) \
+                    else ""
                 if isinstance(name, str) and not name.startswith("sqlite_"):
                     tables.append((name,
-                                   root if isinstance(root, int) else 0))
-    except _SOFT as e:
-        if isinstance(e, KernelError) and not tables:
-            raise
+                                   root if isinstance(root, int) else 0,
+                                   sql))
+    except DeadlineError:
+        raise  # a timeout must surface as timeout, never a clean prefix
+    except _SOFT:
+        if not tables:
+            raise KernelError("sqlite: schema unreadable")
         # keep whatever schema prefix parsed
     parts: list[str] = []
     n_chars = 0
     truncated = False
-    for name, root in tables:
+    for name, root, sql in tables:
         parts.append(name)
         n_chars += len(name) + 1
         if root == 0:
             continue  # virtual table: no storage
+        perm = (_without_rowid_perm(sql)
+                if "WITHOUT" in sql.upper().replace("\n", " ") else None)
         try:
             rows = 0
             for rec in db.walk_table(root):
+                if perm is not None and len(rec) == len(perm):
+                    rec = [rec[i] for i in perm]
                 rows += 1
                 if rows > _MAX_ROWS:
                     raise KernelError("sqlite: row count exceeds cap")
@@ -270,6 +338,8 @@ def extract_sqlite(data: bytes, max_chars: int = -1,
                 if max_chars != -1 and n_chars > max_chars:
                     truncated = True
                     break
+        except DeadlineError:
+            raise
         except _SOFT:
             pass  # corrupt table: keep its parsed prefix + siblings
         if truncated:
@@ -279,6 +349,6 @@ def extract_sqlite(data: bytes, max_chars: int = -1,
         text = text[:max_chars]
         truncated = True
     return SqliteResult(text=text, n_tables=len(tables),
-                        table_names=[n for n, _ in tables],
+                        table_names=[t[0] for t in tables],
                         truncated=truncated,
                         metadata={"Content-Type": SQLITE_MIME})

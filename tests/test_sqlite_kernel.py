@@ -88,18 +88,24 @@ def test_max_chars_truncates():
 
 
 def test_corrupt_table_keeps_siblings():
-    """Zeroing a user table's root page degrades that table but keeps
-    the others (per-table KernelError containment)."""
+    """Zeroing ONE user table's root page degrades that table but keeps
+    the other's rows (per-table containment — r5 review 3: the old
+    assertion only checked the uncorrupted baseline)."""
     data = bytearray(build_sqlite(3))
-    r0 = extract_sqlite(bytes(data))
-    # find the notes rootpage by corrupting pages until notes rows drop
     ps = int.from_bytes(data[16:18], "big") or 65536
+    survived_with_sibling = 0
     for pg in range(1, len(data) // ps):
         trial = bytearray(data)
         trial[pg * ps:(pg + 1) * ps] = bytes(ps)
         r = extract_document("u/c.sqlite", None, bytes(trial))
         assert r.status in ("ok", "failed", "unsupported")
-    assert "tags" in r0.text
+        if r.status == "ok" and r.text_extracted:
+            # when one table's rows vanished, the sibling's must remain
+            has_notes = "Note 3-0" in r.text_extracted
+            has_tags = "alpha 3" in r.text_extracted
+            if has_notes != has_tags:
+                survived_with_sibling += 1
+    assert survived_with_sibling >= 1  # containment actually observed
 
 
 def test_truncation_and_corruption_never_escape():
@@ -152,3 +158,40 @@ def test_row_cap():
                    if l.strip().isdigit()) <= 11
     finally:
         sq._MAX_ROWS = old
+
+
+def test_without_rowid_declared_column_order():
+    """r5 review 3: WITHOUT ROWID records store PK columns first; the
+    renderer must emit DECLARED order (Tika SELECT-* parity), including
+    composite and quoted-identifier keys."""
+    data = _db(
+        ("CREATE TABLE t (a TEXT, b INTEGER PRIMARY KEY, c TEXT) "
+         "WITHOUT ROWID", None),
+        ("INSERT INTO t VALUES ('first', 7, 'third')", None),
+        ('CREATE TABLE q ("x y" TEXT, z INTEGER, PRIMARY KEY (z, "x y")) '
+         "WITHOUT ROWID", None),
+        ("INSERT INTO q VALUES ('ab', 9)", None))
+    r = extract_sqlite(data)
+    assert "first\t7\tthird" in r.text
+    assert "ab\t9" in r.text
+
+
+def test_deadline_surfaces_as_timeout():
+    """r5 review 3: an expiring deadline must become a TIMEOUT status,
+    never a clean 'ok' prefix with silently dropped rows."""
+    import time
+
+    rows = [("CREATE TABLE big (t TEXT)", None)]
+    rows += [("INSERT INTO big VALUES (?)", ("x" * 200,))
+             for _ in range(3000)]
+    data = _db(*rows)
+    r = extract_document("u/d.sqlite", None, data)
+    assert r.status == "ok"  # sanity: parses fine without pressure
+    import dataclasses
+
+    from sparktika.config import DEFAULT_CONFIG
+    tight = dataclasses.replace(DEFAULT_CONFIG, timeout_ms=1)
+    r2 = extract_document("u/d.sqlite", None, data, tight)
+    assert r2.status in ("timeout", "ok")  # never a silent partial 'ok'
+    if r2.status == "ok":
+        assert "x" * 200 in r2.text_extracted  # ok means COMPLETE
