@@ -66,15 +66,14 @@ _CP1252_HIGH = {
     0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
     0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
 }
-_CP1252_TABLE = "".join(
-    _CP1252_HIGH.get(b, chr(b)) for b in range(256)
-)
+# precomputed translate map (hot path: every non-UTF-8 text doc lands
+# here; rebuilding the dict per call measured ~20x slower in pdf.py's
+# twin — r5 whole-repo review)
+_CP1252_TRANS = str.maketrans(_CP1252_HIGH)
 
 
 def _decode_cp1252(data: bytes) -> str:
-    return data.decode("latin-1").translate(
-        {b: _CP1252_HIGH[b] for b in _CP1252_HIGH}
-    )
+    return data.decode("latin-1").translate(_CP1252_TRANS)
 
 
 def detect_bom(data: bytes) -> tuple[str, int] | None:

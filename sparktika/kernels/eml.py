@@ -181,8 +181,12 @@ def _walk(data: bytes, out: list[str], result: EmlResult, depth: int,
         boundary = params.get("boundary")
         if not boundary:
             return
+        # RFC 2046 §5.1.1: the delimiter is CRLF + "--" + boundary AT
+        # LINE START — a bare substring split shreds parts that merely
+        # QUOTE the delimiter mid-line (r5 whole-repo review; replies
+        # quoting a previous message's MIME structure are common)
         sep = b"--" + boundary.encode("ascii", "replace")
-        chunks = body.split(sep)
+        chunks = re.split(rb"(?:^|\r?\n)" + re.escape(sep), body)
         # chunks[0] = preamble; a chunk starting with "--" closes the part
         for chunk in chunks[1:]:
             if chunk[:2] == b"--":

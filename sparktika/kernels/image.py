@@ -231,6 +231,11 @@ def decode_bmp(data: bytes) -> DecodedImage:
         (n_colors,) = struct.unpack_from("<I", data, 46)
         n_colors = n_colors or 256
         pal_off = 14 + hdr_size
+        if n_colors > 256 or pal_off + n_colors * 4 > len(data):
+            # a lying biClrUsed must degrade through the error taxonomy,
+            # not escape as numpy ValueError (r5 whole-repo review)
+            raise KernelError(
+                f"bmp: palette {n_colors} entries overruns file")
         pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4,
                             offset=pal_off).reshape(n_colors, 4)
         idx = rows[:, :width]

@@ -52,7 +52,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\xff\xfb", "audio/mpeg"),
     (b"%!PS", "application/postscript"),
     (b"{\\rtf", "application/rtf"),
-    (b"WARC/1.0", "application/warc"),
+    # any WARC version (Common Crawl ships 1.1 since 2018)
+    (b"WARC/", "application/warc"),
     (b"\x7fELF", "application/x-executable"),
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),

@@ -572,14 +572,20 @@ def _utf16be_hex(hx: bytes) -> str:
     return raw.decode("utf-16-be", "replace")
 
 
-def parse_tounicode(cmap: bytes) -> dict[int, str]:
-    """Parse a ToUnicode CMap's bfchar/bfrange sections into code -> str.
-    Codes are taken as big-endian ints (1- and 2-byte codespaces)."""
+def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], bool]:
+    """Parse a ToUnicode CMap's bfchar/bfrange sections into
+    (code -> str, two_byte): codes are big-endian ints; two_byte is
+    True when any source code is wider than one byte (Identity-H /
+    Type0 subset fonts — the layout modern generators emit), so the
+    decoder consumes 2-byte units (r5 review: per-byte lookup turned
+    those PDFs into NUL-interleaved garbage marked ok)."""
     out: dict[int, str] = {}
+    two_byte = False
     for m in _BFCHAR_RE.finditer(cmap):
         toks = _HEX_RE.findall(m.group(1))
         for k in range(0, len(toks) - 1, 2):
             code = int(toks[k], 16)
+            two_byte = two_byte or len(toks[k]) > 2
             out[code] = _utf16be_hex(toks[k + 1])
     for m in _BFRANGE_RE.finditer(cmap):
         body = m.group(1)
@@ -595,6 +601,7 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
             if not dst_m:
                 break
             lo, hi = int(lo_m.group(1), 16), int(hi_m.group(1), 16)
+            two_byte = two_byte or len(lo_m.group(1)) > 2
             if dst_m.group(2) is not None:  # [<d1> <d2> ...] per code
                 dsts = _HEX_RE.findall(dst_m.group(2))
                 for k, code in enumerate(range(lo, min(hi, lo + len(dsts) - 1) + 1)):
@@ -606,24 +613,49 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
                 width = len(base_raw)
                 for code in range(lo, min(hi, lo + 65535) + 1):
                     v = base + (code - lo)
-                    out[code] = v.to_bytes(max(width, 2), "big").decode(
+                    # a malformed range can overflow the declared
+                    # destination width — widen rather than raising an
+                    # uncaught OverflowError out of the doc (r5 review)
+                    nbytes = max((v.bit_length() + 7) // 8, width, 2)
+                    if nbytes % 2:
+                        nbytes += 1
+                    out[code] = v.to_bytes(nbytes, "big").decode(
                         "utf-16-be", "replace")
             i = dst_m.end()
-    return out
+    return out, two_byte
 
 
 class _Font:
-    __slots__ = ("tounicode", "differences")
+    __slots__ = ("tounicode", "differences", "two_byte")
 
     def __init__(self, tounicode: dict[int, str] | None,
-                 differences: dict[int, str] | None):
+                 differences: dict[int, str] | None,
+                 two_byte: bool = False):
         self.tounicode = tounicode or {}
         self.differences = differences or {}
+        self.two_byte = two_byte and bool(self.tounicode)
 
     def decode(self, raw: bytes) -> str:
         if not self.tounicode and not self.differences:
             return _winansi(raw)
         out: list[str] = []
+        if self.two_byte:
+            # 2-byte codespace (Identity-H): consume big-endian pairs;
+            # unmapped codes emit SUB so pdf:unmapped counting still
+            # sees them (same contract as the 1-byte control fallback)
+            n = len(raw)
+            i = 0
+            while i < n:
+                if i + 1 < n:
+                    s = self.tounicode.get((raw[i] << 8) | raw[i + 1])
+                    if s is None:
+                        s = "\x1a"
+                    i += 2
+                else:
+                    s = self.tounicode.get(raw[i], "\x1a")
+                    i += 1
+                out.append(s)
+            return "".join(out)
         for b in raw:
             s = self.tounicode.get(b)
             if s is None:
@@ -650,11 +682,12 @@ def _build_fonts(doc: _PdfDoc, resources) -> dict[str, _Font]:
         if not isinstance(fobj, dict):
             continue
         tounicode = None
+        two_byte = False
         tu = fobj.get("ToUnicode")
         if isinstance(tu, Ref):
             cmap = doc.obj_stream(tu.num)
             if cmap:
-                tounicode = parse_tounicode(cmap)
+                tounicode, two_byte = parse_tounicode(cmap)
         differences = None
         enc = doc.resolve(fobj.get("Encoding"))
         if isinstance(enc, dict):
@@ -670,7 +703,7 @@ def _build_fonts(doc: _PdfDoc, resources) -> dict[str, _Font]:
                         if u is not None:
                             differences[code] = u
                         code += 1
-        fonts[name] = _Font(tounicode, differences)
+        fonts[name] = _Font(tounicode, differences, two_byte)
     return fonts
 
 
@@ -997,19 +1030,36 @@ def render_pages(page_spans: list[list[tuple[float, float, float, str]]]) -> str
 # Page tree + metadata + top-level entry
 # --------------------------------------------------------------------------
 
-def _collect_pages(doc: _PdfDoc, node, acc: list, depth: int = 0) -> None:
-    if depth > 64 or len(acc) > 100_000:
+def _collect_pages(doc: _PdfDoc, node, acc: list, depth: int = 0,
+                   deadline: float | None = None,
+                   seen: set | None = None) -> None:
+    """Page-tree walk with a visited set + deadline polls: an aliased
+    /Kids graph (e.g. [2 0 R 2 0 R] self-reference) otherwise explores
+    exponentially many paths under the depth cap alone — the same
+    alias-bomb class fixed in _collect_embedded_files in r3 (r5 whole-
+    repo review)."""
+    if seen is None:
+        seen = set()
+    if depth > 64 or len(acc) > 100_000 or len(seen) > 200_000:
         return
+    check_deadline(deadline, "pdf page tree")
+    if isinstance(node, Ref):
+        if node.num in seen:
+            return
+        seen.add(node.num)
     node = doc.resolve(node)
     if not isinstance(node, dict):
         return
+    if id(node) in seen:
+        return
+    seen.add(id(node))
     if node.get("Type") == "Page":
         acc.append(node)
         return
     kids = doc.resolve(node.get("Kids"))
     if isinstance(kids, list):
         for kid in kids:
-            _collect_pages(doc, kid, acc, depth + 1)
+            _collect_pages(doc, kid, acc, depth + 1, deadline, seen)
 
 
 def _page_content(doc: _PdfDoc, page: dict) -> bytes:
@@ -1019,7 +1069,13 @@ def _page_content(doc: _PdfDoc, page: dict) -> bytes:
         s = doc.obj_stream(contents.num)
         if s:
             parts.append(s)
-    elif isinstance(contents, list):
+        else:
+            # legal alternative (PDF 32000 §7.7.3.3): an indirect
+            # reference to an ARRAY of content streams (r5 review)
+            resolved = doc.resolve(contents)
+            if isinstance(resolved, list):
+                contents = resolved
+    if not parts and isinstance(contents, list):
         for c in contents:
             if isinstance(c, Ref):
                 s = doc.obj_stream(c.num)
@@ -1218,7 +1274,8 @@ def extract_pdf(
         if isinstance(root, dict):
             if collect_embedded and not embedded_files:
                 embedded_files = _collect_embedded_files(doc, root, deadline)
-            _collect_pages(doc, root.get("Pages"), pages)
+            _collect_pages(doc, root.get("Pages"), pages,
+                           deadline=deadline)
             if pages:
                 break
     if not pages:
@@ -1228,7 +1285,8 @@ def extract_pdf(
                 if collect_embedded and not embedded_files:
                     embedded_files = _collect_embedded_files(doc, head,
                                                              deadline)
-                _collect_pages(doc, head.get("Pages"), pages)
+                _collect_pages(doc, head.get("Pages"), pages,
+                               deadline=deadline)
                 if pages:
                     break
 

@@ -838,3 +838,95 @@ def test_vcard_qp_backslash_sequences_stay_literal():
                      b"NOTE;ENCODING=QUOTED-PRINTABLE:path C:=5Cnotes=5Cnew\r\n"
                      b"END:VCARD\r\n")
     assert "path C:\\notes\\new" in r.text
+
+
+def test_mime_warc_any_version():
+    """r5 whole-repo review: Common Crawl ships WARC/1.1 since 2018."""
+    assert mime.detect_mime(b"WARC/1.1\r\nWARC-Type: response\r\n") == \
+        "application/warc"
+    assert mime.detect_mime(b"WARC/1.0\r\nWARC-Type: response\r\n") == \
+        "application/warc"
+
+
+def test_eml_quoted_boundary_not_shredded():
+    """r5 whole-repo review (RFC 2046 §5.1.1): the delimiter matches at
+    LINE START only — a part QUOTING '--boundary' mid-line keeps its
+    text and spawns no phantom part."""
+    from sparktika.kernels.eml import extract_eml
+
+    msg = (b"From: a@b.c\r\n"
+           b"Content-Type: multipart/mixed; boundary=XYZ\r\n\r\n"
+           b"pre\r\n--XYZ\r\nContent-Type: text/plain\r\n\r\n"
+           b"quoting the delimiter --XYZ inline should be fine\r\n"
+           b"--XYZ\r\nContent-Type: text/plain\r\n\r\nsecond part\r\n"
+           b"--XYZ--\r\n")
+    r = extract_eml(msg)
+    assert "quoting the delimiter --XYZ inline should be fine" in r.text
+    assert "second part" in r.text
+    assert r.n_parts == 3  # container + 2 real parts, no phantom
+
+
+def test_pdf_page_tree_alias_bomb_dies_fast():
+    """r5 whole-repo review: an aliased /Kids graph must not explore
+    exponentially many paths (visited set + deadline polls)."""
+    import time as _t
+
+    from sparktika.kernels.pdf import extract_pdf
+
+    pdf_data = (b"%PDF-1.4\n"
+                b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                b"2 0 obj << /Kids [2 0 R 2 0 R] >> endobj\n"
+                b"trailer << /Root 1 0 R >>")
+    t0 = _t.monotonic()
+    extract_pdf(pdf_data, deadline=_t.monotonic() + 3)
+    assert _t.monotonic() - t0 < 3.5
+
+
+def test_pdf_indirect_contents_array():
+    """PDF 32000 §7.7.3.3: /Contents may be an indirect ref TO an array
+    of streams (r5 whole-repo review: text was silently empty)."""
+    from sparktika.kernels.pdf import extract_pdf
+
+    pdf_data = (b"%PDF-1.4\n"
+                b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+                b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >>"
+                b" endobj\n"
+                b"5 0 obj [6 0 R] endobj\n"
+                b"6 0 obj << /Length 44 >> stream\n"
+                b"BT /F1 12 Tf 72 700 Td (Hello World) Tj ET\n"
+                b"endstream endobj\n"
+                b"trailer << /Root 1 0 R >>")
+    assert "Hello World" in extract_pdf(pdf_data).text
+
+
+def test_pdf_two_byte_cmap_and_bfrange_overflow():
+    """Identity-H-style 2-byte CMaps decode in 2-byte units (not
+    NUL-interleaved garbage), and an overflowing bfrange destination
+    widens instead of raising OverflowError (r5 whole-repo review)."""
+    from sparktika.kernels.pdf import _Font, parse_tounicode
+
+    m, two = parse_tounicode(
+        b"begincodespacerange <0000> <FFFF> endcodespacerange "
+        b"beginbfchar <0048> <0048> <0049> <0065> endbfchar")
+    assert two
+    assert _Font(m, None, two).decode(b"\x00\x48\x00\x49") == "He"
+    m2, _ = parse_tounicode(b"beginbfrange <0000> <00FF> <FFF0> endbfrange")
+    assert len(m2) == 256  # no OverflowError
+
+
+def test_bmp_lying_palette_degrades():
+    """A biClrUsed pointing past the file raises KernelError, never a
+    raw numpy ValueError (r5 whole-repo review)."""
+    import struct as _struct
+
+    from sparktika.kernels.errors import KernelError as _KE
+    from sparktika.kernels.image import decode_bmp
+
+    hdr = bytearray(b"BM" + bytes(12)
+                    + _struct.pack("<IiiHH", 40, 2, 2, 1, 8) + bytes(24))
+    hdr[10:14] = (1078).to_bytes(4, "little")
+    hdr[46:50] = (0x10000000).to_bytes(4, "little")
+    hdr += bytes(4096)
+    with pytest.raises(_KE):
+        decode_bmp(bytes(hdr))
