@@ -59,6 +59,10 @@ def decode_wav(data: bytes) -> DecodedAudio:
         raise KernelError(f"WAV format {audio_format} not supported (PCM only)")
     if not n_channels or not sample_rate:
         raise KernelError("WAV has zero channels or sample rate")
+    # bound BEFORE the float64 allocation (8 B/sample) — checking after
+    # frombuffer/astype defeats the guard's purpose (r5 review)
+    if len(pcm) // max(bits // 8, 1) > _MAX_SAMPLES:
+        raise KernelError("WAV sample count exceeds decode cap")
     if bits == 16:
         arr = np.frombuffer(pcm[: len(pcm) & ~1], dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:

@@ -250,6 +250,10 @@ def extract_tar_container(
         if size < 0 or pos + 512 + size > n + 511:
             raise KernelError("tar entry size out of bounds")
         body = data[pos + 512 : pos + 512 + min(size, max_entry_bytes)]
+        if size > max_entry_bytes and typeflag in (b"0", b"\x00"):
+            # a member cut at the cap is an HONEST truncation — the zip
+            # path flags the analogous prefix read (r5 review)
+            truncated = True
         pos += 512 + ((size + 511) & ~511)
         if typeflag == b"L":  # GNU long name for the NEXT entry
             long_name = body.rstrip(b"\x00").decode("utf-8", "replace")

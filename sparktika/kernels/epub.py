@@ -124,8 +124,16 @@ def extract_epub(
                 opf = read_entry(zf, opf_path, max_ratio, max_entry_bytes)
                 title, hrefs = _parse_opf(opf.decode("utf-8", "replace"))
                 base = posixpath.dirname(opf_path)
+                from urllib.parse import unquote
+
                 for href in hrefs[:_MAX_SPINE_ITEMS]:
-                    p = posixpath.normpath(posixpath.join(base, href))
+                    # OPF hrefs are URLs: strip fragments and percent-
+                    # decode before matching zip entry names (r5 review
+                    # — encoded hrefs silently dropped their chapters)
+                    clean = unquote(href.split("#", 1)[0])
+                    p = posixpath.normpath(posixpath.join(base, clean))
+                    if p not in names:
+                        p = posixpath.normpath(posixpath.join(base, href))
                     if p in names:
                         docs.append(p)
         if not docs:  # no/broken OPF: every XHTML entry in zip order

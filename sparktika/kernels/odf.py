@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .errors import KernelError, check_deadline
+from .errors import DepthLimitError, KernelError, check_deadline
 from .ooxml import open_zip, read_entry, zip_declared_mimetype
 from .xmlparse import local_name, xml_events
 
@@ -125,7 +125,6 @@ def _walk_odt(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
             if not self_closing:
                 depth += 1
                 if depth > max_depth:
-                    from .errors import DepthLimitError
 
                     raise DepthLimitError(
                         f"element nesting exceeded {max_depth}")
@@ -177,10 +176,18 @@ def _walk_ods(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
     cell: list[str] | None = None
     cell_repeat = 1
     p_nest = 0
+    depth = 0
     for ev in xml_events(xml, deadline=deadline):
         kind = ev[0]
         if kind == "start":
             name, attrs, self_closing = ev[1], ev[2], ev[3]
+            if not self_closing:
+                depth += 1
+                if depth > max_depth:
+                    # the max_depth parameter was previously dead here
+                    # (_walk_odt enforces its own) — r5 review
+                    raise DepthLimitError(
+                        f"ods nesting exceeds {max_depth}")
             ln = local_name(name)
             if ln == "table":
                 n_tables += 1
@@ -189,6 +196,15 @@ def _walk_ods(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
                 out.append(tname)
             elif ln == "table-row":
                 row_cells = []
+            elif ln == "covered-table-cell" and row_cells is not None:
+                # merged-cell placeholder: occupies grid columns so
+                # later cells keep their true position (r5 review)
+                try:
+                    rep = min(int(_attr(attrs, "number-columns-repeated")
+                                  or "1"), _MAX_REPEAT)
+                except ValueError:
+                    rep = 1
+                row_cells.extend([""] * rep)
             elif ln == "table-cell" and row_cells is not None:
                 cell = []
                 p_nest = 0
@@ -205,6 +221,7 @@ def _walk_ods(xml: str, max_depth: int, deadline: float | None) -> OdfResult:
                 p_nest += 1
         elif kind == "end":
             ln = local_name(ev[1])
+            depth = max(depth - 1, 0)
             if ln == "p":
                 p_nest = max(p_nest - 1, 0)
             elif ln == "table-cell" and cell is not None \

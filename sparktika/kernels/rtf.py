@@ -60,6 +60,7 @@ def extract_rtf(data: bytes, deadline: float | None = None,
     stack: list[tuple[int, bool, bool, bool]] = []
     uc_skip, skipping, in_info, in_title = 1, False, False, False
     pending_uc_skip = 0  # fallback chars/bytes to swallow after \uN
+    pending_high = None  # high surrogate awaiting its low half
     i, n = 0, len(data)
     tick = 0
 
@@ -131,8 +132,23 @@ def extract_rtf(data: bytes, deadline: float | None = None,
                     cp = param if param is not None else 0
                     if cp < 0:
                         cp += 65536
-                    if not skipping and 0 <= cp < 0x110000:
-                        emit(chr(cp))
+                    if not skipping and 0 < cp < 0x110000:
+                        # surrogate halves (how RTF encodes non-BMP
+                        # chars, as pairs of negative \uN) must COMBINE
+                        # — a lone surrogate in the output is not UTF-8
+                        # encodable and would kill the Arrow batch
+                        # (r5 whole-repo review; entities.py posture)
+                        if 0xD800 <= cp <= 0xDBFF:
+                            pending_high = cp
+                        elif 0xDC00 <= cp <= 0xDFFF:
+                            if pending_high is not None:
+                                emit(chr(0x10000
+                                         + ((pending_high - 0xD800) << 10)
+                                         + (cp - 0xDC00)))
+                            pending_high = None
+                        else:
+                            pending_high = None
+                            emit(chr(cp))
                     pending_uc_skip = uc_skip
                 elif word == "uc":
                     uc_skip = max(0, param or 0)

@@ -82,9 +82,12 @@ def extract_tnef(data: bytes, deadline: float | None = None,
             break  # malformed/truncated: stop cleanly with what we have
         raw = data[body_start: body_start + length]
         pos = body_start + length + 2  # + checksum
-        (declared_ck,) = struct.unpack_from("<H", data, pos - 2) \
-            if pos <= n else (None,)
-        if declared_ck is not None and sum(raw) & 0xFFFF != declared_ck:
+        if pos > n:
+            break  # checksum truncated off the end: UNVERIFIED data
+            # must not be processed (r5 review — every other attribute
+            # would have been skipped on mismatch)
+        (declared_ck,) = struct.unpack_from("<H", data, pos - 2)
+        if sum(raw) & 0xFFFF != declared_ck:
             continue  # corrupt attribute: skip it, keep walking
         if att_id == _ATT_SUBJECT and subject is None:
             subject = _cstring(raw)

@@ -27,12 +27,17 @@ from pyspark.sql.window import Window
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Flag duplicates by content hash; keeper = lowest key per hash."""
+    """Flag duplicates by content hash; keeper = lowest key per hash.
+    NULL text (failed extractions) never marks a duplicate — the window
+    treats NULL hashes as one partition, which would flag every failed
+    row but one as a dup of unrelated documents (r5 whole-repo
+    review)."""
     w = Window.partitionBy("text_sha").orderBy(F.col(key_col).asc())
     return (
         df.withColumn("text_sha", F.sha2(F.col(text_col), 256))
         .withColumn("dup_rank", F.row_number().over(w))
-        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+        .withColumn("is_duplicate",
+                    F.col("text_sha").isNotNull() & (F.col("dup_rank") > 1))
     )
 
 

@@ -63,8 +63,15 @@ def cap_per_host(
     (run newest_per_url first — re-crawl dedup — to bound that)."""
     from pyspark.sql.window import Window
 
-    host = host_col if host_col is not None else F.regexp_extract(
-        "url", r"^https?://([^/]+)/", 1)
+    if host_col is None:
+        # shared extractor (urls.host_col): no trailing-slash
+        # requirement (path-less homepages previously ALL collapsed
+        # into one '' pseudo-host and were capped together), port
+        # stripped, lowercased (r5 whole-repo review)
+        from .urls import host_col as _hc
+
+        host_col = _hc("url")
+    host = host_col
     order = (F.col("warc_ts").desc(), F.col("url").desc())
     salted = (pages.withColumn("host", host)
               .withColumn("__salt",

@@ -27,7 +27,12 @@ STOPWORDS = sorted({w for ms in LANG_MARKER_SQL.values() for w in ms})
 def token_count_col(text_col) -> "F.Column":
     """Whitespace token count, identical semantics to the DuckDB oracle's
     length(regexp_split_to_array(trim(text), '\\s+'))."""
-    t = F.trim(text_col)
+    # NULL text (failed extractions) must count 0, not size(NULL) = -1
+    # under Spark's legacy sizeOfNull — a -1 leaking into
+    # concat_chunk_map's cumsum shifts every later document's chunk
+    # range in the shard (r5 whole-repo review)
+    t = F.trim(F.coalesce(text_col if not isinstance(text_col, str)
+                          else F.col(text_col), F.lit("")))
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 

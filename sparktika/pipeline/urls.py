@@ -21,9 +21,15 @@ _AUTHORITY = r"^([^/?#]*//[^/?#]*)"
 
 def normalize_url_col(url_col) -> "F.Column":
     u = F.col(url_col) if isinstance(url_col, str) else url_col
-    # 1. lowercase scheme://authority, keep the rest verbatim
+    # 1. lowercase scheme:// and host:port; USERINFO stays verbatim —
+    # it is case-sensitive per RFC 3986 §3.2.1, and lowercasing it both
+    # wrongly merges distinct URLs and breaks re-dereferencing
+    # (r5 whole-repo review)
     u = F.concat(
-        F.lower(F.regexp_extract(u, _AUTHORITY, 1)),
+        F.lower(F.regexp_extract(u, r"^([^/?#]*//)", 1)),
+        F.regexp_extract(u, r"^[^/?#]*//([^/?#@]*@)", 1),
+        F.lower(F.regexp_extract(
+            u, r"^[^/?#]*//(?:[^/?#@]*@)?([^/?#]*)", 1)),
         F.regexp_replace(u, _AUTHORITY, ""))
     # 2. fragment
     u = F.regexp_replace(u, r"#.*$", "")

@@ -2058,7 +2058,10 @@ WITH raw AS (
            ELSE 'https://Example.com/utm_campaign=keep/plain/' || doc_id END AS url_raw
   FROM documents),
 n1 AS (SELECT doc_id, url_raw,
-         lower(regexp_extract(url_raw, '^([^/?#]*//[^/?#]*)', 1))
+         lower(regexp_extract(url_raw, '^([^/?#]*//)', 1))
+           || regexp_extract(url_raw, '^[^/?#]*//([^/?#@]*@)', 1)
+           || lower(regexp_extract(url_raw,
+                '^[^/?#]*//(?:[^/?#@]*@)?([^/?#]*)', 1))
            || regexp_replace(url_raw, '^[^/?#]*//[^/?#]*', '') AS u
        FROM raw),
 n2 AS (SELECT doc_id, url_raw, regexp_replace(u, '#.*$', '') AS u FROM n1),
@@ -3121,12 +3124,12 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "corpus_cap_per_host",
     _with_oracle_cte("""
-SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+SELECT lower(regexp_extract(url, '^[^/?#]*//([^/:?#]*)', 1)) AS host,
        url,
        CAST(rn AS INT) AS rn
 FROM (SELECT url, warc_ts,
              row_number() OVER (
-               PARTITION BY regexp_extract(url, '^https?://([^/]+)/', 1)
+               PARTITION BY lower(regexp_extract(url, '^[^/?#]*//([^/:?#]*)', 1))
                ORDER BY warc_ts DESC, url DESC) AS rn
       FROM pages2)
 WHERE rn <= 3

@@ -930,3 +930,105 @@ def test_bmp_lying_palette_degrades():
     hdr += bytes(4096)
     with pytest.raises(_KE):
         decode_bmp(bytes(hdr))
+
+
+def test_rtf_surrogate_pairs_combine():
+    """r5 second whole-repo review: RTF encodes non-BMP chars as PAIRS
+    of negative \\uN — halves must combine; a lone surrogate would be
+    un-UTF-8-encodable and kill the Arrow batch."""
+    from sparktika.kernels.rtf import extract_rtf
+
+    r = extract_rtf(b"{\\rtf1 \\u-10179?\\u-8572?}")
+    r.text.encode("utf-8")
+    assert "\U0001F684" in r.text
+    r2 = extract_rtf(b"{\\rtf1 \\u-10179? tail}")  # lone high: dropped
+    r2.text.encode("utf-8")
+    assert "tail" in r2.text and "\ud83d" not in r2.text
+    assert "café" in extract_rtf(b"{\\rtf1 caf\\u233?}").text
+
+
+def test_ods_covered_cells_and_depth_guard():
+    """Merged cells keep later columns in position; the max_depth param
+    is enforced (was dead)."""
+    from sparktika.kernels.errors import DepthLimitError
+    from sparktika.kernels.odf import extract_odf
+    from sparktika.synth import _odf_zip
+
+    content = (
+        b'<?xml version="1.0"?><office:document-content '
+        b'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        b'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        b'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        b'<office:body><office:spreadsheet><table:table table:name="S">'
+        b'<table:table-row>'
+        b'<table:table-cell><text:p>A</text:p></table:table-cell>'
+        b'<table:covered-table-cell/>'
+        b'<table:table-cell><text:p>C</text:p></table:table-cell>'
+        b'</table:table-row></table:table>'
+        b'</office:spreadsheet></office:body></office:document-content>')
+    r = extract_odf(_odf_zip(
+        "application/vnd.oasis.opendocument.spreadsheet", content))
+    assert "A\t\tC" in r.text
+    deep = (b'<?xml version="1.0"?><office:document-content '
+            b'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">'
+            b'<office:body><office:spreadsheet>'
+            + b"<a>" * 600 + b"</a>" * 600
+            + b'</office:spreadsheet></office:body></office:document-content>')
+    with pytest.raises(DepthLimitError):
+        extract_odf(_odf_zip(
+            "application/vnd.oasis.opendocument.spreadsheet", deep),
+            max_depth=200)
+
+
+def test_epub_percent_encoded_spine_href():
+    """OPF hrefs are URLs: percent-encoding and fragments resolve to
+    the zip entry (chapters were silently dropped)."""
+    import io
+    import zipfile
+
+    from sparktika.kernels.epub import extract_epub
+
+    opf = (b'<?xml version="1.0"?>'
+           b'<package xmlns="http://www.idpf.org/2007/opf" version="2.0">'
+           b'<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+           b'<dc:title>T</dc:title></metadata><manifest>'
+           b'<item id="c1" href="ch%20one.xhtml" '
+           b'media-type="application/xhtml+xml"/>'
+           b'<item id="c2" href="ch2.xhtml#sec" '
+           b'media-type="application/xhtml+xml"/></manifest>'
+           b'<spine><itemref idref="c1"/><itemref idref="c2"/></spine>'
+           b'</package>')
+    container = (b'<?xml version="1.0"?><container version="1.0" '
+                 b'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+                 b'<rootfiles><rootfile full-path="content.opf" '
+                 b'media-type="application/oebps-package+xml"/></rootfiles>'
+                 b'</container>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("META-INF/container.xml", container)
+        z.writestr("content.opf", opf)
+        z.writestr("ch one.xhtml",
+                   b"<html><body><p>encoded chapter</p></body></html>")
+        z.writestr("ch2.xhtml",
+                   b"<html><body><p>fragment chapter</p></body></html>")
+    r = extract_epub(buf.getvalue())
+    assert "encoded chapter" in r.text and "fragment chapter" in r.text
+
+
+def test_tar_capped_member_marks_truncated():
+    """A tar member cut at max_entry_bytes flags truncated=True (the
+    zip path already did)."""
+    import io
+    import tarfile
+
+    from sparktika.kernels.container import extract_tar_container
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        payload = b"capped text " * 2000
+        info = tarfile.TarInfo("big.txt")
+        info.size = len(payload)
+        t.addfile(info, io.BytesIO(payload))
+    r = extract_tar_container(buf.getvalue(), max_entry_bytes=1000)
+    assert r.truncated
