@@ -3095,18 +3095,29 @@ def extract_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_contamination",
     r"""
-WITH toks AS (
+WITH cor AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000,
+         text || ' planted contamination tail marker'
+  FROM documents WHERE doc_id % 97 = 0),
+uni AS (
+  SELECT doc_id, text FROM cor
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+toks AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
-  FROM documents),
+  FROM uni),
 sh AS (
   SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS shingle
   FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
   WHERE len(t) >= 8),
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+          AND doc_id < 1000000)
 SELECT s.doc_id AS key, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared_grams
 FROM sh s JOIN bench b USING (shingle)
-WHERE s.doc_id % 97 <> 0
+WHERE s.doc_id % 97 <> 0 OR s.doc_id >= 1000000
 GROUP BY s.doc_id
 """,
 )
@@ -3115,9 +3126,18 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with a benchmark set (synth benchmark = doc_id % 97 == 0).
     Plan: both sides reduce to md5 shingles, the benchmark side
     broadcasts — single corpus scan, no shuffle before the agg."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    # plant REAL contamination (r5: the query matched vacuously at 0
+    # rows since r3 — the r3-verdict q22 anti-pattern): near-copies of
+    # every benchmark doc with a fresh tail, so each must surface with
+    # exactly its source's shingle count
+    planted = (bench
+               .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+               .withColumn("text", F.concat(
+                   F.col("text"),
+                   F.lit(" planted contamination tail marker"))))
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(planted)
     return dedup.benchmark_contamination(corpus, bench, "text", "doc_id")
 
 
