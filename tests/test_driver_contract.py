@@ -75,10 +75,13 @@ def test_query_matches_oracle(spark, ducks, name):
     if sset != oset:
         diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
-    # Queries whose green row would otherwise be vacuous (r3 verdict:
-    # Q22 compared empty sets at every scale) must prove a nonzero
-    # result here so 0 == 0 can never pass silently again.
-    if name in ("rel_q22_global_sales_opportunity",):
+    # r5: EVERY oracle-backed query must prove a nonzero result so a
+    # 0 == 0 match can never pass silently (r3 verdict: Q22 compared
+    # empty sets at every scale; r5 found text_contamination had done
+    # the same since r3). Add a query here ONLY with a comment saying
+    # why empty is the correct answer at sf0.001.
+    _MAY_BE_EMPTY: set = set()
+    if name not in _MAY_BE_EMPTY:
         assert len(srows) > 0, f"{name}: vacuous — oracle comparison on 0 rows"
 
 
