@@ -165,7 +165,14 @@ def extract_xlsx(data: bytes, max_ratio: float = 200.0,
         rid = m.group(1) or m.group(4)
         target = m.group(2) or m.group(3)
         if rid and target:
-            rels[rid] = target if target.startswith("xl/") else f"xl/{target}"
+            # absolute OPC targets ('/xl/worksheets/sheet1.xml') are
+            # legal and must not be re-prefixed (r5 review: the sheet
+            # silently vanished as 'xl//xl/...')
+            if target.startswith("/"):
+                rels[rid] = target.lstrip("/")
+            else:
+                rels[rid] = (target if target.startswith("xl/")
+                             else f"xl/{target}")
     sheets: list[tuple[str, str]] = []
     for m in _SHEET_RE.finditer(wb):
         name = m.group(1) or m.group(4)

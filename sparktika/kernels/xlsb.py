@@ -187,8 +187,11 @@ def extract_xlsb(data: bytes, max_ratio: float = 200.0,
             rid_ = m.group(1) or m.group(4)
             target = m.group(2) or m.group(3)
             if rid_ and target:
-                rels[rid_] = (target if target.startswith("xl/")
-                              else f"xl/{target}")
+                if target.startswith("/"):  # absolute OPC target
+                    rels[rid_] = target.lstrip("/")
+                else:
+                    rels[rid_] = (target if target.startswith("xl/")
+                                  else f"xl/{target}")
     sheets: list[tuple[str, str]] = []
     if "xl/workbook.bin" in names:
         wb = read_entry(zf, "xl/workbook.bin", max_ratio, max_bytes)

@@ -58,6 +58,13 @@ def make_extract_fn(cfg: ExtractConfig):
             )
             cols: dict[str, list] = {c: [] for c in _OUT_COLS}
             for u, ct, d, ts in zip(pdf["url"], declared, pdf["html"], true_sizes):
+                # NULL html makes length() NULL -> Arrow int64-with-null
+                # -> float NaN in pandas; `ts is None` is False for NaN
+                # and int(nan) raised out of the batch, killing the TASK
+                # for one poisoned row (r5 review). NaN != NaN test
+                # keeps the check cheap and dependency-free.
+                if ts is None or ts != ts:
+                    ts = None
                 r = extract_document(u, ct, d, cfg,
                                      true_size=None if ts is None else int(ts))
                 cols["url"].append(r.url)

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001 — probe only
+        # py4j returns a JavaPackage (no exception) for a MISSING class,
+        # so attribute access alone always "succeeds" — force a real
+        # classload (r5 review: the parquet fallback never engaged)
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — probe only
+            "org.apache.iceberg.Table")
         return True
     except Exception:
         return False

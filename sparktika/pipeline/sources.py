@@ -72,3 +72,17 @@ def read_warc_pages(spark: SparkSession, path_glob: str,
         .withColumn("text", F.lit(None).cast("string"))
         .withColumn("lang", F.lit(None).cast("string"))
     )
+
+
+def read_warc_errors(spark: SparkSession, path_glob: str,
+                     max_inflate_ratio: float = 200.0) -> DataFrame:
+    """(source_file, error) sentinel rows for archives that failed to
+    parse — read_warc_pages drops them from the pages shape, so a
+    production ingest MUST check this side output or whole archives
+    vanish silently (r5 review)."""
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .select("path", "content"))
+    raw = files.mapInPandas(make_warc_reader(max_inflate_ratio),
+                            WARC_PAGES_SCHEMA)
+    return raw.filter(F.col("error").isNotNull()) \
+              .select("source_file", "error")

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _sha(col):
-    return F.sha2(F.coalesce(col, F.lit("")), 256)
+    # NULL (failed extraction) must NEVER hash equal to '' (a document
+    # correctly extracting to empty text) — r5 review: coalesce-to-''
+    # let failures verify as matches against empty goldens
+    return F.when(col.isNull(), F.lit("<NULL>")).otherwise(
+        F.sha2(col, 256))
 
 
 def verify_text_hashes(

@@ -46,8 +46,13 @@ def _first_seen_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
             continue
         total += len(pdf)
         if seen == 0:
-            head = pdf.sort_values("warc_ts", kind="stable").head(1)
-            if best is None or head["warc_ts"].iloc[0] < best["warc_ts"].iloc[0]:
+            # (warc_ts, url) total order: a bare strict warc_ts compare
+            # made ties resolve by nondeterministic Arrow chunk arrival
+            # (r5 review)
+            head = pdf.sort_values(["warc_ts", "url"], kind="stable").head(1)
+            if best is None or (
+                    (head["warc_ts"].iloc[0], head["url"].iloc[0])
+                    < (best["warc_ts"].iloc[0], best["url"].iloc[0])):
                 best = head
     emit = seen == 0 and best is not None
     state.update((seen + total,))

@@ -102,7 +102,8 @@ def streaming_hourly_rollup(events_stream: DataFrame,
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 4).alias("total_value"))
-        .select(F.col("w.start").alias("hour_start"), "event_type",
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("hour_start"), "event_type",
                 "n_events", "total_value")
     )
 

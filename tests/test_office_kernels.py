@@ -1190,3 +1190,29 @@ def test_xlsb_nan_inf_cells_degrade_not_fail():
                   + "ok".encode("utf-16-le")))
     rows = _sheet_text(buf, [])
     assert len(rows) == 1 and rows[0].endswith("\tok")
+
+
+def test_xlsx_absolute_opc_rel_target():
+    """Absolute OPC targets ('/xl/worksheets/sheet1.xml') are legal and
+    must resolve — the sheet silently vanished as 'xl//xl/...'
+    (r5 third review)."""
+    import io
+    import zipfile
+
+    from sparktika.kernels.ooxml import extract_xlsx
+
+    sheet = (b'<worksheet><sheetData><row r="1">'
+             b'<c r="A1" t="inlineStr"><is><t>abs target cell</t></is>'
+             b"</c></row></sheetData></worksheet>")
+    wb = (b'<workbook><sheets><sheet name="S" sheetId="1" r:id="rId1"/>'
+          b"</sheets></workbook>")
+    rels = (b'<Relationships><Relationship Id="rId1" Type="t" '
+            b'Target="/xl/worksheets/sheet1.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", b"<Types/>")
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    r = extract_xlsx(buf.getvalue())
+    assert "abs target cell" in r.text

@@ -877,3 +877,73 @@ def test_semantic_dedup_leaves_no_cache_entry(spark):
          for i in range(40)])
     semantic_dedup(emb, n_clusters=2, threshold=0.999, iters=1).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_null_html_row_is_contained(spark):
+    """r5 third review (CONFIRMED repro): a NULL html row turned
+    F.length() into Arrow NaN and int(nan) killed the whole task; it
+    must yield a status row like any other poisoned document."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from sparktika.pipeline.extract import extract_pages
+    from sparktika.synth import SYNTH_CONFIG
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("content_type", T.StringType())])
+    df = spark.createDataFrame(
+        [("https://x/a.html", datetime.datetime(2024, 1, 1),
+          bytearray(b"<html><body>ok page</body></html>"), None),
+         ("https://x/null", datetime.datetime(2024, 1, 1), None, None)],
+        schema)
+    rows = {r["url"]: r["status"]
+            for r in extract_pages(df, SYNTH_CONFIG).collect()}
+    assert rows["https://x/a.html"] == "ok"
+    assert rows["https://x/null"] in ("unsupported", "failed")
+
+
+def test_iceberg_probe_honest_in_this_sandbox(spark):
+    """py4j returns a JavaPackage (not an exception) for missing
+    classes; the probe must force a classload so the parquet fallback
+    engages (r5 third review, CONFIRMED)."""
+    from sparktika.pipeline.io import iceberg_available
+
+    assert iceberg_available(spark) is False  # no Iceberg jar here
+
+
+def test_verify_null_never_matches_empty(spark):
+    """A failed extraction (NULL text) must not verify as a match
+    against a golden expecting EMPTY text (r5 third review)."""
+    from pyspark.sql import Row
+
+    from sparktika.pipeline.verify import verify_text_hashes
+
+    got = spark.createDataFrame(
+        [Row(url="u1", text_extracted=None),
+         Row(url="u2", text_extracted="")],
+        "url string, text_extracted string")
+    want = spark.createDataFrame(
+        [Row(url="u1", text_expected=""), Row(url="u2", text_expected="")],
+        "url string, text_expected string")
+    res = {r["url"]: r["match"]
+           for r in verify_text_hashes(got, want).collect()}
+    assert res == {"u1": False, "u2": True}
+
+
+def test_streaming_hourly_schema_matches_batch(spark):
+    """hour_start is a formatted string in BOTH twins (invariant 4 —
+    the streaming side emitted a raw session-tz timestamp)."""
+    from sparktika.streaming.windowed import (hourly_rollup,
+                                              stream_events,
+                                              streaming_hourly_rollup)
+
+    batch = hourly_rollup(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    stream = streaming_hourly_rollup(
+        stream_events(spark, "/root/testdata/sf0.001/events.parquet"))
+    assert dict(stream.dtypes)["hour_start"] == "string"
+    assert dict(batch.dtypes)["hour_start"] == "string"

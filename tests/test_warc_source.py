@@ -135,3 +135,29 @@ def test_warc_spark_source_end_to_end():
         assert b["text_extracted"] == "chunked body content here"
     finally:
         spark.stop()
+
+
+def test_warc_errors_side_output(tmp_path):
+    """r5 third review: read_warc_pages drops sentinel rows, so broken
+    archives MUST be observable via read_warc_errors."""
+    from sparktika.pipeline.session import build_session
+
+    spark = build_session(master="local[2]", shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x/a\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 56\r\n"
+            b"\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html>ok</html>\r\n\r\n")
+    (tmp_path / "good.warc").write_bytes(good)
+    (tmp_path / "broken.warc").write_bytes(b"not a warc at all")
+    from sparktika.pipeline.sources import read_warc_errors, read_warc_pages
+
+    try:
+        pages = read_warc_pages(spark, str(tmp_path / "*.warc"))
+        errs = read_warc_errors(spark, str(tmp_path / "*.warc"))
+        assert pages.count() >= 1
+        rows = errs.collect()
+        assert any("broken.warc" in r["source_file"] for r in rows)
+    finally:
+        spark.stop()
