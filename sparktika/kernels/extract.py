@@ -571,7 +571,8 @@ def extract_document(
                        write_limit_reached=r.truncated)
 
         if detected in ("application/gzip", "application/x-bzip2",
-                        "application/x-xz", "application/zstd"):
+                        "application/x-xz", "application/zstd",
+                        "application/x-lz4"):
             # single-member compressed wrapper (.txt.gz / .csv.bz2 /
             # .tar.xz / .zst ...): guarded decompress (stdlib codec, or
             # the from-scratch RFC 8878 decoder for zstd — Python 3.11
@@ -604,6 +605,12 @@ def extract_document(
                 # corruption -> failed status via the outer handler
                 inner = decompress_zstd(data, cap)
                 overflow = False
+            elif detected == "application/x-lz4":
+                from .lz4 import decompress_lz4
+
+                codec, suffix = "lz4", ".lz4"
+                inner = decompress_lz4(data, cap)
+                overflow = False
             else:
                 import lzma as _lzma
 
@@ -620,6 +627,8 @@ def extract_document(
                            else "bzip2" if inner[:3] == b"BZh"
                            else "xz" if inner[:6] == b"\xfd7zXZ\x00"
                            else "zstd" if inner[:4] == b"\x28\xb5\x2f\xfd"
+                           else "lz4" if inner[:4] in (b"\x04\x22\x4d\x18",
+                                                       b"\x02\x21\x4c\x18")
                            else None)
             if inner_codec is not None:
                 # compressed-in-compressed chains compound the ratio

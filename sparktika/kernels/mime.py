@@ -43,10 +43,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"Rar!\x1a\x07", "application/vnd.rar"),
     (b"\x1aE\xdf\xa3", "video/webm"),  # EBML (webm/mkv family)
     (b"\x28\xb5\x2f\xfd", "application/zstd"),
-    # zstd skippable frames (RFC 8878 §3.1.2): 0x184D2A50..5F LE — real
-    # .zst files may lead with one (e.g. seekable-format seek tables)
-    *((bytes([0x50 + i, 0x2A, 0x4D, 0x18]), "application/zstd")
-      for i in range(16)),
+    (b"\x04\x22\x4d\x18", "application/x-lz4"),
+    (b"\x02\x21\x4c\x18", "application/x-lz4"),  # legacy frame
     (b"fLaC", "audio/flac"),
     (b"ID3", "audio/mpeg"),
     (b"\xff\xfb", "audio/mpeg"),
@@ -66,6 +64,26 @@ _HTML_TAGS = (
     b"<meta", b"<h1", b"<div", b"<p>", b"<p ", b"<table", b"<a href",
     b"<br", b"<b>", b"<iframe", b"<!--",
 )
+
+
+def _sniff_after_skippable(data: bytes) -> str | None:
+    """zstd (RFC 8878 §3.1.2) and lz4 SHARE the 0x184D2A50..5F
+    skippable-frame magic family — real files of either codec may lead
+    with one (seek tables, user metadata). Walk the skippable chain
+    (bounded) and route on the first REAL magic."""
+    pos = 0
+    for _ in range(64):
+        if pos + 8 > len(data):
+            return None
+        magic = int.from_bytes(data[pos:pos + 4], "little")
+        if not 0x184D2A50 <= magic <= 0x184D2A5F:
+            if magic == 0xFD2FB528:
+                return "application/zstd"
+            if magic in (0x184D2204, 0x184C2102):
+                return "application/x-lz4"
+            return None
+        pos += 8 + int.from_bytes(data[pos + 4:pos + 8], "little")
+    return None
 
 
 def _sniff_riff(data: bytes) -> str | None:
@@ -120,6 +138,11 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
     for prefix, mime in _MAGIC:
         if data.startswith(prefix):
             return mime
+    if data[3:4] == b"\x18" and 0x50 <= data[0] <= 0x5F \
+            and data[1:3] == b"\x2a\x4d":
+        skip = _sniff_after_skippable(data)
+        if skip:
+            return skip
     riff = _sniff_riff(data)
     if riff:
         return riff

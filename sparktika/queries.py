@@ -1733,6 +1733,53 @@ def extract_sqlite_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_lz4_text",
+    """
+SELECT doc_id,
+       'Lz4 note ' || doc_id || ' body.' || chr(10) ||
+       CASE WHEN doc_id % 3 = 0
+            THEN repeat('Filler line for multiple blocks.' || chr(10), 8)
+            ELSE '' END AS text_extracted,
+       'lz4' AS outer_codec,
+       'text/plain' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_lz4_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 frame wrapper (r5 beyond-verdict, completing the codec
+    matrix with zstd): from-scratch frame+block decoder in
+    kernels/lz4.py (token sequences, block-dependent streams, XXH32
+    checksums, legacy frames) — no stdlib codec exists. Store-mode
+    corpora here (CLI-validated); compressed paths pinned against
+    lz4-CLI goldens in tests/test_lz4_kernel.py."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_lz4_txt
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_lz4_txt(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".txt.lz4")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.txt\.lz4", 1)
+         .cast("long").alias("doc_id"),
+        "text_extracted",
+        F.element_at("metadata", "Content-Encoding-Outer").getItem(0)
+         .alias("outer_codec"),
+        "content_type_detected", "status")
+
+
+@_register(
     "extract_pst_text",
     """
 WITH msg AS (
@@ -3799,6 +3846,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_pst_text",
     "extract_xlsb_text",
     "extract_zstd_text",
+    "extract_lz4_text",
     "extract_vcf_text",
     "extract_embedded_recursive",
     "dedup_semantic",
@@ -3820,7 +3868,6 @@ _GATE_PRIORITY: list[str] = [
     #    for the sqlite slot — r3-green + twin-covered)
     "corpus_c4_filter",
     "corpus_cap_per_host",
-    "corpus_filter",
     "corpus_sample_stratified",
     "dedup_cluster_components",
     "dedup_span_ranges",

@@ -2768,3 +2768,39 @@ def build_sqlite(doc_id: int) -> bytes:
     data = con.serialize()
     con.close()
     return bytes(data)
+
+
+def build_lz4_frame(payload: bytes, block_size: int = 1 << 16) -> bytes:
+    """Store-mode LZ4 frame: uncompressed blocks (high-bit sizes),
+    content size + content checksum; CLI-validated in pytest."""
+    from .kernels.lz4 import xxh32
+
+    flg = (1 << 6) | 0x08 | 0x04          # v1 + content size + checksum
+    bd = 4 << 4                            # 64 KB max block
+    desc = bytes([flg, bd]) + len(payload).to_bytes(8, "little")
+    out = bytearray((0x184D2204).to_bytes(4, "little"))
+    out += desc + bytes([(xxh32(desc) >> 8) & 0xFF])
+    pos = 0
+    while pos < len(payload) or (pos == 0 and not payload):
+        chunk = payload[pos:pos + block_size]
+        pos += len(chunk)
+        if not chunk:
+            break
+        out += (len(chunk) | 0x80000000).to_bytes(4, "little") + chunk
+    out += (0).to_bytes(4, "little")       # EndMark
+    out += xxh32(payload).to_bytes(4, "little")
+    return bytes(out)
+
+
+def build_lz4_txt(doc_id: int) -> bytes:
+    """lz4-wrapped text (extract_lz4_text oracle); ids % 3 == 0 get a
+    multi-block body, odd ids a leading skippable frame."""
+    body = f"Lz4 note {doc_id} body.\n".encode()
+    if doc_id % 3 == 0:
+        body += b"Filler line for multiple blocks.\n" * 8
+    frame = build_lz4_frame(body, block_size=64 if doc_id % 3 == 0
+                            else 1 << 16)
+    if doc_id % 2 == 1:
+        frame = ((0x184D2A50 + doc_id % 16).to_bytes(4, "little")
+                 + (8).to_bytes(4, "little") + b"\xbb" * 8) + frame
+    return frame

@@ -520,3 +520,35 @@ def test_sqlite_magic_prefixed_garbage_never_raises(payload):
     r = extract_document("u/f.sqlite", None,
                          b"SQLite format 3\x00" + payload)
     assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_lz4_magic_prefixed_garbage_never_raises(payload):
+    from sparktika.kernels.extract import extract_document
+
+    r = extract_document("u/f.lz4", None, b"\x04\x22\x4d\x18" + payload)
+    assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+@given(st.binary(max_size=20000), st.sampled_from(["-1", "-9"]))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_lz4_cli_roundtrip_property(payload, level):
+    import shutil
+    import subprocess
+
+    import pytest as _pytest
+
+    from sparktika.kernels.lz4 import decompress_lz4
+
+    cli = shutil.which("lz4") or "/root/miniconda/bin/lz4"
+    try:
+        proc = subprocess.run([cli, level, "-c"], input=payload,
+                              capture_output=True, timeout=30)
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        _pytest.skip("lz4 CLI unavailable")
+    if proc.returncode != 0:
+        _pytest.skip("lz4 CLI failed in this environment")
+    assert decompress_lz4(proc.stdout, 10_000_000) == payload
