@@ -310,3 +310,14 @@ def test_pc_cc_bcc_and_string8_recipients():
               "recip_string8": True}]
     r2 = extract_pst(_pst_file("F", msgs2, fmt="ansi"))
     assert "To: Ana\xe9\n" in r2.text and "Cc: Bo\n" in r2.text
+
+
+def test_ost_version_parses_via_unicode_branch():
+    """OST files share the NDB with wVer >= 23 (36/37 in practice);
+    flipping the version field on a valid store must still parse —
+    pinning the docstring's OST claim."""
+    data = bytearray(build_pst(2))
+    data[10:12] = (36).to_bytes(2, "little")
+    r = extract_pst(bytes(data))
+    assert r.n_messages == 4 and r.metadata["pst-format"] == "unicode"
+    assert "Pst body 2 message 3." in r.text
