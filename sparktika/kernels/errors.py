@@ -19,6 +19,17 @@ class InflateRatioError(KernelError):
     """Decompression ratio exceeded max_inflate_ratio (ref ratio=200)."""
 
 
+class EncryptedError(KernelError):
+    """Encrypted document that cannot be transparently decrypted (real
+    user password, or an unsupported security handler / crypt filter).
+    Maps to status='unsupported' with the reason kind in metadata —
+    honest refusal, never garbage text (r5 VERDICT item 3)."""
+
+    def __init__(self, kind: str, msg: str):
+        super().__init__(msg)
+        self.kind = kind
+
+
 class DeadlineError(KernelError):
     """Cooperative per-doc deadline exceeded; row gets status='timeout'
     (ref: abortAfterMs, client/TikaRunner.java:74-109)."""

@@ -25,7 +25,8 @@ from dataclasses import dataclass, field
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from . import boilerplate, charset, mime, pdf
-from .errors import DeadlineError, DepthLimitError, InflateRatioError, KernelError
+from .errors import (DeadlineError, DepthLimitError, EncryptedError,
+                     InflateRatioError, KernelError)
 from .htmlparse import Link, parse_html
 
 STATUS_OK = "ok"
@@ -932,6 +933,13 @@ def extract_document(
 
     except DeadlineError as e:
         return res(detected=detected, status=STATUS_TIMEOUT, error=str(e))
+    except EncryptedError as e:
+        # honest refusal for password-protected / unsupported-crypt docs
+        # (the empty-user-password common case decrypts transparently and
+        # never reaches here) — refusal kind is queryable metadata
+        return res(detected=detected, status=STATUS_UNSUPPORTED,
+                   metadata={"encryption": [e.kind]},
+                   error=f"EncryptedError: {e}")
     except (DepthLimitError, InflateRatioError, KernelError) as e:
         return res(detected=detected, status=STATUS_FAILED,
                    error=f"{type(e).__name__}: {e}")

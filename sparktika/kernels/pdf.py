@@ -383,9 +383,12 @@ class _PdfDoc:
         self.max_ratio = max_ratio
         self.max_bytes = max_bytes
         self.bodies: dict[int, bytes] = {}   # object body incl. dict + stream
+        self.gens: dict[int, int] = {}       # generation per top-level object
         self.embedded: dict[int, bytes] = {}  # ObjStm-contained object values
         self.trailers: list[dict] = []
         self.n_streams = 0
+        self.crypt = None                    # pdfcrypt.StdCrypt when /Encrypt
+        self._encrypt_obj = None             # the /Encrypt dict's object num
         self._dict_cache: dict[int, object] = {}
         self._stream_cache: dict[int, bytes | None] = {}
         self._load()
@@ -403,11 +406,16 @@ class _PdfDoc:
             num = int(m.group(1))
             if num not in self.bodies:
                 self.bodies[num] = m.group(3)
+                self.gens[num] = int(m.group(2))
         # 3) classic trailers
         for m in _TRAILER_RE.finditer(self.data):
             t, _ = _parse_value(self.data, m.end() - 2)
             if isinstance(t, dict):
                 self.trailers.append(t)
+        # 3b) standard security handler — BEFORE ObjStm expansion (ObjStm
+        # payloads are themselves encrypted streams, §7.6.2); raises
+        # EncryptedError for password-protected/unsupported crypt
+        self._setup_crypt()
         # 4) expand object streams (compressed objects)
         for num in list(self.bodies):
             head = self.obj_dict(num)
@@ -449,6 +457,35 @@ class _PdfDoc:
             prev = head.get("Prev")
             offset = int(prev) if isinstance(prev, (int, float)) else 0
 
+    def _setup_crypt(self) -> None:
+        """Resolve /Encrypt from the trailer(s) and authenticate with the
+        empty user password (the owner-password-only common case). PDF
+        32000-1 §7.6; kernels/pdfcrypt.py implements the handler."""
+        enc_ref = id_arr = None
+        for t in self.trailers:
+            if enc_ref is None and "Encrypt" in t:
+                enc_ref = t["Encrypt"]
+            if id_arr is None and isinstance(t.get("ID"), list):
+                id_arr = t["ID"]
+        if enc_ref is None:
+            return
+        from .pdfcrypt import StdCrypt
+
+        if isinstance(enc_ref, Ref):
+            self._encrypt_obj = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise KernelError("/Encrypt entry is not a dictionary")
+        id0 = id_arr[0] if id_arr and isinstance(id_arr[0], bytes) else b""
+        self.crypt = StdCrypt(enc, id0)
+
+    def _decrypt_allowed(self, num: int) -> bool:
+        """Per-object decryption applies to top-level objects only: the
+        /Encrypt dict itself is plaintext, and ObjStm-contained objects
+        are covered by their container stream's decryption (§7.6.2)."""
+        return (self.crypt is not None and num in self.bodies
+                and num != self._encrypt_obj)
+
     def _apply_xref_stream(self, head: dict, table: bytes) -> None:
         w = [int(x) for x in (head.get("W") or [])]
         if len(w) < 3:
@@ -480,6 +517,7 @@ class _PdfDoc:
                         end = self.data.find(b"endobj", om.end())
                         self.bodies[num] = self.data[
                             om.end() : end if end != -1 else len(self.data)]
+                        self.gens[num] = int(om.group(2))
                 # typ == 2 (in ObjStm): resolved by ObjStm expansion pass
 
     def _expand_objstm(self, num: int, head: dict) -> None:
@@ -510,6 +548,10 @@ class _PdfDoc:
             body = self.bodies[num]
             sm = _STREAM_RE.search(body)
             v, _ = _parse_value(body[: sm.start()] if sm else body, 0)
+            if self._decrypt_allowed(num):
+                # string values of top-level objects are individually
+                # encrypted (§7.6.2) — e.g. /Info metadata strings
+                v = self.crypt.decrypt_value(v, num, self.gens.get(num, 0))
         elif num in self.embedded:
             v, _ = _parse_value(self.embedded[num], 0)
         self._dict_cache[num] = v
@@ -526,6 +568,7 @@ class _PdfDoc:
             if sm is not None:
                 head = self.obj_dict(num)
                 raw = sm.group(1)
+                raw = self._decrypt_stream_bytes(num, head, raw)
                 filt = head.get("Filter") if isinstance(head, dict) else None
                 if filt == "FlateDecode" or (isinstance(filt, list) and "FlateDecode" in filt):
                     raw = _inflate(raw, self.max_ratio, self.max_bytes)
@@ -539,14 +582,38 @@ class _PdfDoc:
         self._stream_cache[num] = out
         return out
 
+    def _decrypt_stream_bytes(self, num: int, head, raw: bytes) -> bytes:
+        """Stream decryption hook — applies BEFORE /Filter decoding. XRef
+        streams are never encrypted (§7.5.8.2); /Metadata streams are
+        plaintext when /EncryptMetadata false."""
+        if not self._decrypt_allowed(num):
+            return raw
+        typ = head.get("Type") if isinstance(head, dict) else None
+        if typ == "XRef":
+            return raw
+        if typ == "Metadata" and not self.crypt.encrypt_metadata:
+            return raw
+        # the regex capture runs to "endstream" and so includes the
+        # writer's EOL; ciphertext needs exact bounds (AES block
+        # alignment) — trust /Length, falling back to an EOL trim
+        ln = self.resolve(head.get("Length")) if isinstance(head, dict) else None
+        if isinstance(ln, (int, float)) and 0 <= int(ln) <= len(raw):
+            raw = raw[: int(ln)]
+        else:
+            raw = raw.rstrip(b"\r\n")
+        return self.crypt.decrypt_stream(raw, num, self.gens.get(num, 0))
+
     def raw_stream(self, num: int) -> bytes | None:
         """UNfiltered stream bytes (for codec payloads like DCTDecode
-        that must reach their real decoder intact)."""
+        that must reach their real decoder intact). Decrypted, so the
+        codec sees real payload bytes."""
         body = self.bodies.get(num)
         if body is None:
             return None
         sm = _STREAM_RE.search(body)
-        return sm.group(1) if sm is not None else None
+        if sm is None:
+            return None
+        return self._decrypt_stream_bytes(num, self.obj_dict(num), sm.group(1))
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, Ref) and depth < 32:

@@ -3814,6 +3814,40 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.05).select("doc_id", "lang")
 
 
+@_register(
+    "extract_pdf_encrypted",
+    """
+SELECT doc_id,
+       'Secret note ' || doc_id || '.' || repeat(chr(10), 5)
+         AS text_extracted,
+       'Secret ' || doc_id AS title,
+       CASE doc_id % 4 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+                       WHEN 2 THEN 'aesv2' ELSE 'aesv3-r6' END AS variant,
+       'application/pdf' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-security-handler encrypted PDFs (r5 VERDICT item 3), the
+    owner-password-only/empty-user-password case Tika 1.20's PDFBox
+    decrypts transparently. The corpus walks the full handler matrix —
+    RC4-40 (V1/R2), RC4-128 (V2/R3), AES-128 (V4/R4 AESV2), AES-256
+    (V5/R6 AESV3 with the Algorithm 2.B hardened hash) — via
+    kernels/pdfcrypt.py: derived-S-box AES (FIPS-197 vectors pinned in
+    tests/test_pdf_crypt.py), per-object keys, /Info string decryption.
+    Password-protected / unknown-CFM docs refuse with status
+    'unsupported' (tested, not in this corpus)."""
+    ext = _payload_extract(spark, sf_dir, "build_pdf_encrypted", ".pdf")
+    return ext.select(
+        "doc_id", "text_extracted", "title",
+        F.element_at(
+            F.array(F.lit("rc4-40"), F.lit("rc4-128"), F.lit("aesv2"),
+                    F.lit("aesv3-r6")),
+            (F.col("doc_id") % 4 + 1).cast("int")).alias("variant"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

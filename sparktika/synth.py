@@ -2804,3 +2804,108 @@ def build_lz4_txt(doc_id: int) -> bytes:
         frame = ((0x184D2A50 + doc_id % 16).to_bytes(4, "little")
                  + (8).to_bytes(4, "little") + b"\xbb" * 8) + frame
     return frame
+
+
+def build_pdf_encrypted(doc_id: int) -> bytes:
+    """Standard-security-handler encrypted PDF (extract_pdf_encrypted
+    oracle): user password EMPTY (the owner-password-only wild-corpus
+    common case PDFBox/Tika decrypt transparently), owner password set.
+    Variant = doc_id % 4 walks the whole handler matrix:
+      0 -> V1/R2  RC4-40       1 -> V2/R3  RC4-128
+      2 -> V4/R4  AESV2 (128)  3 -> V5/R6  AESV3 (256)
+    All four decrypt to the same layout as build_pdf, plus an encrypted
+    /Info /Title string ("Secret {doc_id}"). Everything (salts, IVs, file
+    key) is a deterministic function of doc_id.
+    """
+    import hashlib
+    import struct as _s
+
+    from .kernels import pdfcrypt as pc
+
+    variant = doc_id % 4
+    text = f"Secret note {doc_id}."
+    stream = (f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(text)}) Tj ET"
+              .encode("latin-1"))
+    title = f"Secret {doc_id}".encode("latin-1")
+    id0 = hashlib.md5(f"encpdf-{doc_id}".encode()).digest()
+    owner_pw = f"owner-{doc_id}".encode()
+    P = -3904  # typical owner-only permission bits
+
+    def _iv(num: int) -> bytes:
+        return hashlib.md5(f"iv-{doc_id}-{num}".encode()).digest()
+
+    if variant < 3:
+        R = (2, 3, 4)[variant]
+        V = (1, 2, 4)[variant]
+        n = 5 if variant == 0 else 16
+        O = pc.compute_O(owner_pw, b"", R, n)
+        key = pc.derive_key_classic(b"", O, P, id0, R, n)
+        U = pc.compute_U(key, R, id0)
+
+        def enc(data: bytes, num: int) -> bytes:
+            ext = _s.pack("<I", num)[:3] + b"\x00\x00"
+            if variant == 2:  # AESV2
+                k = hashlib.md5(key + ext + b"sAlT").digest()[:16]
+                iv = _iv(num)
+                return iv + pc.aes_cbc_encrypt(k, iv, pc._pad_pkcs5(data))
+            k = hashlib.md5(key + ext).digest()[: min(n + 5, 16)]
+            return pc.rc4(k, data)
+
+        cf = ("/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+              "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+              if variant == 2 else "")
+        encdict = (f"<< /Filter /Standard /V {V} /R {R} /Length {n * 8} "
+                   f"/P {P} {cf}/O <{O.hex()}> /U <{U.hex()}> >>")
+    else:  # V5 / R6, AES-256
+        # salts + owner pw are CORPUS-SHARED (file key, IVs, content stay
+        # per-doc): hash_r6 runs its ~9k-AES-block hardened loop once per
+        # worker instead of twice per doc — same algorithm coverage, the
+        # corpus cost drops from ~2 s/doc to ~1 s total (memoized)
+        filekey = hashlib.sha256(f"fk-{doc_id}".encode()).digest()
+        shared_owner = b"owner-shared"
+        vs = hashlib.md5(b"vs-shared").digest()[:8]
+        ks = hashlib.md5(b"ks-shared").digest()[:8]
+        U = pc.hash_r6(b"", vs, b"", 6) + vs + ks
+        UE = pc.aes_cbc_encrypt(pc.hash_r6(b"", ks, b"", 6),
+                                b"\x00" * 16, filekey)
+        ovs = hashlib.md5(b"ovs-shared").digest()[:8]
+        oks = hashlib.md5(b"oks-shared").digest()[:8]
+        O = pc.hash_r6(shared_owner, ovs, U[:48], 6) + ovs + oks
+        OE = pc.aes_cbc_encrypt(pc.hash_r6(shared_owner, oks, U[:48], 6),
+                                b"\x00" * 16, filekey)
+        # /Perms: P + 0xFFFFFFFF + 'T' (EncryptMetadata) + 'adb' + 4 pad,
+        # AES-256-ECB with the file key (single block == CBC w/ zero IV)
+        perms_plain = (_s.pack("<i", P) + b"\xff\xff\xff\xff" + b"Tadb"
+                       + _iv(0)[:4])
+        perms = pc.aes_cbc_encrypt(filekey, b"\x00" * 16, perms_plain)
+
+        def enc(data: bytes, num: int) -> bytes:
+            iv = _iv(num)
+            return iv + pc.aes_cbc_encrypt(filekey, iv,
+                                           pc._pad_pkcs5(data))
+
+        encdict = ("<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                   "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                   "/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                   f"/P {P} /O <{O.hex()}> /U <{U.hex()}> "
+                   f"/OE <{OE.hex()}> /UE <{UE.hex()}> "
+                   f"/Perms <{perms.hex()}> >>")
+
+    enc_stream = enc(stream, 4)
+    enc_title = enc(title, 6)
+    obj4 = (b"4 0 obj\n<< /Length " + str(len(enc_stream)).encode("ascii")
+            + b" >>\nstream\n" + enc_stream + b"\nendstream\nendobj\n")
+    return (
+        b"%PDF-1.6\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + obj4 +
+        b"5 0 obj\n" + encdict.encode("ascii") + b"\nendobj\n"
+        b"6 0 obj\n<< /Title <" + enc_title.hex().encode("ascii")
+        + b"> >>\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 1 0 R /Info 6 0 R /Encrypt 5 0 R "
+        b"/ID [<" + id0.hex().encode("ascii") + b"> <"
+        + id0.hex().encode("ascii") + b">] >>\n"
+        b"startxref\n0\n%%EOF\n"
+    )
