@@ -2615,7 +2615,9 @@ def _pst_file(folder_name: str, messages: list[dict],
                              + bid_.to_bytes(W, "little")
                              + (0).to_bytes(W, "little")
                              for nid_, bid_ in sorted(sl_entries)))
-            bid_sub = add_block(sl)
+            # SLBLOCKs are INTERNAL blocks ([MS-PST] §2.2.2.8.3): the bid
+            # carries the internal bit, and §5.1 encryption skips them
+            bid_sub = add_xblock(sl)
         nid = ((16 + k) << 5) | 0x04
         nodes.append((nid, bid_data, bid_sub, folder_nid))
 
