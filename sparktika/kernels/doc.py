@@ -31,6 +31,7 @@ from .errors import KernelError, check_deadline
 from .ole2 import Ole2File
 
 _FIB_MAGIC = 0xA5EC
+_FIB_MAGIC_OLD = 0xA5DC  # Word 6/95 (nFib < 105)
 _MAX_PIECES = 100_000
 
 # cp1252 high-row for compressed pieces (Word stores 8-bit text as cp1252)
@@ -106,13 +107,51 @@ def extract_doc(data: bytes, deadline: float | None = None) -> DocResult:
     return extract_doc_ole(Ole2File(data), deadline)
 
 
+def _count_object_pool(ole) -> int:
+    """Embedded OLE objects live as sub-storages of ObjectPool."""
+    pool = next((e for e in ole.root_children()
+                 if e.obj_type == 1 and e.name == "ObjectPool"), None)
+    return (sum(1 for k in ole.storage_children(pool)
+                if k.obj_type == 1) if pool is not None else 0)
+
+
+def _extract_doc_legacy(wd: bytes, ole) -> DocResult:
+    """Word 6/95 binaries (wIdent 0xA5DC, nFib < 105): no 0Table/1Table
+    stream — for a normally-saved file the text is the FLAT byte range
+    [fcMin, fcMac) of WordDocument, 8-bit cp1252 (the Word 6 FIB keeps
+    fcMin/fcMac at 0x18/0x1C; Word 97 marks those bytes reserved).
+    Tika 1.20 reads these via POI HWPFOldDocument (tika-parsers, ref
+    build.gradle). Honest limits, refused with status rows: fast-saved
+    files (fComplex — old-layout piece table) and XOR-obfuscated files
+    (fEncrypted)."""
+    n_fib = struct.unpack_from("<H", wd, 2)[0]
+    flags = struct.unpack_from("<H", wd, 0x0A)[0]
+    if flags & 0x0100:
+        raise KernelError(
+            f"legacy .doc nFib {n_fib}: XOR obfuscation (fEncrypted) "
+            "unsupported")
+    if flags & 0x0004:
+        raise KernelError(
+            f"legacy .doc nFib {n_fib}: fast-saved (fComplex) piece "
+            "table unsupported")
+    fc_min, fc_mac = struct.unpack_from("<II", wd, 0x18)
+    if not (0 <= fc_min <= fc_mac <= len(wd)):
+        raise KernelError("legacy .doc text range out of bounds")
+    text = _normalize(_decode_cp1252(wd[fc_min:fc_mac]))
+    return DocResult(text=text, n_pieces=1, n_chars_main=len(text),
+                     n_embedded_objects=_count_object_pool(ole))
+
+
 def extract_doc_ole(ole, deadline: float | None = None) -> DocResult:
     """Word97 extraction over an Ole2File-like (including a ScopedOle view
-    of an embedded document inside another compound file)."""
+    of an embedded document inside another compound file); Word 6/95
+    binaries route to the flat-text legacy path."""
     names = set(ole.stream_names())
     if "WordDocument" not in names:
         raise KernelError("no WordDocument stream")
     wd = ole.read_stream("WordDocument")
+    if len(wd) >= 0x20 and struct.unpack_from("<H", wd, 0)[0] == _FIB_MAGIC_OLD:
+        return _extract_doc_legacy(wd, ole)
     if len(wd) < 0x01AA or struct.unpack_from("<H", wd, 0)[0] != _FIB_MAGIC:
         raise KernelError("bad FIB")
     flags = struct.unpack_from("<H", wd, 0x000A)[0]
@@ -190,13 +229,9 @@ def extract_doc_ole(ole, deadline: float | None = None) -> DocResult:
     ftn = _normalize(full[ccp_text : ccp_text + ccp_ftn])
     hdd = _normalize(full[ccp_text + ccp_ftn : ccp_text + ccp_ftn + ccp_hdd])
     tail = _normalize(full[ccp_text + ccp_ftn + ccp_hdd :])
-    # embedded OLE objects live as sub-storages of the ObjectPool storage
-    # (one per 0x01 picture/object anchor in the text); count them —
-    # payload extraction of arbitrary embeds is out of kernel scope
-    pool = next((e for e in ole.root_children()
-                 if e.obj_type == 1 and e.name == "ObjectPool"), None)
-    n_embedded = (sum(1 for k in ole.storage_children(pool)
-                      if k.obj_type == 1) if pool is not None else 0)
+    # embedded OLE objects: count ObjectPool sub-storages (one per 0x01
+    # anchor); payload extraction of arbitrary embeds is out of kernel scope
+    n_embedded = _count_object_pool(ole)
     return DocResult(text=main + ftn + hdd + tail, n_pieces=n,
                      n_chars_main=len(main), n_chars_footnotes=len(ftn),
                      n_chars_headers=len(hdd), n_embedded_objects=n_embedded)

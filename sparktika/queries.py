@@ -3848,6 +3848,34 @@ def extract_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+@_register(
+    "extract_doc_legacy",
+    """
+SELECT doc_id,
+       'Legacy doc ' || doc_id || '.' || chr(10) ||
+       'Old body line ' || doc_id || ' caf' || chr(233) || '.' || chr(10)
+         AS text_extracted,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_embedded,
+       'application/msword' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_doc_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 6/95 .doc (r5 VERDICT item 5): old FIB magic 0xA5DC routes to
+    the flat-text legacy path (fcMin/fcMac byte range, cp1252, no table
+    stream) — Tika 1.20's HWPFOldDocument posture. Fast-saved (fComplex)
+    and XOR-obfuscated files refuse with status rows (pytest)."""
+    ext = _payload_extract(spark, sf_dir, "build_doc_legacy", ".doc")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.coalesce(
+            F.element_at("metadata", "n-embedded-objects").getItem(0)
+             .cast("long"), F.lit(0)).alias("n_embedded"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

@@ -2911,3 +2911,27 @@ def build_pdf_encrypted(doc_id: int) -> bytes:
         + id0.hex().encode("ascii") + b">] >>\n"
         b"startxref\n0\n%%EOF\n"
     )
+
+
+def build_doc_legacy(doc_id: int) -> bytes:
+    """Word 6/95 .doc (extract_doc_legacy oracle): old FIB magic 0xA5DC,
+    nFib 101 (Word 6) on even ids / 104 (Word 95) on odd, flat cp1252
+    text at [fcMin, fcMac) with \\r paragraph marks, no table stream —
+    the normally-saved layout the legacy kernel path reads. One
+    ObjectPool embed on ids % 5 == 0. Kernel output:
+      'Legacy doc {id}.\\nOld body line {id} caf\\xe9.\\n'
+    """
+    import struct as _s
+
+    text = f"Legacy doc {doc_id}.\rOld body line {doc_id} caf\xe9.\r"
+    raw = text.encode("cp1252")
+    fc_min = 0x300
+    wd = bytearray(fc_min)
+    _s.pack_into("<H", wd, 0, 0xA5DC)                   # old FIB magic
+    _s.pack_into("<H", wd, 2, 101 if doc_id % 2 == 0 else 104)  # nFib
+    _s.pack_into("<H", wd, 0x000A, 0x0000)              # not complex/enc
+    _s.pack_into("<II", wd, 0x18, fc_min, fc_min + len(raw))
+    streams = {"WordDocument": bytes(wd) + raw}
+    storages = ([("ObjectPool", {"_0101": {"\x01Ole": b"\x00" * 8}})]
+                if doc_id % 5 == 0 else [])
+    return _ole2_file(streams, storages=storages)

@@ -1216,3 +1216,43 @@ def test_xlsx_absolute_opc_rel_target():
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     r = extract_xlsx(buf.getvalue())
     assert "abs target cell" in r.text
+
+
+# -- Word 6/95 legacy .doc (r6) --------------------------------------------
+
+def test_doc_legacy_flat_text_both_vintages():
+    from sparktika.synth import build_doc_legacy
+
+    for doc_id in (0, 1):  # nFib 101 (Word 6) and 104 (Word 95)
+        r = extract_document(f"u/{doc_id}.doc", None,
+                             build_doc_legacy(doc_id))
+        assert r.status == "ok"
+        assert r.text_extracted == (f"Legacy doc {doc_id}.\n"
+                                    f"Old body line {doc_id} caf\xe9.\n")
+        assert r.content_type_detected == "application/msword"
+
+
+def test_doc_legacy_fast_saved_and_encrypted_refuse():
+    import struct
+
+    from sparktika.synth import build_doc_legacy
+
+    for bit, label in ((0x0004, "fComplex"), (0x0100, "fEncrypted")):
+        data = bytearray(build_doc_legacy(2))
+        # flip the FIB flag inside the WordDocument stream: find the old
+        # magic in the raw OLE2 bytes (stream data is contiguous here)
+        at = bytes(data).index(struct.pack("<H", 0xA5DC))
+        flags = struct.unpack_from("<H", data, at + 0x0A)[0]
+        struct.pack_into("<H", data, at + 0x0A, flags | bit)
+        r = extract_document("u/x.doc", None, bytes(data))
+        assert r.status == "failed", label
+        assert "legacy .doc" in (r.error or "")
+
+
+def test_doc_legacy_truncation_never_raises():
+    from sparktika.synth import build_doc_legacy
+
+    full = build_doc_legacy(4)
+    for cut in range(64, len(full), 97):
+        r = extract_document("u/t.doc", None, full[:cut])
+        assert r.status in ("ok", "failed", "unsupported", "truncated")
