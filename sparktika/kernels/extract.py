@@ -693,6 +693,26 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected in ("application/x-archive", "application/x-cpio"):
+            from .container import extract_ar_container, extract_cpio_container
+
+            fn = (extract_ar_container if detected == "application/x-archive"
+                  else extract_cpio_container)
+            r = fn(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline,
+                recurse=recurse_embedded)
+            md = {"Content-Type": [detected]}
+            if r.entries:
+                md["container-entries"] = [str(len(r.entries))]
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected == "application/x-tika-msoffice":
             from .ole2 import Ole2File
             from .xls import extract_xls

