@@ -693,6 +693,26 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected == "application/vnd.ms-htmlhelp":
+            from .chm import extract_chm
+
+            r = extract_chm(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline,
+                recurse=recurse_embedded)
+            md = dict(r.metadata)
+            if r.entries:
+                md["container-entries"] = [str(len(r.entries))]
+            if r.title:
+                md["title"] = [r.title]
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected, title=r.title,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected in ("application/x-archive", "application/x-cpio"):
             from .container import extract_ar_container, extract_cpio_container
 

@@ -57,6 +57,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
     (b"!BDN", "application/vnd.ms-outlook-pst"),
     (b"!<arch>\n", "application/x-archive"),
+    (b"ITSF\x03\x00\x00\x00", "application/vnd.ms-htmlhelp"),
+    (b"ITSF\x02\x00\x00\x00", "application/vnd.ms-htmlhelp"),
 )
 
 # HTML sniff tags (case-insensitive), per a WHATWG-style table.

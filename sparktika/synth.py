@@ -3008,3 +3008,74 @@ def build_archive(doc_id: int) -> bytes:
             + _cpio_odc("sub/page.html", page)
             + _cpio_odc("sub", b"", mode=0o040755)
             + _cpio_odc("TRAILER!!!", b"", mode=0))
+
+
+def _chm_encint(v: int) -> bytes:
+    """Big-endian 7-bit ENCINT (ITSS directory integers)."""
+    out = bytearray([v & 0x7F])
+    v >>= 7
+    while v:
+        out.insert(0, 0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(out)
+
+
+def build_chm(doc_id: int) -> bytes:
+    """ITSF v3 CHM (extract_chm_text oracle; r5 VERDICT item 7).
+    One PMGL directory chunk; #SYSTEM carries the title (code 3) and
+    generator (code 9); two HTML topics live in the UNCOMPRESSED
+    content section 0 and are extracted; ids % 3 == 0 add an
+    MSCompressed (section 1) member that must be honestly REFUSED
+    (metadata compressed-members=1) plus its ::DataSpace storage
+    streams. Kernel text: 'Chm topic {id} one.\\nChm topic {id} two.\\n'.
+    """
+    import struct as _s
+
+    title = f"Chm manual {doc_id}"
+    system = (_s.pack("<I", 3)
+              + _s.pack("<HH", 3, len(title) + 1) + title.encode() + b"\x00"
+              + _s.pack("<HH", 9, 14) + b"synth-hhc 1.0\x00")
+    t1 = (f"<html><body><p>Chm topic {doc_id} one.</p></body></html>"
+          .encode())
+    t2 = (f"<html><body><p>Chm topic {doc_id} two.</p></body></html>"
+          .encode())
+    # (name, section, body). Section-0 offsets are assigned in order.
+    files = [("/#SYSTEM", 0, system),
+             (f"/topic{doc_id}a.html", 0, t1),
+             ("/topicb.html", 0, t2)]
+    if doc_id % 3 == 0:
+        files.append(("/compressed.html", 1, b"\xee" * 64))
+        files.append(("::DataSpace/Storage/MSCompressed/Content", 0,
+                      b"\xa5" * 32))
+    content = bytearray()
+    dir_entries = bytearray()
+    sec1_off = 0
+    for name, sec, body in sorted(files, key=lambda f: f[0].lower()):
+        nb = name.encode()
+        if sec == 0:
+            off = len(content)
+            content += body
+        else:
+            off = sec1_off
+            sec1_off += len(body)
+        dir_entries += (_chm_encint(len(nb)) + nb + _chm_encint(sec)
+                        + _chm_encint(off) + _chm_encint(len(body)))
+    chunk_size = 0x1000
+    free = chunk_size - 20 - len(dir_entries)
+    pmgl = (b"PMGL" + _s.pack("<IIii", free, 0, -1, -1) + dir_entries
+            + b"\x00" * (free - 2) + _s.pack("<H", len(files)))
+    hs1 = (b"ITSP" + _s.pack("<III", 1, 0x54, 0x0A)
+           + _s.pack("<IIIiII", chunk_size, 2, 1, -1, 0, 0)
+           + _s.pack("<iI", -1, 1) + _s.pack("<I", 0x409)
+           + b"\x00" * 16 + _s.pack("<Iiii", 0x54, -1, -1, -1))
+    assert len(hs1) == 0x54
+    hs0_off, hs1_off = 0x60, 0x78
+    content_off = hs1_off + len(hs1) + chunk_size
+    file_size = content_off + len(content)
+    hs0 = _s.pack("<IIQII", 0x01FE, 0, file_size, 0, 0)
+    hdr = (b"ITSF" + _s.pack("<III", 3, 0x60, 1)
+           + _s.pack("<II", 0, 0x409) + b"\x00" * 32
+           + _s.pack("<QQQQ", hs0_off, 0x18, hs1_off, len(hs1) + chunk_size)
+           + _s.pack("<Q", content_off))
+    assert len(hdr) == 0x60
+    return bytes(hdr + hs0 + hs1 + pmgl + content)
