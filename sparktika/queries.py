@@ -3943,6 +3943,74 @@ def extract_doc_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+def _qm_oracle() -> str:
+    from .pipeline.quality_model import BIAS_PPM, WEIGHTS_PPM
+    w_lit = "[" + ", ".join(str(v) for v in WEIGHTS_PPM) + "]"
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           'Researchers measured the effect carefully. The study shows clear and repeatable results. Peer review confirmed the analysis.'
+           || ' Sample ' || CAST(doc_id % 7 AS VARCHAR) || ' was archived.'
+           || repeat(' Further work is planned.', doc_id % 3)
+         ELSE
+           repeat('win free prize now click here buy cheap pills fast ', 1 + doc_id % 3)
+           || 'visit casino site today'
+         END AS text
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), x -> len(x) > 0),
+                        t -> 7 * len(t) + ord(t)) AS f
+  FROM pages),
+scored AS (
+  SELECT doc_id,
+         CAST({BIAS_PPM} + coalesce(list_sum(
+           list_transform(range(2, len(f) + 1),
+                          i -> ({w_lit})[(f[i-1] * 31 + f[i]) % 64 + 1])), 0)
+           AS BIGINT) AS score_ppm
+  FROM feats)
+SELECT doc_id, score_ppm, score_ppm > 0 AS keep FROM scored
+"""
+
+
+@_register("corpus_quality_model", _qm_oracle())
+def corpus_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scoring (r5 VERDICT item 9) — fastText/DCLM-style
+    public methodology distilled to an exact-arithmetic linear model:
+    hashed token-bigram features -> broadcast integer-ppm weight vector
+    -> map-only Arrow-batched score, keep = score_ppm > 0. Weights were
+    trained OFFLINE by tools/train_quality_model.py (plain-numpy
+    logistic regression on 20k planted pages, ids disjoint from this
+    corpus; train/held-out accuracy 1.000/1.000) and quantized to ppm so
+    the DuckDB oracle reproduces every logit bit-for-bit (invariant 10).
+    Zero shuffles (pinned in tests/test_plan_audits.py); the weight
+    vector rides an explicit broadcast — the pattern that matters when
+    the bucket space is 2**20, not 64."""
+    from .pipeline.quality_model import score_quality
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("Researchers measured the effect carefully. "
+                      "The study shows clear and repeatable results. "
+                      "Peer review confirmed the analysis."),
+                F.lit(" Sample "), (F.col("doc_id") % 7).cast("string"),
+                F.lit(" was archived."),
+                F.expr("repeat(' Further work is planned.', doc_id % 3)"),
+            )).otherwise(
+            F.concat(
+                F.expr("repeat('win free prize now click here buy cheap "
+                       "pills fast ', 1 + doc_id % 3)"),
+                F.lit("visit casino site today"),
+            )).alias("text"),
+    )
+    return score_quality(pages).select("doc_id", "score_ppm", "keep")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

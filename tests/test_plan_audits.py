@@ -188,3 +188,26 @@ def test_contamination_broadcasts_benchmark_side(spark):
     plan = _plan(benchmark_contamination(docs, bench))
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning(ngram" not in plan
+
+
+def test_quality_model_score_is_map_only(spark):
+    """r5 verdict item 9: learned quality scoring must be one scan ->
+    project -> pandas_udf score, zero Exchange, and the weight vector
+    must ride a broadcast variable (not the task closure)."""
+    from sparktika.queries import corpus_quality_model
+
+    plan = _plan(corpus_quality_model(spark, SF))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()
+
+
+@pytest.mark.parametrize("query_name", ["extract_pst_text",
+                                        "extract_sqlite_text"])
+def test_r5_kernel_queries_stay_map_only(spark, query_name):
+    """r5 verdict item 10: the PST and SQLite extraction queries must
+    stay in the shared map-only extract_pages shape — a refactor that
+    introduces a shuffle on the per-doc kernel path fails here."""
+    from sparktika import queries as Q
+
+    plan = _plan(getattr(Q, query_name)(spark, SF))
+    assert "Exchange" not in plan, plan
