@@ -429,6 +429,13 @@ class StdCrypt:
                 length_bits = cl * 8 if cl <= 40 else cl
             stmf = enc.get("StmF") or "Identity"
             strf = enc.get("StrF") or "Identity"
+            for f in (stmf, strf):
+                # only the two spec-named selectors are implemented; a
+                # custom named crypt filter must REFUSE — mapping it to
+                # Identity would emit raw ciphertext as text (§7.6.5)
+                if f not in ("StdCF", "Identity"):
+                    raise EncryptedError("unsupported-cfm",
+                                         f"unsupported crypt filter ref /{f}")
             self.stm_cfm = cfm if stmf == "StdCF" else "Identity"
             self.str_cfm = cfm if strf == "StdCF" else "Identity"
             for m in (self.stm_cfm, self.str_cfm):

@@ -127,6 +127,16 @@ def test_unknown_cfm_refuses():
     assert r.metadata.get("encryption") == ["unsupported-cfm"]
 
 
+def test_custom_named_crypt_filter_refuses():
+    # /StmF naming a filter other than StdCF/Identity must refuse —
+    # mapping it to Identity would emit raw ciphertext as text
+    data = build_pdf_encrypted(2).replace(b"/StmF /StdCF", b"/StmF /Acme")
+    r = _extract(data, "stmf.pdf")
+    assert r.status == "unsupported"
+    assert r.metadata.get("encryption") == ["unsupported-cfm"]
+    assert not r.text_extracted
+
+
 def test_truncation_sweep_never_raises():
     for doc_id in range(4):  # one doc per variant
         full = build_pdf_encrypted(doc_id)
