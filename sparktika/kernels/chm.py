@@ -15,11 +15,13 @@ mirrors), all public:
 Content section 0 ("Uncompressed") is read directly: the #SYSTEM
 stream yields the title (code 3) and generator, and HTML/text members
 route through the shared container member router. Content section 1
-("MSCompressed") is LZX-compressed; bodies there are HONESTLY REFUSED
-(counted in metadata as ``compressed-members``, never emitted as
-garbage) until an LZX decoder exists. Entry names/sizes are still
-listed for both sections — the metadata-first posture VERDICT r5
-item 7 prescribes.
+("MSCompressed") is LZX-compressed and DECODES since r6 via the
+from-scratch decoder in kernels/lzx.py (LZXC v2 ControlData for the
+window/reset-interval, optional ResetTable offsets cross-checked
+during decode); missing machinery, an unexpected LZXC version, or a
+corrupt stream refuse the member bodies with the reason in metadata
+(``compression-refused``), never emitting garbage. Entry names/sizes
+are always listed for both sections.
 """
 
 from __future__ import annotations
@@ -75,6 +77,91 @@ def _parse_system(body: bytes) -> dict[str, str]:
                                 .decode("cp1252", "replace"))
         pos += ln
     return out
+
+
+_MSC = "::DataSpace/Storage/MSCompressed/"
+_RESET_TABLE = (_MSC + "Transform/{7FC28940-9D31-11D0-9B27-00A0C91E9C7C}"
+                "/InstanceData/ResetTable")
+
+
+class _Section1:
+    """Lazy LZXC (MSCompressed) section decoder. Decodes the whole
+    section ONCE, bounded by the members' furthest extent, the entry
+    cap, and the inflate-ratio bomb guard; member reads slice the
+    result. Any non-bomb decode failure turns into a refusal reason
+    (status metadata) rather than failing the document — the
+    metadata-first posture — while deadline and ratio guards propagate.
+    """
+
+    def __init__(self, entries, read0, max_ratio: float,
+                 max_entry_bytes: int, deadline: float | None):
+        self._entries = entries
+        self._read0 = read0
+        self._max_ratio = max_ratio
+        self._max_entry_bytes = max_entry_bytes
+        self._deadline = deadline
+        self._decoded: bytes | None = None
+        self._done = False
+        self.reason: str | None = None
+
+    def _decode(self) -> None:
+        from .errors import DeadlineError, InflateRatioError
+        from . import lzx
+
+        self._done = True
+        control = self._read0(_MSC + "ControlData")
+        content = self._read0(_MSC + "Content")
+        if control is None or content is None or len(control) < 24:
+            self.reason = "lzx-machinery-missing"
+            return
+        if control[4:8] != b"LZXC":
+            self.reason = "lzxc-bad-magic"
+            return
+        version, reset_int, win = struct.unpack_from("<III", control, 8)
+        if version != 2:
+            # version 2 is what HTML Help writes; other versions change
+            # the units of the next two fields — refuse, don't guess
+            self.reason = f"lzxc-version-{version}-unsupported"
+            return
+        window_bytes = win * 0x8000
+        wb = window_bytes.bit_length() - 1
+        if window_bytes <= 0 or (1 << wb) != window_bytes \
+                or not 15 <= wb <= 21 or reset_int <= 0:
+            self.reason = "lzxc-bad-parameters"
+            return
+        needed = max((off + ln for _, sec, off, ln in self._entries
+                      if sec == 1), default=0)
+        out_len = min(needed, self._max_entry_bytes)
+        frame_offsets = None
+        rt = self._read0(_RESET_TABLE)
+        if rt is not None and len(rt) >= 40:
+            nent, esz, hdr = struct.unpack_from("<III", rt, 4)
+            uncomp = struct.unpack_from("<Q", rt, 16)[0]
+            if esz == 8 and hdr >= 40 and hdr + 8 * nent <= len(rt) \
+                    and nent <= 1 << 20:
+                frame_offsets = [
+                    struct.unpack_from("<Q", rt, hdr + 8 * i)[0]
+                    for i in range(nent)]
+                out_len = min(out_len, uncomp)
+        if out_len > self._max_ratio * max(1, len(content)):
+            raise InflateRatioError(
+                "chm: LZX output exceeds max_inflate_ratio (bomb guard)")
+        try:
+            self._decoded = lzx.decompress(
+                content, out_len, wb, reset_int,
+                frame_offsets=frame_offsets, deadline=self._deadline)
+        except DeadlineError:
+            raise
+        except KernelError as e:
+            self.reason = f"lzx-error: {e}"
+
+    def read(self, off: int, ln: int) -> bytes | None:
+        if not self._done:
+            self._decode()
+        if self._decoded is None or ln > self._max_entry_bytes \
+                or off + ln > len(self._decoded):
+            return None
+        return self._decoded[off: off + ln]
 
 
 def extract_chm(
@@ -157,6 +244,8 @@ def extract_chm(
     if sysinfo.get("generator"):
         md["generator"] = [sysinfo["generator"]]
 
+    sec1 = _Section1(entries, read0, max_ratio, max_entry_bytes, deadline)
+
     from .container import route_member_text
 
     parts: list[str] = []
@@ -164,6 +253,7 @@ def extract_chm(
     total = 0
     truncated = False
     compressed = 0
+    refused = 0
     for name, sec, off, ln in entries:
         check_deadline(deadline, "chm member extraction")
         if not name.startswith("/") or name.startswith(("/#", "/$")):
@@ -171,17 +261,26 @@ def extract_chm(
         if name.endswith("/"):
             continue
         names.append(name.lstrip("/"))
-        if sec != 0:
-            # LZX (MSCompressed) body: honest refusal, never garbage
+        if sec == 0:
+            if ln > max_entry_bytes:
+                truncated = True
+                continue
+            start = content_off + off
+            if start + ln > n:
+                raise KernelError("chm: member data out of bounds")
+            body = data[start: start + ln]
+        elif sec == 1:
+            # MSCompressed (LZX): decoded since r6 (kernels/lzx.py);
+            # missing/odd machinery or a corrupt stream refuses the
+            # member (reason in metadata), never emits garbage
             compressed += 1
+            body = sec1.read(off, ln)
+            if body is None:
+                refused += 1
+                continue
+        else:
+            refused += 1
             continue
-        if ln > max_entry_bytes:
-            truncated = True
-            continue
-        start = content_off + off
-        if start + ln > n:
-            raise KernelError("chm: member data out of bounds")
-        body = data[start: start + ln]
         budget = max_chars - total if max_chars != -1 else -1
         if budget == 0:
             # cap already consumed exactly and another extractable member
@@ -201,7 +300,8 @@ def extract_chm(
         total += len(t)
     if compressed:
         md["compressed-members"] = [str(compressed)]
-        md["compression-refused"] = ["lzx-unsupported"]
+    if refused:
+        md["compression-refused"] = [sec1.reason or "lzx-unsupported"]
     text = "".join(parts)
     if max_chars != -1 and len(text) > max_chars:
         truncated = True

@@ -1784,11 +1784,15 @@ def extract_lz4_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id,
        'Chm topic ' || doc_id || ' one.' || chr(10) ||
-       'Chm topic ' || doc_id || ' two.' || chr(10) AS text_extracted,
+       'Chm topic ' || doc_id || ' two.' || chr(10) ||
+       CASE WHEN doc_id % 3 = 0 THEN
+         'Chm packed ' || doc_id || ' alpha.' || chr(10) ||
+         'Chm packed ' || doc_id || ' beta.' || chr(10)
+       ELSE '' END AS text_extracted,
        'Chm manual ' || doc_id AS title,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(3 AS BIGINT)
+       CASE WHEN doc_id % 3 = 0 THEN CAST(4 AS BIGINT)
             ELSE CAST(2 AS BIGINT) END AS n_entries,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
+       CASE WHEN doc_id % 3 = 0 THEN CAST(2 AS BIGINT)
             ELSE NULL END AS compressed_members,
        'application/vnd.ms-htmlhelp' AS content_type_detected,
        'ok' AS status
@@ -1796,13 +1800,16 @@ FROM documents
 """,
 )
 def extract_chm_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CHM / ITSS compiled-help kernel, metadata-first (r5 VERDICT item
-    7; Tika 1.20 parity: its chm package via tika-parsers, reference
-    build.gradle). ITSF v3 header -> ITSP directory -> PMGL entry walk
-    (big-endian ENCINTs); #SYSTEM gives title/generator; HTML topics in
-    the uncompressed section route through the shared member router;
-    MSCompressed (LZX) members are honestly refused and counted
-    (compressed-members metadata), never emitted as garbage."""
+    """CHM / ITSS compiled-help kernel (r5 VERDICT item 7; Tika 1.20
+    parity: its chm package via tika-parsers, reference build.gradle).
+    ITSF v3 header -> ITSP directory -> PMGL entry walk (big-endian
+    ENCINTs); #SYSTEM gives title/generator; HTML topics in the
+    uncompressed section route through the shared member router; and
+    since r6 the MSCompressed (LZX) section DECODES via the
+    from-scratch decoder in kernels/lzx.py — the %3==0 corpus ids carry
+    a real LZXC v2 section (ControlData + ResetTable + Content) whose
+    two packed topics must extract; machinery/stream corruption refuses
+    with the reason in metadata, never garbage (pytest)."""
     ext = _payload_extract(spark, sf_dir, "build_chm", ".chm")
     return ext.select(
         "doc_id", "text_extracted", "title",

@@ -3021,15 +3021,20 @@ def _chm_encint(v: int) -> bytes:
 
 
 def build_chm(doc_id: int) -> bytes:
-    """ITSF v3 CHM (extract_chm_text oracle; r5 VERDICT item 7).
-    One PMGL directory chunk; #SYSTEM carries the title (code 3) and
-    generator (code 9); two HTML topics live in the UNCOMPRESSED
-    content section 0 and are extracted; ids % 3 == 0 add an
-    MSCompressed (section 1) member that must be honestly REFUSED
-    (metadata compressed-members=1) plus its ::DataSpace storage
-    streams. Kernel text: 'Chm topic {id} one.\\nChm topic {id} two.\\n'.
+    """ITSF v3 CHM (extract_chm_text oracle; r5 VERDICT item 7 + the r6
+    LZX decoder). One PMGL directory chunk; #SYSTEM carries the title
+    (code 3) and generator (code 9); two HTML topics live in the
+    UNCOMPRESSED content section 0; ids % 3 == 0 additionally carry a
+    REAL MSCompressed (LZXC v2, window 0x10000, reset interval 2)
+    section with two more HTML topics, compressed with the from-scratch
+    encoder in kernels/lzx.py, plus ControlData/ResetTable/Content
+    machinery streams — the kernel decodes them. Kernel text:
+    'Chm topic {id} one.\\nChm topic {id} two.\\n' plus, for %3==0 ids,
+    'Chm packed {id} alpha.\\nChm packed {id} beta.\\n'.
     """
     import struct as _s
+
+    from .kernels.lzx import LzxEncoder
 
     title = f"Chm manual {doc_id}"
     system = (_s.pack("<I", 3)
@@ -3044,9 +3049,26 @@ def build_chm(doc_id: int) -> bytes:
              (f"/topic{doc_id}a.html", 0, t1),
              ("/topicb.html", 0, t2)]
     if doc_id % 3 == 0:
-        files.append(("/compressed.html", 1, b"\xee" * 64))
+        pa = (f"<html><body><p>Chm packed {doc_id} alpha.</p></body></html>"
+              .encode())
+        pb = (f"<html><body><p>Chm packed {doc_id} beta.</p></body></html>"
+              .encode())
+        sec1_raw = pa + pb
+        comp, offs = LzxEncoder().compress_stream(sec1_raw, reset_frames=2)
+        control = (_s.pack("<I", 6) + b"LZXC"
+                   + _s.pack("<IIIII", 2, 2, 2, 2, 0))
+        reset_tbl = (_s.pack("<IIII", 2, len(offs), 8, 0x28)
+                     + _s.pack("<QQQ", len(sec1_raw), len(comp), 0x8000)
+                     + b"".join(_s.pack("<Q", o) for o in offs))
+        files.append(("/zpackA.html", 1, pa))
+        files.append(("/zpackB.html", 1, pb))
+        files.append(("::DataSpace/Storage/MSCompressed/ControlData", 0,
+                      control))
+        files.append(("::DataSpace/Storage/MSCompressed/Transform/"
+                      "{7FC28940-9D31-11D0-9B27-00A0C91E9C7C}/"
+                      "InstanceData/ResetTable", 0, reset_tbl))
         files.append(("::DataSpace/Storage/MSCompressed/Content", 0,
-                      b"\xa5" * 32))
+                      comp))
     content = bytearray()
     dir_entries = bytearray()
     sec1_off = 0

@@ -23,13 +23,58 @@ def test_basic_extraction_title_and_topics():
     assert "compressed-members" not in r.metadata
 
 
-def test_lzx_members_honestly_refused():
+def test_lzx_members_extract():
     r = extract_chm(build_chm(6))
-    # the section-1 member is listed but its body contributes NO text
-    assert "compressed.html" in r.entries
-    assert r.metadata["compressed-members"] == ["1"]
-    assert r.metadata["compression-refused"] == ["lzx-unsupported"]
-    assert "\xee" not in r.text
+    assert r.entries == ["topic6a.html", "topicb.html",
+                         "zpackA.html", "zpackB.html"]
+    assert r.metadata["compressed-members"] == ["2"]
+    assert "compression-refused" not in r.metadata
+    assert r.text == ("Chm topic 6 one.\nChm topic 6 two.\n"
+                      "Chm packed 6 alpha.\nChm packed 6 beta.\n")
+
+
+def _strip_stream(blob: bytes, name: bytes) -> bytes:
+    """Corrupt a directory entry's name so the machinery lookup misses."""
+    out = bytearray(blob)
+    i = out.find(name)
+    assert i != -1
+    out[i] = ord("X")
+    return bytes(out)
+
+
+def test_lzx_missing_control_data_refuses_bodies_not_doc():
+    blob = _strip_stream(build_chm(6), b"::DataSpace/Storage/"
+                                       b"MSCompressed/ControlData")
+    r = extract_chm(blob)
+    # compressed bodies refuse with a reason; uncompressed topics extract
+    assert r.text == "Chm topic 6 one.\nChm topic 6 two.\n"
+    assert r.metadata["compressed-members"] == ["2"]
+    assert r.metadata["compression-refused"] == ["lzx-machinery-missing"]
+
+
+def test_lzx_corrupt_content_refuses_bodies_not_doc():
+    from sparktika.kernels.lzx import LzxEncoder
+
+    pa = b"<html><body><p>Chm packed 6 alpha.</p></body></html>"
+    pb = b"<html><body><p>Chm packed 6 beta.</p></body></html>"
+    comp, _ = LzxEncoder().compress_stream(pa + pb, reset_frames=2)
+    blob = bytearray(build_chm(6))
+    i = bytes(blob).find(comp)
+    assert i != -1
+    for off in range(8, 24):  # flip bytes inside the LZX stream
+        blob[i + off] ^= 0xFF
+    r = extract_chm(bytes(blob))
+    assert r.text == "Chm topic 6 one.\nChm topic 6 two.\n"
+    assert r.metadata["compression-refused"][0].startswith("lzx-")
+
+
+def test_lzxc_version_gate_refuses():
+    blob = bytearray(build_chm(6))
+    i = bytes(blob).find(b"LZXC")
+    struct.pack_into("<I", blob, i + 4, 3)  # version 3: units unknown
+    r = extract_chm(bytes(blob))
+    assert r.metadata["compression-refused"] == \
+        ["lzxc-version-3-unsupported"]
     assert r.text == "Chm topic 6 one.\nChm topic 6 two.\n"
 
 
