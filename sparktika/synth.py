@@ -3010,6 +3010,42 @@ def build_archive(doc_id: int) -> bytes:
             + _cpio_odc("TRAILER!!!", b"", mode=0))
 
 
+def build_arj(doc_id: int) -> bytes:
+    """ARJ archive (extract_arj_text oracle). Tika 1.20 routes .arj via
+    commons-compress ArjArchiveInputStream, which reads STORED entries
+    only — this corpus holds a main header, one stored .txt, one stored
+    .html, and (ids % 3 == 0) one method-1 compressed member the kernel
+    must refuse with compression-refused metadata, exactly as the
+    reference stack would. Kernel text:
+    'Arj note {id} epsilon.\\nArj page {id} zeta.\\n'.
+    """
+    import struct as _s
+    import zlib as _z
+
+    def block(method: int, ftype: int, name: bytes, payload: bytes,
+              osize: int | None = None, fcrc: int | None = None) -> bytes:
+        hdr = (bytes([30, 11, 1, 0, 0, method, ftype, 0])
+               + _s.pack("<IIII", 0x2B6A2B6A, len(payload),
+                         len(payload) if osize is None else osize,
+                         _z.crc32(payload) if fcrc is None else fcrc)
+               + _s.pack("<HHH", 0, 0o644, 0)
+               + name + b"\x00" + b"\x00")
+        return (b"\x60\xea" + _s.pack("<H", len(hdr)) + hdr
+                + _s.pack("<I", _z.crc32(hdr)) + _s.pack("<H", 0)
+                + payload)
+
+    note = f"Arj note {doc_id} epsilon.\n".encode()
+    page = (f"<html><body><p>Arj page {doc_id} zeta.</p></body></html>"
+            .encode())
+    out = (block(0, 2, f"synth{doc_id}.arj".encode(), b"")
+           + block(0, 0, f"note{doc_id}.txt".encode(), note)
+           + block(0, 0, b"page.html", page))
+    if doc_id % 3 == 0:
+        junk = bytes((doc_id * 37 + i) % 256 for i in range(24))
+        out += block(1, 0, b"packed.bin", junk, osize=99, fcrc=0)
+    return out + b"\x60\xea\x00\x00"
+
+
 def _chm_encint(v: int) -> bytes:
     """Big-endian 7-bit ENCINT (ITSS directory integers)."""
     out = bytearray([v & 0x7F])

@@ -191,3 +191,104 @@ def test_fuzz_never_raises_through_dispatcher():
             base = base[:rng.randrange(len(base))]
         r = extract_document("f.arc", None, bytes(base), ExtractConfig())
         assert r.status in ("ok", "failed", "truncated", "unsupported")
+
+
+# --------------------------------------------------------------------------
+# ARJ (round 6: completes the ar/cpio/arj archive family)
+# --------------------------------------------------------------------------
+
+def test_arj_basic_extraction():
+    from sparktika.kernels.container import extract_arj_container
+    from sparktika.synth import build_arj
+
+    r = extract_arj_container(build_arj(7))
+    assert r.text == "Arj note 7 epsilon.\nArj page 7 zeta.\n"
+    assert r.entries == ["note7.txt", "page.html"]
+    assert "compression-refused" not in r.metadata
+
+
+def test_arj_compressed_member_refused_with_count():
+    from sparktika.kernels.container import extract_arj_container
+    from sparktika.synth import build_arj
+
+    r = extract_arj_container(build_arj(6))
+    assert r.entries == ["note6.txt", "page.html", "packed.bin"]
+    assert r.metadata["compression-refused"] == "1"
+    assert r.text == "Arj note 6 epsilon.\nArj page 6 zeta.\n"
+
+
+def test_arj_header_crc_mismatch_refuses():
+    from sparktika.kernels.container import extract_arj_container
+    from sparktika.kernels.errors import KernelError
+    from sparktika.synth import build_arj
+
+    blob = bytearray(build_arj(1))
+    blob[40] ^= 0xFF  # inside the first file block's basic header
+    with pytest.raises(KernelError):
+        extract_arj_container(bytes(blob))
+
+
+def test_arj_stored_data_crc_mismatch_refuses_entry_only():
+    from sparktika.kernels.container import extract_arj_container
+    from sparktika.synth import build_arj
+
+    blob = bytearray(build_arj(1))
+    i = bytes(blob).find(b"epsilon")
+    blob[i] ^= 0xFF  # corrupt stored payload: data CRC now fails
+    r = extract_arj_container(bytes(blob))
+    assert "epsilon" not in r.text and "zeta" in r.text
+    assert r.metadata["compression-refused"] == "1"
+
+
+def test_arj_truncated_tail_keeps_partial():
+    from sparktika.kernels.container import extract_arj_container
+    from sparktika.synth import build_arj
+
+    blob = build_arj(1)
+    r = extract_arj_container(blob[:-4])  # lose exactly the end marker
+    assert r.text == "Arj note 1 epsilon.\nArj page 1 zeta.\n"
+    # truncation INSIDE an entry's data is a hard refusal, not silence
+    from sparktika.kernels.errors import KernelError
+
+    with pytest.raises(KernelError):
+        extract_arj_container(blob[:-6])
+
+
+def test_arj_mime_needs_main_header_shape():
+    from sparktika.kernels.mime import detect_mime
+
+    # bare magic without a plausible main header stays binary, not arj
+    assert detect_mime(b"\x60\xea" + b"\x00" * 60) != "application/x-arj"
+
+
+def test_arj_nested_inside_zip():
+    import io
+    import zipfile
+
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_arj
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("inner.arj", build_arj(4))
+    r = extract_document("n.zip", None, buf.getvalue())
+    assert r.status == "ok"
+    assert "Arj note 4 epsilon." in r.text_extracted
+
+
+def test_arj_fuzz_never_raises_through_dispatcher():
+    import random
+
+    from sparktika.kernels.extract import ExtractConfig, extract_document
+    from sparktika.synth import build_arj
+
+    rng = random.Random(0xA27)
+    seeds = [build_arj(i) for i in range(3)]
+    for _ in range(300):
+        blob = bytearray(rng.choice(seeds))
+        for _ in range(rng.randint(1, 8)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        if rng.random() < 0.3:
+            blob = blob[:rng.randrange(len(blob))]
+        r = extract_document("f.arj", None, bytes(blob), ExtractConfig())
+        assert r.status in ("ok", "failed", "truncated", "unsupported")
