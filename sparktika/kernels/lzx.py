@@ -511,8 +511,7 @@ def _e8_decode(buf: bytearray, file_offset: int, filesize: int) -> None:
             curpos = file_offset + i
             if -curpos <= absoff < filesize:
                 rel = absoff - curpos if absoff >= 0 else absoff + filesize
-                struct.pack_into("<i", buf, i + 1, rel & 0xFFFFFFFF
-                                 if rel >= 0 else rel)
+                struct.pack_into("<I", buf, i + 1, rel & 0xFFFFFFFF)
             i += 5
 
 

@@ -160,6 +160,17 @@ def test_e8_translation_roundtrip_vector():
     assert bytes(buf3) == before
 
 
+def test_e8_rel_exceeding_int32_packs_unsigned():
+    # rel >= 2^31 (negative abs + a filesize near 2^32) must pack as the
+    # 32-bit two's-complement pattern, not raise struct.error
+    filesize = 0xFFFF0000
+    buf = bytearray(64)
+    buf[4] = 0xE8
+    struct.pack_into("<i", buf, 5, -2)  # curpos = 4: -2 >= -4, in range
+    lzx._e8_decode(buf, 0, filesize)
+    assert struct.unpack_from("<I", buf, 5)[0] == (filesize - 2) & 0xFFFFFFFF
+
+
 def test_truncation_sweep_never_garbage():
     raw = (b"truncation sweep payload " * 600)[:12000]
     enc = lzx.LzxEncoder()
