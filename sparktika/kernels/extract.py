@@ -573,7 +573,8 @@ def extract_document(
 
         if detected in ("application/gzip", "application/x-bzip2",
                         "application/x-xz", "application/zstd",
-                        "application/x-lz4"):
+                        "application/x-lz4", "application/x-compress",
+                        "application/x-lzma"):
             # single-member compressed wrapper (.txt.gz / .csv.bz2 /
             # .tar.xz / .zst ...): guarded decompress (stdlib codec, or
             # the from-scratch RFC 8878 decoder for zstd — Python 3.11
@@ -612,6 +613,24 @@ def extract_document(
                 codec, suffix = "lz4", ".lz4"
                 inner = decompress_lz4(data, cap)
                 overflow = False
+            elif detected == "application/x-compress":
+                from .zcompress import decompress_z
+
+                codec, suffix = "compress", ".z"
+                # from-scratch LZW (stdlib has none); raises
+                # InflateRatioError past cap / KernelError on corruption
+                inner = decompress_z(data, cap, deadline=deadline)
+                overflow = False
+            elif detected == "application/x-lzma":
+                import lzma as _lzma
+
+                codec, suffix = "lzma", ".lzma"
+                d = _lzma.LZMADecompressor(format=_lzma.FORMAT_ALONE)
+                inner = d.decompress(data, max_length=cap)
+                # eof is set on the declared size OR the EOS marker
+                # (unknown-size streams carry one) — absent both, the
+                # stream is truncated or over-cap; fail closed
+                overflow = not d.eof
             else:
                 import lzma as _lzma
 
@@ -625,11 +644,13 @@ def extract_document(
                                  f"exceeds inflate cap {cap}B (or archive "
                                  f"is truncated)")
             inner_codec = ("gzip" if inner[:2] == b"\x1f\x8b"
+                           else "compress" if inner[:2] == b"\x1f\x9d"
                            else "bzip2" if inner[:3] == b"BZh"
                            else "xz" if inner[:6] == b"\xfd7zXZ\x00"
                            else "zstd" if inner[:4] == b"\x28\xb5\x2f\xfd"
                            else "lz4" if inner[:4] in (b"\x04\x22\x4d\x18",
                                                        b"\x02\x21\x4c\x18")
+                           else "lzma" if inner[:3] == b"\x5d\x00\x00"
                            else None)
             if inner_codec is not None:
                 # compressed-in-compressed chains compound the ratio

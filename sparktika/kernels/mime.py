@@ -28,6 +28,11 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"PK\x03\x04", "application/zip"),
     (b"PK\x05\x06", "application/zip"),
     (b"\x1f\x8b", "application/gzip"),
+    (b"\x1f\x9d", "application/x-compress"),  # Unix compress .Z
+    # LZMA_Alone: props byte 0x5D (lc=3 lp=0 pb=2, the only value real
+    # encoders emit) + dict-size low bytes 0 (dict sizes are >= 2^16
+    # powers of two) — the same 3-byte signature commons-compress uses
+    (b"\x5d\x00\x00", "application/x-lzma"),
     (b"BZh", "application/x-bzip2"),
     (b"\xfd7zXZ\x00", "application/x-xz"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),

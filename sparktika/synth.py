@@ -3137,3 +3137,23 @@ def build_chm(doc_id: int) -> bytes:
            + _s.pack("<Q", content_off))
     assert len(hdr) == 0x60
     return bytes(hdr + hs0 + hs1 + pmgl + content)
+
+
+def build_legacy_codec_txt(doc_id: int) -> bytes:
+    """Unix compress (.Z) / LZMA_Alone wrapped text, alternating by
+    parity (extract_legacy_codec_text oracle). Even ids: .Z — %3 == 0
+    additionally gets a long body compressed with a forced CLEAR so the
+    decoder's reset + group-alignment path runs in the driver gate (the
+    encoder is CLI-validated against `uncompress` in pytest). Odd ids:
+    stdlib LZMA_Alone (the pre-xz .lzma container)."""
+    body = f"Legacy codec note {doc_id} body.\n".encode()
+    if doc_id % 3 == 0:
+        body += b"Grouped filler line for the clear path.\n" * 40
+    if doc_id % 2 == 0:
+        from .kernels.zcompress import compress_z
+
+        return compress_z(body, clear_every=80 if doc_id % 3 == 0
+                          else None)
+    import lzma as _lzma
+
+    return _lzma.compress(body, format=_lzma.FORMAT_ALONE)
