@@ -734,6 +734,17 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected in ("application/x-executable",
+                        "application/x-msdownload",
+                        "application/x-mach-binary"):
+            from .executable import parse_executable
+
+            # metadata-only by design (ExecutableParser parity: Tika
+            # 1.20 reports platform facts, never text)
+            md = parse_executable(data)
+            return res(detected=md["Content-Type"][0], metadata=md,
+                       status=STATUS_OK)
+
         if detected in ("application/x-archive", "application/x-cpio",
                         "application/x-arj"):
             from .container import (extract_ar_container,

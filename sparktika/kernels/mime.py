@@ -58,6 +58,11 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     # any WARC version (Common Crawl ships 1.1 since 2018)
     (b"WARC/", "application/warc"),
     (b"\x7fELF", "application/x-executable"),
+    (b"MZ", "application/x-msdownload"),      # PE / DOS executable
+    (b"\xfe\xed\xfa\xce", "application/x-mach-binary"),
+    (b"\xce\xfa\xed\xfe", "application/x-mach-binary"),
+    (b"\xfe\xed\xfa\xcf", "application/x-mach-binary"),
+    (b"\xcf\xfa\xed\xfe", "application/x-mach-binary"),
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
     (b"!BDN", "application/vnd.ms-outlook-pst"),

@@ -3157,3 +3157,33 @@ def build_legacy_codec_txt(doc_id: int) -> bytes:
     import lzma as _lzma
 
     return _lzma.compress(body, format=_lzma.FORMAT_ALONE)
+
+
+def build_executable(doc_id: int) -> bytes:
+    """Minimal valid executable headers (extract_executable_meta
+    oracle), cycling the three families by doc_id % 3:
+      0 -> ELF64 little x86_64 dynamic executable (linux OSABI)
+      1 -> PE32+ x86_64 console binary, 3 sections, timestamp doc_id
+      2 -> Mach-O 64 aarch64 executable (little-endian host)
+    Header facts only — ExecutableParser parity, no code bytes.
+    """
+    import struct as _s
+
+    v = doc_id % 3
+    if v == 0:
+        ident = b"\x7fELF" + bytes([2, 1, 1, 3]) + b"\x00" * 8
+        hdr = ident + _s.pack("<HHIQQQIHHHHHH", 2, 62, 1, 0x401000, 64,
+                              0, 0, 64, 56, 1, 64, 0, 0)
+        return hdr
+    if v == 1:
+        e_lfanew = 0x40
+        dos = b"MZ" + b"\x00" * 0x3A + _s.pack("<I", e_lfanew)
+        coff = b"PE\x00\x00" + _s.pack("<HHIIIHH", 0x8664, 3,
+                                       doc_id & 0xFFFFFFFF, 0, 0, 112,
+                                       0x0022)
+        opt = _s.pack("<H", 0x20B) + b"\x00" * 66 + _s.pack("<H", 3)
+        opt += b"\x00" * (112 - len(opt))
+        return dos + coff + opt
+    hdr = b"\xcf\xfa\xed\xfe" + _s.pack("<iIIIII", 12 | 0x01000000, 0,
+                                        2, 0, 0, 0)
+    return hdr
