@@ -211,6 +211,51 @@ def extract_document(
             xtext, cs = charset.decode(data, cs, is_html=False)
             r = parse_xml_text(xtext, max_depth=cfg.max_depth,
                                deadline=deadline)
+            from .feed import parse_feed, sniff_feed_root
+            from .xmlparse import local_name as _xml_local
+
+            feed_fmt = None
+            if r.root_tag and _xml_local(r.root_tag) in ("rss", "feed",
+                                                         "RDF"):
+                # namespace check needs the root attrs: lazy event scan
+                # stops at the root start tag (same pattern as SVG)
+                from .xmlparse import xml_events as _xml_events
+
+                for ev in _xml_events(xtext):
+                    if ev[0] == "start":
+                        feed_fmt = sniff_feed_root(ev[1], ev[2])
+                        break
+            if feed_fmt is not None:
+                # RSS/Atom/RDF feed refinement (FeedParser parity):
+                # entry titles + summaries as the body, feed title as
+                # the document title, links/dates as metadata
+                fr = parse_feed(xtext, deadline=deadline)
+                text, limited = _cap_text(fr.render_text(), cfg.max_chars)
+                detected = ("application/atom+xml" if fr.format == "atom"
+                            else "application/rss+xml")
+                md = {"Content-Type": [f"{detected}; charset={cs}"],
+                      "Content-Encoding": [cs],
+                      "feed-format": [fr.format],
+                      "feed-entries": [str(len(fr.entries))]}
+                if fr.title:
+                    md["title"] = [fr.title]
+                    md["dc:title"] = [fr.title]
+                if fr.description:
+                    md["feed-description"] = [fr.description]
+                links = [e.link for e in fr.entries if e.link]
+                if links:
+                    md["feed-entry-links"] = links
+                dates = [e.date for e in fr.entries if e.date]
+                if dates:
+                    md["feed-entry-dates"] = dates
+                if fr.truncated_entries:
+                    md["feed-entries-truncated"] = ["true"]
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected=detected, charset_detected=cs,
+                           text_extracted=text if cfg.parse_content
+                           else None,
+                           title=fr.title, metadata=md, status=status,
+                           write_limit_reached=limited)
             text, limited = _cap_text(r.text, cfg.max_chars)
             if r.root_tag and r.root_tag.rsplit(":", 1)[-1].lower() == "svg":
                 # refine: SVG is XML, but callers filter on the real type;

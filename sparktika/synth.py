@@ -3187,3 +3187,46 @@ def build_executable(doc_id: int) -> bytes:
     hdr = b"\xcf\xfa\xed\xfe" + _s.pack("<iIIIII", 12 | 0x01000000, 0,
                                         2, 0, 0, 0)
     return hdr
+
+
+def build_feed(doc_id: int) -> bytes:
+    """RSS 2.0 / Atom / RSS 1.0 (RDF) feed cycling by doc_id % 3
+    (extract_feed_text oracle). Two entries for rss/atom, one for rdf;
+    entry titles/bodies are pure functions of doc_id."""
+    v = doc_id % 3
+    t = f"Feed {doc_id}"
+    d = f"Feed {doc_id} description."
+    a_t, a_b = f"Item {doc_id} alpha", f"Alpha body {doc_id}."
+    b_t, b_b = f"Item {doc_id} beta", f"Beta body {doc_id}."
+    if v == 0:
+        return (f'<?xml version="1.0" encoding="utf-8"?>\n'
+                f'<rss version="2.0"><channel><title>{t}</title>'
+                f'<description>{d}</description>'
+                f'<item><title>{a_t}</title>'
+                f'<link>https://feeds.example.com/{doc_id}/a</link>'
+                f'<description>{a_b}</description></item>'
+                f'<item><title>{b_t}</title>'
+                f'<link>https://feeds.example.com/{doc_id}/b</link>'
+                f'<description>{b_b}</description></item>'
+                f'</channel></rss>').encode()
+    if v == 1:
+        return (f'<?xml version="1.0"?>\n'
+                f'<feed xmlns="http://www.w3.org/2005/Atom">'
+                f'<title>{t}</title><subtitle>{d}</subtitle>'
+                f'<entry><title>{a_t}</title>'
+                f'<link rel="alternate" '
+                f'href="https://feeds.example.com/{doc_id}/a"/>'
+                f'<summary>{a_b}</summary></entry>'
+                f'<entry><title>{b_t}</title>'
+                f'<link href="https://feeds.example.com/{doc_id}/b"/>'
+                f'<summary>{b_b}</summary></entry></feed>').encode()
+    return (f'<?xml version="1.0"?>\n'
+            f'<rdf:RDF xmlns:rdf='
+            f'"http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            f'xmlns="http://purl.org/rss/1.0/">'
+            f'<channel rdf:about="https://feeds.example.com/{doc_id}">'
+            f'<title>{t}</title><description>{d}</description></channel>'
+            f'<item rdf:about="https://feeds.example.com/{doc_id}/a">'
+            f'<title>{a_t}</title>'
+            f'<link>https://feeds.example.com/{doc_id}/a</link>'
+            f'<description>{a_b}</description></item></rdf:RDF>').encode()

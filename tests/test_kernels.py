@@ -543,12 +543,15 @@ def test_ngram_lang_detection():
 
 
 def test_xml_keeps_detected_type():
-    """An XML payload parses through the HTML-family kernel but must keep
+    """An XML payload parses through the XML kernel but must keep
     content_type_detected='application/xml' (code-review finding: it was
-    being relabeled text/html)."""
-    r = extract_document("u", None, b'<?xml version="1.0"?><rss><channel><title>t</title></channel></rss>')
+    being relabeled text/html). Feed roots are the exception: they
+    REFINE to their real type (rss/atom), like SVG does."""
+    r = extract_document("u", None, b'<?xml version="1.0"?><inventory><part><name>t</name></part></inventory>')
     assert r.content_type_detected == "application/xml"
     assert r.metadata["Content-Type"][0].startswith("application/xml")
+    r2 = extract_document("u", None, b'<?xml version="1.0"?><rss><channel><title>t</title></channel></rss>')
+    assert r2.content_type_detected == "application/rss+xml"
 
 
 def test_json_extraction_string_leaves():
