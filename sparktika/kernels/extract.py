@@ -779,6 +779,27 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected == "application/x-dbf":
+            from .dbf import parse_dbf
+
+            # max_chars < 0 means unlimited; the kernel still needs a
+            # hard memory guard against record-count bombs
+            kern_cap = cfg.max_chars if cfg.max_chars > 0 else (1 << 24)
+            r = parse_dbf(data, max_chars=kern_cap, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/x-dbf"],
+                  "dbf-version": [f"{r.version:#x}"],
+                  "dbf-records": [str(r.n_records)],
+                  "dbf-fields": [str(len(r.fields))],
+                  "dbf-last-update": [r.last_update],
+                  "dbf-field-names": [f.name for f in r.fields]}
+            limited = limited or r.truncated
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected in ("application/x-executable",
                         "application/x-msdownload",
                         "application/x-mach-binary"):

@@ -175,6 +175,14 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_arj(data):
             return "application/x-arj"
+    if data[0] in (0x02, 0x03, 0x30, 0x31, 0x83, 0x8B, 0xF5) \
+            and len(data) >= 68:
+        # dBASE has NO magic: looks_like_dbf demands four mutually
+        # consistent header facts before this wins
+        from .dbf import looks_like_dbf
+
+        if looks_like_dbf(data):
+            return "application/x-dbf"
     mp4 = _sniff_mp4(data)
     if mp4:
         return mp4

@@ -3230,3 +3230,17 @@ def build_feed(doc_id: int) -> bytes:
             f'<title>{a_t}</title>'
             f'<link>https://feeds.example.com/{doc_id}/a</link>'
             f'<description>{a_b}</description></item></rdf:RDF>').encode()
+
+
+def build_dbf_table(doc_id: int) -> bytes:
+    """dBASE III table (extract_dbf_text oracle): three rows per doc,
+    the middle one DELETED when doc_id % 4 == 0 (the skip path must run
+    in the gate). Values are pure functions of doc_id."""
+    from .kernels.dbf import build_dbf
+
+    fields = [("NAME", "C", 14), ("QTY", "N", 6), ("WHEN", "D", 8)]
+    rows = [[f"Part {doc_id} a", str(doc_id % 90 + 1), "20260101"],
+            [f"Part {doc_id} b", str(doc_id % 7 + 2), "20260102"],
+            [f"Part {doc_id} c", str(doc_id % 11 + 3), "20260103"]]
+    deleted = {1} if doc_id % 4 == 0 else None
+    return build_dbf(fields, rows, deleted_rows=deleted)
