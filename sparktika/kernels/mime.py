@@ -71,6 +71,16 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"ITSF\x02\x00\x00\x00", "application/vnd.ms-htmlhelp"),
 )
 
+# First-byte index over _MAGIC: the scan runs once per document, so a
+# linear startswith over ~60 prefixes is measurable at corpus scale.
+# Within one bucket the original table order is preserved (first match
+# wins, e.g. ITSF v3 before v2).
+_MAGIC_BY_FIRST: dict[int, tuple[tuple[bytes, str], ...]] = {}
+for _p, _m in _MAGIC:
+    _MAGIC_BY_FIRST.setdefault(_p[0], ())
+for _b in _MAGIC_BY_FIRST:
+    _MAGIC_BY_FIRST[_b] = tuple((p, m) for p, m in _MAGIC if p[0] == _b)
+
 # HTML sniff tags (case-insensitive), per a WHATWG-style table.
 _HTML_TAGS = (
     b"<!doctype html", b"<html", b"<head", b"<body", b"<script", b"<title",
@@ -148,7 +158,7 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
     """Detect MIME type; detected wins over declared (same as reference)."""
     if not data:
         return _normalize(declared) or OCTET_STREAM
-    for prefix, mime in _MAGIC:
+    for prefix, mime in _MAGIC_BY_FIRST.get(data[0], ()):
         if data.startswith(prefix):
             return mime
     if data[3:4] == b"\x18" and 0x50 <= data[0] <= 0x5F \
