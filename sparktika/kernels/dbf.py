@@ -118,6 +118,10 @@ def parse_dbf(data: bytes, max_chars: int = 1 << 24,
     for r in range(n_records):
         if r % 1024 == 0:
             check_deadline(deadline, "dbf records")
+        if pos >= len(data) or data[pos] == 0x1A:
+            # historic writers sometimes place the EOF marker before the
+            # declared count — stop cleanly rather than refuse
+            break
         if pos + record_size > len(data):
             raise KernelError("dbf: truncated record area")
         flag = data[pos]

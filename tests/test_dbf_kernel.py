@@ -87,3 +87,11 @@ def test_synth_parity():
         lines = r.text_extracted.splitlines()
         assert lines[0] == "NAME\tQTY\tWHEN"
         assert len(lines) == (3 if i % 4 == 0 else 4)
+
+
+def test_early_eof_marker_stops_cleanly():
+    data = build_dbf([("A", "C", 4)], [["x"], ["y"]])
+    hs = int.from_bytes(data[8:10], "little")
+    rs = int.from_bytes(data[10:12], "little")
+    r = parse_dbf(data[:hs + rs] + b"\x1a")
+    assert r.rows == [["x"]]
