@@ -800,6 +800,17 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected in ("application/x-font-ttf", "application/x-font-otf"):
+            from .font import parse_font
+
+            # metadata-only (TrueTypeParser parity: names + counts)
+            md = parse_font(data)
+            title = md.get("font-name", md.get("font-family", [None]))[0]
+            if title:
+                md["title"] = [title]
+            return res(detected=md["Content-Type"][0], metadata=md,
+                       title=title, status=STATUS_OK)
+
         if detected in ("application/x-executable",
                         "application/x-msdownload",
                         "application/x-mach-binary"):

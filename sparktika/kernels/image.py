@@ -56,6 +56,8 @@ def sniff_image(data: bytes) -> str | None:
         return "image/vnd.microsoft.icon"  # same constant as kernels/mime.py
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "image/webp"
+    if data[:4] == b"8BPS" and len(data) >= 26:
+        return "image/vnd.adobe.photoshop"
     return None
 
 
@@ -1360,6 +1362,17 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
         if data[12:16] != b"IHDR":
             return None
         w, h = struct.unpack_from(">II", data, 16)
+        return ok(kind, w, h)
+    if kind == "image/vnd.adobe.photoshop":
+        # Adobe PSD header (public spec): '8BPS', u16 version (1=PSD,
+        # 2=PSB), 6 reserved, u16 channels, u32 height, u32 width BE
+        version = struct.unpack_from(">H", data, 4)[0]
+        if version not in (1, 2):
+            return None
+        channels, h, w, depth, mode = struct.unpack_from(">HIIHH", data, 12)
+        if not (1 <= channels <= 56 and depth in (1, 8, 16, 32)
+                and mode <= 15):
+            return None
         return ok(kind, w, h)
     if kind == "image/bmp" and len(data) >= 26:
         w, h = struct.unpack_from("<ii", data, 18)

@@ -69,6 +69,9 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"!<arch>\n", "application/x-archive"),
     (b"ITSF\x03\x00\x00\x00", "application/vnd.ms-htmlhelp"),
     (b"ITSF\x02\x00\x00\x00", "application/vnd.ms-htmlhelp"),
+    (b"8BPS", "image/vnd.adobe.photoshop"),
+    (b"OTTO", "application/x-font-otf"),
+    (b"ttcf", "application/x-font-ttf"),
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a
@@ -185,6 +188,12 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_arj(data):
             return "application/x-arj"
+    if data[:4] == b"\x00\x01\x00\x00" or data[:4] == b"true":
+        # sfnt TrueType: weak magic, validator-gated
+        from .font import is_font
+
+        if is_font(data):
+            return "application/x-font-ttf"
     if data[0] in (0x02, 0x03, 0x30, 0x31, 0x83, 0x8B, 0xF5) \
             and len(data) >= 68:
         # dBASE has NO magic: looks_like_dbf demands four mutually

@@ -3244,3 +3244,26 @@ def build_dbf_table(doc_id: int) -> bytes:
             [f"Part {doc_id} c", str(doc_id % 11 + 3), "20260103"]]
     deleted = {1} if doc_id % 4 == 0 else None
     return build_dbf(fields, rows, deleted_rows=deleted)
+
+
+def build_design_asset(doc_id: int) -> bytes:
+    """TTF / OTF / PSD cycling by doc_id % 3 (extract_font_psd_meta
+    oracle); every 9th doc wraps its font in a 2-member TTC so the
+    collection path runs in the gate."""
+    import struct as _s
+
+    from .kernels.font import build_font, build_ttc
+
+    v = doc_id % 3
+    if v == 2:
+        w, h = 100 + doc_id % 900, 50 + doc_id % 500
+        return (b"8BPS" + _s.pack(">H", 1) + b"\x00" * 6
+                + _s.pack(">HIIHH", 3, h, w, 8, 3) + b"\x00" * 8)
+    names = {1: f"Font {doc_id}", 2: "Regular",
+             4: f"Font {doc_id} Full", 6: f"Font-{doc_id}"}
+    f = build_font(names, n_glyphs=doc_id % 500 + 10,
+                   flavor=b"OTTO" if v == 1 else b"\x00\x01\x00\x00")
+    if doc_id % 9 == 0:
+        sibling = build_font({1: "Sibling", 4: "Sibling Full"})
+        return build_ttc([f, sibling])
+    return f
