@@ -211,3 +211,27 @@ def test_r5_kernel_queries_stay_map_only(spark, query_name):
 
     plan = _plan(getattr(Q, query_name)(spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_is_single_scan(spark):
+    """corpus_stratified_sample must stay a map-side filter on a
+    3-column pruned scan: zero Exchange, no Python, deterministic by
+    construction (md5 bucket vs per-stratum threshold)."""
+    from sparktika.queries import corpus_stratified_sample
+
+    plan = _plan(corpus_stratified_sample(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "pythonUDF" not in plan.lower()
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" \
+        in plan
+
+
+def test_stratified_sample_reproducible(spark):
+    from sparktika.queries import corpus_stratified_sample
+
+    a = sorted(r.doc_id for r in
+               corpus_stratified_sample(spark, SF).collect())
+    b = sorted(r.doc_id for r in
+               corpus_stratified_sample(spark, SF)
+               .repartition(7).collect())
+    assert a == b and len(a) > 0
