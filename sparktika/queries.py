@@ -4473,12 +4473,15 @@ _GATE_PRIORITY: list[str] = [
     "extract_main_text",
     "extract_xlsx_text",
     "extract_docx_text",
-    # (sim_topk_bruteforce, dedup_exact, text_quality, text_lang_id and
-    # text_token_counts held the tail slots until the five mid-round
-    # additions (extract_arj_text, extract_legacy_codec_text,
-    # extract_executable_meta, extract_feed_text, extract_dbf_text)
-    # landed; all five are r4/r5-green + pytest-covered and rotate back
-    # in round 7 with the other r4-vintage leave-outs)
+    # (seven r4-vintage fills — sim_topk_bruteforce, dedup_exact,
+    # text_quality, text_lang_id, text_token_counts, extract_pptx_notes,
+    # extract_docx_hdrftr — were displaced one-by-one as the seven
+    # mid-round additions landed (extract_arj_text,
+    # extract_legacy_codec_text, extract_executable_meta,
+    # extract_feed_text, extract_dbf_text, extract_font_psd_meta,
+    # corpus_stratified_sample); all seven are r4/r5-green +
+    # pytest-covered and rotate back in round 7 with the other
+    # r4-vintage leave-outs)
 ]
 
 
