@@ -800,6 +800,27 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "audio/midi":
+            from .midi import parse_midi
+
+            # MidiParser parity: track/patch facts + embedded text
+            # (karaoke lyrics, track names) as the body
+            r = parse_midi(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {"Content-Type": ["audio/midi"],
+                  "midi-format": [str(r.format)],
+                  "midi-tracks": [str(r.n_tracks)],
+                  "midi-division": [str(r.division)]}
+            if r.track_names:
+                md["midi-track-names"] = r.track_names
+            if r.copyright:
+                md["midi-copyright"] = [r.copyright]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected="audio/midi",
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected in ("application/x-font-ttf", "application/x-font-otf"):
             from .font import parse_font
 

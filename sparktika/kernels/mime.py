@@ -70,6 +70,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"ITSF\x03\x00\x00\x00", "application/vnd.ms-htmlhelp"),
     (b"ITSF\x02\x00\x00\x00", "application/vnd.ms-htmlhelp"),
     (b"8BPS", "image/vnd.adobe.photoshop"),
+    (b"MThd", "audio/midi"),
     (b"OTTO", "application/x-font-otf"),
     (b"ttcf", "application/x-font-ttf"),
 )

@@ -3267,3 +3267,19 @@ def build_design_asset(doc_id: int) -> bytes:
         sibling = build_font({1: "Sibling", 4: "Sibling Full"})
         return build_ttc([f, sibling])
     return f
+
+
+def build_midi_song(doc_id: int) -> bytes:
+    """Two-track SMF (extract_midi_text oracle): a named instrument
+    track with real channel events (incl. running status) and a vocal
+    track whose lyric arrives sliced per note, karaoke-style."""
+    from .kernels.midi import build_midi
+
+    lyric = f"Midi lyric {doc_id} line."
+    cut = 4 + doc_id % 5
+    return build_midi([
+        {"name": f"Melody {doc_id}", "notes": doc_id % 8 + 1,
+         "copyright": "(c) synth corpus" if doc_id % 6 == 0 else None},
+        {"name": f"Words {doc_id}",
+         "lyrics": [lyric[:cut], lyric[cut:]], "notes": 2},
+    ])
