@@ -800,6 +800,22 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/x-matlab-data":
+            from .matfile import parse_mat
+
+            r = parse_mat(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/x-matlab-data"],
+                  "mat-header": [r.header_text],
+                  "mat-variables": [str(len(r.variables))]}
+            if r.variables:
+                md["mat-variable-names"] = [v.name for v in r.variables]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "audio/midi":
             from .midi import parse_midi
 

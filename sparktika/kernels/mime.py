@@ -71,6 +71,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"ITSF\x02\x00\x00\x00", "application/vnd.ms-htmlhelp"),
     (b"8BPS", "image/vnd.adobe.photoshop"),
     (b"MThd", "audio/midi"),
+    (b"MATLAB 5.0 MAT-file", "application/x-matlab-data"),
     (b"OTTO", "application/x-font-otf"),
     (b"ttcf", "application/x-font-ttf"),
 )

@@ -3283,3 +3283,16 @@ def build_midi_song(doc_id: int) -> bytes:
         {"name": f"Words {doc_id}",
          "lyrics": [lyric[:cut], lyric[cut:]], "notes": 2},
     ])
+
+
+def build_mat_file(doc_id: int) -> bytes:
+    """MATLAB 5.0 MAT-file (extract_mat_meta oracle): a scalar, a 1xN
+    string and a matrix per doc; the string rides a miCOMPRESSED
+    element (builder wraps every second variable)."""
+    from .kernels.matfile import build_mat
+
+    return build_mat([
+        (f"alpha_{doc_id}", float(doc_id % 97)),
+        (f"label_{doc_id}", f"Sensor run {doc_id} complete."),
+        (f"grid_{doc_id}", [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]),
+    ], header_note=f"doc {doc_id}")
