@@ -166,3 +166,23 @@ def test_synth_corpus_parity():
         assert r.text_extracted == want
         assert r.metadata["Content-Encoding-Outer"] == [
             "compress" if i % 2 == 0 else "lzma"]
+
+
+def test_tar_z_compound_wrapper():
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, body in [("a.txt", b"alpha text\n"),
+                           ("b.html",
+                            b"<html><body><p>bee</p></body></html>")]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(body)
+            tf.addfile(ti, io.BytesIO(body))
+    r = extract_document("https://x/bundle.tar.Z", None,
+                         compress_z(buf.getvalue()))
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/x-tar"
+    assert r.metadata["Content-Encoding-Outer"] == ["compress"]
+    assert r.text_extracted == "alpha text\nbee\n"
