@@ -619,7 +619,8 @@ def extract_document(
         if detected in ("application/gzip", "application/x-bzip2",
                         "application/x-xz", "application/zstd",
                         "application/x-lz4", "application/x-compress",
-                        "application/x-lzma"):
+                        "application/x-lzma", "application/x-snappy",
+                        "application/zlib"):
             # single-member compressed wrapper (.txt.gz / .csv.bz2 /
             # .tar.xz / .zst ...): guarded decompress (stdlib codec, or
             # the from-scratch RFC 8878 decoder for zstd — Python 3.11
@@ -666,6 +667,21 @@ def extract_document(
                 # InflateRatioError past cap / KernelError on corruption
                 inner = decompress_z(data, cap, deadline=deadline)
                 overflow = False
+            elif detected == "application/x-snappy":
+                from .snappy import decompress_framed
+
+                codec, suffix = "snappy", ".sz"
+                # from-scratch framing decoder, per-chunk CRC-32C
+                # verified; raises InflateRatioError / KernelError
+                inner = decompress_framed(data, cap)
+                overflow = False
+            elif detected == "application/zlib":
+                import zlib as _zlib
+
+                codec, suffix = "deflate", ".zz"
+                d = _zlib.decompressobj()  # zlib wrapper (RFC 1950)
+                inner = d.decompress(data, cap)
+                overflow = bool(d.unconsumed_tail) or not d.eof
             elif detected == "application/x-lzma":
                 import lzma as _lzma
 
@@ -696,6 +712,10 @@ def extract_document(
                            else "lz4" if inner[:4] in (b"\x04\x22\x4d\x18",
                                                        b"\x02\x21\x4c\x18")
                            else "lzma" if inner[:3] == b"\x5d\x00\x00"
+                           else "snappy" if inner[:10] ==
+                           b"\xff\x06\x00\x00sNaPpY"
+                           else "deflate" if inner[:2] in (b"\x78\x9c",
+                                                           b"\x78\xda")
                            else None)
             if inner_codec is not None:
                 # compressed-in-compressed chains compound the ratio

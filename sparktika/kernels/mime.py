@@ -72,6 +72,12 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"8BPS", "image/vnd.adobe.photoshop"),
     (b"MThd", "audio/midi"),
     (b"MATLAB 5.0 MAT-file", "application/x-matlab-data"),
+    (b"\xff\x06\x00\x00sNaPpY", "application/x-snappy"),
+    # zlib-wrapped deflate: only the two non-ASCII FLG values real
+    # encoders emit (0x01/0x5E would collide with "x^..." text); the
+    # TNEF entry (78 9F ...) precedes these in the 0x78 bucket
+    (b"\x78\x9c", "application/zlib"),
+    (b"\x78\xda", "application/zlib"),
     (b"OTTO", "application/x-font-otf"),
     (b"ttcf", "application/x-font-ttf"),
 )

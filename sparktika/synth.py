@@ -3296,3 +3296,21 @@ def build_mat_file(doc_id: int) -> bytes:
         (f"label_{doc_id}", f"Sensor run {doc_id} complete."),
         (f"grid_{doc_id}", [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]),
     ], header_note=f"doc {doc_id}")
+
+
+def build_modern_codec_txt(doc_id: int) -> bytes:
+    """Framed-snappy / zlib-deflate wrapped text, alternating by parity
+    (extract_snappy_deflate_text oracle). Even ids: snappy framing —
+    %3 == 0 uses uncompressed chunks, the rest compressed chunks
+    (greedy copy-2 matcher); odd ids: RFC 1950 zlib."""
+    body = f"Modern codec note {doc_id} body.\n".encode()
+    if doc_id % 3 == 0:
+        body += b"Chunky filler line repeating itself. " * 30
+    if doc_id % 2 == 0:
+        from .kernels.snappy import compress_framed
+
+        return compress_framed(body, chunk_size=256,
+                               uncompressed_chunks=doc_id % 3 == 0)
+    import zlib as _zlib
+
+    return _zlib.compress(body, 6)
