@@ -214,6 +214,28 @@ def extract_document(
             from .feed import parse_feed, sniff_feed_root
             from .xmlparse import local_name as _xml_local
 
+            if r.root_tag and _xml_local(r.root_tag) in ("urlset",
+                                                         "sitemapindex"):
+                # sitemaps.org refinement: URL rows into metadata, no
+                # body text (a sitemap has none)
+                from .feed import parse_sitemap
+
+                sm = parse_sitemap(xtext, deadline=deadline)
+                detected = "application/x-sitemap+xml"
+                md = {"Content-Type": [f"{detected}; charset={cs}"],
+                      "Content-Encoding": [cs],
+                      "sitemap-kind": [sm.kind],
+                      "sitemap-urls": [str(len(sm.urls))]}
+                if sm.urls:
+                    md["sitemap-locs"] = sm.urls
+                    if any(sm.lastmods):
+                        md["sitemap-lastmods"] = sm.lastmods
+                if sm.truncated:
+                    md["sitemap-truncated"] = ["true"]
+                return res(detected=detected, charset_detected=cs,
+                           text_extracted="" if cfg.parse_content
+                           else None,
+                           metadata=md, status=STATUS_OK)
             feed_fmt = None
             if r.root_tag and _xml_local(r.root_tag) in ("rss", "feed",
                                                          "RDF"):

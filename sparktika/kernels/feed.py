@@ -89,6 +89,85 @@ def sniff_feed_root(root_tag: str | None,
     return None
 
 
+_SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+@dataclass
+class SitemapResult:
+    kind: str                   # 'urlset' | 'sitemapindex'
+    urls: list[str] = field(default_factory=list)
+    lastmods: list[str] = field(default_factory=list)  # aligned, "" = none
+    truncated: bool = False
+
+
+def sniff_sitemap_root(root_tag: str | None,
+                       root_attrs: dict[str, str] | None = None
+                       ) -> str | None:
+    """urlset / sitemapindex roots (sitemaps.org protocol). The
+    namespace is required by the protocol, but real-world sitemaps
+    frequently omit it — the element names are distinctive enough."""
+    if not root_tag:
+        return None
+    ln = local_name(root_tag)
+    return ln if ln in ("urlset", "sitemapindex") else None
+
+
+def parse_sitemap(xtext: str, max_urls: int = 50000,
+                  deadline: float | None = None) -> SitemapResult:
+    """Single event pass: <url><loc>/<lastmod> under urlset,
+    <sitemap><loc> under sitemapindex. 50k is the protocol's own
+    per-file URL cap."""
+    kind = "urlset"
+    urls: list[str] = []
+    mods: list[str] = []
+    truncated = False
+    stack: list[str] = []
+    capture: str | None = None
+    buf: list[str] = []
+    cur_loc: str | None = None
+    cur_mod = ""
+
+    for ev in xml_events(xtext, deadline=deadline):
+        k = ev[0]
+        if k == "start":
+            name = local_name(ev[1])
+            if len(stack) + 1 > _MAX_DEPTH:
+                raise DepthLimitError("sitemap: nesting too deep")
+            if not stack:
+                kind = sniff_sitemap_root(ev[1]) or "urlset"
+            if len(stack) == 2 and name in ("loc", "lastmod") \
+                    and not ev[3]:
+                capture, buf = name, []
+            if not ev[3]:
+                stack.append(ev[1])
+        elif k == "end":
+            if not stack:
+                continue
+            name = local_name(stack[-1])
+            stack.pop()
+            if capture and name == capture:
+                val = "".join(buf).strip()
+                if capture == "loc" and cur_loc is None:
+                    cur_loc = val or None
+                elif capture == "lastmod":
+                    cur_mod = cur_mod or val
+                capture = None
+            if len(stack) == 1 and name in ("url", "sitemap"):
+                if cur_loc:
+                    if len(urls) >= max_urls:
+                        truncated = True
+                    else:
+                        urls.append(cur_loc)
+                        mods.append(cur_mod)
+                cur_loc, cur_mod = None, ""
+        elif k == "text" and capture:
+            buf.append(decode_entities(ev[1]))
+        elif k == "cdata" and capture:
+            buf.append(ev[1])
+    return SitemapResult(kind=kind, urls=urls, lastmods=mods,
+                         truncated=truncated)
+
+
 def parse_feed(xtext: str, deadline: float | None = None) -> FeedResult:
     """Event-driven single pass; collects channel/feed metadata and the
     per-entry (title, link, summary, date) tuples."""

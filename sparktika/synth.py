@@ -3314,3 +3314,33 @@ def build_modern_codec_txt(doc_id: int) -> bytes:
     import zlib as _zlib
 
     return _zlib.compress(body, 6)
+
+
+def build_sitemap(doc_id: int) -> bytes:
+    """sitemaps.org document (extract_sitemap_urls oracle): %4 == 0
+    docs are a 2-entry sitemapindex, the rest 3-URL urlsets with a
+    lastmod on the first entry only; %2 == 1 docs arrive gzip-wrapped
+    (the common wild form)."""
+    if doc_id % 4 == 0:
+        body = (f'<?xml version="1.0" encoding="UTF-8"?>\n'
+                f'<sitemapindex '
+                f'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f'<sitemap><loc>https://site{doc_id}.example.com/s1.xml'
+                f'</loc></sitemap>'
+                f'<sitemap><loc>https://site{doc_id}.example.com/s2.xml'
+                f'</loc></sitemap></sitemapindex>').encode()
+    else:
+        urls = "".join(
+            f'<url><loc>https://site{doc_id}.example.com/p/{k}</loc>'
+            + (f'<lastmod>2026-0{doc_id % 9 + 1}-15</lastmod>'
+               if k == 0 else '')
+            + '</url>' for k in range(3))
+        body = (f'<?xml version="1.0" encoding="UTF-8"?>\n'
+                f'<urlset '
+                f'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f'{urls}</urlset>').encode()
+    if doc_id % 2 == 1:
+        import gzip as _gzip
+
+        return _gzip.compress(body, 6, mtime=0)
+    return body

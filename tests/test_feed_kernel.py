@@ -103,3 +103,56 @@ def test_fuzz_never_raises():
             r = extract_document("https://x/f.xml", None, bytes(data))
             assert r.status in ("ok", "failed", "unsupported")
             data[i] = orig
+
+
+def test_sitemap_urlset_and_index():
+    from sparktika.kernels.feed import parse_sitemap
+
+    sm = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>https://e.com/a</loc><lastmod>2026-01-01</lastmod></url>
+<url><loc> https://e.com/b </loc></url>
+<url><lastmod>2026-02-02</lastmod></url>
+</urlset>"""
+    r = parse_sitemap(sm)
+    assert r.kind == "urlset"
+    assert r.urls == ["https://e.com/a", "https://e.com/b"]
+    assert r.lastmods == ["2026-01-01", ""]
+    idx = ("<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>"
+           "</sitemap></sitemapindex>")
+    r2 = parse_sitemap(idx)
+    assert r2.kind == "sitemapindex"
+    assert r2.urls == ["https://e.com/s1.xml"]
+
+
+def test_sitemap_url_cap():
+    from sparktika.kernels.feed import parse_sitemap
+
+    body = "<urlset>" + "".join(
+        f"<url><loc>https://e.com/{i}</loc></url>" for i in range(60)
+    ) + "</urlset>"
+    r = parse_sitemap(body, max_urls=50)
+    assert len(r.urls) == 50 and r.truncated
+
+
+def test_sitemap_gz_wrapped_dispatch():
+    import gzip
+
+    from sparktika.synth import build_sitemap
+
+    r = extract_document("https://x/1/sitemap.xml.gz", None,
+                         build_sitemap(1))
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/x-sitemap+xml"
+    assert r.metadata["Content-Encoding-Outer"] == ["gzip"]
+    assert r.metadata["sitemap-urls"] == ["3"]
+    # fuzz: corrupt sitemaps degrade, never crash
+    data = bytearray(gzip.decompress(build_sitemap(1)))
+    rnd = random.Random(41)
+    for _ in range(50):
+        i = rnd.randrange(len(data))
+        orig = data[i]
+        data[i] = rnd.randrange(256)
+        rr = extract_document("https://x/s.xml", None, bytes(data))
+        assert rr.status in ("ok", "failed", "unsupported", "truncated")
+        data[i] = orig
