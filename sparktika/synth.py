@@ -3344,3 +3344,26 @@ def build_sitemap(doc_id: int) -> bytes:
 
         return _gzip.compress(body, 6, mtime=0)
     return body
+
+
+def build_jsonld_page(doc_id: int) -> bytes:
+    """HTML page with schema.org JSON-LD (text_jsonld oracle): an
+    Article block on every doc (author as a nested Person), plus an
+    @graph Organization block on %3 == 0 docs and a deliberately
+    BROKEN block on %5 == 0 docs (the bad-block counter must move)."""
+    art = ('{"@context":"https://schema.org","@type":"Article",'
+           f'"headline":"Post {doc_id} headline",'
+           f'"datePublished":"2026-0{doc_id % 9 + 1}-02",'
+           f'"author":{{"@type":"Person","name":"Writer {doc_id % 17}"}}}}')
+    blocks = [f'<script type="application/ld+json">{art}</script>']
+    if doc_id % 3 == 0:
+        org = ('{"@graph":[{"@type":"Organization",'
+               f'"name":"Org {doc_id}",'
+               f'"url":"https://org{doc_id}.example.com"}}]}}')
+        blocks.append(f"<script type='application/ld+json'>{org}</script>")
+    if doc_id % 5 == 0:
+        blocks.append('<script type="application/ld+json">{broken'
+                      '</script>')
+    body = "".join(blocks)
+    return (f"<html><head><title>Page {doc_id}</title>{body}</head>"
+            f"<body><p>Visible text {doc_id}.</p></body></html>").encode()
