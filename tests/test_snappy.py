@@ -120,3 +120,23 @@ def test_fuzz_never_raises():
         rr = extract_document("https://x/n.txt.sz", None, bytes(data))
         assert rr.status in ("ok", "failed", "unsupported", "truncated")
         data[i] = orig
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=20000), st.booleans(),
+       st.sampled_from([512, 65536]))
+def test_property_framed_roundtrip(raw, unc, chunk):
+    f = compress_framed(raw, chunk_size=chunk, uncompressed_chunks=unc)
+    assert decompress_framed(f, 10 * len(raw) + 1024) == raw
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=8000))
+def test_property_raw_roundtrip(raw):
+    assert decompress_raw(_compress_raw(raw), len(raw) + 16) == raw

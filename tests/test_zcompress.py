@@ -186,3 +186,27 @@ def test_tar_z_compound_wrapper():
     assert r.content_type_detected == "application/x-tar"
     assert r.metadata["Content-Encoding-Outer"] == ["compress"]
     assert r.text_extracted == "alpha text\nbee\n"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=20000),
+       st.sampled_from([9, 12, 16]),
+       st.sampled_from([None, 100]))
+def test_property_roundtrip(raw, mb, ce):
+    z = compress_z(raw, max_bits=mb, clear_every=ce)
+    assert decompress_z(z, 10 * len(raw) + 1024) == raw
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=1, max_size=4000))
+def test_property_cli_agrees(raw):
+    if not HAVE_ZCAT:
+        return
+    z = compress_z(raw, clear_every=50)
+    assert _cli_decode(z) == raw
