@@ -591,6 +591,23 @@ def extract_document(
                            metadata=md, status=status,
                            write_limit_reached=limited)
 
+            from .iwork import IWORK_MIMES, extract_iwork, sniff_iwork
+
+            if sniff_iwork(data):
+                r = extract_iwork(data, max_chars=cfg.max_chars,
+                                  max_ratio=cfg.max_inflate_ratio,
+                                  max_entry_bytes=cfg.max_inflate_bytes,
+                                  deadline=deadline)
+                iwork_mime = IWORK_MIMES[r.kind]
+                md = {"Content-Type": [iwork_mime],
+                      "n-paragraphs": [str(r.n_paragraphs)]}
+                status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+                return res(detected=iwork_mime,
+                           text_extracted=r.text if cfg.parse_content
+                           else None,
+                           metadata=md, status=status,
+                           write_limit_reached=r.truncated)
+
             from .odf import extract_odf, sniff_odf
 
             odf_mime = sniff_odf(data)

@@ -3367,3 +3367,41 @@ def build_jsonld_page(doc_id: int) -> bytes:
     body = "".join(blocks)
     return (f"<html><head><title>Page {doc_id}</title>{body}</head>"
             f"<body><p>Visible text {doc_id}.</p></body></html>").encode()
+
+
+def build_iwork(doc_id: int) -> bytes:
+    """iWork '09 package (extract_iwork_text oracle) cycling by
+    doc_id % 3: Pages (sl:document, two body paragraphs, gz index on
+    %2 == 1), Numbers (ls:document, two ct cells), Keynote
+    (key:presentation, one slide paragraph, index.apxl)."""
+    import gzip as _gzip
+    import io as _io
+    import zipfile as _zf
+
+    v = doc_id % 3
+    if v == 0:
+        root, idx = "sl:document", "index.xml"
+        body = (f'<sf:text-body><sf:p>Pages body {doc_id} one.</sf:p>'
+                f'<sf:p>Pages <sf:span>body {doc_id}</sf:span> two.'
+                f'</sf:p></sf:text-body>')
+    elif v == 1:
+        root, idx = "ls:document", "index.xml"
+        body = (f'<sf:ct sfa:s="Cell {doc_id} alpha"/>'
+                f'<sf:ct sfa:s="Cell {doc_id} beta"/>')
+    else:
+        root, idx = "key:presentation", "index.apxl"
+        body = (f'<key:slide><sf:text-body><sf:p>Slide {doc_id} title.'
+                f'</sf:p></sf:text-body></key:slide>')
+    xml = (f'<?xml version="1.0"?><{root} '
+           f'xmlns:sf="http://developer.apple.com/namespaces/sf" '
+           f'xmlns:sfa="http://developer.apple.com/namespaces/sfa">'
+           f'{body}</{root.split(" ")[0]}>').encode()
+    gz = v == 0 and doc_id % 2 == 1
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as z:
+        z.writestr("buildVersionHistory.plist",
+                   "<plist><array><string>synth</string></array></plist>")
+        z.writestr(idx + (".gz" if gz else ""),
+                   _gzip.compress(xml, 6, mtime=0) if gz else xml)
+        z.writestr("QuickLook/Thumbnail.jpg", b"\xff\xd8\xff\xdb")
+    return buf.getvalue()
