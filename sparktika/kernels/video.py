@@ -18,7 +18,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-from .errors import KernelError
+from .errors import KernelError, check_deadline
 
 _MAX_DEPTH = 8
 
@@ -612,3 +612,277 @@ def sample_frames(data: bytes, every_n: int = 30) -> list[tuple]:
         mean_r = round(float(img.pixels[:, :, 0].mean()) / 255.0, 6)
         out.append((idx, img.width, img.height, mean_r))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML) — header-level metadata.
+# Public sources: RFC 8794 (EBML) + the Matroska element registry.
+# Tika 1.20 exposes video/webm via its MP4/container detectors but has
+# no Matroska text parser; header facts (doctype, codecs, dims, audio
+# shape, duration) are what a corpus pipeline needs.
+# ---------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+
+
+def _ebml_vint(data: bytes, pos: int, end: int,
+               keep_marker: bool) -> tuple[int, int]:
+    """Read an EBML VINT. keep_marker=True for element IDs (the length
+    marker stays part of the value), False for sizes."""
+    if pos >= end:
+        raise KernelError("ebml: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise KernelError("ebml: vint length > 8")
+    length = 8 - first.bit_length() + 1
+    if pos + length > end:
+        raise KernelError("ebml: vint runs past end")
+    v = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
+_EBML_UNKNOWN_SIZES = {(1 << (7 * k)) - 1 for k in range(1, 9)}
+
+
+def _ebml_children(data: bytes, pos: int, end: int, deadline=None):
+    """Yield (element_id, payload_start, payload_end). Unknown-size
+    elements (live-streamed Segments) extend to the container end."""
+    n = 0
+    while pos < end:
+        n += 1
+        if n % 512 == 0:
+            check_deadline(deadline, "ebml walk")
+        eid, pos = _ebml_vint(data, pos, end, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, end, keep_marker=False)
+        if size in _EBML_UNKNOWN_SIZES:
+            yield eid, pos, end
+            return  # unknown size: element owns the rest
+        pe = pos + size
+        if pe > end:
+            raise KernelError("ebml: element overruns container")
+        yield eid, pos, pe
+        pos = pe
+
+
+def _ebml_uint(data: bytes, s: int, e: int) -> int:
+    v = 0
+    for i in range(s, min(e, s + 8)):
+        v = (v << 8) | data[i]
+    return v
+
+
+def _ebml_float(data: bytes, s: int, e: int) -> float:
+    ln = e - s
+    if ln == 4:
+        return struct.unpack_from(">f", data, s)[0]
+    if ln == 8:
+        return struct.unpack_from(">d", data, s)[0]
+    return 0.0
+
+
+@dataclass
+class WebmMeta:
+    doctype: str = "matroska"
+    duration_ms: int | None = None
+    video_codec: str | None = None
+    width: int | None = None
+    height: int | None = None
+    audio_codec: str | None = None
+    sample_rate: int | None = None
+    channels: int | None = None
+    n_tracks: int = 0
+
+
+def parse_webm(data: bytes, deadline: float | None = None) -> WebmMeta:
+    if data[:4] != _EBML_MAGIC:
+        raise KernelError("not an EBML/Matroska stream")
+    meta = WebmMeta()
+    timescale = 1_000_000  # ns per tick, Matroska default
+    duration_ticks: float | None = None
+    for eid, s, e in _ebml_children(data, 0, len(data), deadline):
+        if eid == 0x1A45DFA3:              # EBML header
+            for cid, cs, ce in _ebml_children(data, s, e, deadline):
+                if cid == 0x4282:          # DocType
+                    meta.doctype = data[cs:ce].decode("ascii", "replace")
+        elif eid == 0x18538067:            # Segment
+            for cid, cs, ce in _ebml_children(data, s, e, deadline):
+                if cid == 0x1549A966:      # Info
+                    for iid, is_, ie in _ebml_children(data, cs, ce,
+                                                       deadline):
+                        if iid == 0x2AD7B1:
+                            timescale = _ebml_uint(data, is_, ie)
+                        elif iid == 0x4489:
+                            duration_ticks = _ebml_float(data, is_, ie)
+                elif cid == 0x1654AE6B:    # Tracks
+                    _parse_mkv_tracks(data, cs, ce, meta, deadline)
+    if duration_ticks and timescale:
+        meta.duration_ms = int(duration_ticks * timescale / 1_000_000)
+    return meta
+
+
+def _parse_mkv_tracks(data: bytes, s: int, e: int, meta: WebmMeta,
+                      deadline) -> None:
+    for tid, ts, te in _ebml_children(data, s, e, deadline):
+        if tid != 0xAE:                    # TrackEntry
+            continue
+        meta.n_tracks += 1
+        ttype = 0
+        codec = None
+        vid: dict[str, int] = {}
+        aud: dict[str, int] = {}
+        for cid, cs, ce in _ebml_children(data, ts, te, deadline):
+            if cid == 0x83:
+                ttype = _ebml_uint(data, cs, ce)
+            elif cid == 0x86:
+                codec = data[cs:ce].decode("ascii", "replace")
+            elif cid == 0xE0:              # Video
+                for vcid, vs, ve in _ebml_children(data, cs, ce, deadline):
+                    if vcid == 0xB0:
+                        vid["w"] = _ebml_uint(data, vs, ve)
+                    elif vcid == 0xBA:
+                        vid["h"] = _ebml_uint(data, vs, ve)
+            elif cid == 0xE1:              # Audio
+                for acid, as_, ae in _ebml_children(data, cs, ce, deadline):
+                    if acid == 0xB5:
+                        aud["sr"] = int(_ebml_float(data, as_, ae))
+                    elif acid == 0x9F:
+                        aud["ch"] = _ebml_uint(data, as_, ae)
+        if ttype == 1 and meta.video_codec is None:
+            meta.video_codec = codec
+            meta.width = vid.get("w")
+            meta.height = vid.get("h")
+        elif ttype == 2 and meta.audio_codec is None:
+            meta.audio_codec = codec
+            meta.sample_rate = aud.get("sr")
+            meta.channels = aud.get("ch")
+
+
+def build_webm(doctype: str, video: tuple[str, int, int] | None,
+               audio: tuple[str, int, int] | None,
+               duration_ms: int | None = None) -> bytes:
+    """Synth/test writer for the subset parse_webm reads."""
+    def el(eid: int, payload: bytes) -> bytes:
+        idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        size = len(payload)
+        if size < 0x7F:
+            return idb + bytes([0x80 | size]) + payload
+        if size < 0x3FFF:
+            return idb + (0x4000 | size).to_bytes(2, "big") + payload
+        return idb + (0x0100000000000000 | size).to_bytes(8, "big") \
+            + payload
+
+    def uint(eid: int, v: int) -> bytes:
+        return el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+    hdr = el(0x1A45DFA3, el(0x4282, doctype.encode()))
+    info = uint(0x2AD7B1, 1_000_000)
+    if duration_ms is not None:
+        info += el(0x4489, struct.pack(">d", float(duration_ms)))
+    tracks = b""
+    tno = 0
+    if video:
+        tno += 1
+        codec, w, h = video
+        tracks += el(0xAE, uint(0xD7, tno) + uint(0x83, 1)
+                     + el(0x86, codec.encode())
+                     + el(0xE0, uint(0xB0, w) + uint(0xBA, h)))
+    if audio:
+        tno += 1
+        codec, sr, ch = audio
+        tracks += el(0xAE, uint(0xD7, tno) + uint(0x83, 2)
+                     + el(0x86, codec.encode())
+                     + el(0xE1, el(0xB5, struct.pack(">f", float(sr)))
+                          + uint(0x9F, ch)))
+    seg = el(0x1549A966, info) + el(0x1654AE6B, tracks)
+    return hdr + el(0x18538067, seg)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) — header-level metadata (public: the RIFF/AVI layout in
+# the original multimedia programming references; avih MainAVIHeader +
+# per-stream strh). Tika 1.20 detects video/x-msvideo via mime magic.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AviMeta:
+    width: int = 0
+    height: int = 0
+    n_frames: int = 0
+    fps: float = 0.0
+    n_streams: int = 0
+    video_codec: str | None = None
+    audio_streams: int = 0
+    duration_ms: int | None = None
+
+
+def _riff_chunks(data: bytes, pos: int, end: int, deadline=None):
+    n = 0
+    while pos + 8 <= end:
+        n += 1
+        if n % 512 == 0:
+            check_deadline(deadline, "riff walk")
+        fourcc = data[pos: pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > end:
+            raise KernelError("avi: chunk overruns container")
+        yield fourcc, body, body + size
+        pos = body + size + (size & 1)     # word-aligned
+
+
+def parse_avi(data: bytes, deadline: float | None = None) -> AviMeta:
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise KernelError("not a RIFF AVI file")
+    end = min(len(data), 12 + struct.unpack_from("<I", data, 4)[0])
+    meta = AviMeta()
+    us_per_frame = 0
+    for fourcc, s, e in _riff_chunks(data, 12, end, deadline):
+        if fourcc != b"LIST" or data[s: s + 4] != b"hdrl":
+            continue
+        for c2, s2, e2 in _riff_chunks(data, s + 4, e, deadline):
+            if c2 == b"avih" and e2 - s2 >= 40:
+                us_per_frame, _mbps, _pad, _flags, total, _init, streams, \
+                    _buf, w, h = struct.unpack_from("<10I", data, s2)
+                meta.n_frames = total
+                meta.n_streams = streams
+                meta.width, meta.height = w, h
+            elif c2 == b"LIST" and data[s2: s2 + 4] == b"strl":
+                for c3, s3, e3 in _riff_chunks(data, s2 + 4, e2, deadline):
+                    if c3 == b"strh" and e3 - s3 >= 8:
+                        fcc_type = data[s3: s3 + 4]
+                        handler = data[s3 + 4: s3 + 8]
+                        if fcc_type == b"vids" and meta.video_codec is None:
+                            meta.video_codec = handler.decode(
+                                "ascii", "replace").strip("\x00 ") or None
+                        elif fcc_type == b"auds":
+                            meta.audio_streams += 1
+    if us_per_frame:
+        meta.fps = round(1_000_000 / us_per_frame, 3)
+        meta.duration_ms = int(meta.n_frames * us_per_frame / 1000)
+    return meta
+
+
+def build_avi(width: int, height: int, n_frames: int, fps: int,
+              video_codec: bytes = b"mjpg", with_audio: bool = True) -> bytes:
+    """Synth/test writer for the subset parse_avi reads."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + len(body).to_bytes(4, "little") + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<10I", 1_000_000 // fps, 0, 0, 0, n_frames, 0,
+                       2 if with_audio else 1, 0, width, height) + b"\x00" * 16
+    strh_v = b"vids" + video_codec + b"\x00" * 48
+    strl_v = lst(b"strl", chunk(b"strh", strh_v))
+    body = chunk(b"avih", avih) + strl_v
+    if with_audio:
+        strh_a = b"auds" + b"\x00" * 52
+        body += lst(b"strl", chunk(b"strh", strh_a))
+    hdrl = lst(b"hdrl", body)
+    movi = lst(b"movi", b"")
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload

@@ -386,3 +386,64 @@ def resize_media(df: DataFrame, out_w: int, out_h: int,
     if num_partitions:
         slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
     return slim.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+CONTAINER_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("video_codec", T.StringType()),
+    T.StructField("audio_codec", T.StringType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_container_meta(df: DataFrame,
+                           num_partitions: int | None = None) -> DataFrame:
+    """video table (media_id, payload) -> WebM/Matroska (EBML walk) or
+    AVI (RIFF walk) header metadata; same map-only shape as
+    extract_video_meta (the MP4 twin)."""
+    from ..kernels.video import parse_avi, parse_webm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                base = dict(media_id=mid, error=None)
+                try:
+                    if payload[:4] == b"\x1aE\xdf\xa3":
+                        m = parse_webm(payload)
+                        rows.append(dict(
+                            base, container=m.doctype, width=m.width,
+                            height=m.height, duration_ms=m.duration_ms,
+                            video_codec=m.video_codec,
+                            audio_codec=m.audio_codec, fps=None,
+                            n_tracks=m.n_tracks, status="ok"))
+                    else:
+                        a = parse_avi(payload)
+                        rows.append(dict(
+                            base, container="avi", width=a.width,
+                            height=a.height, duration_ms=a.duration_ms,
+                            video_codec=a.video_codec,
+                            audio_codec=("pcm" if a.audio_streams
+                                         else None),
+                            fps=a.fps, n_tracks=a.n_streams,
+                            status="ok"))
+                except Exception as e:
+                    rows.append(dict(
+                        base, container=None, width=None, height=None,
+                        duration_ms=None, video_codec=None,
+                        audio_codec=None, fps=None, n_tracks=None,
+                        status="failed", error=f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows)
+
+    slim = df.select("media_id", "payload")
+    if num_partitions:
+        slim = slim.repartition(num_partitions, F.xxhash64("media_id"))
+    return slim.mapInPandas(batches, CONTAINER_SCHEMA)

@@ -3405,3 +3405,22 @@ def build_iwork(doc_id: int) -> bytes:
                    _gzip.compress(xml, 6, mtime=0) if gz else xml)
         z.writestr("QuickLook/Thumbnail.jpg", b"\xff\xd8\xff\xdb")
     return buf.getvalue()
+
+
+def build_media_container(doc_id: int) -> bytes:
+    """WebM (even ids: VP9/VP8 video + Opus audio, Matroska doctype on
+    %4 == 2) or AVI (odd ids: mjpg video, audio on %3 != 0) —
+    media_container_meta oracle."""
+    from .kernels.video import build_avi, build_webm
+
+    if doc_id % 2 == 0:
+        doctype = "matroska" if doc_id % 4 == 2 else "webm"
+        vcodec = "V_VP8" if doc_id % 3 == 0 else "V_VP9"
+        return build_webm(doctype,
+                          (vcodec, 320 + doc_id % 64 * 16,
+                           240 + doc_id % 48 * 16),
+                          ("A_OPUS", 48000, 2),
+                          duration_ms=1000 + doc_id % 600 * 100)
+    return build_avi(160 + doc_id % 32 * 8, 120 + doc_id % 24 * 8,
+                     100 + doc_id % 400, 10 + doc_id % 4 * 5,
+                     with_audio=doc_id % 3 != 0)
