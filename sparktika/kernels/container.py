@@ -262,7 +262,8 @@ def extract_tar_container(
         if size < 0 or pos + 512 + size > n + 511:
             raise KernelError("tar entry size out of bounds")
         body = data[pos + 512 : pos + 512 + min(size, max_entry_bytes)]
-        if size > max_entry_bytes and typeflag in (b"0", b"\x00"):
+        oversize = size > max_entry_bytes and typeflag in (b"0", b"\x00")
+        if oversize:
             # a member cut at the cap is an HONEST truncation — the zip
             # path flags the analogous prefix read (r5 review)
             truncated = True
@@ -280,9 +281,12 @@ def extract_tar_container(
         if typeflag not in (b"0", b"\x00"):
             continue  # dirs, links, devices carry no text
         names.append(name)
-        if truncated:
-            continue
+        if oversize:
+            continue  # THIS member only — later small members still extract
         budget = max_chars - total if max_chars != -1 else -1
+        if budget == 0:
+            truncated = True  # char budget spent; remaining content lost
+            continue
         t = route_member_text(body, name, budget, max_ratio,
                               max_entry_bytes, depth, deadline, recurse)
         if t is None:
@@ -348,7 +352,8 @@ def extract_ar_container(
         if size < 0 or pos + 60 + size > n:
             raise KernelError("ar: entry size out of bounds")
         body = data[pos + 60: pos + 60 + min(size, max_entry_bytes)]
-        if size > max_entry_bytes:
+        oversize = size > max_entry_bytes
+        if oversize:
             truncated = True
         pos += 60 + size + (size & 1)  # entries are 2-byte aligned
         name = hdr[:16].rstrip().decode("utf-8", "replace")
@@ -375,9 +380,12 @@ def extract_ar_container(
         else:
             name = name.rstrip("/")    # GNU terminator on short names
         names.append(name)
-        if truncated:
-            continue
+        if oversize:
+            continue  # THIS member only — later small members still extract
         budget = max_chars - total if max_chars != -1 else -1
+        if budget == 0:
+            truncated = True
+            continue
         t = route_member_text(body, name, budget, max_ratio,
                               max_entry_bytes, depth, deadline, recurse)
         if t is None:
@@ -463,7 +471,8 @@ def extract_cpio_container(
         if filesize < 0 or data_start + filesize > n:
             raise KernelError("cpio: entry size out of bounds")
         body = data[data_start: data_start + min(filesize, max_entry_bytes)]
-        if filesize > max_entry_bytes:
+        oversize = filesize > max_entry_bytes
+        if oversize:
             truncated = True
         pos = data_start + filesize
         if magic != b"070707":
@@ -473,9 +482,12 @@ def extract_cpio_container(
         if (mode & 0o170000) != 0o100000:        # only regular files
             continue
         names.append(name)
-        if truncated:
-            continue
+        if oversize:
+            continue  # THIS member only — later small members still extract
         budget = max_chars - total if max_chars != -1 else -1
+        if budget == 0:
+            truncated = True
+            continue
         t = route_member_text(body, name, budget, max_ratio,
                               max_entry_bytes, depth, deadline, recurse)
         if t is None:

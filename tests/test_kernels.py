@@ -1035,3 +1035,54 @@ def test_tar_capped_member_marks_truncated():
         t.addfile(info, io.BytesIO(payload))
     r = extract_tar_container(buf.getvalue(), max_entry_bytes=1000)
     assert r.truncated
+
+
+def test_oversize_member_does_not_skip_later_members():
+    """r6 review: tar/ar/cpio conflated per-member oversize with budget
+    exhaustion — one oversize member silently dropped every LATER
+    member's text (names were still listed, masking the loss)."""
+    import io
+    import tarfile
+
+    from sparktika.kernels.container import (extract_ar_container,
+                                             extract_cpio_container,
+                                             extract_tar_container)
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        big = tarfile.TarInfo("big.bin")
+        big.size = 5000
+        tf.addfile(big, io.BytesIO(b"\x00" * 5000))
+        small = tarfile.TarInfo("small.txt")
+        small.size = 10
+        tf.addfile(small, io.BytesIO(b"tiny text\n"))
+    r = extract_tar_container(buf.getvalue(), max_entry_bytes=1000)
+    assert r.truncated and "tiny text" in r.text
+
+    def ar_entry(name, body):
+        hdr = (name.ljust(16).encode() + b"0".ljust(12) + b"0".ljust(6)
+               + b"0".ljust(6) + b"100644".ljust(8)
+               + str(len(body)).encode().ljust(10) + b"\x60\x0a")
+        return hdr + body + (b"\n" if len(body) & 1 else b"")
+
+    ar = (b"!<arch>\n" + ar_entry("big.bin", b"\x00" * 5000)
+          + ar_entry("s.txt", b"tiny text\n"))
+    r2 = extract_ar_container(ar, max_entry_bytes=1000)
+    assert r2.truncated and "tiny text" in r2.text
+
+    def cpio_entry(name, body):
+        nb = name.encode() + b"\x00"
+        hdr = (b"070701" + b"0" * 8 + f"{0o100644:08x}".encode()
+               + b"0" * 8 * 4 + f"{len(body):08x}".encode()
+               + b"0" * 8 * 4 + f"{len(nb):08x}".encode() + b"0" * 8)
+        out = hdr + nb
+        out += b"\x00" * ((-len(out)) % 4)
+        out += body
+        out += b"\x00" * ((-len(out)) % 4)
+        return out
+
+    cp = (cpio_entry("big.bin", b"\x00" * 5000)
+          + cpio_entry("s.txt", b"tiny text\n")
+          + cpio_entry("TRAILER!!!", b""))
+    r3 = extract_cpio_container(cp, max_entry_bytes=1000)
+    assert r3.truncated and "tiny text" in r3.text
