@@ -235,3 +235,16 @@ def test_stratified_sample_reproducible(spark):
                corpus_stratified_sample(spark, SF)
                .repartition(7).collect())
     assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("query_name", ["extract_legacy_codec_text",
+                                        "extract_feed_text",
+                                        "extract_iwork_text",
+                                        "media_container_meta"])
+def test_r6_kernel_queries_stay_map_only(spark, query_name):
+    """r6 additions must stay in the map-only per-doc kernel shape —
+    a refactor that introduces a shuffle on these paths fails here."""
+    from sparktika import queries as Q
+
+    plan = _plan(getattr(Q, query_name)(spark, SF))
+    assert "Exchange" not in plan, plan
