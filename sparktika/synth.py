@@ -3424,3 +3424,22 @@ def build_media_container(doc_id: int) -> bytes:
     return build_avi(160 + doc_id % 32 * 8, 120 + doc_id % 24 * 8,
                      100 + doc_id % 400, 10 + doc_id % 4 * 5,
                      with_audio=doc_id % 3 != 0)
+
+
+def build_robots(doc_id: int) -> bytes:
+    """robots.txt (web_robots_rules oracle): a '*' group with
+    doc_id % 5 + 1 disallows (+ crawl-delay on %3 == 0), a named-bot
+    group, a global sitemap line, and a disallow-all variant on
+    %7 == 0."""
+    lines = [f"# synth robots {doc_id}", "User-agent: *"]
+    if doc_id % 7 == 0:
+        lines.append("Disallow: /")
+    else:
+        lines += [f"Disallow: /private/{k}/" for k in range(doc_id % 5 + 1)]
+        lines.append("Allow: /private/0/public/")
+    if doc_id % 3 == 0:
+        lines.append(f"Crawl-delay: {doc_id % 9 + 1}")
+    lines += ["", "User-agent: examplebot",
+              "Disallow: /no-example/",
+              f"Sitemap: https://site{doc_id}.example.com/sitemap.xml"]
+    return "\n".join(lines).encode()

@@ -1,0 +1,75 @@
+"""robots.txt (RFC 9309) kernel tests."""
+
+import random
+
+from sparktika.kernels.robots import parse_robots
+from sparktika.synth import build_robots
+
+
+def test_groups_rules_and_extensions():
+    r = parse_robots("""# comment
+User-agent: *
+Disallow: /private/   # trailing comment
+Allow: /private/pub/
+Crawl-delay: 2.5
+
+User-agent: goodbot
+User-agent: otherbot
+Disallow: /no-bots/
+Sitemap: https://e.com/s.xml
+""")
+    assert len(r.groups) == 2
+    g = r.group_for("*")
+    assert g.disallows == ["/private/"]
+    assert g.allows == ["/private/pub/"]
+    assert g.crawl_delay == 2.5
+    assert r.groups[1].agents == ["goodbot", "otherbot"]
+    assert r.sitemaps == ["https://e.com/s.xml"]
+    assert not r.disallows_all()
+
+
+def test_agent_matching_longest_substring():
+    r = parse_robots("User-agent: *\nDisallow: /\n\n"
+                     "User-agent: examplebot\nDisallow: /a/\n\n"
+                     "User-agent: example\nDisallow: /b/\n")
+    assert r.group_for("mozilla examplebot/2.0").disallows == ["/a/"]
+    assert r.group_for("example-fetcher").disallows == ["/b/"]
+    assert r.group_for("unknown").disallows == ["/"]
+    assert r.disallows_all("unknown")
+
+
+def test_empty_disallow_means_allow_all():
+    r = parse_robots("User-agent: *\nDisallow:\n")
+    g = r.group_for("*")
+    assert g is not None and g.disallows == []
+    assert not r.disallows_all()
+
+
+def test_rules_before_any_group_and_unknown_directives():
+    r = parse_robots("Disallow: /early/\nUser-agent: *\nNoindex: /x/\n"
+                     "Crawl-delay: soon\n")
+    assert r.n_unknown_directives == 3
+    assert r.group_for("*").disallows == []
+
+
+def test_never_raises_on_junk():
+    rnd = random.Random(19)
+    parse_robots("")
+    parse_robots("\x00\x01\x02 no colons here\n" * 50)
+    base = bytearray(build_robots(3))
+    for _ in range(60):
+        i = rnd.randrange(len(base))
+        orig = base[i]
+        base[i] = rnd.randrange(256)
+        parse_robots(bytes(base).decode("latin-1"))
+        base[i] = orig
+
+
+def test_synth_parity():
+    for i in (0, 1, 3, 7, 21):
+        r = parse_robots(build_robots(i).decode())
+        assert len(r.groups) == 2
+        assert r.disallows_all() == (i % 7 == 0)
+        g = r.group_for("*")
+        assert (g.crawl_delay is not None) == (i % 3 == 0)
+        assert r.sitemaps == [f"https://site{i}.example.com/sitemap.xml"]
