@@ -1086,3 +1086,66 @@ def test_oversize_member_does_not_skip_later_members():
           + cpio_entry("TRAILER!!!", b""))
     r3 = extract_cpio_container(cp, max_entry_bytes=1000)
     assert r3.truncated and "tiny text" in r3.text
+
+
+def test_container_formats_agree_on_same_members():
+    """Differential consistency: the SAME member files packed as tar,
+    ar, cpio, and zip must route to identical concatenated text (the
+    shared member router is the single source of truth; a per-format
+    ordering or decoding drift fails here)."""
+    import io
+    import tarfile
+    import zipfile
+
+    from sparktika.kernels.container import (extract_ar_container,
+                                             extract_cpio_container,
+                                             extract_tar_container,
+                                             extract_zip_container)
+
+    members = [("a.txt", b"alpha text\n"),
+               ("b.html", b"<html><body><p>bee</p></body></html>"),
+               ("c.json", b'{"k": "json leaf"}')]
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        for name, body in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(body)
+            tf.addfile(ti, io.BytesIO(body))
+
+    def ar_entry(name, body):
+        hdr = (name.ljust(16).encode() + b"0".ljust(12) + b"0".ljust(6)
+               + b"0".ljust(6) + b"100644".ljust(8)
+               + str(len(body)).encode().ljust(10) + b"\x60\x0a")
+        return hdr + body + (b"\n" if len(body) & 1 else b"")
+
+    ar = b"!<arch>\n" + b"".join(ar_entry(n, b) for n, b in members)
+
+    def cpio_entry(name, body):
+        nb = name.encode() + b"\x00"
+        hdr = (b"070701" + b"0" * 8 + f"{0o100644:08x}".encode()
+               + b"0" * 8 * 4 + f"{len(body):08x}".encode()
+               + b"0" * 8 * 4 + f"{len(nb):08x}".encode() + b"0" * 8)
+        out = hdr + nb
+        out += b"\x00" * ((-len(out)) % 4)
+        out += body
+        out += b"\x00" * ((-len(out)) % 4)
+        return out
+
+    cp = (b"".join(cpio_entry(n, b) for n, b in members)
+          + cpio_entry("TRAILER!!!", b""))
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        for name, body in members:
+            z.writestr(name, body)
+
+    texts = {
+        "tar": extract_tar_container(tbuf.getvalue()).text,
+        "ar": extract_ar_container(ar).text,
+        "cpio": extract_cpio_container(cp).text,
+        "zip": extract_zip_container(zbuf.getvalue()).text,
+    }
+    assert len(set(texts.values())) == 1, texts
+    assert "alpha text" in texts["tar"] and "bee" in texts["tar"]
+    assert "json leaf" in texts["tar"]
