@@ -248,3 +248,16 @@ def test_r6_kernel_queries_stay_map_only(spark, query_name):
 
     plan = _plan(getattr(Q, query_name)(spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_frontier_filter_broadcasts_rules(spark):
+    """web_frontier_filter: the rules side must BROADCAST (the URL
+    table never shuffles its raw rows) and the per-URL argmax must use
+    WindowGroupLimit so only one candidate row per URL reaches the
+    exchange."""
+    from sparktika.queries import web_frontier_filter
+
+    plan = _plan(web_frontier_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

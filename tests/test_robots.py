@@ -73,3 +73,26 @@ def test_synth_parity():
         g = r.group_for("*")
         assert (g.crawl_delay is not None) == (i % 3 == 0)
         assert r.sitemaps == [f"https://site{i}.example.com/sitemap.xml"]
+
+
+def test_frontier_filter_semantics(spark_session=None):
+    """RFC 9309 precedence end-to-end: longest match wins, allow beats
+    disallow on ties, unmatched URLs pass."""
+    from sparktika.pipeline.frontier import robots_filter, rules_from_robots
+    from sparktika.pipeline.session import build_session
+
+    spark = build_session(master="local[2]", shuffle_partitions=2)
+    rules = rules_from_robots(
+        [("h1", "User-agent: *\nDisallow: /a/\nAllow: /a/pub/\n"),
+         ("h2", "User-agent: *\nDisallow: /\n")], spark)
+    urls = spark.createDataFrame(
+        [("u1", "h1", "/a/secret"), ("u2", "h1", "/a/pub/ok"),
+         ("u3", "h1", "/open"), ("u4", "h2", "/anything"),
+         ("u5", "h3", "/no-robots-host")],
+        "url string, host string, path string")
+    kept = {r.url for r in robots_filter(urls, rules).collect()}
+    assert kept == {"u2", "u3", "u5"}
+    denied = {r.url: r.allowed for r in
+              robots_filter(urls, rules, keep_denied=True).collect()}
+    assert denied == {"u1": False, "u2": True, "u3": True,
+                      "u4": False, "u5": True}
