@@ -480,6 +480,13 @@ def _decompress_segment(
             for i in range(match_len):
                 out.append(out[src + i])
             block_remaining -= match_len
+            if block_remaining < 0:
+                # A match may overshoot a FRAME boundary but never its
+                # block's declared 24-bit size; negative means corrupt
+                # input — and would otherwise spin the outer loop forever
+                # (neither the ==0 header branch nor the >0 token loop
+                # would ever run again).
+                raise KernelError("lzx: match overran the declared block size")
 
     if len(out) > out_len:
         raise KernelError("lzx: output overran the declared frame size")

@@ -96,10 +96,17 @@ def extract_jsonld(html: str,
         if len(res.entities) >= _MAX_BLOCKS:
             break
         res.n_blocks += 1
+        mark = len(res.entities)
         try:
+            # RecursionError: json.loads and the recursive _flatten can
+            # both blow the stack on pathologically nested blocks (a
+            # 1 MB script allows ~500k nesting) — count as a bad block
+            # instead of escaping the kernel (invariant 7); roll back any
+            # partially flattened entities so output stays deterministic.
             node = json.loads(body)
-        except ValueError:
+            _flatten(node, res.entities)
+        except (ValueError, RecursionError):
+            del res.entities[mark:]
             res.n_bad_blocks += 1
             continue
-        _flatten(node, res.entities)
     return res

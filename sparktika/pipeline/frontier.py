@@ -7,11 +7,17 @@ chosen for 100 TB:
 - robots documents are PER-HOST and tiny — parse them (kernel) and
   explode to (host, rule_type, prefix) rows, then BROADCAST; the URL
   table never shuffles;
-- RFC 9309 precedence — the longest matching prefix wins, allow wins
-  ties — is a per-URL argmax over the matched rules: a window over
-  (url) ordered by (prefix length desc, allow first) after the
-  broadcast join. The join fans out only to the rules a URL actually
-  prefix-matches, so the exploded row count stays ~O(urls).
+- RFC 9309 precedence — the longest matching rule wins (octets of the
+  rule path, wildcards counted), allow wins ties — is a per-URL argmax
+  over the matched rules: a window over a unique per-input-row id
+  ordered by (rule length desc, allow first) after the broadcast join.
+  The join fans out only to the rules a URL actually matches, so the
+  exploded row count stays ~O(urls).
+- RFC 9309 §2.2.3 special characters: '*' in a rule path matches any
+  span of octets; a TRAILING '$' anchors the match at the end of the
+  path. Wildcard rules are translated ONCE (on the tiny broadcast
+  side) to anchored Java regexes; literal rules keep the cheap
+  startswith path, so the common case never pays regex cost.
 
 A URL with no matching rule (or no robots entry for its host) is
 allowed, per the RFC.
@@ -22,20 +28,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# escape every Java-regex metacharacter EXCEPT '*' (handled as the RFC
+# wildcard afterwards); includes backslash itself
+_META_CLASS = r"([\\^$.|?+(){}\[\]])"
+
+
+def _rule_regex(prefix):
+    """Column expr: translate an RFC 9309 rule path (with '*' wildcards
+    and an optional trailing '$' anchor) into an anchored Java regex.
+    Evaluated only on the broadcast rules side."""
+    anchored = prefix.endswith("$")
+    body = F.when(anchored, F.expr(
+        "substring(prefix, 1, length(prefix) - 1)")).otherwise(prefix)
+    esc = F.regexp_replace(body, _META_CLASS, r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), wild,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
 
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   keep_denied: bool = False) -> DataFrame:
     """urls: (url, host, path, ...); rules: (host, rule_type
     'allow'|'disallow', prefix). Returns urls + `allowed` boolean,
-    filtered to allowed unless keep_denied."""
+    filtered to allowed unless keep_denied. Duplicate input rows are
+    preserved (precedence ranks within a per-row id, not the url)."""
+    keyed = urls.withColumn("_uid", F.monotonically_increasing_id())
     r = F.broadcast(rules.select(
         "host", "rule_type", "prefix",
-        F.length("prefix").alias("_plen")))
-    joined = urls.join(
-        r, (urls["host"] == r["host"])
-        & urls["path"].startswith(r["prefix"]), "left") \
-        .drop(r["host"])
-    w = Window.partitionBy("url").orderBy(
+        F.length("prefix").alias("_plen"),
+        F.col("prefix").contains("*")
+        .__or__(F.col("prefix").endswith("$")).alias("_wild"),
+        _rule_regex(F.col("prefix")).alias("_re")))
+    cond = (keyed["host"] == r["host"]) & (
+        F.when(r["_wild"], F.regexp_like(keyed["path"], r["_re"]))
+         .otherwise(keyed["path"].startswith(r["prefix"])))
+    joined = keyed.join(r, cond, "left").drop(r["host"])
+    w = Window.partitionBy("_uid").orderBy(
         F.col("_plen").desc_nulls_last(),
         # tie on length: allow wins (RFC 9309 §2.2.2)
         F.when(F.col("rule_type") == "allow", 0).otherwise(1))
@@ -43,7 +71,8 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     decided = ranked.where(F.col("_rk") == 1).withColumn(
         "allowed",
         F.coalesce(F.col("rule_type") != "disallow", F.lit(True)))
-    out = decided.drop("rule_type", "prefix", "_plen", "_rk")
+    out = decided.drop("rule_type", "prefix", "_plen", "_wild", "_re",
+                       "_rk", "_uid")
     return out if keep_denied else out.where("allowed")
 
 

@@ -778,7 +778,7 @@ def test_vcard_ical_kernels():
 
     # folding + escapes
     folded = (b"BEGIN:VCARD\r\nFN:Split\r\n  name\r\n"
-              b"NOTE:semi\; and \\\\ back\r\nEND:VCARD\r\n")
+              b"NOTE:semi\\; and \\\\ back\r\nEND:VCARD\r\n")
     r = extract_vcal(folded)
     assert r.text == "Split name\nsemi; and \\ back\n"
 

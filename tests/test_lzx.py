@@ -171,6 +171,31 @@ def test_e8_rel_exceeding_int32_packs_unsigned():
     assert struct.unpack_from("<I", buf, 5)[0] == (filesize - 2) & 0xFFFFFFFF
 
 
+def test_match_overrunning_block_size_refuses_not_hangs():
+    # Regression (r7 advice, HIGH): a match that decrements the declared
+    # 24-bit block size below zero used to skip BOTH the ==0 header branch
+    # and the >0 token loop, spinning the outer while forever (the frame
+    # catch-up loop — the only check_deadline — never re-entered). Craft:
+    # out_len 10, declared block size 3, literals "AB", then an R0 match
+    # of length 4 → block_remaining = -3 with len(out)=6 < 10.
+    bw = lzx._BitWriter()
+    bw.put(0, 1)              # no E8
+    bw.put(1, 3)              # verbatim
+    bw.put(3, 24)             # declared block size 3 (a lie)
+    enc = lzx.LzxEncoder()
+    enc._write_tree_uniform(bw, 9, 256)
+    enc._write_tree_uniform(bw, 9, 256)
+    enc._write_tree_uniform(bw, 0, 249)
+    for b in b"AB":
+        c, ln = enc.main_codes[b]
+        bw.put(c, ln)
+    # sym 258 = slot 0 (R0, off=1), len_header 2 → match_len 4
+    bw.put(258, 9)
+    comp = bw.bytes_le()
+    with pytest.raises(KernelError, match="overran the declared block"):
+        lzx.decompress_segment(comp, 0, 10, 16)
+
+
 def test_truncation_sweep_never_garbage():
     raw = (b"truncation sweep payload " * 600)[:12000]
     enc = lzx.LzxEncoder()

@@ -96,3 +96,47 @@ def test_frontier_filter_semantics(spark_session=None):
               robots_filter(urls, rules, keep_denied=True).collect()}
     assert denied == {"u1": False, "u2": True, "u3": True,
                       "u4": False, "u5": True}
+
+
+def test_frontier_filter_wildcards_and_anchors():
+    """RFC 9309 §2.2.3 special characters: '*' spans any octets, a
+    trailing '$' anchors at end-of-path; regex metacharacters in rule
+    paths stay literal (r7 advice: literal startswith failed OPEN on
+    wildcard rules)."""
+    from sparktika.pipeline.frontier import robots_filter, rules_from_robots
+    from sparktika.pipeline.session import build_session
+
+    spark = build_session(master="local[2]", shuffle_partitions=2)
+    rules = rules_from_robots(
+        [("h1", "User-agent: *\nDisallow: /*.php$\n"),
+         ("h2", "User-agent: *\nDisallow: /a/*/c\n"),
+         ("h3", "User-agent: *\nDisallow: /dl/\nAllow: /dl/*.html$\n"),
+         ("h4", "User-agent: *\nDisallow: /p(1)+/\n")], spark)
+    urls = spark.createDataFrame(
+        [("w1", "h1", "/x.php"), ("w2", "h1", "/x.php?q=1"),
+         ("w3", "h1", "/x.phpx"), ("w4", "h1", "/deep/y.php"),
+         ("w5", "h2", "/a/b/c"), ("w6", "h2", "/a/c"),
+         ("w7", "h3", "/dl/a.html"), ("w8", "h3", "/dl/a.zip"),
+         ("w9", "h4", "/p(1)+/f"), ("wA", "h4", "/p1/f")],
+        "url string, host string, path string")
+    denied = {r.url: r.allowed for r in
+              robots_filter(urls, rules, keep_denied=True).collect()}
+    assert denied == {"w1": False, "w2": True, "w3": True, "w4": False,
+                      "w5": False, "w6": True, "w7": True, "w8": False,
+                      "w9": False, "wA": True}
+
+
+def test_frontier_filter_preserves_duplicate_urls():
+    """Duplicate frontier rows with the same url string must each
+    survive (precedence ranks per input row, not per url value)."""
+    from sparktika.pipeline.frontier import robots_filter, rules_from_robots
+    from sparktika.pipeline.session import build_session
+
+    spark = build_session(master="local[2]", shuffle_partitions=2)
+    rules = rules_from_robots(
+        [("h1", "User-agent: *\nDisallow: /a/\nAllow: /a/pub/\n")], spark)
+    urls = spark.createDataFrame(
+        [("dup", "h1", "/a/pub/x")] * 3 + [("solo", "h1", "/open")],
+        "url string, host string, path string")
+    out = robots_filter(urls, rules).collect()
+    assert sorted(r.url for r in out) == ["dup", "dup", "dup", "solo"]

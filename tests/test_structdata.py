@@ -53,3 +53,17 @@ def test_fuzz_never_raises():
         base[i] = rnd.randrange(256)
         extract_jsonld(bytes(base).decode("latin-1"))
         base[i] = orig
+
+
+def test_deeply_nested_block_counts_as_bad_not_raises():
+    """RecursionError from json.loads or _flatten must be contained as a
+    bad block (r7 advice), with any partial entities rolled back."""
+    from sparktika.kernels.structdata import extract_jsonld
+
+    deep = "[" * 200000 + "]" * 200000
+    html = ('<script type="application/ld+json">'
+            '{"@type":"Article","name":"ok"}</script>'
+            f'<script type="application/ld+json">{deep}</script>')
+    res = extract_jsonld(html)
+    assert res.n_blocks == 2 and res.n_bad_blocks == 1
+    assert [e["type"] for e in res.entities] == ["Article"]
