@@ -4910,96 +4910,72 @@ def corpus_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered queries against their oracles at sf0.001).
 # ---------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # round-6 gate window (50 slots exactly). Rotation policy: slots go
-    # (a) to never-gated queries (new this round), then (b) to queries
-    # whose KERNEL code changed this round even if their oracle did not
-    # (pdf.py grew the security handler, doc.py the Word-6/95 route,
-    # pst.py the permute plumbing, extract.py/mime.py new dispatch
-    # routes, container.py the ar/cpio member router — their r4/r5 hard
-    # rows predate those edits), then (c) to the oldest hard rows first
-    # (the 19 r3-vintage rows the r5 verdict names), then (d) r4-vintage
-    # fills in registration order.  The 26 r4-vintage rows that do not
-    # fit (rel_* joins/aggs, tag triad, tnef/ics/mbox, oov/ngram-spans/
-    # embedding-cosine, heif, concat_chunks, odp, sessionize) are all
-    # r4-green + twin-covered and rotate first in round 7.
-    # 1) never gated (r6 additions; extract_chm_text's oracle CHANGED
-    #    mid-round when the LZX decoder landed — re-hash mandatory)
-    "extract_pdf_encrypted",
-    "extract_doc_legacy",
-    "extract_ar_cpio_text",
-    "extract_arj_text",
-    "extract_chm_text",
-    "extract_legacy_codec_text",
-    "extract_executable_meta",
-    "extract_feed_text",
-    "extract_dbf_text",
-    "extract_font_psd_meta",
-    "extract_midi_text",
-    "extract_mat_meta",
-    "extract_snappy_deflate_text",
-    "extract_sitemap_urls",
-    "extract_iwork_text",
-    "media_container_meta",
-    "web_robots_rules",
-    "text_jsonld",
-    "corpus_stratified_sample",
-    "corpus_quality_model",
-    # 2) kernel changed this round — re-gate against unchanged oracles
-    "extract_pdf_text",
-    "extract_pdf_metadata_keys",
-    "extract_pdf_images",
-    "extract_pdf_embedded",
-    "extract_mime_route",
-    "extract_status_counts",
-    "extract_doc_subdocs",
-    "extract_pst_text",
-    "extract_zip_text",
-    "extract_tar_text",
-    "extract_7z_text",
-    # 3) r3-vintage rows (all 19 — closes r5 verdict item 2)
-    "text_pii_scrub",
-    "text_repetition",
-    "corpus_filter",
-    "url_normalize",
-    "media_audio_features",
-    "media_video_meta",
-    "media_resize",
-    "media_jpeg_features",
-    "media_frame_sample",
-    "extract_image_meta",
-    "extract_exif",
-    "media_tiff_features",
-    "media_jpeg_progressive",
-    "text_chunking",
-    "media_h264_meta",
-    "media_hevc_meta",
-    "media_av1_meta",
-    "media_audio_headers",
-    "media_webp_meta",
-    # 4) r4-vintage fills (15 of 41 remaining, registration order)
+    # round-7 gate window. Rotation policy (r6 VERDICT item 1):
+    # (a) web_frontier_filter — oracle-backed + pytest-green since r6
+    #     but NEVER driver-gated (the r6 window was exactly full);
+    # (b) all 41 queries whose newest hard row is r4-vintage (computed
+    #     from CORRECTNESS_r01..r06; the rel_* family, the tag triad,
+    #     tnef/ics/mbox, the r2 extraction staples, and the similarity/
+    #     text fills) — after this window no oracle-backed query's
+    #     newest driver row is older than r5;
+    # (c) the remaining 8 slots go to NEW r7 queries as they land
+    #     (appended below, hard cap 50 total), then rows-only queries
+    #     (last driver rows r5) fill whatever is left. New queries
+    #     beyond the cap stay ungated + pytest-covered and lead the r8
+    #     rotation, like web_frontier_filter did this round.
+    "web_frontier_filter",
     "extract_charset",
     "extract_links",
     "extract_truncation",
-    "dedup_newest_per_url",
-    "resume_anti_join",
     "extract_main_text",
+    "extract_docx_text",
+    "extract_docx_hdrftr",
+    "extract_pptx_notes",
     "extract_xlsx_text",
-    # (fifteen r4-vintage fills — sim_topk_bruteforce, dedup_exact,
-    # text_quality, text_lang_id, text_token_counts, extract_pptx_notes,
-    # extract_docx_hdrftr, extract_docx_text, extract_xlsx_text,
-    # extract_main_text, resume_anti_join, dedup_newest_per_url,
-    # extract_truncation, extract_links, extract_charset — were
-    # displaced one-by-one as the fifteen mid-round additions landed
-    # (extract_arj_text, extract_legacy_codec_text,
-    # extract_executable_meta, extract_feed_text, extract_dbf_text,
-    # extract_font_psd_meta, extract_midi_text, extract_mat_meta,
-    # extract_snappy_deflate_text, extract_sitemap_urls,
-    # extract_iwork_text, media_container_meta, web_robots_rules,
-    # text_jsonld, corpus_stratified_sample); all fifteen are
-    # r4/r5-green + pytest-covered and rotate back in round 7 with the
-    # other r4-vintage leave-outs. The window is now EXACTLY 21 r6-new
-    # + 11 kernel-changed + 19 r3-vintage = 50 — no further gated
-    # additions fit this round)
+    "extract_odp_text",
+    "extract_mbox_text",
+    "extract_ics_text",
+    "extract_tnef_text",
+    "extract_flac_tags",
+    "extract_mp3_tags",
+    "extract_ogg_tags",
+    "media_heif_meta",
+    "dedup_exact",
+    "dedup_newest_per_url",
+    "dedup_embedding_cosine",
+    "dedup_ngram_spans",
+    "resume_anti_join",
+    "sim_topk_bruteforce",
+    "corpus_concat_chunks",
+    "events_sessionize",
+    "text_lang_id",
+    "text_oov_rate",
+    "text_quality",
+    "text_token_counts",
+    "rel_agg_pricing_summary",
+    "rel_anti_join_inactive_customers",
+    "rel_asof_join",
+    "rel_exists_returned_orders",
+    "rel_join_broadcast_segment_revenue",
+    "rel_percentiles_disc",
+    "rel_q22_global_sales_opportunity",
+    "rel_range_join",
+    "rel_set_except_unordered_parts",
+    "rel_sql_api_shipping_priority",
+    "rel_string_date_funcs",
+    "rel_topk_orders",
+    "rel_window_latest_event",
+    # (c) new r7 queries — appended as they land:
+    # (d) rows-only tail (cut from the window by later (c) additions
+    #     as needed; they produced driver rows in r5):
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_semantic",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "text_winnowing",
+    "text_lang_id_ngram",
+    "metrics_partition_lineage",
 ]
 
 
