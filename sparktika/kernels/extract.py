@@ -875,6 +875,30 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/x-netcdf":
+            from .netcdf import parse_netcdf
+
+            # NetCDFParser parity (Tika 1.20 via tika-parsers): global
+            # attributes as metadata, dim/var inventory as the body
+            r = parse_netcdf(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/x-netcdf"],
+                  "netcdf-version": ["classic" if r.version == 1
+                                     else "64-bit-offset"],
+                  "netcdf-dimensions": [str(len(r.dims))],
+                  "netcdf-variables": [str(len(r.variables))],
+                  "netcdf-records": [str(r.numrecs)]}
+            for aname, aval in r.gatts[:64]:
+                md.setdefault(f"netcdf:{aname}", []).append(aval[:512])
+            title = next((v for k, v in r.gatts if k == "title"), None)
+            if title:
+                md["title"] = [title]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, title=title, status=status,
+                       write_limit_reached=limited)
+
         if detected == "audio/midi":
             from .midi import parse_midi
 

@@ -80,6 +80,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x78\xda", "application/zlib"),
     (b"OTTO", "application/x-font-otf"),
     (b"ttcf", "application/x-font-ttf"),
+    (b"CDF\x01", "application/x-netcdf"),
+    (b"CDF\x02", "application/x-netcdf"),
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a

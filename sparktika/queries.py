@@ -4895,6 +4895,65 @@ def corpus_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(pages).select("doc_id", "score_ppm", "keep")
 
 
+@_register(
+    "extract_netcdf_meta",
+    """
+SELECT doc_id,
+       'dim time = UNLIMITED (' || CAST(doc_id % 5 AS VARCHAR)
+         || ' currently)' || chr(10) ||
+       'dim x = ' || CAST(2 + doc_id % 3 AS VARCHAR) || chr(10) ||
+       'var label : char (x)' || chr(10) ||
+       'var temp : float (time,x)' || chr(10) ||
+       ':title = Synth NetCDF ' || doc_id || chr(10) ||
+       ':source = sparktika synth corpus' || chr(10) ||
+       ':levels = ' || CAST(doc_id % 9 + 1 AS VARCHAR) || chr(10)
+         AS text_extracted,
+       CASE WHEN doc_id % 2 = 0 THEN 'classic' ELSE '64-bit-offset' END
+         AS nc_version,
+       'Synth NetCDF ' || doc_id AS title,
+       CAST(2 AS BIGINT) AS n_variables,
+       'application/x-netcdf' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_netcdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF classic (CDF-1/CDF-2) kernel — Tika 1.20 parity:
+    NetCDFParser (netcdf-java under the hood, reached by the reference
+    via tika-parsers:1.20, tika-fork-main/build.gradle:24) reports
+    global attributes as metadata and the dimension/variable inventory
+    as the body. From-scratch header walk per the public Unidata
+    classic-format grammar (kernels/netcdf.py); even docs CDF-1, odd
+    CDF-2 (64-bit offsets), record + fixed dims, char + float vars."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_netcdf_file
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_netcdf_file(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://data.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".nc")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    meta = F.col("metadata")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.nc", 1)
+         .cast("long").alias("doc_id"),
+        "text_extracted",
+        F.element_at(meta, "netcdf-version").getItem(0).alias("nc_version"),
+        "title",
+        F.element_at(meta, "netcdf-variables").getItem(0)
+         .cast("long").alias("n_variables"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -4966,6 +5025,7 @@ _GATE_PRIORITY: list[str] = [
     "rel_topk_orders",
     "rel_window_latest_event",
     # (c) new r7 queries — appended as they land:
+    "extract_netcdf_meta",
     # (d) rows-only tail (cut from the window by later (c) additions
     #     as needed; they produced driver rows in r5):
     "dedup_minhash_lsh",

@@ -3443,3 +3443,12 @@ def build_robots(doc_id: int) -> bytes:
               "Disallow: /no-example/",
               f"Sitemap: https://site{doc_id}.example.com/sitemap.xml"]
     return "\n".join(lines).encode()
+
+def build_netcdf_file(doc_id: int) -> bytes:
+    """NetCDF classic store (extract_netcdf_meta oracle): CDF-1 for
+    even ids / CDF-2 for odd, record dim + fixed dim, three global
+    attrs, a char and a float variable — data written at the declared
+    begin offsets so the file is fully valid."""
+    from .kernels.netcdf import build_netcdf
+
+    return build_netcdf(doc_id)
