@@ -1073,9 +1073,66 @@ def extract_document(
                            text_extracted=text if cfg.parse_content else None,
                            metadata=md,
                            status=status, write_limit_reached=limited)
-            if "PowerPoint Document" in streams:
-                from .ppt import extract_ppt
+            if "VisioDocument" in streams:
+                from .visio import BODY_REFUSAL, VSD_MIME, extract_visio
 
+                # metadata-first by design: signature + OLE2 property
+                # sets extract faithfully; the HDGF LZW-variant body is
+                # refused rather than risking silently garbled text
+                r = extract_visio(ole, deadline=deadline)
+                md = {"Content-Type": [VSD_MIME],
+                      "visio-signature": [r.signature],
+                      "visio-stream-bytes": [str(r.stream_bytes)],
+                      "body-refusal": [BODY_REFUSAL]}
+                for k in ("title", "subject", "author", "keywords",
+                          "comments", "last_author", "app_name",
+                          "create_dtm", "last_save_dtm"):
+                    v = r.summary.get(k)
+                    if v not in (None, ""):
+                        md[k] = [str(v)]
+                for k in ("company", "manager", "category"):
+                    v = r.docsum.get(k)
+                    if v not in (None, ""):
+                        md[k] = [str(v)]
+                title = r.summary.get("title")
+                return res(detected=VSD_MIME,
+                           text_extracted="" if cfg.parse_content else None,
+                           title=str(title) if title else None,
+                           metadata=md, status=STATUS_OK)
+            if "PP40" in streams:
+                # PowerPoint 4.x: Tika 1.20's POIFSContainerDetector
+                # keys the PowerPoint type on a PP40 root stream; POI
+                # HSLF has no pre-97 reader — structured refusal
+                from .ppt import OLD_PPT_REFUSAL
+
+                return res(detected="application/vnd.ms-powerpoint",
+                           status=STATUS_UNSUPPORTED,
+                           metadata={"Content-Type":
+                                     ["application/vnd.ms-powerpoint"],
+                                     "ppt-format": ["powerpoint-4.x"],
+                                     "refusal-reason": [OLD_PPT_REFUSAL]},
+                           error="old-format PowerPoint 4.x, "
+                                 "refused by design")
+            if "PowerPoint Document" in streams:
+                from .ppt import OLD_PPT_REFUSAL, doc_file_version, \
+                    extract_ppt
+
+                ver = doc_file_version(ole)
+                if ver is not None and ver != 0x03F4:
+                    # PowerPoint 95: Current User carries a pre-97
+                    # docFileVersion ([MS-PPT] §2.3.2 requires 0x03F4
+                    # for 97+) — the same check POI's CurrentUserAtom
+                    # uses before OldPowerPointFormatException
+                    return res(detected="application/vnd.ms-powerpoint",
+                               status=STATUS_UNSUPPORTED,
+                               metadata={"Content-Type":
+                                         ["application/vnd.ms-powerpoint"],
+                                         "ppt-format": ["powerpoint-95"],
+                                         "ppt-doc-file-version": [str(ver)],
+                                         "refusal-reason":
+                                         [OLD_PPT_REFUSAL]},
+                               error="old-format PowerPoint 95, "
+                                     "refused by design")
                 r = extract_ppt(data, deadline=deadline)
                 text, limited = _cap_text(r.text, cfg.max_chars)
                 status = STATUS_TRUNCATED if limited else STATUS_OK

@@ -57,6 +57,26 @@ def _scan(data: bytes, out: list[str], depth: int = 0,
         i += rec_len
 
 
+OLD_PPT_REFUSAL = ("pre-97 PowerPoint record format is undocumented "
+                   "publicly; Tika 1.20 (POI HSLF) likewise throws "
+                   "OldPowerPointFormatException — refused by design")
+
+
+def doc_file_version(ole) -> int | None:
+    """docFileVersion from the `Current User` stream ([MS-PPT] §2.3.2
+    CurrentUserAtom: 8-byte record header, then size/headerToken/
+    offsetToCurrentEdit u32s + lenUserName u16 put the u16 field at
+    offset 22). 0x03F4 means PowerPoint 97+; POI HSLF treats anything
+    else as the 95 format and refuses. None when the stream is absent
+    or too short to carry the field (our pre-r7 synth decks)."""
+    if "Current User" not in ole.stream_names():
+        return None
+    cu = ole.read_stream("Current User")
+    if len(cu) < 24:
+        return None
+    return struct.unpack_from("<H", cu, 22)[0]
+
+
 def extract_ppt_ole(ole, deadline: float | None = None) -> PptResult:
     """Record scan over an Ole2File-like (including a ScopedOle view of
     an embedded presentation storage inside another compound document —

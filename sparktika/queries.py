@@ -4954,6 +4954,112 @@ def extract_netcdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+@_register(
+    "extract_vsd_meta",
+    """
+SELECT doc_id,
+       'Visio (TM) Drawing' AS signature,
+       'Diagram ' || doc_id AS title,
+       'Drafter ' || CAST(doc_id % 7 AS VARCHAR) AS author,
+       'Example Corp' AS company,
+       'Manager ' || CAST(doc_id % 3 AS VARCHAR) AS manager,
+       CAST(84 + (doc_id % 4) * 32 AS BIGINT) AS stream_bytes,
+       'application/vnd.visio' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_vsd_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visio VSD — metadata-first by design (kernels/visio.py): the
+    OLE2 VisioDocument signature + [MS-OLEPS] SummaryInformation /
+    DocumentSummaryInformation property sets extract faithfully (title,
+    author, company, manager); the HDGF LZW-variant compressed body is
+    refused with a queryable body-refusal entry rather than risking
+    silently garbled text (Tika 1.20 parity target is VisioParser via
+    tika-parsers:1.20, reference build.gradle:24 — its POI HDGF
+    decompressor is the only public description of the codec, so the
+    body stays out of scope like the PST permute table)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_vsd
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_vsd(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".vsd")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    meta = F.col("metadata")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.vsd", 1)
+         .cast("long").alias("doc_id"),
+        F.element_at(meta, "visio-signature").getItem(0).alias("signature"),
+        "title",
+        F.element_at(meta, "author").getItem(0).alias("author"),
+        F.element_at(meta, "company").getItem(0).alias("company"),
+        F.element_at(meta, "manager").getItem(0).alias("manager"),
+        F.element_at(meta, "visio-stream-bytes").getItem(0)
+         .cast("long").alias("stream_bytes"),
+        "content_type_detected", "status")
+
+
+@_register(
+    "extract_ppt95_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'powerpoint-95'
+            ELSE 'powerpoint-4.x' END AS ppt_format,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1000 AS BIGINT) END
+         AS doc_file_version,
+       'application/vnd.ms-powerpoint' AS content_type_detected,
+       'unsupported' AS status
+FROM documents
+""",
+)
+def extract_ppt95_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-97 PowerPoint detection (r6 VERDICT item 4): PowerPoint 95
+    stores are recognized via the Current User docFileVersion field
+    ([MS-PPT] §2.3.2 requires 0x03F4 for 97+ — the same check POI's
+    CurrentUserAtom makes before OldPowerPointFormatException), and
+    PowerPoint 4.x via the PP40 root stream (the key Tika 1.20's
+    POIFSContainerDetector uses). Both refuse with structured metadata
+    — exact reference parity, since Tika 1.20/POI 4.0.1 throw
+    OldPowerPointFormatException for every pre-97 deck rather than
+    extracting text. Even docs PP95, odd PP40."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_ppt_old
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_ppt_old(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".ppt")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    meta = F.col("metadata")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.ppt", 1)
+         .cast("long").alias("doc_id"),
+        F.element_at(meta, "ppt-format").getItem(0).alias("ppt_format"),
+        F.element_at(meta, "ppt-doc-file-version").getItem(0)
+         .cast("long").alias("doc_file_version"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5026,6 +5132,8 @@ _GATE_PRIORITY: list[str] = [
     "rel_window_latest_event",
     # (c) new r7 queries — appended as they land:
     "extract_netcdf_meta",
+    "extract_vsd_meta",
+    "extract_ppt95_meta",
     # (d) rows-only tail (cut from the window by later (c) additions
     #     as needed; they produced driver rows in r5):
     "dedup_minhash_lsh",

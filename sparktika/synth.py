@@ -3452,3 +3452,83 @@ def build_netcdf_file(doc_id: int) -> bytes:
     from .kernels.netcdf import build_netcdf
 
     return build_netcdf(doc_id)
+
+def _propset_stream(fmtid: bytes, props: dict[int, object]) -> bytes:
+    """[MS-OLEPS] PropertySetStream writer (one section): VT_I2
+    codepage 1252 first, then VT_LPSTR strings / VT_I4 ints / VT_BOOL
+    by Python type. Shared by the VSD corpus (and any future synth
+    needing SummaryInformation streams)."""
+    import struct as _s
+
+    entries: list[tuple[int, bytes]] = [(1, _s.pack("<IhH", 2, 1252, 0))]
+    for pid, v in sorted(props.items()):
+        if isinstance(v, bool):
+            entries.append((pid, _s.pack("<IhH", 11, -1 if v else 0, 0)))
+        elif isinstance(v, int):
+            entries.append((pid, _s.pack("<Ii", 3, v)))
+        else:
+            b = str(v).encode("cp1252") + b"\x00"
+            enc = _s.pack("<II", 0x1E, len(b)) + b
+            enc += b"\x00" * ((-len(enc)) % 4)
+            entries.append((pid, enc))
+    head = 8 + 8 * len(entries)
+    offs, blob = [], b""
+    for pid, enc in entries:
+        offs.append((pid, head + len(blob)))
+        blob += enc
+    section = (_s.pack("<II", head + len(blob), len(entries))
+               + b"".join(_s.pack("<II", p, o) for p, o in offs) + blob)
+    return (_s.pack("<HHI", 0xFFFE, 0, 0) + b"\x00" * 16
+            + _s.pack("<I", 1) + fmtid + _s.pack("<I", 48) + section)
+
+
+def build_vsd(doc_id: int) -> bytes:
+    """Visio binary drawing (extract_vsd_meta oracle): VisioDocument
+    stream led by the public 'Visio (TM) Drawing' signature + a
+    deterministic pseudo-compressed body (64 + doc_id%4 * 32 bytes the
+    kernel must NOT attempt to decode), plus real SummaryInformation /
+    DocumentSummaryInformation property sets."""
+    import hashlib as _h
+
+    from .kernels.olemeta import _FMTID_DOCSUMMARY, _FMTID_SUMMARY
+
+    n_junk = 64 + (doc_id % 4) * 32
+    junk = b"".join(
+        _h.blake2b(f"vsd{doc_id}:{k}".encode(), digest_size=32).digest()
+        for k in range((n_junk + 31) // 32))[:n_junk]
+    vd = b"Visio (TM) Drawing\r\n" + junk
+    summary = _propset_stream(_FMTID_SUMMARY, {
+        2: f"Diagram {doc_id}",          # title
+        3: "Network layout",             # subject
+        4: f"Drafter {doc_id % 7}",      # author
+        18: "Microsoft Visio",           # app_name
+    })
+    docsum = _propset_stream(_FMTID_DOCSUMMARY, {
+        15: "Example Corp",              # company
+        14: f"Manager {doc_id % 3}",     # manager
+    })
+    return _ole2_file({
+        "VisioDocument": vd,
+        "\x05SummaryInformation": summary,
+        "\x05DocumentSummaryInformation": docsum,
+    })
+
+
+def build_ppt_old(doc_id: int) -> bytes:
+    """Pre-97 PowerPoint (extract_ppt95_meta oracle): even ids a
+    PowerPoint-95-style store (PowerPoint Document + Current User whose
+    docFileVersion 1000 != 0x03F4), odd ids a PowerPoint-4.x-style
+    store (PP40 root stream). Both must refuse with structured
+    metadata, never scan the old-format records."""
+    import hashlib as _h
+
+    body = _h.blake2b(f"oldppt{doc_id}".encode(), digest_size=64).digest()
+    if doc_id % 2 == 0:
+        cu = bytearray(32)
+        import struct as _s
+        _s.pack_into("<HHI", cu, 0, 0, 0x0FF6, 24)   # record header
+        _s.pack_into("<I", cu, 8, 0x14)              # size
+        _s.pack_into("<H", cu, 22, 1000)             # docFileVersion
+        return _ole2_file({"Current User": bytes(cu),
+                           "PowerPoint Document": body})
+    return _ole2_file({"PP40": body})

@@ -250,6 +250,17 @@ def test_r6_kernel_queries_stay_map_only(spark, query_name):
     assert "Exchange" not in plan, plan
 
 
+@pytest.mark.parametrize("query_name", ["extract_netcdf_meta",
+                                        "extract_vsd_meta",
+                                        "extract_ppt95_meta"])
+def test_r7_kernel_queries_stay_map_only(spark, query_name):
+    """r7 additions must stay in the map-only per-doc kernel shape."""
+    from sparktika import queries as Q
+
+    plan = _plan(getattr(Q, query_name)(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
 def test_frontier_filter_broadcasts_rules(spark):
     """web_frontier_filter: the rules side must BROADCAST (the URL
     table never shuffles its raw rows) and the per-URL argmax must use
