@@ -5060,6 +5060,89 @@ def extract_ppt95_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+def _dsir_oracle() -> str:
+    from .pipeline.dsir import LOG_RATIO_SCALED
+    w_lit = "[" + ", ".join(str(v) for v in LOG_RATIO_SCALED) + "]"
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN
+             'The committee published a detailed annual report. Findings were reviewed, replicated and archived. Methods are described in the appendix.'
+             || ' Volume ' || CAST(doc_id % 7 AS VARCHAR) || ' is public.'
+             || repeat(' Further work is planned.', doc_id % 4)
+           WHEN 1 THEN
+             repeat('home about contact privacy terms sitemap login register help ', 2 + doc_id % 3)
+             || 'copyright notice'
+           ELSE
+             repeat('win free prize now click here buy cheap pills fast ', 1 + doc_id % 4)
+             || 'visit casino site today'
+         END AS text
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), x -> len(x) > 0),
+                        t -> 7 * len(t) + ord(t)) AS f
+  FROM pages),
+weighted AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(
+           list_transform(range(2, len(f) + 1),
+                          i -> ({w_lit})[(f[i-1] * 31 + f[i]) % 64 + 1])), 0)
+           AS BIGINT) AS weight_scaled
+  FROM feats)
+SELECT doc_id, weight_scaled,
+       substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 5)
+         < printf('%05x', least(greatest(524288 + weight_scaled, 0),
+                                1048575)) AS accepted
+FROM weighted
+"""
+
+
+@_register("corpus_dsir_sample", _dsir_oracle())
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (r6 VERDICT item 8) — Xie et
+    al. 2023 (arXiv:2302.03169) distilled to exact integer arithmetic:
+    hashed token-bigram features -> broadcast scaled-log-ratio table
+    (target formal prose vs the full three-way proposal mixture, fit
+    OFFLINE by tools/train_dsir.py on disjoint ids) -> per-doc summed
+    importance weight -> deterministic md5-threshold acceptance on a
+    +-2**19 linear ramp (reusing the stratified-sampling hex-compare
+    machinery). The draw is a pure function of doc_id, so selection is
+    exactly reproducible across engines, reruns, and cluster sizes;
+    held-out acceptance prose 0.529 / boilerplate 0.101 / spam 0.211.
+    Map-only: one scan, zero shuffles (pinned in test_plan_audits.py)."""
+    from .pipeline.dsir import dsir_resample, dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("The committee published a detailed annual "
+                      "report. Findings were reviewed, replicated and "
+                      "archived. Methods are described in the appendix."),
+                F.lit(" Volume "), (F.col("doc_id") % 7).cast("string"),
+                F.lit(" is public."),
+                F.expr("repeat(' Further work is planned.', doc_id % 4)"),
+            )).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.expr("repeat('home about contact privacy terms "
+                       "sitemap login register help ', 2 + doc_id % 3)"),
+                F.lit("copyright notice"),
+            )).otherwise(
+            F.concat(
+                F.expr("repeat('win free prize now click here buy cheap "
+                       "pills fast ', 1 + doc_id % 4)"),
+                F.lit("visit casino site today"),
+            )).alias("text"),
+    )
+    return dsir_resample(dsir_weights(pages)).select(
+        "doc_id", "weight_scaled", "accepted")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5134,6 +5217,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_netcdf_meta",
     "extract_vsd_meta",
     "extract_ppt95_meta",
+    "corpus_dsir_sample",
     # (d) rows-only tail (cut from the window by later (c) additions
     #     as needed; they produced driver rows in r5):
     "dedup_minhash_lsh",

@@ -250,6 +250,15 @@ def test_r6_kernel_queries_stay_map_only(spark, query_name):
     assert "Exchange" not in plan, plan
 
 
+def test_dsir_sample_is_map_only(spark):
+    """corpus_dsir_sample: one pruned scan, broadcast ratio table,
+    zero Exchange — the selection must never shuffle the corpus."""
+    from sparktika.queries import corpus_dsir_sample
+
+    plan = _plan(corpus_dsir_sample(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
 @pytest.mark.parametrize("query_name", ["extract_netcdf_meta",
                                         "extract_vsd_meta",
                                         "extract_ppt95_meta"])
