@@ -899,6 +899,24 @@ def extract_document(
                        metadata=md, title=title, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/vnd.wordperfect":
+            from .wpd import BODY_REFUSAL, parse_wpd_header
+
+            # WordPerfectParser parity, metadata-first by design: the
+            # public 16-byte WPFF prefix extracts faithfully; the
+            # function-code body is refused (kernels/wpd.py docstring)
+            h = parse_wpd_header(data)
+            md = {"Content-Type": [detected],
+                  "wpd-version": [h.version_label],
+                  "wpd-major-version": [str(h.major_version)],
+                  "wpd-minor-version": [str(h.minor_version)],
+                  "wpd-file-type": [str(h.file_type)],
+                  "wpd-doc-area-pointer": [str(h.doc_area_pointer)],
+                  "body-refusal": [BODY_REFUSAL]}
+            return res(detected=detected,
+                       text_extracted="" if cfg.parse_content else None,
+                       metadata=md, status=STATUS_OK)
+
         if detected == "audio/midi":
             from .midi import parse_midi
 

@@ -82,6 +82,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"ttcf", "application/x-font-ttf"),
     (b"CDF\x01", "application/x-netcdf"),
     (b"CDF\x02", "application/x-netcdf"),
+    (b"\xffWPC", "application/vnd.wordperfect"),
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a

@@ -5060,6 +5060,64 @@ def extract_ppt95_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+@_register(
+    "extract_wpd_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN 'unsupported' ELSE 'ok' END
+         AS status,
+       CASE WHEN doc_id % 10 = 0 THEN 'encrypted_wpd' END AS encryption,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'WP5.x'
+            ELSE 'WP6/7/8' END AS wpd_version,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE CAST(doc_id % 4 AS BIGINT) END AS minor_version,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE CAST(16 + (doc_id % 5) * 4 AS BIGINT) END AS doc_ptr,
+       'application/vnd.wordperfect' AS content_type_detected
+FROM documents
+""",
+)
+def extract_wpd_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPerfect WPD — metadata-first by design (kernels/wpd.py): the
+    fully public 16-byte WPFF prefix (magic, product/file type, major/
+    minor version, document-area pointer, encryption key) extracts
+    faithfully; the function-code body is refused until the size tables
+    arrive in retrieved public content (Tika 1.20 parity target is
+    WordPerfectParser via tika-parsers:1.20, reference
+    build.gradle:24), and password-protected files refuse through the
+    EncryptedError path with a queryable encryption kind."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_wpd
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_wpd(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".wpd")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    meta = F.col("metadata")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.wpd", 1)
+         .cast("long").alias("doc_id"),
+        "status",
+        F.element_at(meta, "encryption").getItem(0).alias("encryption"),
+        F.element_at(meta, "wpd-version").getItem(0).alias("wpd_version"),
+        F.element_at(meta, "wpd-minor-version").getItem(0)
+         .cast("long").alias("minor_version"),
+        F.element_at(meta, "wpd-doc-area-pointer").getItem(0)
+         .cast("long").alias("doc_ptr"),
+        "content_type_detected")
+
+
 def _dsir_oracle() -> str:
     from .pipeline.dsir import LOG_RATIO_SCALED
     w_lit = "[" + ", ".join(str(v) for v in LOG_RATIO_SCALED) + "]"
@@ -5218,6 +5276,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_vsd_meta",
     "extract_ppt95_meta",
     "corpus_dsir_sample",
+    "extract_wpd_meta",
     # (d) rows-only tail (cut from the window by later (c) additions
     #     as needed; they produced driver rows in r5):
     "dedup_minhash_lsh",

@@ -3514,6 +3514,28 @@ def build_vsd(doc_id: int) -> bytes:
     })
 
 
+def build_wpd(doc_id: int) -> bytes:
+    """WordPerfect file (extract_wpd_meta oracle): the public 16-byte
+    WPFF prefix + deterministic junk standing in for the function-code
+    body the kernel must NOT attempt to decode. doc_id % 10 == 0 gets a
+    nonzero encryption key (refusal path); others alternate WP5.x
+    (major 0, doc_id % 3 == 0) and WP6+ (major 2)."""
+    import hashlib as _h
+    import struct as _s
+
+    enc_key = (1 + doc_id % 7) if doc_id % 10 == 0 else 0
+    major = 0 if doc_id % 3 == 0 else 2
+    minor = doc_id % 4
+    doc_ptr = 16 + (doc_id % 5) * 4
+    body_len = (doc_ptr - 16) + 40
+    junk = _h.blake2b(f"wpd{doc_id}".encode(),
+                      digest_size=64).digest()[:body_len]
+    return (b"\xffWPC"
+            + _s.pack("<IBBBBHH", doc_ptr, 1, 0x0A, major, minor,
+                      enc_key, 16)
+            + junk)
+
+
 def build_ppt_old(doc_id: int) -> bytes:
     """Pre-97 PowerPoint (extract_ppt95_meta oracle): even ids a
     PowerPoint-95-style store (PowerPoint Document + Current User whose
