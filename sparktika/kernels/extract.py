@@ -899,6 +899,28 @@ def extract_document(
                        metadata=md, title=title, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/x-hdf5":
+            from .hdf5 import parse_hdf5
+
+            # HDFParser parity (Tika 1.20 via tika-parsers): attributes
+            # as metadata, group/dataset inventory as the body
+            r = parse_hdf5(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": [detected],
+                  "hdf5-groups": [str(len(r.groups))],
+                  "hdf5-datasets": [str(len(r.datasets))]}
+            for aname, aval in r.root_attrs[:64]:
+                md.setdefault(f"hdf5:{aname}", []).append(aval[:512])
+            title = next((v for k, v in r.root_attrs if k == "title"),
+                         None)
+            if title:
+                md["title"] = [title]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, title=title, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/vnd.wordperfect":
             from .wpd import BODY_REFUSAL, parse_wpd_header
 

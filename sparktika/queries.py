@@ -5118,6 +5118,70 @@ def extract_wpd_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected")
 
 
+@_register(
+    "extract_hdf5_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'group /grp' || chr(10)
+            ELSE '' END
+       || 'dataset /count : int32 (' || CAST(2 + doc_id % 3 AS VARCHAR)
+         || ')' || chr(10)
+       || CASE WHEN doc_id % 2 = 0
+               THEN 'dataset /grp/label : string16 (3)' || chr(10)
+               ELSE '' END
+       || 'dataset /temp : float64 (' || CAST(1 + doc_id % 5 AS VARCHAR)
+         || ',4)' || chr(10)
+       || ':title = Synth HDF5 ' || doc_id || chr(10)
+       || ':source = sparktika-synth' || chr(10) AS text_extracted,
+       'Synth HDF5 ' || doc_id AS title,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_datasets,
+       CAST(doc_id % 2 = 0 AS BIGINT) AS n_groups,
+       'application/x-hdf5' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_hdf5_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 kernel — Tika 1.20 parity: HDFParser (netcdf-java under
+    the hood, reached by the reference via tika-parsers:1.20,
+    tika-fork-main/build.gradle:24) reports attributes as metadata and
+    the group/dataset inventory as the body. From-scratch classic-
+    format walk per the public HDF5 File Format Specification
+    (kernels/hdf5.py: superblock v0, v1 object headers, v1 B-tree +
+    SNOD + local-heap groups; v2/v3 features refuse loudly). Even docs
+    carry a subgroup with a string dataset; dataset VALUES are never
+    read — header metadata only."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_hdf5_file
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_hdf5_file(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://data.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".h5")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    meta = F.col("metadata")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.h5", 1)
+         .cast("long").alias("doc_id"),
+        "text_extracted",
+        "title",
+        F.element_at(meta, "hdf5-datasets").getItem(0)
+         .cast("long").alias("n_datasets"),
+        F.element_at(meta, "hdf5-groups").getItem(0)
+         .cast("long").alias("n_groups"),
+        "content_type_detected", "status")
+
+
 def _dsir_oracle() -> str:
     from .pipeline.dsir import LOG_RATIO_SCALED
     w_lit = "[" + ", ".join(str(v) for v in LOG_RATIO_SCALED) + "]"
@@ -5277,6 +5341,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_ppt95_meta",
     "corpus_dsir_sample",
     "extract_wpd_meta",
+    "extract_hdf5_meta",
     # (d) rows-only tail (cut from the window by later (c) additions
     #     as needed; they produced driver rows in r5):
     "dedup_minhash_lsh",

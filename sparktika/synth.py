@@ -3514,6 +3514,14 @@ def build_vsd(doc_id: int) -> bytes:
     })
 
 
+def build_hdf5_file(doc_id: int) -> bytes:
+    """extract_hdf5_meta corpus: delegates to the kernel-module builder
+    (one source of on-disk-layout truth, the build_netcdf pattern)."""
+    from .kernels.hdf5 import build_hdf5
+
+    return build_hdf5(doc_id)
+
+
 def build_wpd(doc_id: int) -> bytes:
     """WordPerfect file (extract_wpd_meta oracle): the public 16-byte
     WPFF prefix + deterministic junk standing in for the function-code
