@@ -69,6 +69,19 @@ def route_member_text(
         return extract_arj_container(body, budget, max_ratio,
                                      max_entry_bytes, depth + 1, deadline,
                                      recurse).text
+    if detected == "application/vnd.ms-cab-compressed":
+        from .cab import extract_cab
+        from .errors import DeadlineError
+
+        try:
+            return extract_cab(body, budget, max_ratio, max_entry_bytes,
+                               depth + 1, deadline, recurse).text
+        except DeadlineError:
+            raise  # the shared per-document budget always propagates
+        except KernelError:
+            # same posture as the 7z branch: a refused nested cab
+            # (corrupt header, QUANTUM folder) must not drop siblings
+            return None
     if detected == "application/x-7z-compressed":
         from .errors import DeadlineError
         from .sevenzip import extract_7z

@@ -800,6 +800,27 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected == "application/vnd.ms-cab-compressed":
+            from .cab import extract_cab
+
+            r = extract_cab(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline,
+                recurse=recurse_embedded)
+            md = {"Content-Type": ["application/vnd.ms-cab-compressed"]}
+            if r.entries:
+                md["container-entries"] = [str(len(r.entries))]
+            for k, v in r.metadata.items():
+                if k != "Content-Type":
+                    md[k] = [v]
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected == "application/x-tar":
             from .container import extract_tar_container
 

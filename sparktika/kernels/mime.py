@@ -84,6 +84,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"CDF\x02", "application/x-netcdf"),
     (b"\xffWPC", "application/vnd.wordperfect"),
     (b"\x89HDF\r\n\x1a\n", "application/x-hdf5"),
+    (b"MSCF", "application/vnd.ms-cab-compressed"),
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a

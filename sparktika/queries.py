@@ -5265,6 +5265,42 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "weight_scaled", "accepted")
 
 
+@_register(
+    "extract_cab_text",
+    """
+SELECT doc_id,
+       'Cab note ' || doc_id || ' alpha.' || chr(10) ||
+       'Cab page ' || doc_id || ' beta.' || chr(10) ||
+       CASE WHEN doc_id % 4 = 0
+            THEN 'Cab extra ' || doc_id || ' gamma.' || chr(10)
+            ELSE '' END AS text_extracted,
+       'application/vnd.ms-cab-compressed' AS content_type_detected,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(3 AS BIGINT)
+            ELSE CAST(2 AS BIGINT) END AS n_entries,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_cab_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microsoft Cabinet containers — BEYOND reference parity: Tika
+    1.20 detects application/vnd.ms-cab-compressed (its mimetypes
+    table) but ships no CAB parser, while installer/driver crawls hit
+    cabs routinely. From-scratch [MS-CAB] walk (kernels/cab.py):
+    CFHEADER/CFFOLDER/CFFILE directory, Appendix-C checksums, NONE +
+    MSZIP (raw deflate, 32 KiB history carried across CFDATA blocks)
+    + LZX folders (the CHM decoder, kernels/lzx.py), QUANTUM refused.
+    The corpus cycles all three codecs and both folder layouts by
+    doc_id — the oracle text is codec-independent, so one SQL pins
+    every decode path. Members route through the shared zip/tar/7z
+    router (container.route_member_text)."""
+    ext = _payload_extract(spark, sf_dir, "build_cab_file", ".cab")
+    return ext.select(
+        "doc_id", "text_extracted", "content_type_detected",
+        F.element_at("metadata", "container-entries").getItem(0)
+         .cast("long").alias("n_entries"),
+        "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5342,6 +5378,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_dsir_sample",
     "extract_wpd_meta",
     "extract_hdf5_meta",
+    "extract_cab_text",
     # (d) rows-only tail (cut from the window by later (c) additions
     #     as needed; they produced driver rows in r5):
     "dedup_minhash_lsh",

@@ -3444,6 +3444,30 @@ def build_robots(doc_id: int) -> bytes:
               f"Sitemap: https://site{doc_id}.example.com/sitemap.xml"]
     return "\n".join(lines).encode()
 
+def build_cab_file(doc_id: int) -> bytes:
+    """Microsoft Cabinet (extract_cab_text oracle): a stored .txt, an
+    .html member, and (ids % 4 == 0) an extra .txt in a deep path.
+    Compression cycles MSZIP / LZX / NONE by id % 3 and ids % 5 == 0
+    pack one folder per member — both invisible to the oracle (the
+    decoded text is codec-independent), so the single SQL covers every
+    codec and folder layout. Kernel text:
+    'Cab note {id} alpha.\\nCab page {id} beta.\\n' (+ extra)."""
+    from .kernels.cab import build_cab
+
+    members = [
+        (f"note{doc_id}.txt", f"Cab note {doc_id} alpha.\n".encode()),
+        ("page.html",
+         (f"<html><body><p>Cab page {doc_id} beta.</p></body></html>"
+          ).encode()),
+    ]
+    if doc_id % 4 == 0:
+        members.append(
+            ("deep/extra.txt", f"Cab extra {doc_id} gamma.\n".encode()))
+    comp = ("mszip", "lzx", "none")[doc_id % 3]
+    return build_cab(members, compression=comp,
+                     one_folder_per_member=(doc_id % 5 == 0))
+
+
 def build_netcdf_file(doc_id: int) -> bytes:
     """NetCDF classic store (extract_netcdf_meta oracle): CDF-1 for
     even ids / CDF-2 for odd, record dim + fixed dim, three global
