@@ -896,6 +896,21 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "video/x-flv":
+            from .flv import parse_flv, render_meta_value
+
+            # FLVParser parity (Tika 1.20 via tika-parsers): header
+            # audio/video flags + every onMetaData AMF0 scalar
+            r = parse_flv(data, deadline=deadline)
+            md = {"Content-Type": ["video/x-flv"],
+                  "hasAudio": ["true" if r.has_audio else "false"],
+                  "hasVideo": ["true" if r.has_video else "false"]}
+            for k, v in r.entries[:64]:
+                md.setdefault(k, []).append(render_meta_value(v))
+            return res(detected=detected,
+                       text_extracted="" if cfg.parse_content else None,
+                       metadata=md, status=STATUS_OK)
+
         if detected == "application/x-netcdf":
             from .netcdf import parse_netcdf
 

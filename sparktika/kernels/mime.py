@@ -201,6 +201,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_arj(data):
             return "application/x-arj"
+    if data[:3] == b"FLV":
+        # 3-byte ASCII magic is weak; is_flv additionally validates the
+        # version byte, flag bits, and the data offset
+        from .flv import is_flv
+
+        if is_flv(data):
+            return "video/x-flv"
     if data[:4] == b"\x00\x01\x00\x00" or data[:4] == b"true":
         # sfnt TrueType: weak magic, validator-gated
         from .font import is_font

@@ -5301,6 +5301,55 @@ def extract_cab_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status")
 
 
+@_register(
+    "extract_flv_meta",
+    """
+SELECT doc_id AS media_id,
+       CAST((30 + doc_id % 90) + (doc_id % 4) * 0.25 AS DOUBLE)
+         AS duration_s,
+       CAST(320 + (doc_id % 8) * 80 AS BIGINT) AS width,
+       CAST(240 + (doc_id % 6) * 60 AS BIGINT) AS height,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
+            WHEN 2 THEN 30 ELSE 50 END AS BIGINT) AS framerate,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+            ELSE 7 END AS BIGINT) AS video_codec_id,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            WHEN doc_id % 2 = 0 THEN CAST(2 AS BIGINT)
+            ELSE CAST(10 AS BIGINT) END AS audio_codec_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'false' ELSE 'true' END AS has_audio,
+       'synthflv ' || doc_id AS encoder,
+       'video/x-flv' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_flv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLV (Flash Video) metadata — Tika 1.20 parity: FLVParser
+    (tika-parsers:1.20, reference build.gradle:24) reads the header
+    audio/video flags and AMF0-decodes the first onMetaData script
+    tag, publishing every scalar entry as metadata. From-scratch
+    kernel per the public Adobe FLV/AMF0 specs (kernels/flv.py);
+    binary-exact rational scalars keep the DuckDB twin tie-free
+    (invariant 10)."""
+    ext = _payload_extract(spark, sf_dir, "build_flv_file", ".flv")
+    meta = F.col("metadata")
+
+    def _num(key: str):
+        return F.element_at(meta, key).getItem(0).cast("double")
+
+    return ext.select(
+        F.col("doc_id").alias("media_id"),
+        _num("duration").alias("duration_s"),
+        _num("width").cast("long").alias("width"),
+        _num("height").cast("long").alias("height"),
+        _num("framerate").cast("long").alias("framerate"),
+        _num("videocodecid").cast("long").alias("video_codec_id"),
+        _num("audiocodecid").cast("long").alias("audio_codec_id"),
+        F.element_at(meta, "hasAudio").getItem(0).alias("has_audio"),
+        F.element_at(meta, "encoder").getItem(0).alias("encoder"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5379,6 +5428,7 @@ _GATE_PRIORITY: list[str] = [
     "extract_wpd_meta",
     "extract_hdf5_meta",
     "extract_cab_text",
+    "extract_flv_meta",
     # (d) rows-only tail (cut from the window by later (c) additions
     #     as needed; they produced driver rows in r5):
     "dedup_minhash_lsh",

@@ -3468,6 +3468,29 @@ def build_cab_file(doc_id: int) -> bytes:
                      one_folder_per_member=(doc_id % 5 == 0))
 
 
+def build_flv_file(doc_id: int) -> bytes:
+    """FLV container (extract_flv_meta oracle): onMetaData AMF0 ECMA
+    array with binary-exact rational scalars (quarter-second durations,
+    integral dims/rates — invariant 10), audio present for ids % 3 != 0,
+    and a few dummy a/v tags with correct PreviousTagSize chaining."""
+    from .kernels.flv import build_flv
+
+    has_audio = doc_id % 3 != 0
+    meta: dict[str, object] = {
+        "duration": (30 + doc_id % 90) + (doc_id % 4) * 0.25,
+        "width": float(320 + (doc_id % 8) * 80),
+        "height": float(240 + (doc_id % 6) * 60),
+        "framerate": float((24, 25, 30, 50)[doc_id % 4]),
+        "videocodecid": float((2, 4, 7)[doc_id % 3]),
+        "encoder": f"synthflv {doc_id}",
+        "canSeekToEnd": doc_id % 2 == 0,
+    }
+    if has_audio:
+        meta["audiocodecid"] = float((2, 10)[doc_id % 2])
+    return build_flv(meta, has_audio=has_audio, has_video=True,
+                     n_av_tags=1 + doc_id % 3)
+
+
 def build_netcdf_file(doc_id: int) -> bytes:
     """NetCDF classic store (extract_netcdf_meta oracle): CDF-1 for
     even ids / CDF-2 for odd, record dim + fixed dim, three global
