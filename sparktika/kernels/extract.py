@@ -896,6 +896,24 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/vnd.ms-excel":
+            # RAW pre-OLE2 BIFF2/3/4 worksheet (detect_mime only yields
+            # this MIME for validator-passed raw streams; OLE2-wrapped
+            # .xls arrives as x-tika-msoffice). POI OldExcelExtractor
+            # parity via kernels/oldxls.py.
+            from .oldxls import extract_old_biff_raw
+
+            r = extract_old_biff_raw(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {"Content-Type": ["application/vnd.ms-excel"],
+                  "biff-version": [str(r.biff_version)],
+                  "n-cells": [str(r.n_cells)]}
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "video/x-flv":
             from .flv import parse_flv, render_meta_value
 
@@ -1069,6 +1087,8 @@ def extract_document(
                 md = xls_tika_metadata(summary, docsum)
                 md["sheet-names"] = r.sheet_names
                 md["n-cells"] = [str(r.n_cells)]
+                if r.biff_version != 8:
+                    md["biff-version"] = [str(r.biff_version)]
                 status = STATUS_TRUNCATED if limited else STATUS_OK
                 return res(detected="application/vnd.ms-excel",
                            text_extracted=text if cfg.parse_content else None,

@@ -201,6 +201,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_arj(data):
             return "application/x-arj"
+    if len(data) >= 2 and data[0] == 0x09 and data[1] in (0x00, 0x02, 0x04):
+        # raw BIFF2/3/4 worksheet (pre-OLE2 .xls): BOF record at offset
+        # 0, validator-gated (plausible length + document-type word)
+        from .oldxls import is_old_biff
+
+        if is_old_biff(data):
+            return "application/vnd.ms-excel"
     if data[:3] == b"FLV":
         # 3-byte ASCII magic is weak; is_flv additionally validates the
         # version byte, flag bits, and the data offset

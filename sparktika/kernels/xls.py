@@ -221,6 +221,7 @@ class XlsResult:
     text: str
     sheet_names: list[str] = field(default_factory=list)
     n_cells: int = 0
+    biff_version: int = 8
 
 
 def extract_xls(data: bytes, deadline: float | None = None) -> XlsResult:
@@ -235,6 +236,29 @@ def extract_xls_ole(ole, deadline: float | None = None) -> XlsResult:
     if stream_name is None:
         raise KernelError("no Workbook stream in OLE2 file")
     wb = ole.read_stream(stream_name)
+
+    # pre-BIFF8 routing: the BOF version word distinguishes a BIFF5/7
+    # "Book" stream (0x0500) — and ancient BIFF2-4 BOF ids can appear
+    # in an OLE2 wrapper too. POI parity: OldExcelExtractor handles
+    # those; kernels/oldxls.py is its twin here.
+    if len(wb) >= 6:
+        bof_op, _bof_len = struct.unpack_from("<HH", wb, 0)
+        if bof_op in (0x0009, 0x0209, 0x0409):
+            from .oldxls import extract_old_biff_raw
+
+            old = extract_old_biff_raw(wb, deadline)
+            return XlsResult(text=old.text, sheet_names=old.sheet_names,
+                             n_cells=old.n_cells,
+                             biff_version=old.biff_version)
+        if bof_op == 0x0809:
+            vers, = struct.unpack_from("<H", wb, 4)
+            if vers not in (0x0600,):
+                from .oldxls import extract_biff5_book
+
+                old = extract_biff5_book(wb, deadline)
+                return XlsResult(text=old.text, sheet_names=old.sheet_names,
+                                 n_cells=old.n_cells,
+                                 biff_version=old.biff_version)
     rs = _RecordStream(wb)
 
     # pass 1: globals — SST (+CONTINUEs), sheet offsets, number formats

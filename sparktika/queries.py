@@ -5350,6 +5350,43 @@ def extract_flv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+@_register(
+    "extract_oldxls_text",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN 'Old5' || chr(10) ELSE '' END ||
+       chr(9) || 'Old ' || doc_id || ' alpha' ||
+       chr(9) || CAST(5 + doc_id % 90 AS VARCHAR) || chr(10) ||
+       chr(9) || CASE WHEN doc_id % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END
+         || chr(10) || chr(10) || chr(10) || chr(10) AS text_extracted,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3
+            WHEN 2 THEN 4 ELSE 5 END AS BIGINT) AS biff_version,
+       CAST(3 AS BIGINT) AS n_cells,
+       'application/vnd.ms-excel' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_oldxls_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-BIFF8 Excel (BIFF2/3/4 raw streams + BIFF5 OLE2 Book) —
+    Tika 1.20 parity: POI OldExcelExtractor (tika-parsers:1.20,
+    reference build.gradle:24) walks the old record families and
+    emits text cells, cached values, and BIFF5 sheet names. The
+    corpus cycles all four versions, so one oracle pins each era's
+    record ids (kernels/oldxls.py). Registered UNGATED this round —
+    the r7 window is exactly full (42 rotation + 8 new) — it leads
+    the r8 rotation; covered by the contract twin + pytest meanwhile."""
+    ext = _payload_extract(spark, sf_dir, "build_oldxls", ".xls")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "biff-version").getItem(0)
+         .cast("long").alias("biff_version"),
+        F.element_at(meta, "n-cells").getItem(0)
+         .cast("long").alias("n_cells"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

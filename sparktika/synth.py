@@ -3468,6 +3468,61 @@ def build_cab_file(doc_id: int) -> bytes:
                      one_folder_per_member=(doc_id % 5 == 0))
 
 
+def build_oldxls(doc_id: int) -> bytes:
+    """Pre-BIFF8 Excel (extract_oldxls_text oracle): versions cycle by
+    id % 4 — BIFF2/3/4 as RAW streams (no OLE2), BIFF5 as an OLE2
+    ``Book`` stream with a BOUNDSHEET-named sheet. Same cell content
+    through each era's own record ids (LABEL/NUMBER/INTEGER vs RK vs
+    RSTRING/MULRK), so one oracle pins all four record families.
+    Kernel text: '\\tOld {id} alpha\\t{n}\\n\\t{TRUE|FALSE}\\n\\n\\n\\n'
+    (+ 'Old5\\n' heading for BIFF5)."""
+    import struct as _s
+
+    def rec(op: int, body: bytes) -> bytes:
+        return _s.pack("<HH", op, len(body)) + body
+
+    label = f"Old {doc_id} alpha".encode("cp1252")
+    n = 5 + doc_id % 90
+    bval = 1 if doc_id % 2 == 0 else 0
+    v = doc_id % 4
+    if v == 0:  # BIFF2: 3-byte cell attributes, 8-bit label length
+        out = rec(0x0009, _s.pack("<HH", 0, 0x0010))
+        out += rec(0x0004, _s.pack("<HH", 0, 0) + b"\x00\x00\x00"
+                   + bytes([len(label)]) + label)
+        out += rec(0x0003, _s.pack("<HH", 0, 1) + b"\x00\x00\x00"
+                   + _s.pack("<d", float(n)))
+        out += rec(0x0005, _s.pack("<HH", 1, 0) + b"\x00\x00\x00"
+                   + bytes([bval, 0]))
+        return out + rec(0x000A, b"")
+    if v in (1, 2):  # BIFF3 (NUMBER) / BIFF4 (RK)
+        out = rec(0x0209 if v == 1 else 0x0409,
+                  _s.pack("<HHH", 0, 0x0010, 0))
+        out += rec(0x0204, _s.pack("<HHH", 0, 0, 0)
+                   + _s.pack("<H", len(label)) + label)
+        if v == 1:
+            out += rec(0x0203, _s.pack("<HHH", 0, 1, 0)
+                       + _s.pack("<d", float(n)))
+        else:
+            out += rec(0x027E, _s.pack("<HHHI", 0, 1, 0, (n << 2) | 2))
+        out += rec(0x0205, _s.pack("<HHHBB", 1, 0, 0, bval, 0))
+        return out + rec(0x000A, b"")
+    # BIFF5: OLE2 Book stream, RSTRING + single-cell MULRK + BOOLERR
+    sheet = rec(0x0809, _s.pack("<HH", 0x0500, 0x0010))
+    sheet += rec(0x00D6, _s.pack("<HHH", 0, 0, 0)
+                 + _s.pack("<H", len(label)) + label)
+    sheet += rec(0x00BD, _s.pack("<HH", 0, 1)
+                 + _s.pack("<HI", 0, (n << 2) | 2) + _s.pack("<H", 1))
+    sheet += rec(0x0205, _s.pack("<HHHBB", 1, 0, 0, bval, 0))
+    sheet += rec(0x000A, b"")
+    name = b"Old5"
+    glob_hdr = rec(0x0809, _s.pack("<HH", 0x0500, 0x0005))
+    bs = lambda off: rec(0x0085, _s.pack("<IH", off, 0)
+                         + bytes([len(name)]) + name)
+    globs = glob_hdr + bs(0) + rec(0x000A, b"")
+    globs = glob_hdr + bs(len(globs)) + rec(0x000A, b"")
+    return _ole2_file({"Book": globs + sheet})
+
+
 def build_flv_file(doc_id: int) -> bytes:
     """FLV container (extract_flv_meta oracle): onMetaData AMF0 ECMA
     array with binary-exact rational scalars (quarter-second durations,
