@@ -929,6 +929,45 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "application/java-vm":
+            from .javaclass import parse_javaclass
+
+            # ClassParser parity (Tika 1.20 via tika-parsers): javap-
+            # style identifier listing; class name doubles as the title
+            r = parse_javaclass(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/java-vm"],
+                  "title": [r.simple_name],
+                  "class-name": [r.class_name],
+                  "java-version": [r.java_version],
+                  "n-fields": [str(len(r.fields))],
+                  "n-methods": [str(len(r.methods))]}
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
+        if detected in ("image/wmf", "image/emf"):
+            from .metafile import parse_emf, parse_wmf
+
+            # WMFParser/EMFParser parity (Tika 1.20 via tika-parsers):
+            # one line per text-output record; frame dims as metadata
+            r = (parse_wmf(data, deadline=deadline)
+                 if detected == "image/wmf"
+                 else parse_emf(data, deadline=deadline))
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {"Content-Type": [detected],
+                  "metafile-records": [str(r.n_records)],
+                  "metafile-text-records": [str(len(r.texts))],
+                  "width-units": [str(r.width_units)],
+                  "height-units": [str(r.height_units)]}
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/x-netcdf":
             from .netcdf import parse_netcdf
 

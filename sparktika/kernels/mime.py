@@ -85,6 +85,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\xffWPC", "application/vnd.wordperfect"),
     (b"\x89HDF\r\n\x1a\n", "application/x-hdf5"),
     (b"MSCF", "application/vnd.ms-cab-compressed"),
+    (b"\xd7\xcd\xc6\x9a", "image/wmf"),   # placeable WMF ([MS-WMF] 2.3.2.3)
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a
@@ -215,6 +216,30 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_flv(data):
             return "video/x-flv"
+    if data[:4] == b"\xca\xfe\xba\xbe":
+        # 0xCAFEBABE is shared with Mach-O universal binaries; the
+        # validator demands a plausible class-file version word
+        from .javaclass import is_javaclass
+
+        if is_javaclass(data):
+            return "application/java-vm"
+        # else: likely a Mach-O universal (fat) binary — no thin-slice
+        # parser here, so fall through to the generic chain
+    if len(data) >= 88 and data[:4] == b"\x01\x00\x00\x00":
+        # EMF: the real signature (" EMF") sits at offset 40, so the
+        # EMR_HEADER type word alone never routes — is_emf checks both
+        from .metafile import is_emf
+
+        if is_emf(data):
+            return "image/emf"
+    if len(data) >= 18 and data[0] in (1, 2) and data[1] == 0 \
+            and data[2] == 9 and data[3] == 0:
+        # bare (non-placeable) WMF has NO magic: is_wmf demands the
+        # 9-word header size, a known version word, and zero members
+        from .metafile import is_wmf
+
+        if is_wmf(data):
+            return "image/wmf"
     if data[:4] == b"\x00\x01\x00\x00" or data[:4] == b"true":
         # sfnt TrueType: weak magic, validator-gated
         from .font import is_font

@@ -5387,6 +5387,81 @@ def extract_oldxls_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+@_register(
+    "extract_metafile_text",
+    """
+SELECT doc_id,
+       'Meta line one ' || doc_id || '.' || chr(10) ||
+       'Meta line two ' || doc_id || '.' || chr(10) AS text_extracted,
+       CASE WHEN doc_id % 4 < 2 THEN 'image/wmf' ELSE 'image/emf' END
+         AS content_type_detected,
+       CAST(2 AS BIGINT) AS n_text_records,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_metafile_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows metafile (WMF/EMF) text records — Tika 1.20 parity:
+    WMFParser/EMFParser (tika-parsers:1.20, reference build.gradle:24)
+    emit every text-output record's string. The corpus cycles all four
+    record families (TEXTOUT / EXTTEXTOUT / EXTTEXTOUTW /
+    SMALLTEXTOUT) under a neutral .bin suffix, so routing is purely
+    content-sniffed (kernels/metafile.py). Registered UNGATED — the r7
+    window is full; leads the r8 rotation with extract_oldxls_text."""
+    ext = _payload_extract(spark, sf_dir, "build_metafile", ".bin")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        "content_type_detected",
+        F.element_at(meta, "metafile-text-records").getItem(0)
+         .cast("long").alias("n_text_records"),
+        "status")
+
+
+@_register(
+    "extract_class_meta",
+    """
+SELECT doc_id,
+       'package com.synth.p' || (doc_id % 7) || chr(10) ||
+       'class Widget' || doc_id || ' extends ' ||
+       CASE WHEN doc_id % 2 = 0 THEN 'java.lang.Object'
+            ELSE 'java.lang.Thread' END || chr(10) ||
+       CASE WHEN doc_id % 3 = 0 THEN 'implements java.io.Serializable'
+              || chr(10)
+            WHEN doc_id % 3 = 1 THEN 'implements java.io.Serializable '
+              || 'java.lang.Runnable' || chr(10)
+            ELSE '' END ||
+       'field count : I' || chr(10) ||
+       'field tag' || (doc_id % 5) || ' : Ljava/lang/String;' || chr(10) ||
+       'method <init> : ()V' || chr(10) ||
+       'method run' || (doc_id % 4) || ' : (I)V' || chr(10)
+         AS text_extracted,
+       'Widget' || doc_id AS title,
+       CASE WHEN 49 + doc_id % 12 <= 48 THEN '1.' || (5 + doc_id % 12)
+            ELSE CAST(5 + doc_id % 12 AS VARCHAR) END AS java_version,
+       'application/java-vm' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_class_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Java class files — Tika 1.20 parity: ClassParser
+    (tika-parsers:1.20, reference build.gradle:24) emits the class
+    name as title plus a javap-style identifier listing. From-spec
+    constant-pool walk (JVMS §4) in kernels/javaclass.py; detection
+    disambiguates the 0xCAFEBABE magic from Mach-O universal binaries
+    by the version word. Registered UNGATED — r7 window full; leads
+    the r8 rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_javaclass", ".class")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "title").getItem(0).alias("title"),
+        F.element_at(meta, "java-version").getItem(0)
+         .alias("java_version"),
+        "content_type_detected", "status")
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

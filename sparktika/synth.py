@@ -3523,6 +3523,44 @@ def build_oldxls(doc_id: int) -> bytes:
     return _ole2_file({"Book": globs + sheet})
 
 
+def build_metafile(doc_id: int) -> bytes:
+    """Windows metafile corpus (extract_metafile_text oracle): kind
+    cycles by id % 4 — placeable-WMF EXTTEXTOUT, bare-WMF TEXTOUT,
+    EMF EXTTEXTOUTW, EMF SMALLTEXTOUT — so one oracle pins every text
+    record family. Kernel text:
+    'Meta line one {id}.\\nMeta line two {id}.\\n'."""
+    from .kernels.metafile import build_emf, build_wmf
+
+    texts = [f"Meta line one {doc_id}.", f"Meta line two {doc_id}."]
+    kind = doc_id % 4
+    if kind == 0:
+        return build_wmf(texts, placeable=True, extended=True)
+    if kind == 1:
+        return build_wmf(texts, placeable=False, extended=False)
+    if kind == 2:
+        return build_emf(texts, wide=True)
+    return build_emf(texts, small=True)
+
+
+def build_javaclass(doc_id: int) -> bytes:
+    """Java class corpus (extract_class_meta oracle): deterministic
+    package/class/super/interface/field/method identifiers, major
+    version cycling 49-60 (Java 5-16). Kernel text is the javap-style
+    listing in kernels/javaclass.py's contract."""
+    from .kernels.javaclass import build_class
+
+    ifaces = (["java/io/Serializable"] if doc_id % 3 == 0 else
+              ["java/io/Serializable", "java/lang/Runnable"]
+              if doc_id % 3 == 1 else [])
+    return build_class(
+        f"com/synth/p{doc_id % 7}/Widget{doc_id}",
+        "java/lang/Object" if doc_id % 2 == 0 else "java/lang/Thread",
+        ifaces,
+        [("count", "I"), (f"tag{doc_id % 5}", "Ljava/lang/String;")],
+        [("<init>", "()V"), (f"run{doc_id % 4}", "(I)V")],
+        major=49 + doc_id % 12)
+
+
 def build_flv_file(doc_id: int) -> bytes:
     """FLV container (extract_flv_meta oracle): onMetaData AMF0 ECMA
     array with binary-exact rational scalars (quarter-second durations,
