@@ -513,3 +513,51 @@ def repeated_ngram_span_ranges(
             .agg(F.min("i").cast("long").alias("span_start"),
                  F.max(F.col("i") + (n - 1)).cast("long").alias("span_end"))
             .select("key", "span_start", "span_end"))
+
+
+def drop_frequent_lines(
+    pages: DataFrame,
+    max_doc_freq: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.1): lines that occur in more than
+    ``max_doc_freq`` distinct documents are corpus boilerplate (nav
+    menus, cookie banners, copyright footers) and are dropped; the
+    remaining lines reassemble in original order.
+
+    Scale shape: the document-frequency aggregation shuffles only
+    (line-hash, key) pairs — never the text — with map-side combine;
+    the verdict join then rides the 64-bit hash, and the final
+    reassembly shuffle carries each KEPT line exactly once (that
+    shuffle is the semantic floor: output text must co-locate by doc).
+    Collision note: xxhash64 groups lines for counting, but the join
+    returns the line text itself, so a hash collision can only
+    over-count a line's frequency (conservative toward dropping),
+    never splice wrong text.
+
+    Returns (key_col, text_clean, n_lines, n_removed).
+    """
+    lines = pages.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    df_counts = (lines.groupBy("lh")
+                 .agg(F.count_distinct("key").alias("n_docs")))
+    kept = (lines.join(df_counts, "lh")
+            .withColumn("keep", F.col("n_docs") <= max_doc_freq))
+    return (kept.groupBy("key")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("keep"),
+                                   F.struct("pos", "line")))),
+                        lambda s: s["line"]),
+                    "\n").alias("text_clean"),
+                F.count("*").cast("long").alias("n_lines"),
+                F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_removed"))
+            .withColumnRenamed("key", key_col))

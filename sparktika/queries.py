@@ -5462,6 +5462,114 @@ def extract_class_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type_detected", "status")
 
 
+@_register(
+    "dedup_lines",
+    """
+WITH pages AS (
+  SELECT doc_id,
+         'Shared footer example dot com all rights reserved' || chr(10) ||
+         'Navigation menu ' || (doc_id % 13) || chr(10) ||
+         'Pair line ' || (doc_id - doc_id % 2) || chr(10) ||
+         'Body ' || doc_id || ' alpha.' ||
+         CASE WHEN doc_id % 3 = 0 THEN ''
+              ELSE chr(10) || 'Body ' || doc_id || ' extra.' END AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM pages),
+dfq AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY line)
+SELECT l.doc_id,
+       coalesce(string_agg(CASE WHEN d.n_docs <= 2 THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN d.n_docs > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM lines l JOIN dfq d USING (line)
+GROUP BY l.doc_id
+""",
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-frequency boilerplate removal (Wenzek et al.
+    2020, arXiv:1911.00359 §3.1): lines occurring in > 2 distinct
+    documents are dropped, the rest reassemble in order. The planted
+    corpus pins every df regime — a footer in ALL docs, a nav line per
+    host group (~n/13 docs), a pair line in exactly 2 (the threshold
+    boundary, KEPT), and unique body lines. Scale: the df shuffle
+    carries only (hash, key) pairs; see
+    pipeline/dedup.py:drop_frequent_lines. Registered UNGATED — r7
+    window full; leads the r8 rotation."""
+    from .pipeline.dedup import drop_frequent_lines
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared footer example dot com all rights reserved\n"),
+            F.lit("Navigation menu "), (d % 13).cast("string"),
+            F.lit("\n"),
+            F.lit("Pair line "), (d - d % 2).cast("string"), F.lit("\n"),
+            F.lit("Body "), d.cast("string"), F.lit(" alpha."),
+            F.when(d % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("\nBody "), d.cast("string"),
+                         F.lit(" extra."))),
+        ).alias("text"))
+    return drop_frequent_lines(pages, max_doc_freq=2)
+
+
+@_register(
+    "corpus_temperature_sample",
+    """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS n_min FROM counts),
+th AS (SELECT lang, n,
+              CAST(floor(1048576 * sqrt(CAST(mn.n_min AS DOUBLE) / n))
+                AS BIGINT) AS thresh
+       FROM counts, mn)
+SELECT d.doc_id, d.lang, t.thresh
+FROM documents d JOIN th t USING (lang)
+WHERE t.thresh >= 1048576
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 5)
+        < printf('%05x', t.thresh)
+""",
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-temperature mixture resampling — the alpha-smoothed
+    domain rebalancing used for LLM training mixes (multilingual
+    alpha-sampling, Conneau & Lample 2019 arXiv:1901.07291 §3.1; the
+    GPT-3/Llama mixture-reweighting posture): per-domain acceptance
+    rate (n_min/n_d)^0.5 flattens the lang distribution halfway to
+    uniform. The rate maps to an integer threshold on a 20-bit md5
+    bucket — floor(2^20 * sqrt(n_min/n)) is bit-reproducible across
+    engines (IEEE sqrt/divide are correctly rounded; 2^20 scaling is
+    exact) — so selection is a pure function of doc_id and the domain
+    counts. The floor domain keeps 100% via the thresh >= 2^20 arm
+    (printf('%05x') would wrap there). Scale: one map-side-combined
+    counts shuffle + a broadcast of the tiny threshold table back; the
+    corpus never shuffles. Registered UNGATED — r7 window full; leads
+    the r8 rotation."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    th = (counts.crossJoin(F.broadcast(n_min))
+          .withColumn(
+              "thresh",
+              F.floor(1048576 * F.sqrt(
+                  F.col("n_min").cast("double") / F.col("n")))
+               .cast("long"))
+          .select("lang", "thresh"))
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+        1, 5)
+    return (docs.join(F.broadcast(th), "lang")
+            .where((F.col("thresh") >= 1048576)
+                   | (bucket < F.format_string("%05x", F.col("thresh"))))
+            .select("doc_id", "lang", "thresh"))
+
+
 # ---------------------------------------------------------------------
 # Driver-gate ordering.
 #

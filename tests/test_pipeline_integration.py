@@ -947,3 +947,24 @@ def test_streaming_hourly_schema_matches_batch(spark):
         stream_events(spark, "/root/testdata/sf0.001/events.parquet"))
     assert dict(stream.dtypes)["hour_start"] == "string"
     assert dict(batch.dtypes)["hour_start"] == "string"
+
+
+def test_drop_frequent_lines_planted_regimes(spark):
+    """CCNet line-frequency boilerplate removal: a line in all docs
+    drops, a df==threshold line survives, unique lines survive, and a
+    doc whose every line is boilerplate comes back EMPTY (not absent)."""
+    from pyspark.sql import Row
+
+    from sparktika.pipeline.dedup import drop_frequent_lines
+
+    rows = [Row(doc_id=i, text="footer every doc\n"
+                               f"pair {i // 2}\nbody {i}")
+            for i in range(6)]
+    rows.append(Row(doc_id=6, text="footer every doc"))
+    out = {r.doc_id: r for r in
+           drop_frequent_lines(spark.createDataFrame(rows),
+                               max_doc_freq=2).collect()}
+    assert out[0].text_clean == "pair 0\nbody 0"
+    assert out[5].n_removed == 1 and out[5].n_lines == 3
+    assert out[6].text_clean == "" and out[6].n_removed == 1
+    assert len(out) == 7

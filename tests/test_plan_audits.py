@@ -288,3 +288,41 @@ def test_frontier_filter_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_temperature_sample_broadcasts_thresholds(spark):
+    """corpus_temperature_sample: the per-domain threshold table must
+    BROADCAST back onto the corpus (the corpus itself never shuffles);
+    the only shuffle Exchanges belong to the tiny counts aggregation."""
+    from sparktika.queries import corpus_temperature_sample
+
+    plan = _plan(corpus_temperature_sample(spark, SF))
+    assert "BroadcastExchange" in plan, plan
+    # shuffle exchanges only on the counts side (agg + its min):
+    n_shuffles = plan.count("Exchange hashpartitioning") \
+        + plan.count("Exchange SinglePartition")
+    assert n_shuffles <= 3, plan
+
+
+def test_temperature_sample_reproducible(spark):
+    from sparktika.queries import corpus_temperature_sample
+
+    a = sorted(r.doc_id for r in
+               corpus_temperature_sample(spark, SF).collect())
+    b = sorted(r.doc_id for r in
+               corpus_temperature_sample(spark, SF)
+               .repartition(7).collect())
+    assert a == b and 0 < len(a) < 500
+
+
+def test_dedup_lines_df_shuffle_is_text_free(spark):
+    """drop_frequent_lines: the document-frequency aggregation must
+    shuffle only (line-hash, key) — the line TEXT may ride only the
+    reassembly side. The partial aggregate feeding the df count must
+    therefore project xxhash64, not the line column."""
+    from sparktika.queries import dedup_lines
+
+    plan = _plan(dedup_lines(spark, SF))
+    assert "xxhash64" in plan, plan
+    # the count-distinct agg groups by the 64-bit hash:
+    assert "count(distinct key" in plan or "count(key" in plan, plan
