@@ -5463,6 +5463,39 @@ def extract_class_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_xps_text",
+    """
+SELECT doc_id,
+       'Xps heading ' || doc_id || chr(10) ||
+       'Xps body ' || doc_id || ' page 1.' ||
+       CASE WHEN doc_id % 3 >= 1
+            THEN chr(10) || chr(10) || 'Xps body ' || doc_id || ' page 2.'
+            ELSE '' END ||
+       CASE WHEN doc_id % 3 >= 2
+            THEN chr(10) || chr(10) || 'Xps body ' || doc_id || ' page 3.'
+            ELSE '' END || chr(10) AS text_extracted,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+       'application/vnd.ms-xpsdocument' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_xps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPS/OpenXPS FixedPage text (ECMA-388): fdseq -> fdoc -> fpage
+    Glyphs UnicodeString runs, the Windows print-to-file format
+    (kernels/xps.py; beyond strict Tika 1.20 parity — the CAB
+    posture). Registered UNGATED — r7 window full; leads the r8
+    rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_xps_doc", ".xps")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "n-pages").getItem(0)
+         .cast("long").alias("n_pages"),
+        "content_type_detected", "status")
+
+
+@_register(
     "dedup_lines",
     """
 WITH pages AS (

@@ -3542,6 +3542,19 @@ def build_metafile(doc_id: int) -> bytes:
     return build_emf(texts, small=True)
 
 
+def build_xps_doc(doc_id: int) -> bytes:
+    """XPS corpus (extract_xps_text oracle): 1 + id % 3 pages, two
+    Glyphs runs on the first page, one on each later page. Kernel
+    text: runs joined by newline within a page, blank line between
+    pages, trailing newline."""
+    from .kernels.xps import build_xps
+
+    pages = [[f"Xps heading {doc_id}", f"Xps body {doc_id} page 1."]]
+    for p in range(2, 2 + doc_id % 3):
+        pages.append([f"Xps body {doc_id} page {p}."])
+    return build_xps(pages)
+
+
 def build_javaclass(doc_id: int) -> bytes:
     """Java class corpus (extract_class_meta oracle): deterministic
     package/class/super/interface/field/method identifiers, major
