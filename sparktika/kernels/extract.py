@@ -946,6 +946,22 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "application/x-bplist":
+            from .bplist import parse_bplist
+
+            # string leaves in walk order (the JSON-kernel posture);
+            # beyond Tika 1.20 parity (bplist parsing landed TIKA-2619)
+            r = parse_bplist(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {"Content-Type": ["application/x-bplist"],
+                  "bplist-objects": [str(r.n_objects)],
+                  "bplist-top-type": [r.top_type]}
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/java-vm":
             from .javaclass import parse_javaclass
 

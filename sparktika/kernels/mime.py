@@ -86,6 +86,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x89HDF\r\n\x1a\n", "application/x-hdf5"),
     (b"MSCF", "application/vnd.ms-cab-compressed"),
     (b"\xd7\xcd\xc6\x9a", "image/wmf"),   # placeable WMF ([MS-WMF] 2.3.2.3)
+    (b"bplist00", "application/x-bplist"),
+    (b"bplist01", "application/x-bplist"),
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a

@@ -5496,6 +5496,39 @@ def extract_xps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_bplist_text",
+    """
+SELECT doc_id,
+       'Title' || chr(10) || 'Plist doc ' || doc_id || chr(10) ||
+       'Count' || chr(10) ||
+       'Tags' || chr(10) || 'tag' || (doc_id % 5) || chr(10) ||
+       'tag' || (doc_id % 3) || chr(10) ||
+       CASE WHEN doc_id % 2 = 0
+            THEN 'Meta' || chr(10) || 'Author' || chr(10) ||
+                 'Author ' || (doc_id % 7) || chr(10)
+            ELSE '' END AS text_extracted,
+       'dict' AS top_type,
+       'application/x-bplist' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_bplist_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apple binary plist (bplist00) string-leaf extraction — the
+    macOS/iOS artifact format (kernels/bplist.py; beyond strict Tika
+    1.20 parity, the CAB/XPS posture — Tika gained it in TIKA-2619).
+    Alias/cycle bombs refuse via visit caps + path cycle detection.
+    Registered UNGATED — r7 window full; leads the r8 rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_bplist_doc", ".plist")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "bplist-top-type").getItem(0)
+         .alias("top_type"),
+        "content_type_detected", "status")
+
+
+@_register(
     "dedup_lines",
     """
 WITH pages AS (

@@ -3555,6 +3555,23 @@ def build_xps_doc(doc_id: int) -> bytes:
     return build_xps(pages)
 
 
+def build_bplist_doc(doc_id: int) -> bytes:
+    """Binary plist corpus (extract_bplist_text oracle): a dict with a
+    title, an int (no text), a tag array, and for ids % 2 == 0 a
+    nested dict. Kernel text = string leaves in walk order (dict
+    entries in insertion order), one per line."""
+    from .kernels.bplist import build_bplist
+
+    top = {
+        "Title": f"Plist doc {doc_id}",
+        "Count": doc_id % 100,
+        "Tags": [f"tag{doc_id % 5}", f"tag{doc_id % 3}"],
+    }
+    if doc_id % 2 == 0:
+        top["Meta"] = {"Author": f"Author {doc_id % 7}"}
+    return build_bplist(top)
+
+
 def build_javaclass(doc_id: int) -> bytes:
     """Java class corpus (extract_class_meta oracle): deterministic
     package/class/super/interface/field/method identifiers, major
