@@ -33,17 +33,37 @@ from pyspark.sql import functions as F
 _META_CLASS = r"([\\^$.|?+(){}\[\]])"
 
 
+_MAX_WILDCARDS = 3
+
+
 def _rule_regex(prefix):
     """Column expr: translate an RFC 9309 rule path (with '*' wildcards
     and an optional trailing '$' anchor) into an anchored Java regex.
-    Evaluated only on the broadcast rules side."""
+    Evaluated only on the broadcast rules side.
+
+    Backtracking guard (invariant 7 — robots.txt is untrusted): a
+    sequential-``.*`` Java regex backtracks O(n^(k-1)) against a
+    failing n-char path, so a crafted rule with many '*'s could hang
+    an executor. Runs of '*' collapse to one (RFC-identical), and a
+    rule still carrying more than 3 wildcards is WIDENED to a prefix
+    match on its literal head (``^head.*``) — a strict superset of the
+    true rule, so precedence still sees it, erring toward matching
+    (for disallow rules, the conservative crawl direction; real-world
+    rules carry 1-2 wildcards). With k <= 3 the worst case is
+    ~O(n^2 * m) per evil pair — bounded."""
     anchored = prefix.endswith("$")
     body = F.when(anchored, F.expr(
         "substring(prefix, 1, length(prefix) - 1)")).otherwise(prefix)
+    body = F.regexp_replace(body, r"\*{2,}", "*")
+    n_wild = F.length(body) - F.length(F.regexp_replace(body, r"\*", ""))
     esc = F.regexp_replace(body, _META_CLASS, r"\\$1")
     wild = F.regexp_replace(esc, r"\*", ".*")
-    return F.concat(F.lit("^"), wild,
+    full = F.concat(F.lit("^"), wild,
                     F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    head_esc = F.regexp_replace(
+        F.substring_index(body, "*", 1), _META_CLASS, r"\\$1")
+    widened = F.concat(F.lit("^"), head_esc, F.lit(".*"))
+    return F.when(n_wild > _MAX_WILDCARDS, widened).otherwise(full)
 
 
 def robots_filter(urls: DataFrame, rules: DataFrame,

@@ -140,3 +140,36 @@ def test_frontier_filter_preserves_duplicate_urls():
         "url string, host string, path string")
     out = robots_filter(urls, rules).collect()
     assert sorted(r.url for r in out) == ["dup", "dup", "dup", "solo"]
+
+
+def test_frontier_filter_wildcard_bomb_widens_not_hangs():
+    """Backtracking guard: a rule with many '*'s must not become a
+    sequential-.* regex (O(n^k) against long paths). Runs of '*'
+    collapse; > 3 wildcards widen to the literal-head prefix — a
+    SUPERSET of the true rule, so the evil rule still denies, and the
+    whole filter returns promptly even against a 4k-char path."""
+    import time
+
+    from sparktika.pipeline.frontier import robots_filter, rules_from_robots
+    from sparktika.pipeline.session import build_session
+
+    spark = build_session(master="local[2]", shuffle_partitions=2)
+    evil = "Disallow: /evil/" + "a*" * 40 + "b\n"
+    rules = rules_from_robots(
+        [("h", "User-agent: *\n" + evil
+          + "Disallow: /x/***/y\n")], spark)
+    long_path = "/evil/" + "a" * 4000          # almost-matches
+    urls = spark.createDataFrame(
+        [("u1", "h", long_path), ("u2", "h", "/evil/zzz"),
+         ("u3", "h", "/safe/a"), ("u4", "h", "/x/q/y"),
+         ("u5", "h", "/x/y")],
+        "url string, host string, path string")
+    t0 = time.monotonic()
+    got = {r.url: r.allowed for r in
+           robots_filter(urls, rules, keep_denied=True).collect()}
+    assert time.monotonic() - t0 < 60
+    # the evil rule widens to its literal head '/evil/a' (superset of
+    # the true rule: still denies u1, leaves the non-head u2 alone);
+    # collapsed /x/*/y behaves exactly like a single '*'
+    assert got == {"u1": False, "u2": True, "u3": True,
+                   "u4": False, "u5": True}
