@@ -946,6 +946,47 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "application/applefile":
+            from .applefile import APPLEFILE_MIME, parse_applefile
+
+            # AppleSingleFileParser parity (Tika 1.20): real-name
+            # metadata; an AppleSingle data fork re-dispatches under
+            # the real name (transparent-wrapper posture — same embed
+            # depth, shared budget/deadline); AppleDouble is the
+            # resource-fork half only -> metadata row
+            af = parse_applefile(data)
+            md = {"Content-Type": [APPLEFILE_MIME],
+                  "apple-format": [af.kind]}
+            if af.real_name:
+                md["apple-real-name"] = [af.real_name]
+            if af.comment:
+                md["apple-comment"] = [af.comment]
+            if af.resource_fork_len:
+                md["apple-resource-fork-bytes"] = [
+                    str(af.resource_fork_len)]
+            if af.kind == "applesingle" and af.data_fork is not None:
+                inner_name = af.real_name or url
+                r = extract_document(inner_name, None, af.data_fork, cfg,
+                                     true_size=len(af.data_fork),
+                                     _deadline=deadline,
+                                     embed_depth=embed_depth,
+                                     _embed_path=_embed_path)
+                inner_md = dict(r.metadata)
+                inner_md.update(md)
+                inner_md["Content-Type"] = [r.content_type_detected]
+                inner_md["Content-Encoding-Outer"] = ["applesingle"]
+                return res(detected=r.content_type_detected,
+                           charset_detected=r.charset_detected,
+                           text_extracted=r.text_extracted
+                           if cfg.parse_content else None,
+                           main_text=r.main_text, title=r.title,
+                           links=r.links, metadata=inner_md,
+                           status=r.status, error=r.error,
+                           write_limit_reached=r.write_limit_reached)
+            return res(detected=APPLEFILE_MIME,
+                       text_extracted="" if cfg.parse_content else None,
+                       metadata=md, status=STATUS_OK)
+
         if detected == "application/x-bplist":
             from .bplist import parse_bplist
 

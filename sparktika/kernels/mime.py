@@ -88,6 +88,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\xd7\xcd\xc6\x9a", "image/wmf"),   # placeable WMF ([MS-WMF] 2.3.2.3)
     (b"bplist00", "application/x-bplist"),
     (b"bplist01", "application/x-bplist"),
+    (b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
+    (b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a

@@ -5496,6 +5496,40 @@ def extract_xps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_applefile_text",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'Apple fork text ' || doc_id || '.'
+            ELSE '' END AS text_extracted,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/plain'
+            ELSE 'application/applefile' END AS content_type_detected,
+       CASE WHEN doc_id % 2 = 0 THEN 'applesingle'
+            ELSE 'appledouble' END AS apple_format,
+       'note' || doc_id || '.txt' AS real_name,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_applefile_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppleSingle/AppleDouble (RFC 1740) — Tika 1.20 parity:
+    AppleSingleFileParser (tika-parsers:1.20, reference
+    build.gradle:24) publishes the real-name entry and parses the data
+    fork as an embedded document; AppleDouble resource-fork halves
+    yield metadata rows (kernels/applefile.py). Registered UNGATED —
+    r7 window full; leads the r8 rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_applefile_doc", ".as")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        "content_type_detected",
+        F.element_at(meta, "apple-format").getItem(0)
+         .alias("apple_format"),
+        F.element_at(meta, "apple-real-name").getItem(0)
+         .alias("real_name"),
+        "status")
+
+
+@_register(
     "extract_bplist_text",
     """
 SELECT doc_id,

@@ -3555,6 +3555,23 @@ def build_xps_doc(doc_id: int) -> bytes:
     return build_xps(pages)
 
 
+def build_applefile_doc(doc_id: int) -> bytes:
+    """AppleSingle/AppleDouble corpus (extract_applefile_text oracle):
+    even ids AppleSingle wrapping a plain-text data fork (re-dispatched
+    under the real name), odd ids AppleDouble resource-fork halves
+    (metadata row, empty text)."""
+    from .kernels.applefile import build_applefile
+
+    if doc_id % 2 == 0:
+        body = f"Apple fork text {doc_id}.".encode()
+        return build_applefile("applesingle",
+                               real_name=f"note{doc_id}.txt",
+                               data_fork=body)
+    return build_applefile("appledouble",
+                           real_name=f"note{doc_id}.txt",
+                           resource_fork=b"\x00" * (16 + doc_id % 17))
+
+
 def build_bplist_doc(doc_id: int) -> bytes:
     """Binary plist corpus (extract_bplist_text oracle): a dict with a
     title, an int (no text), a tag array, and for ids % 2 == 0 a
