@@ -946,6 +946,25 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "application/avro":
+            from .avro import parse_avro
+
+            # metadata-first: schema + exact framing counts, payloads
+            # never decoded (beyond Tika 1.20 parity — no Avro parser)
+            r = parse_avro(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/avro"],
+                  "avro-codec": [r.codec],
+                  "avro-records": [str(r.n_records)],
+                  "avro-blocks": [str(r.n_blocks)]}
+            if r.truncated_tail:
+                md["avro-truncated-tail"] = ["true"]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/applefile":
             from .applefile import APPLEFILE_MIME, parse_applefile
 

@@ -90,6 +90,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"bplist01", "application/x-bplist"),
     (b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    (b"Obj\x01", "application/avro"),
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a

@@ -5496,6 +5496,37 @@ def extract_xps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_avro_meta",
+    """
+SELECT doc_id,
+       'record Event' || (doc_id % 5) || chr(10) ||
+       'field id : long' || chr(10) ||
+       'field msg : null|string' || chr(10) AS text_extracted,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_records,
+       CAST((1 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_blocks,
+       'application/avro' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_avro_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object containers — schema inventory + exact record/block
+    counts from the container framing, payloads never decoded
+    (kernels/avro.py; beyond Tika 1.20 parity — the CAB/XPS posture;
+    data-lake crawls are full of these). Registered UNGATED — r7
+    window full; leads the r8 rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_avro_doc", ".avro")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "avro-records").getItem(0)
+         .cast("long").alias("n_records"),
+        F.element_at(meta, "avro-blocks").getItem(0)
+         .cast("long").alias("n_blocks"),
+        "content_type_detected", "status")
+
+
+@_register(
     "extract_applefile_text",
     """
 SELECT doc_id,

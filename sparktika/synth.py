@@ -3555,6 +3555,20 @@ def build_xps_doc(doc_id: int) -> bytes:
     return build_xps(pages)
 
 
+def build_avro_doc(doc_id: int) -> bytes:
+    """Avro container corpus (extract_avro_meta oracle): a two-field
+    record schema named Event{id%5} and 1 + id%4 (long, string) rows,
+    two per block."""
+    from .kernels.avro import build_avro
+
+    schema = {"type": "record", "name": f"Event{doc_id % 5}",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "msg",
+                          "type": ["null", "string"]}]}
+    rows = [(doc_id + k, f"m{k}") for k in range(1 + doc_id % 4)]
+    return build_avro(schema, rows)
+
+
 def build_applefile_doc(doc_id: int) -> bytes:
     """AppleSingle/AppleDouble corpus (extract_applefile_text oracle):
     even ids AppleSingle wrapping a plain-text data fork (re-dispatched
