@@ -946,6 +946,25 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "application/x-parquet":
+            from .parquetmeta import parse_parquet
+
+            # metadata-first footer walk (from-scratch Thrift compact
+            # reader) — no page data touched, no native decoder
+            r = parse_parquet(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/x-parquet"],
+                  "parquet-rows": [str(r.n_rows)],
+                  "parquet-row-groups": [str(r.n_row_groups)],
+                  "parquet-version": [str(r.version)]}
+            if r.created_by:
+                md["parquet-created-by"] = [r.created_by]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/avro":
             from .avro import parse_avro
 

@@ -221,6 +221,12 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_flv(data):
             return "video/x-flv"
+    if data[:4] == b"PAR1":
+        # parquet needs the TRAILING magic too — prefix alone is weak
+        from .parquetmeta import is_parquet
+
+        if is_parquet(data):
+            return "application/x-parquet"
     if data[:4] == b"\xca\xfe\xba\xbe":
         # 0xCAFEBABE is shared with Mach-O universal binaries; the
         # validator demands a plausible class-file version word

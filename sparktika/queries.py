@@ -5496,6 +5496,39 @@ def extract_xps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_parquet_meta",
+    """
+SELECT doc_id,
+       'column id : int64' || chr(10) ||
+       'column name : binary (utf8)' || chr(10) ||
+       'column v' || (doc_id % 4) || ' : double' || chr(10)
+         AS text_extracted,
+       CAST(2 + doc_id % 5 AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_row_groups,
+       'application/x-parquet' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer inventory — schema + exact row/row-group counts
+    via a from-scratch Thrift compact-protocol reader
+    (kernels/parquetmeta.py; no page data, no native decoder — the
+    SQLite kernel's posture; beyond Tika 1.20 parity, completing the
+    data-lake triple with Avro and SQLite). Registered UNGATED — r7
+    window full; leads the r8 rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_parquet_doc", ".parquet")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "parquet-rows").getItem(0)
+         .cast("long").alias("n_rows"),
+        F.element_at(meta, "parquet-row-groups").getItem(0)
+         .cast("long").alias("n_row_groups"),
+        "content_type_detected", "status")
+
+
+@_register(
     "extract_avro_meta",
     """
 SELECT doc_id,

@@ -3555,6 +3555,28 @@ def build_xps_doc(doc_id: int) -> bytes:
     return build_xps(pages)
 
 
+def build_parquet_doc(doc_id: int) -> bytes:
+    """Parquet corpus (extract_parquet_meta oracle): a 3-column file
+    (id int64, name utf8, v{id%4} double) with 2 + id % 5 rows,
+    written by pyarrow (the repo's parquet engine); only footer facts
+    are oracle-pinned, so writer bytes need not be reproducible."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 2 + doc_id % 5
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "name": pa.array([f"r{k}" for k in range(n)], pa.string()),
+        f"v{doc_id % 4}": pa.array([float(k) for k in range(n)],
+                                   pa.float64()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    return buf.getvalue()
+
+
 def build_avro_doc(doc_id: int) -> bytes:
     """Avro container corpus (extract_avro_meta oracle): a two-field
     record schema named Event{id%5} and 1 + id%4 (long, string) rows,
