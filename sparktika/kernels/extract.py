@@ -946,6 +946,23 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "application/x-orc":
+            from .orc import parse_orc
+
+            # metadata-first footer walk (from-scratch protobuf wire
+            # reader) — stripe data never touched
+            r = parse_orc(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/x-orc"],
+                  "orc-rows": [str(r.n_rows)],
+                  "orc-stripes": [str(r.n_stripes)],
+                  "orc-compression": [r.compression]}
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/x-parquet":
             from .parquetmeta import parse_parquet
 

@@ -221,6 +221,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_flv(data):
             return "video/x-flv"
+    if data[:3] == b"ORC":
+        # 3-byte ASCII magic is weak; is_orc demands a parsing
+        # PostScript at the tail carrying the ORC magic field
+        from .orc import is_orc
+
+        if is_orc(data):
+            return "application/x-orc"
     if data[:4] == b"PAR1":
         # parquet needs the TRAILING magic too — prefix alone is weak
         from .parquetmeta import is_parquet

@@ -5496,6 +5496,45 @@ def extract_xps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_orc_meta",
+    """
+SELECT doc_id,
+       'column id : long' || chr(10) ||
+       'column name : string' || chr(10) ||
+       'column v' || (doc_id % 4) || ' : ' ||
+       CASE doc_id % 4 WHEN 0 THEN 'long' WHEN 1 THEN 'string'
+            WHEN 2 THEN 'double' ELSE 'int' END || chr(10)
+         AS text_extracted,
+       CAST(3 + doc_id % 6 AS BIGINT) AS n_rows,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_stripes,
+       CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+            ELSE 'snappy' END AS compression,
+       'application/x-orc' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC footer inventory — schema tree + exact row/stripe counts via
+    a from-scratch protobuf wire reader, footers inflating through
+    stdlib zlib or the repo's snappy decoder (kernels/orc.py; beyond
+    Tika 1.20 parity — completes the data-lake family with Avro,
+    Parquet, SQLite). Registered UNGATED — r7 window full; leads the
+    r8 rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_orc_doc", ".orc")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "orc-rows").getItem(0)
+         .cast("long").alias("n_rows"),
+        F.element_at(meta, "orc-stripes").getItem(0)
+         .cast("long").alias("n_stripes"),
+        F.element_at(meta, "orc-compression").getItem(0)
+         .alias("compression"),
+        "content_type_detected", "status")
+
+
+@_register(
     "extract_parquet_meta",
     """
 SELECT doc_id,

@@ -3555,6 +3555,20 @@ def build_xps_doc(doc_id: int) -> bytes:
     return build_xps(pages)
 
 
+def build_orc_doc(doc_id: int) -> bytes:
+    """ORC corpus (extract_orc_meta oracle): 3 columns (kind of the
+    third cycles long/string/double/int by id % 4), 3 + id % 6 rows,
+    1 + id % 3 stripes; footer codec cycles none/zlib/snappy."""
+    from .kernels.orc import build_orc
+
+    third = [(4, "long"), (7, "string"), (6, "double"), (3, "int")]
+    return build_orc(
+        [("id", 4), ("name", 7), (f"v{doc_id % 4}", third[doc_id % 4][0])],
+        n_rows=3 + doc_id % 6,
+        n_stripes=1 + doc_id % 3,
+        compression=doc_id % 3)
+
+
 def build_parquet_doc(doc_id: int) -> bytes:
     """Parquet corpus (extract_parquet_meta oracle): a 3-column file
     (id int64, name utf8, v{id%4} double) with 2 + id % 5 rows,
