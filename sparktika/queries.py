@@ -5496,6 +5496,55 @@ def extract_xps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_mixture_plan",
+    """
+WITH agg AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang),
+w AS (SELECT lang, tokens,
+             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight
+      FROM agg),
+tot AS (SELECT sum(weight) AS sum_w FROM w)
+SELECT lang, tokens, weight,
+       CAST(10000000 * weight // sum_w AS BIGINT) AS target_tokens,
+       CAST((10000000 * weight // sum_w) // tokens AS BIGINT) AS epochs,
+       CAST(((10000000 * weight // sum_w) % tokens) * 1000000 // tokens
+         AS BIGINT) AS residual_ppm
+FROM w, tot
+""",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-epoch planning — the training-data recipe step that
+    turns per-domain token counts into an upsampling plan for a fixed
+    token budget (the GPT-3/Llama mixture posture: sub-linear
+    sqrt-weighting flattens dominant domains): per lang,
+    target = budget * w / sum(w), then whole epochs + a residual
+    sampling rate in ppm. All integer arithmetic (floor-div both
+    engines; floor(sqrt(int)) is exact for counts << 2^52), so the
+    plan replays bit-for-bit in the oracle. One map-side-combined
+    aggregation over a 2-column pruned scan; the plan table is
+    domain-cardinality tiny. Registered UNGATED — r7 window full;
+    leads the r8 rotation."""
+    budget = 10_000_000
+    docs = _docs(spark, sf_dir)
+    agg = (docs.groupBy("lang")
+           .agg(F.sum("n_chars").cast("long").alias("tokens")))
+    w = agg.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long"))
+    tot = w.agg(F.sum("weight").alias("sum_w"))
+    out = (w.crossJoin(F.broadcast(tot))
+           .withColumn("target_tokens",
+                       F.expr(f"({budget} * weight) div sum_w"))
+           .withColumn("epochs", F.expr("target_tokens div tokens"))
+           .withColumn(
+               "residual_ppm",
+               F.expr("(target_tokens % tokens) * 1000000 div tokens")))
+    return out.select("lang", "tokens", "weight", "target_tokens",
+                      "epochs", "residual_ppm")
+
+
+@_register(
     "extract_orc_meta",
     """
 SELECT doc_id,

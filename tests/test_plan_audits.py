@@ -332,3 +332,14 @@ def test_dedup_lines_df_shuffle_is_text_free(spark):
     assert "xxhash64" in plan, plan
     # the count-distinct agg groups by the 64-bit hash:
     assert "count(distinct key" in plan or "count(key" in plan, plan
+
+
+def test_mixture_plan_single_agg_and_pruned_scan(spark):
+    """corpus_mixture_plan: one map-side-combined aggregation over a
+    2-column pruned scan; the totals side broadcasts back."""
+    from sparktika.queries import corpus_mixture_plan
+
+    plan = _plan(corpus_mixture_plan(spark, SF))
+    assert "BroadcastExchange" in plan, plan
+    assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan, plan
+    assert "pythonUDF" not in plan.lower()
