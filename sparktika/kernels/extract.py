@@ -946,6 +946,28 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "application/x-bittorrent":
+            from .torrent import parse_torrent
+
+            # metainfo inventory; the pieces hash blob is measured,
+            # never decoded (beyond Tika 1.20 parity — no bencode)
+            r = parse_torrent(data, deadline=deadline)
+            text, limited = _cap_text(r.render_text(), cfg.max_chars)
+            md = {"Content-Type": ["application/x-bittorrent"],
+                  "torrent-files": [str(len(r.files))],
+                  "torrent-total-bytes": [str(r.total_length)],
+                  "torrent-piece-length": [str(r.piece_length)]}
+            if r.name:
+                md["title"] = [r.name]
+            if r.created_by:
+                md["torrent-created-by"] = [r.created_by]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected,
+                       title=r.name,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/x-orc":
             from .orc import parse_orc
 

@@ -221,6 +221,12 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_flv(data):
             return "video/x-flv"
+    if data[:1] == b"d" and len(data) >= 16 and data[1:2].isdigit():
+        # bencoded dict: weak ASCII shape, gated on metainfo markers
+        from .torrent import is_torrent
+
+        if is_torrent(data):
+            return "application/x-bittorrent"
     if data[:3] == b"ORC":
         # 3-byte ASCII magic is weak; is_orc demands a parsing
         # PostScript at the tail carrying the ORC magic field

@@ -5545,6 +5545,55 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_torrent_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN
+         'pack' || doc_id || '.iso' || chr(10) ||
+         'file pack' || doc_id || '.iso (' || (1000 + doc_id)
+           || ' bytes)' || chr(10)
+       ELSE
+         'bundle' || doc_id || chr(10) ||
+         'file dir' || doc_id || '/part0.bin (' || (100 + doc_id)
+           || ' bytes)' || chr(10) ||
+         CASE WHEN doc_id % 3 >= 1 THEN
+           'file dir' || doc_id || '/part1.bin (' || (200 + doc_id)
+             || ' bytes)' || chr(10) ELSE '' END ||
+         CASE WHEN doc_id % 3 >= 2 THEN
+           'file dir' || doc_id || '/part2.bin (' || (300 + doc_id)
+             || ' bytes)' || chr(10) ELSE '' END
+       END ||
+       'announce http://tracker' || (doc_id % 5)
+         || '.example.com/announce' || chr(10) AS text_extracted,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                 ELSE 1 + doc_id % 3 END AS BIGINT) AS n_files,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id
+                 WHEN doc_id % 3 = 0 THEN 100 + doc_id
+                 WHEN doc_id % 3 = 1 THEN 300 + 2 * doc_id
+                 ELSE 600 + 3 * doc_id END AS BIGINT) AS total_bytes,
+       'application/x-bittorrent' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_torrent_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BitTorrent metainfo (BEP-3 bencode) — name/file/announce
+    inventory, pieces blob measured not decoded (kernels/torrent.py;
+    beyond Tika 1.20 parity — crawls surface .torrent files
+    constantly). Registered UNGATED — r7 window full; leads the r8
+    rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_torrent_doc", ".torrent")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id", "text_extracted",
+        F.element_at(meta, "torrent-files").getItem(0)
+         .cast("long").alias("n_files"),
+        F.element_at(meta, "torrent-total-bytes").getItem(0)
+         .cast("long").alias("total_bytes"),
+        "content_type_detected", "status")
+
+
+@_register(
     "extract_orc_meta",
     """
 SELECT doc_id,

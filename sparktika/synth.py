@@ -3555,6 +3555,20 @@ def build_xps_doc(doc_id: int) -> bytes:
     return build_xps(pages)
 
 
+def build_torrent_doc(doc_id: int) -> bytes:
+    """Torrent corpus (extract_torrent_meta oracle): even ids single-
+    file, odd ids multi-file with 1 + id % 3 entries."""
+    from .kernels.torrent import build_torrent
+
+    announce = f"http://tracker{doc_id % 5}.example.com/announce"
+    if doc_id % 2 == 0:
+        return build_torrent(f"pack{doc_id}.iso", announce,
+                             length=1000 + doc_id)
+    files = [(f"dir{doc_id}/part{k}.bin", 100 * (k + 1) + doc_id)
+             for k in range(1 + doc_id % 3)]
+    return build_torrent(f"bundle{doc_id}", announce, files=files)
+
+
 def build_orc_doc(doc_id: int) -> bytes:
     """ORC corpus (extract_orc_meta oracle): 3 columns (kind of the
     third cycles long/string/double/int by id % 4), 3 + id % 6 rows,
