@@ -608,23 +608,6 @@ def extract_document(
                            metadata=md, status=status,
                            write_limit_reached=r.truncated)
 
-            from .xps import XPS_MIME, extract_xps, sniff_xps
-
-            if sniff_xps(data):
-                r = extract_xps(data, max_chars=cfg.max_chars,
-                                max_ratio=cfg.max_inflate_ratio,
-                                max_entry_bytes=cfg.max_inflate_bytes,
-                                deadline=deadline)
-                md = {"Content-Type": [XPS_MIME],
-                      "n-pages": [str(r.n_pages)],
-                      "n-glyph-runs": [str(r.n_runs)]}
-                status = STATUS_TRUNCATED if r.truncated else STATUS_OK
-                return res(detected=XPS_MIME,
-                           text_extracted=r.text if cfg.parse_content
-                           else None,
-                           metadata=md, status=status,
-                           write_limit_reached=r.truncated)
-
             from .odf import extract_odf, sniff_odf
 
             odf_mime = sniff_odf(data)
@@ -647,6 +630,26 @@ def extract_document(
                            text_extracted=text if cfg.parse_content else None,
                            metadata=md, status=status,
                            write_limit_reached=limited)
+
+            # XPS runs AFTER the prefix-sniffing kinds (epub/
+            # iwork/odf have first-local-header fast paths;
+            # sniff_xps reads the central directory)
+            from .xps import XPS_MIME, extract_xps, sniff_xps
+
+            if sniff_xps(data):
+                r = extract_xps(data, max_chars=cfg.max_chars,
+                                max_ratio=cfg.max_inflate_ratio,
+                                max_entry_bytes=cfg.max_inflate_bytes,
+                                deadline=deadline)
+                md = {"Content-Type": [XPS_MIME],
+                      "n-pages": [str(r.n_pages)],
+                      "n-glyph-runs": [str(r.n_runs)]}
+                status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+                return res(detected=XPS_MIME,
+                           text_extracted=r.text if cfg.parse_content
+                           else None,
+                           metadata=md, status=status,
+                           write_limit_reached=r.truncated)
 
             from .container import extract_zip_container
 
