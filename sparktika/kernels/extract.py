@@ -1207,7 +1207,9 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
-        if detected in ("application/x-font-ttf", "application/x-font-otf"):
+        if detected in ("application/x-font-ttf", "application/x-font-otf",
+                        "application/font-woff",
+                        "application/font-woff2"):
             from .font import parse_font
 
             # metadata-only (TrueTypeParser parity: names + counts)

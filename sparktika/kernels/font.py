@@ -43,6 +43,21 @@ def is_font(data: bytes) -> bool:
 
 
 def parse_font(data: bytes) -> dict[str, list[str]]:
+    if data[:4] == b"wOFF":
+        return _parse_woff(data)
+    if data[:4] == b"wOF2":
+        # WOFF2 table data is Brotli-compressed — no lib here and no
+        # from-scratch decoder in scope; report the wrapped flavor and
+        # refuse the body loudly (the VSD/WPD posture)
+        if len(data) < 48:
+            raise KernelError("font: truncated WOFF2 header")
+        flavor = data[4:8]
+        return {"Content-Type": ["application/font-woff2"],
+                "font-flavor": ["cff" if flavor == b"OTTO"
+                                else "truetype"],
+                "body-refusal": ["WOFF2 tables are Brotli-compressed; "
+                                 "no decoder available — names refused "
+                                 "rather than guessed"]}
     if data[:4] == b"ttcf":
         if len(data) < 16:
             raise KernelError("font: truncated TTC header")
@@ -181,3 +196,87 @@ def build_ttc(fonts: list[bytes]) -> bytes:
     for b in bodies:
         out += b
     return bytes(out)
+
+
+def _parse_woff(data: bytes) -> dict[str, list[str]]:
+    """WOFF 1.0 (public W3C spec): 44-byte header, 20-byte directory
+    entries (tag, offset, compLength, origLength, checksum); tables
+    are INDIVIDUALLY zlib-compressed when compLength < origLength —
+    only 'name' and 'maxp' are ever inflated here."""
+    import zlib
+
+    if len(data) < 44:
+        raise KernelError("font: truncated WOFF header")
+    flavor = data[4:8]
+    n_tables, = struct.unpack_from(">H", data, 12)
+    if not 1 <= n_tables <= _MAX_TABLES:
+        raise KernelError(f"font: implausible WOFF table count {n_tables}")
+    wanted: dict[bytes, bytes] = {}
+    for i in range(n_tables):
+        off = 44 + 20 * i
+        if off + 20 > len(data):
+            raise KernelError("font: truncated WOFF directory")
+        tag = data[off: off + 4]
+        t_off, comp_len, orig_len = struct.unpack_from(">III", data,
+                                                       off + 4)
+        if tag not in (b"name", b"maxp"):
+            continue
+        if t_off + comp_len > len(data) or orig_len > (1 << 24):
+            raise KernelError(f"font: WOFF table {tag!r} out of bounds")
+        raw = data[t_off: t_off + comp_len]
+        if comp_len < orig_len:
+            try:
+                raw = zlib.decompress(raw, zlib.MAX_WBITS, orig_len + 1)
+            except zlib.error as exc:
+                raise KernelError(f"font: WOFF table inflate failed "
+                                  f"({exc})")
+            if len(raw) != orig_len:
+                raise KernelError("font: WOFF table size mismatch")
+        wanted[tag] = raw
+    md: dict[str, list[str]] = {
+        "Content-Type": ["application/font-woff"],
+        "font-flavor": ["cff" if flavor == b"OTTO" else "truetype"]}
+    if b"maxp" in wanted and len(wanted[b"maxp"]) >= 6:
+        md["font-glyphs"] = [str(struct.unpack_from(
+            ">H", wanted[b"maxp"], 4)[0])]
+    if b"name" in wanted:
+        md.update(_parse_names(wanted[b"name"], 0, len(wanted[b"name"])))
+    if "font-name" not in md and "font-family" not in md:
+        raise KernelError("font: WOFF carries no usable name table")
+    return md
+
+
+def build_woff(names: dict[int, str], n_glyphs: int = 10,
+               compress_name: bool = True) -> bytes:
+    """Valid WOFF 1.0 wrapping the same name/maxp tables build_font
+    emits."""
+    import zlib
+
+    sfnt = build_font(names, n_glyphs)
+    # lift the two tables back out of the sfnt
+    n_tables, = struct.unpack_from(">H", sfnt, 4)
+    tables: list[tuple[bytes, bytes]] = []
+    for i in range(n_tables):
+        off = 12 + 16 * i
+        tag = sfnt[off: off + 4]
+        t_off, t_len = struct.unpack_from(">II", sfnt, off + 8)
+        tables.append((tag, sfnt[t_off: t_off + t_len]))
+    dir_area = bytearray()
+    data_area = bytearray()
+    base = 44 + 20 * len(tables)
+    total_sfnt = 12 + 16 * len(tables)
+    for tag, body in tables:
+        comp = zlib.compress(body, 9) if compress_name else body
+        if len(comp) >= len(body):
+            comp = body
+        t_off = base + len(data_area)
+        dir_area += tag + struct.pack(">IIII", t_off, len(comp),
+                                      len(body), 0)
+        data_area += comp + b"\x00" * ((-len(comp)) % 4)
+        total_sfnt += len(body) + ((-len(body)) % 4)
+    header = (b"wOFF" + sfnt[:4]
+              + struct.pack(">IHHIHHIIIII",
+                            base + len(data_area), len(tables), 0,
+                            total_sfnt, 1, 0, 0, 0, 0, 0, 0))
+    assert len(header) == 44, len(header)
+    return bytes(header + dir_area + data_area)

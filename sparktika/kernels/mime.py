@@ -80,6 +80,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x78\xda", "application/zlib"),
     (b"OTTO", "application/x-font-otf"),
     (b"ttcf", "application/x-font-ttf"),
+    (b"wOFF", "application/font-woff"),
+    (b"wOF2", "application/font-woff2"),
     (b"CDF\x01", "application/x-netcdf"),
     (b"CDF\x02", "application/x-netcdf"),
     (b"\xffWPC", "application/vnd.wordperfect"),

@@ -5545,6 +5545,41 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_woff_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Synth Font ' || doc_id END AS font_name,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Synth Family ' || (doc_id % 7) END AS font_family,
+       CASE WHEN doc_id % 5 = 4 THEN 'application/font-woff2'
+            ELSE 'application/font-woff' END AS content_type_detected,
+       CASE WHEN doc_id % 5 = 4 THEN
+            CASE WHEN doc_id % 2 = 0 THEN 'cff' ELSE 'truetype' END
+            ELSE 'truetype' END AS flavor,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_woff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOFF webfonts (public W3C WOFF 1.0 spec): per-table zlib
+    inflation of just name/maxp, reusing the sfnt name parser; WOFF2
+    reports the wrapped flavor and refuses the Brotli body loudly
+    (kernels/font.py — webfonts are ubiquitous in page crawls).
+    Registered UNGATED — r7 window full; leads the r8 rotation."""
+    ext = _payload_extract(spark, sf_dir, "build_woff_doc", ".woff")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.element_at(meta, "font-name").getItem(0).alias("font_name"),
+        F.element_at(meta, "font-family").getItem(0)
+         .alias("font_family"),
+        "content_type_detected",
+        F.element_at(meta, "font-flavor").getItem(0).alias("flavor"),
+        "status")
+
+
+@_register(
     "extract_torrent_meta",
     """
 SELECT doc_id,

@@ -3555,6 +3555,22 @@ def build_xps_doc(doc_id: int) -> bytes:
     return build_xps(pages)
 
 
+def build_woff_doc(doc_id: int) -> bytes:
+    """WOFF corpus (extract_woff_meta oracle): WOFF1 wrapping the synth
+    sfnt name/maxp tables (zlib-compressed for even ids, stored for
+    odd); every 5th doc a WOFF2 stub (flavor-only refusal row)."""
+    from .kernels.font import build_woff
+
+    if doc_id % 5 == 4:
+        flavor = b"OTTO" if doc_id % 2 == 0 else b"\x00\x01\x00\x00"
+        return b"wOF2" + flavor + bytes(44)
+    return build_woff(
+        {1: f"Synth Family {doc_id % 7}",
+         4: f"Synth Font {doc_id}"},
+        n_glyphs=10 + doc_id % 50,
+        compress_name=(doc_id % 2 == 0))
+
+
 def build_torrent_doc(doc_id: int) -> bytes:
     """Torrent corpus (extract_torrent_meta oracle): even ids single-
     file, odd ids multi-file with 1 + id % 3 entries."""

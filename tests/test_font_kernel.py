@@ -87,3 +87,68 @@ def test_dispatcher_and_fuzz():
             rr = extract_document("https://x/a.bin", None, bytes(data))
             assert rr.status in ("ok", "failed", "unsupported")
             data[i] = orig
+
+
+def test_woff_compressed_and_stored_tables():
+    from sparktika.kernels.font import build_woff, parse_font
+
+    for comp in (True, False):
+        md = parse_font(build_woff({1: "Fam", 4: "Fam Regular"},
+                                   n_glyphs=7, compress_name=comp))
+        assert md["Content-Type"] == ["application/font-woff"]
+        assert md["font-name"] == ["Fam Regular"]
+        assert md["font-glyphs"] == ["7"]
+
+
+def test_woff2_refuses_body_with_flavor():
+    from sparktika.kernels.font import parse_font
+
+    md = parse_font(b"wOF2" + b"OTTO" + bytes(44))
+    assert md["Content-Type"] == ["application/font-woff2"]
+    assert md["font-flavor"] == ["cff"]
+    assert "body-refusal" in md
+
+
+def test_woff_corrupt_deflate_refuses():
+    import pytest as _pytest
+
+    from sparktika.kernels.errors import KernelError
+    from sparktika.kernels.font import build_woff, parse_font
+
+    b = bytearray(build_woff({1: "F", 4: "F R"}))
+    # data area starts after the 44-byte header + two 20-byte dirents;
+    # corrupt inside the first zlib stream
+    b[44 + 40 + 2] ^= 0xFF
+    with _pytest.raises(KernelError):
+        parse_font(bytes(b))
+
+
+def test_woff_dispatcher_route():
+    from sparktika.kernels.extract import extract_document
+    from sparktika.synth import build_woff_doc
+
+    r = extract_document("f.woff", None, build_woff_doc(3))
+    assert r.status == "ok"
+    assert r.content_type_detected == "application/font-woff"
+    assert r.metadata["title"] == ["Synth Font 3"]
+    r2 = extract_document("f.woff2", None, build_woff_doc(4))
+    assert r2.content_type_detected == "application/font-woff2"
+    assert r2.status == "ok"
+
+
+def test_woff_fuzz_never_raises():
+    import random
+
+    from sparktika.kernels.extract import ExtractConfig, extract_document
+    from sparktika.synth import build_woff_doc
+
+    rng = random.Random(0x30FF)
+    seeds = [build_woff_doc(i) for i in range(5)]
+    for _ in range(200):
+        base = bytearray(rng.choice(seeds))
+        for _ in range(rng.randint(1, 6)):
+            base[rng.randrange(len(base))] = rng.randrange(256)
+        if rng.random() < 0.3:
+            base = base[:rng.randrange(len(base))]
+        r = extract_document("f.woff", None, bytes(base), ExtractConfig())
+        assert r.status in ("ok", "failed", "truncated", "unsupported")

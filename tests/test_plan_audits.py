@@ -275,7 +275,8 @@ def test_dsir_sample_is_map_only(spark):
                                         "extract_avro_meta",
                                         "extract_parquet_meta",
                                         "extract_orc_meta",
-                                        "extract_torrent_meta"])
+                                        "extract_torrent_meta",
+                                        "extract_woff_meta"])
 def test_r7_kernel_queries_stay_map_only(spark, query_name):
     """r7 additions must stay in the map-only per-doc kernel shape."""
     from sparktika import queries as Q
