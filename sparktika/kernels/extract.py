@@ -1045,6 +1045,17 @@ def extract_document(
                 md["apple-resource-fork-bytes"] = [
                     str(af.resource_fork_len)]
             if af.kind == "applesingle" and af.data_fork is not None:
+                if af.data_fork[:4] == b"\x00\x05\x16\x00":
+                    # AppleSingle-in-AppleSingle: the re-dispatch is a
+                    # transparent wrapper at the SAME embed depth, so a
+                    # crafted chain nests unboundedly (150 KB reaches
+                    # 3000 deep) with only RecursionError to stop it —
+                    # refuse like the gzip nested-codec path (r7 ADVICE)
+                    return res(detected=APPLEFILE_MIME,
+                               status=STATUS_FAILED,
+                               error="nested applesingle refused "
+                                     "(wrapper-chain bomb)",
+                               metadata=md)
                 inner_name = af.real_name or url
                 r = extract_document(inner_name, None, af.data_fork, cfg,
                                      true_size=len(af.data_fork),

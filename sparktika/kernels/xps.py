@@ -142,7 +142,11 @@ def extract_xps(
                             raise KernelError("xps: glyph-run cap exceeded")
             page = "\n".join(runs)
             if budget is not None:
-                if len(page) >= budget:
+                # strictly greater: an exact-fit page cuts nothing, so
+                # the truncated flag must not fire on the boundary
+                # (r7 ADVICE); a later page (even an empty budget with
+                # a nonempty page) still trips it
+                if len(page) > budget:
                     page = page[:budget]
                     truncated = True
                 budget -= len(page)

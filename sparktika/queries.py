@@ -5921,81 +5921,83 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered queries against their oracles at sf0.001).
 # ---------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # round-7 gate window. Rotation policy (r6 VERDICT item 1):
-    # (a) web_frontier_filter — oracle-backed + pytest-green since r6
-    #     but NEVER driver-gated (the r6 window was exactly full);
-    # (b) all 41 queries whose newest hard row is r4-vintage (computed
-    #     from CORRECTNESS_r01..r06; the rel_* family, the tag triad,
-    #     tnef/ics/mbox, the r2 extraction staples, and the similarity/
-    #     text fills) — after this window no oracle-backed query's
-    #     newest driver row is older than r5;
-    # (c) the remaining 8 slots go to NEW r7 queries as they land
-    #     (appended below, hard cap 50 total), then rows-only queries
-    #     (last driver rows r5) fill whatever is left. New queries
-    #     beyond the cap stay ungated + pytest-covered and lead the r8
-    #     rotation, like web_frontier_filter did this round.
-    "web_frontier_filter",
-    "extract_charset",
-    "extract_links",
-    "extract_truncation",
-    "extract_main_text",
-    "extract_docx_text",
-    "extract_docx_hdrftr",
-    "extract_pptx_notes",
-    "extract_xlsx_text",
-    "extract_odp_text",
-    "extract_mbox_text",
-    "extract_ics_text",
-    "extract_tnef_text",
-    "extract_flac_tags",
-    "extract_mp3_tags",
-    "extract_ogg_tags",
-    "media_heif_meta",
-    "dedup_exact",
-    "dedup_newest_per_url",
-    "dedup_embedding_cosine",
-    "dedup_ngram_spans",
-    "resume_anti_join",
-    "sim_topk_bruteforce",
-    "corpus_concat_chunks",
-    "events_sessionize",
-    "text_lang_id",
-    "text_oov_rate",
-    "text_quality",
-    "text_token_counts",
-    "rel_agg_pricing_summary",
-    "rel_anti_join_inactive_customers",
-    "rel_asof_join",
-    "rel_exists_returned_orders",
-    "rel_join_broadcast_segment_revenue",
-    "rel_percentiles_disc",
-    "rel_q22_global_sales_opportunity",
-    "rel_range_join",
-    "rel_set_except_unordered_parts",
-    "rel_sql_api_shipping_priority",
-    "rel_string_date_funcs",
-    "rel_topk_orders",
-    "rel_window_latest_event",
-    # (c) new r7 queries — appended as they land:
-    "extract_netcdf_meta",
-    "extract_vsd_meta",
-    "extract_ppt95_meta",
-    "corpus_dsir_sample",
-    "extract_wpd_meta",
-    "extract_hdf5_meta",
-    "extract_cab_text",
-    "extract_flv_meta",
-    # (d) rows-only tail (cut from the window by later (c) additions
-    #     as needed; they produced driver rows in r5):
+    # round-8 gate window (r7 VERDICT items 1 + 9). Composition:
+    # (a) the 14 r7 oracle-backed queries that were registered UNGATED
+    #     (the r7 window was exactly full) — first driver rows for each;
+    # (b) 2 rows-only queries (verdict nit 3 / item 9: the driver must
+    #     observe them run; their last driver rows are r5) —
+    #     dedup_minhash_lsh (headline bench operator) and
+    #     metrics_partition_lineage (the lineage op of the north rule);
+    # (c) 34 of the 38 r5-vintage hard rows. 14+2+38 = 54 candidates
+    #     for 50 slots, so FOUR r5-vintage rows slip to r9 (the verdict
+    #     named two leave-outs, but its item 9 rows-only ask costs two
+    #     more slots). The leave-outs, chosen for the strongest pytest
+    #     pins AND an in-window sibling on the same code path:
+    #       extract_html_text     frozen goldens + reference-fixture
+    #                             byte parity + differential fuzz; the
+    #                             walker is exercised in-window by
+    #                             extract_html_meta_tags
+    #       extract_svg_text      same xmlparse kernel as in-window
+    #                             extract_xml_text
+    #       text_fingerprint_md5  pure deterministic md5; contract twin
+    #       extract_charset_utf16 dedicated BOM-less UTF-16 pytest pins
+    #     These four lead the r9 rotation together with every new r8
+    #     query registered ungated below the window.
+    # (a) first driver rows:
+    "extract_oldxls_text",
+    "extract_metafile_text",
+    "extract_class_meta",
+    "extract_xps_text",
+    "extract_bplist_text",
+    "extract_applefile_text",
+    "extract_avro_meta",
+    "extract_parquet_meta",
+    "extract_orc_meta",
+    "extract_torrent_meta",
+    "extract_woff_meta",
+    "dedup_lines",
+    "corpus_temperature_sample",
+    "corpus_mixture_plan",
+    # (b) rows-only cycling:
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_semantic",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "text_winnowing",
-    "text_lang_id_ngram",
     "metrics_partition_lineage",
+    # (c) r5-vintage refresh (34 of 38):
+    "metrics_by_host",
+    "extract_xlsb_text",
+    "dedup_normalized",
+    "dedup_token_jaccard",
+    "events_hourly_rollup",
+    "media_features",
+    "extract_msg_text",
+    "extract_json_text",
+    "source_warc_ingest",
+    "extract_msg_attachments",
+    "extract_msg_nested",
+    "extract_rtf_text",
+    "extract_sqlite_text",
+    "extract_lz4_text",
+    "extract_vcf_text",
+    "extract_eml_text",
+    "rel_multijoin_region_revenue",
+    "rel_rollup_revenue",
+    "extract_embedded_recursive",
+    "extract_xml_text",
+    "extract_odt_text",
+    "extract_ods_text",
+    "extract_epub_text",
+    "text_contamination",
+    "corpus_cap_per_host",
+    "dedup_cluster_components",
+    "corpus_c4_filter",
+    "extract_compressed_text",
+    "extract_zstd_text",
+    "rel_q13_custdist",
+    "dedup_span_ranges",
+    "extract_docx_embedded",
+    "extract_html_meta_tags",
+    "corpus_sample_stratified",
 ]
+
 
 
 

@@ -96,3 +96,19 @@ def test_fuzz_never_raises_through_dispatcher():
             base = base[:rng.randrange(len(base))]
         r = extract_document("f.as", None, bytes(base), ExtractConfig())
         assert r.status in ("ok", "failed", "truncated", "unsupported")
+
+
+def test_nested_applesingle_refuses_structurally():
+    # r7 ADVICE: an AppleSingle whose data fork is itself AppleSingle
+    # must refuse with a structured status row (wrapper-chain bomb),
+    # not recurse at the same embed depth until RecursionError.
+    inner = build_applefile("applesingle", real_name="x.txt",
+                            data_fork=b"hello")
+    chain = inner
+    for _ in range(40):
+        chain = build_applefile("applesingle", real_name="x.as",
+                                data_fork=chain)
+    r = extract_document("bomb.as", None, chain)
+    assert r.status == "failed"
+    assert "nested applesingle" in (r.error or "")
+    assert r.metadata["apple-format"] == ["applesingle"]

@@ -90,3 +90,17 @@ def test_fuzz_never_raises_through_dispatcher():
             base = base[:rng.randrange(len(base))]
         r = extract_document("f.xps", None, bytes(base), ExtractConfig())
         assert r.status in ("ok", "failed", "truncated", "unsupported")
+
+
+def test_exact_fit_page_not_truncated():
+    # r7 ADVICE: when the page text exactly fills the remaining budget
+    # no character is cut — the truncated flag must stay False.
+    r = extract_xps(build_xps([["abcde"]]), max_chars=5)
+    assert r.text.rstrip("\n") == "abcde"
+    assert not r.truncated
+    # one char over the boundary DOES truncate
+    r2 = extract_xps(build_xps([["abcdef"]]), max_chars=5)
+    assert r2.truncated
+    # exact fit followed by a nonempty page also truncates
+    r3 = extract_xps(build_xps([["abcde"], ["x"]]), max_chars=5)
+    assert r3.truncated
