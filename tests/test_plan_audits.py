@@ -6,6 +6,7 @@ in a cluster."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -345,3 +346,43 @@ def test_mixture_plan_single_agg_and_pruned_scan(spark):
     assert "BroadcastExchange" in plan, plan
     assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan, plan
     assert "pythonUDF" not in plan.lower()
+
+
+def test_token_budget_single_corpus_pass_and_map_only_counting(spark):
+    """corpus_token_budget: (a) the final plan derives entirely from the
+    eagerly-checkpointed ~|langs|-row aggregate — NO ArrowEvalPython and
+    NO FileScan, so the corpus is scanned and the BPE UDF runs exactly
+    once regardless of how many branches consume the totals; (b) the
+    counting stage itself is an ArrowEvalPython directly over a 2-column
+    pruned scan with map-side partial aggregation before its one
+    Exchange."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from sparktika.pipeline.tokenize import text_token_counts
+    from sparktika.queries import corpus_token_budget
+
+    plan = _plan(corpus_token_budget(spark, SF))
+    assert "ArrowEvalPython" not in plan, plan
+    assert "FileScan" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+    # (b) the pre-checkpoint counting stage, rebuilt as the query builds it
+    def fn(s: pd.Series) -> pd.Series:
+        return pd.Series(text_token_counts(s), dtype="int64")
+
+    toks = pandas_udf(fn, "long")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "text")
+    counting = (docs.select("lang", toks(F.col("text")).alias("t"))
+                .groupBy("lang")
+                .agg(F.sum("t").cast("long").alias("bpe_tokens")))
+    cplan = _plan(counting)
+    assert "ArrowEvalPython" in cplan, cplan
+    assert "ReadSchema: struct<text:string,lang:string>" in cplan, cplan
+    assert "partial_sum" in cplan, cplan
+    lines = cplan.splitlines()
+    udf_i = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
+    # nothing below the UDF but the scan — counting is map-only
+    assert not any("Exchange" in l for l in lines[udf_i:]), cplan
