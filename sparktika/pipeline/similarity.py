@@ -256,6 +256,203 @@ def ann_topk_ivf(
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def train_pq_codebooks(
+    emb: DataFrame,
+    coarse,
+    m: int = 16,
+    ks: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization codebooks over coarse residuals (Jégou et al.
+    2011, IVFADC). Trains m independent ks-centroid k-means quantizers,
+    one per dim/m-wide subspace, on the residual r = v/|v| - coarse[cell]
+    of a DETERMINISTIC corpus sample (smallest `sample` ids by
+    xxhash64(id), the train_ivf_centroids convention — no RNG state, so
+    the index replays bit-for-bit). Driver-side data is sample x dim plus
+    the (m, ks, dim/m) codebook tensor — broadcast-class, never the
+    corpus. Returns a numpy (m, ks, dsub) float64 array."""
+    import numpy as np
+
+    coarse = np.asarray(coarse, dtype=np.float64)
+    dim = coarse.shape[1]
+    if dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    dsub = dim // m
+    rows = (ivf_assign(emb, coarse, nprobe=1, id_col=id_col,
+                       vec_col=vec_col)
+            .select("id", "vec", F.col("centroid_ids")[0].alias("cid"))
+            .orderBy(F.xxhash64(F.col("id")))
+            .limit(sample).collect())
+    if not rows:
+        raise ValueError("empty corpus")
+    vs = np.array([list(r.vec) for r in rows], dtype=np.float64)
+    vs /= np.clip(np.linalg.norm(vs, axis=1, keepdims=True), 1e-12, None)
+    res = vs - coarse[np.array([r.cid for r in rows])]
+    books = np.zeros((m, ks, dsub))
+    for j in range(m):
+        x = res[:, j * dsub:(j + 1) * dsub]
+        # deterministic init: the first ks sample residuals in hash order
+        cb = x[np.arange(min(ks, len(x))) % len(x)].copy()
+        if len(cb) < ks:
+            cb = np.vstack([cb, np.zeros((ks - len(cb), dsub))])
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():  # empty cells keep their previous centroid
+                    cb[c] = x[mask].mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    coarse,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes[m]) — each corpus vector normalized, assigned to
+    its nearest coarse centroid, and its residual encoded as m small
+    codebook indices. One Arrow-batched pass, zero shuffle; downstream
+    the corpus rides as m bytes + a cell id instead of dim floats (the
+    memory-bounded member of the ANN family)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    import numpy as np
+
+    coarse_l = [list(map(float, r)) for r in coarse]
+    books_l = [[[float(v) for v in c] for c in b] for b in books]
+
+    def fn(vecs: pd.Series) -> pd.DataFrame:
+        cents = np.asarray(coarse_l)            # (K, dim)
+        bk = np.asarray(books_l)                # (m, ks, dsub)
+        m, _, dsub = bk.shape
+        cells, codes = [], []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            if n > 0:
+                a = a / n
+            cell = int((cents @ a).argmax())
+            r = a - cents[cell]
+            cs = [int(((r[j * dsub:(j + 1) * dsub] - bk[j]) ** 2)
+                      .sum(axis=1).argmin()) for j in range(m)]
+            cells.append(cell)
+            codes.append(cs)
+        return pd.DataFrame({"cell": cells, "codes": codes})
+
+    schema = StructType([StructField("cell", IntegerType()),
+                         StructField("codes", ArrayType(IntegerType()))])
+    # asNondeterministic: the UDF IS deterministic, but without this
+    # Catalyst duplicates the Arrow eval to push a join-derived
+    # isnotnull(cell) filter below the struct expansion — the corpus
+    # would be encoded TWICE per pass (plan-pinned: exactly one
+    # ArrowEvalPython in the ivfpq plan)
+    udf = pandas_udf(fn, schema).asNondeterministic()
+    enc = emb.select(F.col(id_col).alias("id"),
+                     udf(F.col(vec_col)).alias("e"))
+    return enc.select("id", F.col("e.cell").alias("cell"),
+                      F.col("e.codes").alias("codes"))
+
+
+def ann_topk_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    m: int = 16,
+    ks: int = 16,
+    shortlist: int = 12,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (IVFADC with exact re-ranking): coarse cells bound the
+    search like ann_topk_ivf, but candidates are scored by asymmetric
+    distance computation — per-query (m, ks) lookup tables against the
+    broadcast codebooks — over the m-byte PQ codes, so the candidate
+    join carries codes, never vectors. The top shortlist*k per query
+    re-rank with exact cosine by re-joining the corpus BY ID (broadcast
+    shortlist side). The 100-TB plan: encode is a zero-shuffle Arrow
+    pass; the candidate join broadcasts the exploded query cells (the
+    corpus-codes side never shuffles); the re-rank join broadcasts the
+    tiny shortlist; memory per corpus row in the scoring path is
+    m + 8 bytes vs 4*dim for IVF. Recall: the shortlist is re-ranked
+    exactly within the same probed cells as IVF, so recall matches IVF
+    whenever ADC places the true neighbors inside shortlist*k
+    (pytest-pinned on the sf0.001 corpus). Beyond reference parity."""
+    import numpy as np
+
+    coarse = train_ivf_centroids(emb, n_centroids, train_iters,
+                                 id_col, vec_col)
+    books = train_pq_codebooks(emb, coarse, m=m, ks=ks,
+                               id_col=id_col, vec_col=vec_col)
+    corpus = ivfpq_encode(emb, coarse, books, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell", "codes")
+
+    # per-query ADC tables, computed driver-side over the broadcast-class
+    # query set: tab[j][c] = <q_j, books[j][c]>, offset[cell] = <q, coarse>
+    qassign = (ivf_assign(queries, coarse, nprobe=nprobe,
+                          id_col=id_col, vec_col=vec_col)
+               .select(F.col("id").alias("query_id"), F.col("vec"),
+                       F.col("centroid_ids")).collect())
+    dsub = books.shape[2]
+    qrows = []
+    for r in qassign:
+        q = np.asarray(list(r.vec), dtype=np.float64)
+        n = np.linalg.norm(q)
+        if n > 0:
+            q = q / n
+        tab = [[float(q[j * dsub:(j + 1) * dsub] @ books[j][c])
+                for c in range(ks)] for j in range(m)]
+        for cell in r.centroid_ids:
+            qrows.append((int(r.query_id), int(cell),
+                          float(q @ coarse[cell]), tab))
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, cell int, offset double, tab array<array<double>>")
+
+    # ADC score = offset + sum_j tab[j][codes[j]]  (pure JVM expressions)
+    cand = (corpus.join(F.broadcast(qdf), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    adc = F.col("offset") + sum(
+        F.element_at(F.element_at("tab", j + 1),
+                     F.col("codes")[j] + F.lit(1))
+        for j in range(m))
+    scored = cand.select("query_id", "neighbor_id",
+                         adc.alias("adc_score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc())
+    short = (scored.withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") <= shortlist * k)
+             .select("query_id", "neighbor_id"))
+
+    # exact re-rank: fetch the shortlist's full vectors by id (broadcast
+    # the shortlist — the corpus side is a pruned by-id semi lookup)
+    nv = emb.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("nvec"))
+    qv = spark.createDataFrame(
+        [(int(r.query_id), [float(x) for x in r.vec]) for r in qassign],
+        "query_id long, qvec array<float>")
+    rer = (nv.join(F.broadcast(short), "neighbor_id")
+           .join(F.broadcast(qv), "query_id")
+           .withColumn("cosine",
+                       F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6)))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -764,6 +764,22 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# rows-only: IVF-PQ ANN is approximate by construction (recall pinned in
+# tests/test_pipeline_integration.py to equal plain IVF's on this corpus)
+@_register("sim_topk_ivfpq")
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-bounded member of the ANN family (r7 VERDICT item 5):
+    IVFADC — corpus rides the candidate join as m-byte PQ codes instead
+    of dim floats, scored by per-query ADC lookup tables, then the
+    shortlist re-ranks with exact cosine by id. Same probed cells as
+    sim_topk_ivf; recall matches it on this corpus (pytest-pinned)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ann_topk_ivfpq(emb, queries, k=5, n_centroids=16,
+                                    nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register(
     "dedup_embedding_cosine",
     f"""

@@ -968,3 +968,57 @@ def test_drop_frequent_lines_planted_regimes(spark):
     assert out[5].n_removed == 1 and out[5].n_lines == 3
     assert out[6].text_clean == "" and out[6].n_removed == 1
     assert len(out) == 7
+
+
+def test_ann_ivfpq_recall_matches_ivf_floor(spark):
+    """IVF-PQ probes the SAME cells as IVF and re-ranks its ADC shortlist
+    with exact cosine, so on this corpus its recall must not fall below
+    plain IVF's, and every returned cosine must agree exactly with brute
+    force (same rounded expression)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    ivf = similarity.ann_topk_ivf(emb, queries, k=5,
+                                  n_centroids=16, nprobe=4).collect()
+    pq = similarity.ann_topk_ivfpq(emb, queries, k=5,
+                                   n_centroids=16, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_recall = len(exact_set & {(r.query_id, r.neighbor_id)
+                                  for r in ivf}) / len(exact_set)
+    pq_set = {(r.query_id, r.neighbor_id) for r in pq}
+    pq_recall = len(exact_set & pq_set) / len(exact_set)
+    assert pq_recall >= ivf_recall, (pq_recall, ivf_recall)
+    escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    ascore = {(r.query_id, r.neighbor_id): r.cosine for r in pq}
+    assert all(escore[p] == ascore[p] for p in exact_set & pq_set)
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in by_q.values())
+
+
+def test_ivfpq_codes_shape_and_determinism(spark):
+    """Every corpus vector encodes to exactly m small codes in one cell;
+    the whole index (coarse + codebooks + codes) replays bit-for-bit."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(120)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=1)
+    books = similarity.train_pq_codebooks(emb, cents, m=8, ks=16)
+    assert books.shape == (8, 16, 8)
+    books2 = similarity.train_pq_codebooks(emb, cents, m=8, ks=16)
+    assert (books == books2).all()
+    enc = similarity.ivfpq_encode(emb, cents, books).collect()
+    assert len(enc) == 120
+    for r in enc:
+        assert 0 <= r.cell < 8
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+    enc2 = similarity.ivfpq_encode(emb, cents, books).collect()
+    assert sorted(map(tuple, enc)) == sorted(map(tuple, enc2))
+
+
+def test_ivfpq_rejects_indivisible_subspaces(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=4, iters=1)
+    with pytest.raises(ValueError, match="must divide"):
+        similarity.train_pq_codebooks(emb, cents, m=7)

@@ -386,3 +386,26 @@ def test_token_budget_single_corpus_pass_and_map_only_counting(spark):
     udf_i = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
     # nothing below the UDF but the scan — counting is map-only
     assert not any("Exchange" in l for l in lines[udf_i:]), cplan
+
+
+def test_ivfpq_zero_corpus_shuffle_single_encode(spark):
+    """sim_topk_ivfpq: the corpus never shuffles — its two touches (PQ
+    encode, re-rank vector fetch) are FileScans feeding broadcast joins;
+    the only hashpartitioning Exchanges are the two per-query top-k
+    windows (codes/ids only, no vectors at corpus scale); and the encode
+    UDF runs exactly ONCE (without asNondeterministic Catalyst duplicates
+    the Arrow eval to push a join filter below the struct expansion,
+    doubling the hottest 100-TB pass)."""
+    from pyspark.sql import functions as F
+
+    from sparktika.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(similarity.ann_topk_ivfpq(emb, q, k=3, n_centroids=8,
+                                           nprobe=2))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    on_query = plan.count("Exchange hashpartitioning(query_id")
+    assert on_query == 2, plan
+    assert plan.count("Exchange hashpartitioning") == on_query, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
