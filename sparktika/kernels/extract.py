@@ -1197,6 +1197,23 @@ def extract_document(
                        text_extracted="" if cfg.parse_content else None,
                        metadata=md, status=STATUS_OK)
 
+        if detected == "image/vnd.dwg":
+            from .dwg import BODY_REFUSAL as _DWG_REFUSAL
+            from .dwg import parse_dwg_version
+
+            # DWGParser parity, detection-first by design: the public
+            # 6-byte version signature extracts faithfully; the
+            # version-specific header sections are refused
+            # (kernels/dwg.py docstring)
+            ver, release = parse_dwg_version(data)
+            md = {"Content-Type": [detected],
+                  "dwg-version": [ver],
+                  "dwg-release": [release],
+                  "body-refusal": [_DWG_REFUSAL]}
+            return res(detected=detected,
+                       text_extracted="" if cfg.parse_content else None,
+                       metadata=md, status=STATUS_OK)
+
         if detected == "audio/midi":
             from .midi import parse_midi
 

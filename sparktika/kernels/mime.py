@@ -93,6 +93,18 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
     (b"Obj\x01", "application/avro"),
+    # AutoCAD DWG: per-version 6-byte signatures, the same closed set
+    # Tika's mimetypes registry routes by (kernels/dwg.py)
+    (b"AC1006", "image/vnd.dwg"),
+    (b"AC1009", "image/vnd.dwg"),
+    (b"AC1012", "image/vnd.dwg"),
+    (b"AC1014", "image/vnd.dwg"),
+    (b"AC1015", "image/vnd.dwg"),
+    (b"AC1018", "image/vnd.dwg"),
+    (b"AC1021", "image/vnd.dwg"),
+    (b"AC1024", "image/vnd.dwg"),
+    (b"AC1027", "image/vnd.dwg"),
+    (b"AC1032", "image/vnd.dwg"),
 )
 
 # First-byte index over _MAGIC: the scan runs once per document, so a

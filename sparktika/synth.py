@@ -3811,6 +3811,19 @@ def build_wpd(doc_id: int) -> bytes:
             + junk)
 
 
+def build_dwg(doc_id: int) -> bytes:
+    """AutoCAD DWG (extract_dwg_meta oracle): one of the ten public
+    version signatures + deterministic junk standing in for the
+    header sections the kernel must NOT attempt to decode
+    (kernels/dwg.py is detection-first by design)."""
+    import hashlib as _h
+
+    versions = (b"AC1006", b"AC1009", b"AC1012", b"AC1014", b"AC1015",
+                b"AC1018", b"AC1021", b"AC1024", b"AC1027", b"AC1032")
+    body = _h.blake2b(f"dwg{doc_id}".encode(), digest_size=64).digest()
+    return versions[doc_id % 10] + body
+
+
 def build_ppt_old(doc_id: int) -> bytes:
     """Pre-97 PowerPoint (extract_ppt95_meta oracle): even ids a
     PowerPoint-95-style store (PowerPoint Document + Current User whose

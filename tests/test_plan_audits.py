@@ -409,3 +409,12 @@ def test_ivfpq_zero_corpus_shuffle_single_encode(spark):
     assert on_query == 2, plan
     assert plan.count("Exchange hashpartitioning") == on_query, plan
     assert plan.count("BroadcastExchange") >= 3, plan
+
+
+@pytest.mark.parametrize("query_name", ["extract_dwg_meta"])
+def test_r8_kernel_queries_stay_map_only(spark, query_name):
+    """r8 additions must stay in the map-only per-doc kernel shape."""
+    from sparktika import queries as Q
+
+    plan = _plan(getattr(Q, query_name)(spark, SF))
+    assert "Exchange" not in plan, plan
