@@ -380,3 +380,125 @@ def parse_ogg_comments(data: bytes) -> dict[str, str]:
     except (IndexError, ValueError):
         pass
     return out
+
+
+def _f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF sampleRate field):
+    1 sign + 15 exponent (bias 16383) + explicit 64-bit mantissa."""
+    if len(b) < 10:
+        return 0.0
+    se = int.from_bytes(b[:2], "big")
+    exp = se & 0x7FFF
+    mant = int.from_bytes(b[2:10], "big")
+    if mant == 0 or exp in (0, 0x7FFF):  # zero/denorm/inf/nan -> refuse
+        return 0.0
+    v = mant * 2.0 ** (exp - 16383 - 63)
+    return -v if se & 0x8000 else v
+
+
+# AIFF text chunk ids -> Tika-style metadata keys (EA IFF 85 / Apple
+# AIFF-1.3 spec: NAME/AUTH/ANNO/'(c) ' carry plain text)
+_AIFF_TEXT_KEYS = {b"NAME": "title", b"AUTH": "author",
+                   b"ANNO": "comment", b"(c) ": "copyright"}
+
+
+def parse_aiff(data: bytes) -> tuple[AudioMeta, dict[str, str]] | None:
+    """AIFF / AIFF-C header walk (public EA IFF 85 container + Apple
+    AIFF-1.3 / AIFF-C spec; Tika 1.20 parity: AudioParser via
+    javax.sound reports samplerate/channels/bits for .aiff). Big-endian
+    chunks; COMM carries channels, frame count, bits, and an 80-bit
+    extended-float sample rate; AIFC appends a compression fourcc.
+    Returns (meta, text tags) or None if the container shape fails."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    is_aifc = data[8:12] == b"AIFC"
+    end = min(len(data), 8 + int.from_bytes(data[4:8], "big"))
+    pos = 12
+    meta: AudioMeta | None = None
+    tags: dict[str, str] = {}
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "big")
+        if size > end - pos - 8:  # truncated chunk: stop, keep prefix
+            break
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"COMM" and len(body) >= 18 and meta is None:
+            ch = int.from_bytes(body[0:2], "big")
+            n_frames = int.from_bytes(body[2:6], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            rate = _f80(body[8:18])
+            if not (1 <= ch <= 64 and 0 < rate <= 655_350):
+                return None
+            duration_ms = round(n_frames * 1000 / rate) if n_frames else 0
+            meta = AudioMeta("audio/x-aiff", int(round(rate)), ch, bits,
+                             duration_ms)
+            if is_aifc and len(body) >= 22:
+                tags["compression-type"] = body[18:22].decode(
+                    "ascii", "replace")
+        elif cid in _AIFF_TEXT_KEYS and size:
+            txt = body.decode("ascii", "replace").strip("\x00").strip()
+            if txt:
+                tags[_AIFF_TEXT_KEYS[cid]] = txt
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if meta is None:
+        return None
+    return meta, tags
+
+
+# Sun/NeXT .au encoding -> bits per sample (public SunOS audio file
+# format; 1 = G.711 mu-law 8-bit, 2/3/4/5 = linear PCM, 6/7 = float,
+# 27 = G.711 A-law)
+_AU_BITS = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32, 6: 32, 7: 64, 27: 8}
+
+
+def parse_au(data: bytes) -> tuple[AudioMeta, str] | None:
+    """Sun .au header (public format: '.snd' magic + six big-endian
+    u32s; Tika 1.20 parity: AudioParser handles .au). Returns
+    (meta, info string) or None."""
+    if data[:4] != b".snd" or len(data) < 28:
+        return None
+    off, dsize, enc, rate, ch = struct.unpack(">5I", data[4:24])
+    if off < 24 or not (1 <= ch <= 64) or not (1 <= rate <= 655_350):
+        return None
+    bits = _AU_BITS.get(enc, 0)
+    duration_ms = 0
+    if dsize not in (0, 0xFFFFFFFF) and bits and dsize <= len(data):
+        frames = dsize // max(1, ch * (bits // 8))
+        duration_ms = round(frames * 1000 / rate)
+    info = ""
+    if off > 24:
+        info = (data[24:min(off, len(data))].split(b"\x00", 1)[0]
+                .decode("latin-1", "replace").strip())
+    return AudioMeta("audio/basic", rate, ch, bits, duration_ms), info
+
+
+def parse_wav_header(data: bytes) -> AudioMeta | None:
+    """RIFF/WAVE fmt-chunk facts WITHOUT sample decode — the dispatcher
+    posture for .wav (the full PCM decoder decode_wav stays the
+    multimodal path). Reports rate/channels/bits for ANY format tag
+    (Tika's AudioParser surface), plus duration from the data chunk for
+    integer PCM."""
+    if not sniff_wav(data) or len(data) < 12:
+        return None
+    pos = 12
+    fmt = None
+    data_size = 0
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(data):
+            fmt = struct.unpack("<HHIIHH", data[pos + 8:pos + 8 + 16])
+        elif cid == b"data":
+            data_size = min(size, max(0, len(data) - pos - 8))
+        if size > len(data) - pos - 8:
+            break
+        pos += 8 + size + (size & 1)
+    if fmt is None:
+        return None
+    audio_format, ch, rate, _bytes_s, block_align, bits = fmt
+    if not (1 <= ch <= 64) or not (1 <= rate <= 655_350):
+        return None
+    duration_ms = 0
+    if audio_format == 1 and block_align:
+        duration_ms = round(data_size // block_align * 1000 / rate)
+    return AudioMeta("audio/x-wav", rate, ch, bits, duration_ms)

@@ -433,6 +433,29 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "multipart/related":
+            from .mhtml import extract_mhtml
+
+            # RFC 2557 saved web page: root HTML through the walker,
+            # sibling resources as metadata (kernels/mhtml.py)
+            r = extract_mhtml(data, deadline=deadline)
+            text, limited = _cap_text(r.text, cfg.max_chars)
+            md = {"Content-Type": [detected],
+                  "n-resources": [str(r.n_resources)]}
+            if r.snapshot_location:
+                md["snapshot-content-location"] = [r.snapshot_location]
+            if r.resource_locations:
+                md["resource-locations"] = r.resource_locations
+            if r.resource_types:
+                md["resource-types"] = r.resource_types
+            if r.title:
+                md["title"] = [r.title]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.title,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "application/vnd.ms-tnef":
             from .tnef import extract_tnef
 
@@ -1532,6 +1555,41 @@ def extract_document(
                            metadata=md, status=STATUS_OK)
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error="image headers unparseable")
+
+        if detected in ("audio/x-aiff", "audio/basic", "audio/x-wav"):
+            # AudioParser parity (Tika 1.20 routes .wav/.aiff/.au via
+            # javax.sound): stream properties into metadata, empty body.
+            # AIFF text chunks and the .au info string surface too.
+            from .audio import parse_aiff, parse_au, parse_wav_header
+
+            am, tags, info = None, {}, None
+            if detected == "audio/x-aiff":
+                r2 = parse_aiff(data)
+                if r2 is not None:
+                    am, tags = r2
+            elif detected == "audio/basic":
+                r2 = parse_au(data)
+                if r2 is not None:
+                    am, info = r2
+            else:
+                am = parse_wav_header(data)
+            if am is not None:
+                md = {"Content-Type": [am.mime],
+                      "samplerate": [str(am.sample_rate)],
+                      "channels": [str(am.channels)]}
+                if am.bits_per_sample:
+                    md["bits"] = [str(am.bits_per_sample)]
+                if am.duration_ms:
+                    md["duration-ms"] = [str(am.duration_ms)]
+                for k, v in tags.items():
+                    md[k] = [v]
+                if info:
+                    md["audio-info"] = [info]
+                return res(detected=am.mime, text_extracted="",
+                           title=tags.get("title"),
+                           metadata=md, status=STATUS_OK)
+            return res(detected=detected, status=STATUS_UNSUPPORTED,
+                       error="audio headers unparseable")
 
         if detected in ("audio/flac", "audio/mpeg", "audio/ogg"):
             # header-level audio metadata (Tika Mp3Parser / FLAC / Ogg

@@ -93,6 +93,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
     (b"Obj\x01", "application/avro"),
+    (b".snd", "audio/basic"),  # Sun/NeXT audio
     # AutoCAD DWG: per-version 6-byte signatures, the same closed set
     # Tika's mimetypes registry routes by (kernels/dwg.py)
     (b"AC1006", "image/vnd.dwg"),
@@ -205,6 +206,8 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
     riff = _sniff_riff(data)
     if riff:
         return riff
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return "audio/x-aiff"  # EA IFF 85 container, AIFF formType only
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"
     if data[:3] == b"070":
@@ -324,6 +327,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
     from .eml import sniff_eml
 
     if sniff_eml(data):
+        # RFC 2557 saved web pages are rfc822-shaped with a
+        # multipart/related top-level type — route them to the MHTML
+        # kernel, everything else stays email
+        from .mhtml import is_multipart_related
+
+        if is_multipart_related(data):
+            return "multipart/related"
         return "message/rfc822"
     declared_n = _normalize(declared)
     if declared_n and declared_n != OCTET_STREAM:

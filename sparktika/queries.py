@@ -5185,6 +5185,124 @@ def extract_dwg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_audio_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN 'audio/x-aiff'
+            WHEN doc_id % 4 = 2 THEN 'audio/basic'
+            ELSE 'audio/x-wav' END AS content_type_detected,
+       CAST(8000 AS BIGINT) AS samplerate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(100 * (1 + doc_id % 3) AS BIGINT) AS duration_ms,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN 'Track ' || doc_id END AS title,
+       CASE WHEN doc_id % 4 = 1 THEN 'NONE' END AS compression,
+       CASE WHEN doc_id % 4 = 2 THEN 'au ' || doc_id END AS audio_info,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF / AIFF-C / Sun .au / WAV header metadata through the text
+    dispatcher — completes the Tika 1.20 AudioParser matrix (javax.sound
+    routes .wav/.aiff/.au; reference reaches it via tika-parsers:1.20,
+    build.gradle:24): stream properties (samplerate/channels/bits/
+    duration) into metadata with an empty body, AIFF NAME chunks as
+    title, AIFC compression fourcc, .au info strings. Exact-rational
+    synth (invariant 10): 8000 Hz / frames = 800*(1 + id%3) makes
+    duration_ms pure integer arithmetic in both engines."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_audio_header
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_audio_header(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://media.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".audio")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    meta = F.col("metadata")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.audio", 1)
+         .cast("long").alias("doc_id"),
+        "content_type_detected",
+        F.element_at(meta, "samplerate").getItem(0)
+         .cast("long").alias("samplerate"),
+        F.element_at(meta, "channels").getItem(0)
+         .cast("long").alias("channels"),
+        F.element_at(meta, "bits").getItem(0).cast("long").alias("bits"),
+        F.element_at(meta, "duration-ms").getItem(0)
+         .cast("long").alias("duration_ms"),
+        F.element_at(meta, "title").getItem(0).alias("title"),
+        F.element_at(meta, "compression-type").getItem(0)
+         .alias("compression"),
+        F.element_at(meta, "audio-info").getItem(0).alias("audio_info"),
+        "status")
+
+
+@_register(
+    "extract_mhtml_text",
+    """
+SELECT doc_id,
+       'Page ' || doc_id AS title,
+       'https://pages.example.com/p' || doc_id AS snapshot_location,
+       'Saved page ' || doc_id || ' body.' || chr(10)
+         || 'Tokens ' || (doc_id % 7) || '.' AS text,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_resources,
+       'multipart/related' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_mhtml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MHTML saved web pages (RFC 2557, kernels/mhtml.py): the
+    rfc822-shaped multipart/related container routes off the eml sniff,
+    the root HTML part (quoted-printable) renders through the repo's
+    own walker, sibling resources surface as counted metadata with
+    content locations. Tika 1.20 detects multipart/related via its
+    mimetypes registry (reference reaches parsers via
+    tika-parsers:1.20, build.gradle:24); rendering the root HTML is
+    beyond that parity. Webtext-core: browser 'save page as single
+    file' output recurs in shared-drive crawls."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .synth import build_mhtml
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_mhtml(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".mht")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext = extract_pages(pages, SYNTH_CONFIG)
+    meta = F.col("metadata")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.mht", 1)
+         .cast("long").alias("doc_id"),
+        F.element_at(meta, "title").getItem(0).alias("title"),
+        F.element_at(meta, "snapshot-content-location").getItem(0)
+         .alias("snapshot_location"),
+        F.col("text_extracted").alias("text"),
+        F.element_at(meta, "n-resources").getItem(0)
+         .cast("long").alias("n_resources"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
     "extract_hdf5_meta",
     """
 SELECT doc_id,

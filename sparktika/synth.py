@@ -3811,6 +3811,100 @@ def build_wpd(doc_id: int) -> bytes:
             + junk)
 
 
+def build_mhtml(doc_id: int) -> bytes:
+    """RFC 2557 saved web page (extract_mhtml_text oracle): browser-style
+    multipart/related with a quoted-printable HTML root part (pure ASCII,
+    so QP decode is identity and the oracle stays exact) plus
+    1 + doc_id % 3 resource parts (css + base64 images)."""
+    import base64 as _b64
+    import hashlib as _h
+
+    sid = str(doc_id)
+    bnd = f"----MultipartBoundary--{sid}----"
+    loc = f"https://pages.example.com/p{sid}"
+    html = (f"<html><head><title>Page {sid}</title></head>"
+            f"<body><p>Saved page {sid} body.</p>"
+            f"<p>Tokens {doc_id % 7}.</p></body></html>")
+    parts = [
+        f"Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Transfer-Encoding: quoted-printable\r\n"
+        f"Content-Location: {loc}\r\n\r\n{html}\r\n"
+    ]
+    parts.append(
+        "Content-Type: text/css\r\n"
+        "Content-Transfer-Encoding: quoted-printable\r\n"
+        f"Content-Location: https://pages.example.com/style{sid}.css\r\n"
+        "\r\nbody { margin: 0; }\r\n")
+    for j in range(doc_id % 3):
+        png = _h.blake2b(f"mhtimg{sid}:{j}".encode(),
+                         digest_size=48).digest()
+        parts.append(
+            "Content-Type: image/png\r\n"
+            "Content-Transfer-Encoding: base64\r\n"
+            f"Content-Location: https://pages.example.com/i{sid}_{j}.png"
+            f"\r\n\r\n{_b64.b64encode(png).decode()}\r\n")
+    head = (f"From: <Saved by sparktika>\r\n"
+            f"Snapshot-Content-Location: {loc}\r\n"
+            f"Subject: Page {sid}\r\n"
+            f"MIME-Version: 1.0\r\n"
+            f"Content-Type: multipart/related; type=\"text/html\"; "
+            f"boundary=\"{bnd}\"\r\n\r\n")
+    body = "".join(f"--{bnd}\r\n{p}" for p in parts) + f"--{bnd}--\r\n"
+    return (head + body).encode()
+
+
+def _f80_encode(x: float) -> bytes:
+    """80-bit IEEE 754 extended float (AIFF sampleRate)."""
+    import math as _m
+    import struct as _s
+
+    if x == 0:
+        return b"\x00" * 10
+    m, e = _m.frexp(x)  # m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return _s.pack(">H", e - 1 + 16383) + mant.to_bytes(8, "big")
+
+
+def build_audio_header(doc_id: int) -> bytes:
+    """AIFF / AIFF-C / Sun .au / WAV (extract_audio_meta oracle),
+    rotating on doc_id % 4. Exact-rational design (invariant 10):
+    rate 8000 Hz, 16-bit, frames = 800*(1 + doc_id % 3), so
+    duration_ms = 100*(1 + doc_id % 3) is exact integer arithmetic in
+    both engines."""
+    import struct as _s
+
+    kind = doc_id % 4
+    ch = 1 + doc_id % 2
+    frames = 800 * (1 + doc_id % 3)
+    if kind in (0, 1):  # AIFF / AIFC
+        comm = _s.pack(">HIH", ch, frames, 16) + _f80_encode(8000.0)
+        if kind == 1:
+            comm += b"NONE" + bytes([14]) + b"not compressed" + b"\x00"
+        name = f"Track {doc_id}".encode()
+        if len(name) & 1:
+            name += b"\x00"
+        ssnd = _s.pack(">II", 0, 0)
+        chunks = (b"COMM" + _s.pack(">I", len(comm)) + comm
+                  + b"NAME" + _s.pack(">I", len(name)) + name
+                  + b"SSND" + _s.pack(">I", len(ssnd)) + ssnd)
+        form = (b"AIFC" if kind == 1 else b"AIFF") + chunks
+        return b"FORM" + _s.pack(">I", len(form)) + form
+    if kind == 2:  # Sun .au, encoding 3 = 16-bit linear PCM
+        info = f"au {doc_id}".encode() + b"\x00"
+        if len(info) & 1:
+            info += b"\x00"
+        dsize = frames * ch * 2
+        hdr = b".snd" + _s.pack(">5I", 24 + len(info), dsize, 3, 8000, ch)
+        return hdr + info + b"\x00" * dsize
+    # WAV, PCM 16-bit
+    dsize = frames * ch * 2
+    fmt = _s.pack("<HHIIHH", 1, ch, 8000, 8000 * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", dsize) + b"\x00" * dsize)
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
 def build_dwg(doc_id: int) -> bytes:
     """AutoCAD DWG (extract_dwg_meta oracle): one of the ten public
     version signatures + deterministic junk standing in for the
