@@ -433,6 +433,67 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/x-debian-package":
+            from .deb import extract_deb
+
+            # deb(5): control fields into metadata, Description rendered
+            # per deb-control(5) as the body; data.tar never decompressed
+            r = extract_deb(data, deadline=deadline)
+            text, limited = _cap_text(r.description, cfg.max_chars)
+            md = {"Content-Type": [detected],
+                  "deb-members": list(r.members)}
+            for k, v in sorted(r.fields.items()):
+                if k != "Description":
+                    md[f"deb-{k.lower()}"] = [v]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.fields.get("Package"),
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
+        if detected == "application/x-rpm":
+            from .rpm import extract_rpm
+
+            # RPM lead + header-structure walk (kernels/rpm.py): package
+            # facts into metadata, description as the body; the cpio
+            # payload is never touched
+            r = extract_rpm(data, deadline=deadline)
+            text, limited = _cap_text(
+                r.fields.get("description", ""), cfg.max_chars)
+            md = {"Content-Type": [detected],
+                  "rpm-package-type": ["binary" if r.binary_package
+                                       else "source"]}
+            for k, v in sorted(r.fields.items()):
+                if k != "description":
+                    md[f"rpm-{k}"] = [v]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.fields.get("name"),
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
+        if detected == "application/x-ms-shortcut":
+            from .lnk import extract_lnk
+
+            # [MS-SHLLNK]: StringData + LinkInfo local base path as
+            # queryable facts; the NAME_STRING (comment) is the body
+            r = extract_lnk(data)
+            text, limited = _cap_text(r.name or "", cfg.max_chars)
+            md = {"Content-Type": [detected]}
+            for key, val in (("lnk-relative-path", r.relative_path),
+                             ("lnk-working-dir", r.working_dir),
+                             ("lnk-arguments", r.arguments),
+                             ("lnk-icon-location", r.icon_location),
+                             ("lnk-local-base-path", r.local_base_path)):
+                if val:
+                    md[key] = [val]
+            md["lnk-target-size"] = [str(r.file_size)]
+            status = STATUS_TRUNCATED if limited else STATUS_OK
+            return res(detected=detected, title=r.name,
+                       text_extracted=text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=limited)
+
         if detected == "multipart/related":
             from .mhtml import extract_mhtml
 

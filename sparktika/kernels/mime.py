@@ -66,7 +66,11 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
     (b"!BDN", "application/vnd.ms-outlook-pst"),
+    # Debian package: ar whose first member is debian-binary (same
+    # contextual magic Tika uses); must precede the generic ar entry
+    (b"!<arch>\ndebian", "application/x-debian-package"),
     (b"!<arch>\n", "application/x-archive"),
+    (b"\xed\xab\xee\xdb", "application/x-rpm"),
     (b"ITSF\x03\x00\x00\x00", "application/vnd.ms-htmlhelp"),
     (b"ITSF\x02\x00\x00\x00", "application/vnd.ms-htmlhelp"),
     (b"8BPS", "image/vnd.adobe.photoshop"),
@@ -208,6 +212,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
         return riff
     if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         return "audio/x-aiff"  # EA IFF 85 container, AIFF formType only
+    if data[:4] == b"\x4c\x00\x00\x00":
+        # Shell Link: the 4-byte HeaderSize alone is weak; is_lnk
+        # additionally requires the full 16-byte LinkCLSID
+        from .lnk import is_lnk
+
+        if is_lnk(data):
+            return "application/x-ms-shortcut"
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"
     if data[:3] == b"070":

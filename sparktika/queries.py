@@ -5302,6 +5302,160 @@ def extract_mhtml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status")
 
 
+def _kernel_pages(spark: SparkSession, sf_dir: str, builder, ext: str):
+    """Shared shape for per-format kernel queries: deterministic synth
+    payloads keyed by doc_id through the full extract_pages path."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def payload_fn(ids: pd.Series) -> pd.Series:
+        return pd.Series([builder(int(i)) for i in ids])
+
+    udf = pandas_udf(payload_fn, BinaryType())
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://files.example.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(f".{ext}")).alias("url"),
+        udf(F.col("doc_id")).alias("html"),
+    )
+    ext_df = extract_pages(pages, SYNTH_CONFIG)
+    return ext_df.withColumn(
+        "doc_id",
+        F.regexp_extract("url", rf"/(\d+)\.{ext}", 1).cast("long"))
+
+
+@_register(
+    "extract_deb_meta",
+    """
+SELECT doc_id,
+       'pkg' || (doc_id % 20) AS package,
+       '1.' || (doc_id % 5) || '.' || (doc_id % 3) AS version,
+       CASE WHEN doc_id % 2 = 0 THEN 'amd64' ELSE 'arm64' END AS arch,
+       CAST(10 + doc_id % 50 AS BIGINT) AS installed_size,
+       'Synthetic package ' || doc_id || chr(10)
+         || 'Long description line for ' || doc_id || '.' || chr(10)
+         || chr(10) || 'Final line ' || (doc_id % 7) || '.' AS text,
+       'application/x-debian-package' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_deb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debian packages (kernels/deb.py): deb(5) ar walk, control.tar
+    decompressed under a ratio cap, deb-control(5) fields as metadata,
+    Description rendered as the body ('.' lines are paragraph breaks),
+    the data.tar payload listed but never decompressed. Tika 1.20
+    detects x-debian-package by the same contextual ar magic (reference
+    parsers via tika-parsers:1.20, build.gradle:24); control-field
+    extraction is beyond that parity."""
+    from .synth import build_deb
+
+    ext = _kernel_pages(spark, sf_dir, build_deb, "deb")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.element_at(meta, "deb-package").getItem(0).alias("package"),
+        F.element_at(meta, "deb-version").getItem(0).alias("version"),
+        F.element_at(meta, "deb-architecture").getItem(0).alias("arch"),
+        F.element_at(meta, "deb-installed-size").getItem(0)
+         .cast("long").alias("installed_size"),
+        F.col("text_extracted").alias("text"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
+    "extract_rpm_meta",
+    """
+SELECT doc_id,
+       'pkg' || (doc_id % 20) AS name,
+       '2.' || (doc_id % 4) AS version,
+       (1 + doc_id % 3) || '.el9' AS release,
+       CASE WHEN doc_id % 2 = 0 THEN 'x86_64' ELSE 'aarch64' END AS arch,
+       CASE WHEN doc_id % 2 = 0 THEN 'MIT' ELSE 'GPL-2.0' END AS license,
+       'Synthetic rpm ' || doc_id AS summary,
+       CAST(10000 + doc_id AS BIGINT) AS pkg_size,
+       CASE WHEN doc_id % 5 = 0 THEN 'source' ELSE 'binary' END
+         AS package_type,
+       'Description body ' || (doc_id % 11) || '.' AS text,
+       'application/x-rpm' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_rpm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPM packages (kernels/rpm.py): lead + signature/main header-
+    structure walk per the public rpm.org format — name/version/
+    release/arch/summary/license/size from string, I18NSTRING, and
+    int32 tags; the cpio payload never touched; 8-byte store alignment
+    between headers honored. Tika 1.20 detects x-rpm by the lead magic;
+    field extraction is beyond that parity."""
+    from .synth import build_rpm
+
+    ext = _kernel_pages(spark, sf_dir, build_rpm, "rpm")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.element_at(meta, "rpm-name").getItem(0).alias("name"),
+        F.element_at(meta, "rpm-version").getItem(0).alias("version"),
+        F.element_at(meta, "rpm-release").getItem(0).alias("release"),
+        F.element_at(meta, "rpm-arch").getItem(0).alias("arch"),
+        F.element_at(meta, "rpm-license").getItem(0).alias("license"),
+        F.element_at(meta, "rpm-summary").getItem(0).alias("summary"),
+        F.element_at(meta, "rpm-size").getItem(0)
+         .cast("long").alias("pkg_size"),
+        F.element_at(meta, "rpm-package-type").getItem(0)
+         .alias("package_type"),
+        F.col("text_extracted").alias("text"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
+    "extract_lnk_meta",
+    """
+SELECT doc_id,
+       'Shortcut to doc ' || doc_id AS title,
+       '.\\docs\\doc' || doc_id || '.txt' AS relative_path,
+       'C:\\docs' AS working_dir,
+       CASE WHEN doc_id % 3 = 0 THEN '--mode0' END AS arguments,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'C:\\files\\doc' || doc_id || '.txt' END
+         AS local_base_path,
+       CAST(1000 + doc_id AS BIGINT) AS target_size,
+       'application/x-ms-shortcut' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_lnk_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows shortcuts (kernels/lnk.py, [MS-SHLLNK]): header CLSID-
+    gated routing, IDList/LinkInfo skip by size prefixes, LinkInfo
+    local base path, StringData in spec order honoring the IsUnicode
+    flag (UTF-16LE vs ANSI) — the comment string is the body. Beyond
+    Tika 1.20 parity (no .lnk parser there), justified by shared-drive
+    crawl frequency."""
+    from .synth import build_lnk
+
+    ext = _kernel_pages(spark, sf_dir, build_lnk, "lnk")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.col("title"),
+        F.element_at(meta, "lnk-relative-path").getItem(0)
+         .alias("relative_path"),
+        F.element_at(meta, "lnk-working-dir").getItem(0)
+         .alias("working_dir"),
+        F.element_at(meta, "lnk-arguments").getItem(0).alias("arguments"),
+        F.element_at(meta, "lnk-local-base-path").getItem(0)
+         .alias("local_base_path"),
+        F.element_at(meta, "lnk-target-size").getItem(0)
+         .cast("long").alias("target_size"),
+        "content_type_detected",
+        "status")
+
+
 @_register(
     "extract_hdf5_meta",
     """

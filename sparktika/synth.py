@@ -3811,6 +3811,153 @@ def build_wpd(doc_id: int) -> bytes:
             + junk)
 
 
+def _ar_entry(name: str, body: bytes) -> bytes:
+    hdr = (f"{name:<16}" f"{'0':<12}" f"{'0':<6}" f"{'0':<6}"
+           f"{'100644':<8}" f"{len(body):<10}").encode() + b"\x60\x0a"
+    return hdr + body + (b"\n" if len(body) & 1 else b"")
+
+
+def _tar_entry(name: str, body: bytes) -> bytes:
+    import struct as _s
+
+    hdr = bytearray(512)
+    hdr[0:len(name)] = name.encode()
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{len(body):011o}\x00".encode()
+    hdr[136:148] = b"00000000000\x00"
+    hdr[156:157] = b"0"
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    hdr[148:156] = b"        "
+    chk = sum(hdr)
+    hdr[148:156] = f"{chk:06o}\x00 ".encode()
+    pad = (512 - len(body) % 512) % 512
+    return bytes(hdr) + body + b"\x00" * pad
+
+
+def build_deb(doc_id: int) -> bytes:
+    """Debian package (extract_deb_meta oracle): common-format ar with
+    debian-binary, a gzip control.tar carrying deb-control(5) fields
+    (gzip mtime pinned to 0 for determinism), and an opaque data.tar.gz
+    the kernel must list but never decompress."""
+    import gzip as _gz
+    import io as _io
+
+    control = (f"Package: pkg{doc_id % 20}\n"
+               f"Version: 1.{doc_id % 5}.{doc_id % 3}\n"
+               f"Architecture: {'amd64' if doc_id % 2 == 0 else 'arm64'}\n"
+               f"Maintainer: Synth <synth@example.com>\n"
+               f"Installed-Size: {10 + doc_id % 50}\n"
+               f"Description: Synthetic package {doc_id}\n"
+               f" Long description line for {doc_id}.\n"
+               f" .\n"
+               f" Final line {doc_id % 7}.\n").encode()
+    ctar = _tar_entry("./control", control) + b"\x00" * 1024
+
+    def gz(payload: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(payload)
+        return buf.getvalue()
+
+    dtar = _tar_entry("./usr/share/doc/x", b"payload\n") + b"\x00" * 1024
+    return (b"!<arch>\n"
+            + _ar_entry("debian-binary", b"2.0\n")
+            + _ar_entry("control.tar.gz", gz(ctar))
+            + _ar_entry("data.tar.gz", gz(dtar)))
+
+
+def build_rpm(doc_id: int) -> bytes:
+    """RPM package (extract_rpm_meta oracle): 96-byte lead + signature
+    header + main header with string/I18N/int32 tags; no payload.
+    doc_id % 5 == 0 marks a source package (lead type 1)."""
+    import struct as _s
+
+    def header(entries: list[tuple[int, int, bytes, int]]) -> bytes:
+        # entries: (tag, type, raw store bytes, count); int32 values are
+        # 4-aligned by construction order (ints first)
+        store = b""
+        idx = b""
+        for tag, typ, raw, count in entries:
+            off = len(store)
+            idx += _s.pack(">IIII", tag, typ, off, count)
+            store += raw
+        return (b"\x8e\xad\xe8\x01" + b"\x00" * 4
+                + _s.pack(">II", len(entries), len(store)) + idx + store)
+
+    is_src = doc_id % 5 == 0
+    name66 = f"pkg{doc_id}-1.0".encode().ljust(66, b"\x00")[:66]
+    lead = (b"\xed\xab\xee\xdb" + bytes((3, 0))
+            + _s.pack(">HH", 1 if is_src else 0, 1)
+            + name66 + _s.pack(">HH", 1, 5) + b"\x00" * 16)
+    sig = header([(1000, 4, _s.pack(">I", 4096 + doc_id), 1)])
+    pad = (8 - (len(lead) + len(sig)) % 8) % 8
+    st = lambda s: s.encode() + b"\x00"
+    main = header([
+        (1009, 4, _s.pack(">I", 10_000 + doc_id), 1),       # size (int32 first: aligned)
+        (1000, 6, st(f"pkg{doc_id % 20}"), 1),              # name
+        (1001, 6, st(f"2.{doc_id % 4}"), 1),                # version
+        (1002, 6, st(f"{1 + doc_id % 3}.el9"), 1),          # release
+        (1004, 9, st(f"Synthetic rpm {doc_id}"), 1),        # summary
+        (1005, 9, st(f"Description body {doc_id % 11}."), 1),
+        (1014, 6, st("MIT" if doc_id % 2 == 0 else "GPL-2.0"), 1),
+        (1022, 6, st("x86_64" if doc_id % 2 == 0 else "aarch64"), 1),
+    ])
+    return lead + sig + b"\x00" * pad + main
+
+
+def build_lnk(doc_id: int) -> bytes:
+    """Windows shortcut (extract_lnk_meta oracle): [MS-SHLLNK] header +
+    optional IDList (doc_id % 5 == 0) + optional LinkInfo with a local
+    base path (doc_id % 4 == 0) + StringData; unicode when doc_id % 2
+    == 0, ANSI otherwise; arguments present when doc_id % 3 == 0."""
+    import struct as _s
+
+    from sparktika.kernels.lnk import LNK_CLSID
+
+    uni = doc_id % 2 == 0
+    flags = 0x04 | 0x08 | 0x10  # name, relpath, workdir
+    if uni:
+        flags |= 0x80
+    if doc_id % 3 == 0:
+        flags |= 0x20
+    if doc_id % 4 == 0:
+        flags |= 0x02
+    if doc_id % 5 == 0:
+        flags |= 0x01
+    hdr = (b"\x4c\x00\x00\x00" + LNK_CLSID
+           + _s.pack("<II", flags, 0x20)          # flags, attrs
+           + b"\x00" * 24                          # 3 FILETIMEs
+           + _s.pack("<IiI", 1000 + doc_id, 0, 1)  # size, icon, show
+           + _s.pack("<H", 0) + b"\x00" * 10)      # hotkey + reserved
+    out = bytearray(hdr)
+    if flags & 0x01:
+        out += _s.pack("<H", 2) + b"\x00\x00"      # empty IDList
+    if flags & 0x02:
+        path = f"C:\\files\\doc{doc_id}.txt".encode("cp1252")
+        # (LinkInfoSize, HeaderSize, Flags=VolumeIDAndLocalBasePath,
+        #  VolumeIDOffset (0: no VolumeID in this synth), LocalBasePath-
+        #  Offset, CommonNetworkRelativeLinkOffset, CommonPathSuffix-
+        #  Offset) + path NUL + empty common suffix NUL
+        li_size = 28 + len(path) + 1 + 1
+        out += _s.pack("<7I", li_size, 28, 1, 0, 28, 0, 28 + len(path) + 1)
+        out += path + b"\x00" + b"\x00"
+
+    def sd(s: str) -> bytes:
+        if uni:
+            return _s.pack("<H", len(s)) + s.encode("utf-16-le")
+        return _s.pack("<H", len(s)) + s.encode("cp1252")
+
+    out += sd(f"Shortcut to doc {doc_id}")
+    out += sd(f".\\docs\\doc{doc_id}.txt")
+    out += sd("C:\\docs")
+    if flags & 0x20:
+        out += sd(f"--mode{doc_id % 3}")
+    return bytes(out)
+
+
 def build_mhtml(doc_id: int) -> bytes:
     """RFC 2557 saved web page (extract_mhtml_text oracle): browser-style
     multipart/related with a quoted-printable HTML root part (pure ASCII,

@@ -413,7 +413,10 @@ def test_ivfpq_zero_corpus_shuffle_single_encode(spark):
 
 @pytest.mark.parametrize("query_name", ["extract_dwg_meta",
                                         "extract_audio_meta",
-                                        "extract_mhtml_text"])
+                                        "extract_mhtml_text",
+                                        "extract_deb_meta",
+                                        "extract_rpm_meta",
+                                        "extract_lnk_meta"])
 def test_r8_kernel_queries_stay_map_only(spark, query_name):
     """r8 additions must stay in the map-only per-doc kernel shape."""
     from sparktika import queries as Q
