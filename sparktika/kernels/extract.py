@@ -278,6 +278,63 @@ def extract_document(
                            else None,
                            title=fr.title, metadata=md, status=status,
                            write_limit_reached=limited)
+            if r.root_tag and _xml_local(r.root_tag) == "FictionBook":
+                # FB2 e-book refinement (kernels/fb2.py): body sections
+                # only — the generic XML route would smear description
+                # metadata into the text
+                from .fb2 import FB2_MIME, parse_fb2
+
+                fb = parse_fb2(xtext, deadline=deadline)
+                text, limited = _cap_text(fb.text, cfg.max_chars)
+                md = {"Content-Type": [f"{FB2_MIME}; charset={cs}"],
+                      "Content-Encoding": [cs],
+                      "fb2-sections": [str(fb.n_sections)]}
+                if fb.title:
+                    md["title"] = [fb.title]
+                if fb.authors:
+                    md["fb2-authors"] = fb.authors
+                if fb.genres:
+                    md["fb2-genres"] = fb.genres
+                if fb.lang:
+                    md["fb2-lang"] = [fb.lang]
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected=FB2_MIME, charset_detected=cs,
+                           title=fb.title,
+                           text_extracted=text if cfg.parse_content
+                           else None,
+                           metadata=md, status=status,
+                           write_limit_reached=limited)
+            if r.root_tag and _xml_local(r.root_tag) == "document":
+                # flat ODF (.fodt/.fods/.fodp): single-file XML whose
+                # root carries office:mimetype; reuse the ODF paragraph
+                # walks directly on the document (kernels/odf.py)
+                from .xmlparse import xml_events as _xml_events
+
+                fmime = None
+                for ev in _xml_events(xtext):
+                    if ev[0] == "start":
+                        for k, v in ev[2].items():
+                            if (k.rsplit(":", 1)[-1] == "mimetype"
+                                    and "opendocument" in v):
+                                fmime = v
+                        break
+                if fmime:
+                    from .odf import _walk_ods, _walk_odt
+
+                    flat = f"{fmime}-flat-xml"
+                    if "spreadsheet" in fmime:
+                        orr = _walk_ods(xtext, cfg.max_depth, deadline)
+                    else:
+                        orr = _walk_odt(xtext, cfg.max_depth, deadline)
+                    text, limited = _cap_text(orr.text, cfg.max_chars)
+                    md = {"Content-Type": [f"{flat}; charset={cs}"],
+                          "Content-Encoding": [cs]}
+                    status = STATUS_TRUNCATED if limited else STATUS_OK
+                    return res(detected=flat, charset_detected=cs,
+                               text_extracted=text if cfg.parse_content
+                               else None,
+                               metadata=md, status=status,
+                               write_limit_reached=limited)
             text, limited = _cap_text(r.text, cfg.max_chars)
             if r.root_tag and r.root_tag.rsplit(":", 1)[-1].lower() == "svg":
                 # refine: SVG is XML, but callers filter on the real type;
@@ -432,6 +489,23 @@ def extract_document(
                        text_extracted=text if cfg.parse_content else None,
                        metadata=md, status=status,
                        write_limit_reached=limited)
+
+        if detected == "application/x-shockwave-flash":
+            from .swf import extract_swf
+
+            # SWF header facts (kernels/swf.py): stage dims from the
+            # bit-packed RECT, frame rate/count; tags never walked
+            r = extract_swf(data)
+            md = {"Content-Type": [detected],
+                  "swf-version": [str(r.version)],
+                  "swf-compression": [r.compression],
+                  "swf-file-length": [str(r.file_length)],
+                  "Image Width": [str(r.width_px)],
+                  "Image Height": [str(r.height_px)],
+                  "swf-frame-rate": [repr(r.frame_rate)],
+                  "swf-frame-count": [str(r.frame_count)]}
+            return res(detected=detected, text_extracted="",
+                       metadata=md, status=STATUS_OK)
 
         if detected == "application/x-debian-package":
             from .deb import extract_deb

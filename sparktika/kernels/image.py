@@ -58,6 +58,68 @@ def sniff_image(data: bytes) -> str | None:
         return "image/webp"
     if data[:4] == b"8BPS" and len(data) >= 26:
         return "image/vnd.adobe.photoshop"
+    pnm = sniff_pnm(data)
+    if pnm:
+        return pnm
+    if is_pcx(data):
+        return "image/vnd.zbrush.pcx"
+    return None
+
+
+_PNM_MIMES = {b"1": "image/x-portable-bitmap",
+              b"2": "image/x-portable-graymap",
+              b"3": "image/x-portable-pixmap",
+              b"4": "image/x-portable-bitmap",
+              b"5": "image/x-portable-graymap",
+              b"6": "image/x-portable-pixmap"}
+
+
+def sniff_pnm(data: bytes) -> str | None:
+    """Netpbm P1-P6 (public netpbm format docs): 'P' + digit +
+    whitespace. The 2-byte magic is weak ASCII, so the mandatory
+    whitespace separator gates it."""
+    if data[:1] == b"P" and data[1:2] in _PNM_MIMES \
+            and data[2:3] in b" \t\r\n":
+        return _PNM_MIMES[data[1:2]]
+    return None
+
+
+def is_pcx(data: bytes) -> bool:
+    """ZSoft PCX: 1-byte 0x0A magic is weak, so four header facts gate
+    detection (the DBF convention): known version, RLE flag 0/1, legal
+    bit depth, plausible window."""
+    if len(data) < 128 or data[0] != 0x0A:
+        return False
+    if data[1] not in (0, 2, 3, 4, 5) or data[2] not in (0, 1):
+        return False
+    if data[3] not in (1, 2, 4, 8):
+        return False
+    x0, y0, x1, y1 = struct.unpack_from("<4H", data, 4)
+    return x1 >= x0 and y1 >= y0 and (x1 - x0 + 1) * (y1 - y0 + 1) > 0
+
+
+def pnm_dimensions(data: bytes) -> tuple[int, int] | None:
+    """width/height from the netpbm header token stream ('#' comments
+    run to end of line; tokens are whitespace-separated)."""
+    toks: list[int] = []
+    pos, n = 2, min(len(data), 4096)
+    while pos < n and len(toks) < 2:
+        c = data[pos:pos + 1]
+        if c == b"#":
+            eol = data.find(b"\n", pos)
+            pos = n if eol == -1 else eol + 1
+        elif c in b" \t\r\n":
+            pos += 1
+        elif c.isdigit():
+            end = pos
+            while end < n and data[end:end + 1].isdigit():
+                end += 1
+            toks.append(int(data[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(toks) == 2:
+        return toks[0], toks[1]
     return None
 
 
@@ -1438,6 +1500,13 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
             if w * h > best[0] * best[1]:
                 best = (w, h)
         return ok(kind, best[0], best[1]) if best[0] else None
+    if kind in ("image/x-portable-bitmap", "image/x-portable-graymap",
+                "image/x-portable-pixmap"):
+        dims = pnm_dimensions(data)
+        return ok(kind, dims[0], dims[1]) if dims else None
+    if kind == "image/vnd.zbrush.pcx":
+        x0, y0, x1, y1 = struct.unpack_from("<4H", data, 4)
+        return ok(kind, x1 - x0 + 1, y1 - y0 + 1)
     return None
 
 

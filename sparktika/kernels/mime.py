@@ -219,6 +219,22 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_lnk(data):
             return "application/x-ms-shortcut"
+    if data[:1] == b"P" and data[1:2] in b"123456":
+        from .image import sniff_pnm
+
+        pnm = sniff_pnm(data)
+        if pnm:
+            return pnm
+    if data[:1] == b"\x0a":
+        # PCX: 1-byte magic gated on four consistent header facts
+        from .image import is_pcx
+
+        if is_pcx(data):
+            return "image/vnd.zbrush.pcx"
+    if data[:3] in (b"FWS", b"CWS", b"ZWS") and len(data) >= 9 \
+            and 1 <= data[3] <= 64:
+        # SWF: ASCII signature gated on a plausible player version
+        return "application/x-shockwave-flash"
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"
     if data[:3] == b"070":

@@ -5457,6 +5457,165 @@ def extract_lnk_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_swf_meta",
+    """
+SELECT doc_id,
+       CAST(6 + doc_id % 10 AS BIGINT) AS version,
+       ['none','zlib','lzma'][doc_id % 3 + 1] AS compression,
+       CAST(100 * (1 + doc_id % 5) AS BIGINT) AS width,
+       CAST(50 * (1 + doc_id % 4) AS BIGINT) AS height,
+       CAST(12 + doc_id % 5 AS DOUBLE) AS frame_rate,
+       CAST(10 + doc_id % 100 AS BIGINT) AS frame_count,
+       'application/x-shockwave-flash' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_swf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWF header facts (kernels/swf.py, public Adobe SWF spec v19):
+    FWS plain, CWS zlib, ZWS raw-LZMA1 bodies — only the first 512
+    decompressed bytes ever inflate; stage dims from the bit-packed
+    RECT (signed twips), 8.8 fixed frame rate (binary-exact by synth
+    design), frame count. Tika 1.20 detects x-shockwave-flash by the
+    same signatures; header decode is beyond that parity."""
+    from .synth import build_swf
+
+    ext = _kernel_pages(spark, sf_dir, build_swf, "swf")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.element_at(meta, "swf-version").getItem(0)
+         .cast("long").alias("version"),
+        F.element_at(meta, "swf-compression").getItem(0)
+         .alias("compression"),
+        F.element_at(meta, "Image Width").getItem(0)
+         .cast("long").alias("width"),
+        F.element_at(meta, "Image Height").getItem(0)
+         .cast("long").alias("height"),
+        F.element_at(meta, "swf-frame-rate").getItem(0)
+         .cast("double").alias("frame_rate"),
+        F.element_at(meta, "swf-frame-count").getItem(0)
+         .cast("long").alias("frame_count"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
+    "extract_pnm_pcx_dims",
+    """
+SELECT doc_id,
+       ['image/x-portable-bitmap','image/x-portable-graymap',
+        'image/x-portable-pixmap','image/x-portable-bitmap',
+        'image/x-portable-graymap','image/x-portable-pixmap',
+        'image/vnd.zbrush.pcx'][doc_id % 7 + 1] AS content_type_detected,
+       CAST(32 * (1 + doc_id % 5) AS BIGINT) AS width,
+       CAST(24 * (1 + doc_id % 3) AS BIGINT) AS height,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_pnm_pcx_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Netpbm P1-P6 (whitespace-gated 2-byte magic, '#'-comment-aware
+    header tokenizer) and ZSoft PCX (1-byte magic gated on four
+    consistent header facts, the DBF convention) through the
+    ImageParser-parity dims path: header-only width/height into
+    metadata, empty body, no pixel decode."""
+    from .synth import build_simple_image
+
+    ext = _kernel_pages(spark, sf_dir, build_simple_image, "img")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        "content_type_detected",
+        F.element_at(meta, "Image Width").getItem(0)
+         .cast("long").alias("width"),
+        F.element_at(meta, "Image Height").getItem(0)
+         .cast("long").alias("height"),
+        "status")
+
+
+@_register(
+    "extract_fb2_text",
+    """
+SELECT doc_id,
+       'Book ' || doc_id AS title,
+       'First' || (doc_id % 5) || ' Last' || (doc_id % 7) AS author,
+       ['sf','novel','prose'][doc_id % 3 + 1] AS genre,
+       CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'ru' END AS lang,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_sections,
+       'Intro ' || doc_id || '.'
+         || CASE WHEN doc_id % 3 >= 1
+                 THEN chr(10) || 'Sec ' || doc_id || ' part 0.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 >= 2
+                 THEN chr(10) || 'Sec ' || doc_id || ' part 1.'
+                 ELSE '' END AS text,
+       'application/x-fictionbook+xml' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_fb2_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FictionBook 2 e-books (kernels/fb2.py): XML-route refinement on
+    the FictionBook root — body sections render as clean paragraph
+    lines (the generic XML route would smear description metadata into
+    the text), title-info surfaces book title, authors, genre, lang.
+    Beyond Tika 1.20 parity (no FB2 parser there); the dominant
+    Russian-language e-book format in web crawls."""
+    from .synth import build_fb2
+
+    ext = _kernel_pages(spark, sf_dir, build_fb2, "fb2")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.col("title"),
+        F.element_at(meta, "fb2-authors").getItem(0).alias("author"),
+        F.element_at(meta, "fb2-genres").getItem(0).alias("genre"),
+        F.element_at(meta, "fb2-lang").getItem(0).alias("lang"),
+        F.element_at(meta, "fb2-sections").getItem(0)
+         .cast("long").alias("n_sections"),
+        F.col("text_extracted").alias("text"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
+    "extract_fodt_text",
+    """
+SELECT doc_id,
+       'Fodt ' || doc_id || ' line 0.' || chr(10)
+         || CASE WHEN doc_id % 4 >= 1
+                 THEN 'Fodt ' || doc_id || ' line 1.' || chr(10)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 >= 2
+                 THEN 'Fodt ' || doc_id || ' line 2.' || chr(10)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 >= 3
+                 THEN 'Fodt ' || doc_id || ' line 3.' || chr(10)
+                 ELSE '' END AS text,
+       'application/vnd.oasis.opendocument.text-flat-xml'
+         AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_fodt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat ODF text documents (.fodt): XML-route refinement gated on
+    the office:mimetype root attribute; the single-file XML rides the
+    SAME paragraph walk as packaged .odt (kernels/odf.py _walk_odt), so
+    flat and zipped flavors cannot drift. LibreOffice's flat format
+    recurs in document-management crawls; beyond Tika 1.20 parity."""
+    from .synth import build_fodt
+
+    ext = _kernel_pages(spark, sf_dir, build_fodt, "fodt")
+    return ext.select(
+        "doc_id",
+        F.col("text_extracted").alias("text"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
     "extract_hdf5_meta",
     """
 SELECT doc_id,

@@ -3958,6 +3958,92 @@ def build_lnk(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def build_fb2(doc_id: int) -> bytes:
+    """FictionBook 2 e-book (extract_fb2_text oracle): title-info
+    metadata + 1 + doc_id % 3 body sections."""
+    secs = "".join(
+        f"<section><p>Sec {doc_id} part {j}.</p></section>"
+        for j in range(doc_id % 3))
+    return (f'<?xml version="1.0" encoding="utf-8"?>\n'
+            f'<FictionBook xmlns="http://www.gribuser.ru/xml/'
+            f'fictionbook/2.0">'
+            f"<description><title-info>"
+            f"<genre>{['sf', 'novel', 'prose'][doc_id % 3]}</genre>"
+            f"<author><first-name>First{doc_id % 5}</first-name>"
+            f"<last-name>Last{doc_id % 7}</last-name></author>"
+            f"<book-title>Book {doc_id}</book-title>"
+            f"<lang>{'en' if doc_id % 2 == 0 else 'ru'}</lang>"
+            f"</title-info></description>"
+            f"<body><section><p>Intro {doc_id}.</p></section>{secs}</body>"
+            f"</FictionBook>").encode()
+
+
+def build_fodt(doc_id: int) -> bytes:
+    """Flat ODF text (extract_fodt_text oracle): office:document with
+    office:mimetype, 1 + doc_id % 4 text:p paragraphs."""
+    paras = "".join(f"<text:p>Fodt {doc_id} line {j}.</text:p>"
+                    for j in range(1 + doc_id % 4))
+    return (f'<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<office:document xmlns:office="urn:oasis:names:tc:'
+            f'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:'
+            f'names:tc:opendocument:xmlns:text:1.0" office:mimetype='
+            f'"application/vnd.oasis.opendocument.text">'
+            f"<office:body><office:text>{paras}</office:text>"
+            f"</office:body></office:document>").encode()
+
+
+def build_simple_image(doc_id: int) -> bytes:
+    """Netpbm P1-P6 / PCX (extract_pnm_pcx_dims oracle): header-only
+    dims, width 32*(1+id%5) x height 24*(1+id%3), kind on doc_id % 7."""
+    import struct as _s
+
+    kind = doc_id % 7
+    w = 32 * (1 + doc_id % 5)
+    h = 24 * (1 + doc_id % 3)
+    if kind < 6:
+        magic = f"P{kind + 1}".encode()
+        maxval = b"" if kind in (0, 3) else b"255\n"  # P1/P4 carry none
+        body = b"0 1 0 1\n" if kind < 3 else b"\x00" * 8
+        return magic + b"\n# synth\n" + f"{w} {h}\n".encode() + maxval + body
+    return (bytes([0x0A, 5, 1, 8])
+            + _s.pack("<4H", 0, 0, w - 1, h - 1)
+            + _s.pack("<HH", 72, 72) + b"\x00" * 116)
+
+
+def build_swf(doc_id: int) -> bytes:
+    """SWF (extract_swf_meta oracle): FWS/CWS/ZWS rotating on
+    doc_id % 3, exact-integer stage dims and frame rate (rate*256 is
+    the raw 8.8 field, so rate is binary-exact)."""
+    import struct as _s
+    import zlib as _z
+
+    kind = doc_id % 3
+    version = 6 + doc_id % 10
+    w = 100 * (1 + doc_id % 5)
+    h = 50 * (1 + doc_id % 4)
+    rate = 12 + doc_id % 5
+    frames = 10 + doc_id % 100
+    nbits = 16
+    acc = nbits
+    for v in (0, w * 20, 0, h * 20):
+        acc = (acc << 16) | v
+    acc <<= 3  # pad 69 bits to 9 bytes
+    body = (acc.to_bytes(9, "big")
+            + _s.pack("<HH", rate * 256, frames) + b"\x00" * 16)
+    total = 8 + len(body)
+    if kind == 0:
+        return b"FWS" + bytes([version]) + _s.pack("<I", total) + body
+    if kind == 1:
+        return (b"CWS" + bytes([version]) + _s.pack("<I", total)
+                + _z.compress(body, 9))
+    import lzma as _l
+
+    alone = _l.compress(body, format=_l.FORMAT_ALONE)
+    stream = alone[13:]  # strip 13-byte ALONE header, keep raw LZMA1
+    return (b"ZWS" + bytes([version]) + _s.pack("<I", total)
+            + _s.pack("<I", len(stream)) + alone[:5] + stream)
+
+
 def build_mhtml(doc_id: int) -> bytes:
     """RFC 2557 saved web page (extract_mhtml_text oracle): browser-style
     multipart/related with a quoted-printable HTML root part (pure ASCII,
