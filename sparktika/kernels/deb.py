@@ -90,7 +90,9 @@ def _tar_member(tar: bytes, wanted: tuple[str, ...]) -> bytes | None:
             size = int(header[124:136].split(b"\x00")[0].strip() or b"0", 8)
         except ValueError:
             raise KernelError("deb: bad tar size in control.tar")
-        if size < 0 or size > n:
+        if size < 0 or pos + 512 + size > n:
+            # a control.tar cut mid-member must refuse, not silently
+            # return a truncated control file as if complete
             raise KernelError("deb: tar entry out of bounds")
         name = header[:100].split(b"\x00")[0].decode("utf-8", "replace")
         if name.lstrip("./") in wanted and header[156:157] in (b"0", b"\x00"):

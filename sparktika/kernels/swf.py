@@ -65,8 +65,11 @@ def _body_head(data: bytes) -> bytes:
         lp = (props // 9) % 5
         pb = props // 45
         dict_size = struct.unpack("<I", data[13:17])[0]
+        # clamp the declared dict hard: we decode <= 512 bytes, so no
+        # match can reference further back than that — a crafted header
+        # declaring a huge dict must not make every worker allocate it
         filt = [{"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp, "pb": pb,
-                 "dict_size": max(4096, min(dict_size, 1 << 26))}]
+                 "dict_size": max(4096, min(dict_size, 1 << 20))}]
         try:
             dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW,
                                         filters=filt)

@@ -142,3 +142,21 @@ def test_fuzz_never_raises():
             mut[rng.randrange(len(mut))] = rng.randrange(256)
         r = extract_document("u", None, bytes(mut))
         assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+def test_deb_truncated_control_tar_refuses():
+    # control.tar cut mid-member: must refuse, never return a silently
+    # truncated control file as if complete
+    import gzip
+    import io
+
+    from sparktika.synth import _ar_entry, _tar_entry
+
+    ctar = _tar_entry("./control", b"Package: x\n" * 40)[:600]  # cut body
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(ctar)
+    raw = (b"!<arch>\n" + _ar_entry("debian-binary", b"2.0\n")
+           + _ar_entry("control.tar.gz", buf.getvalue()))
+    with pytest.raises(KernelError, match="out of bounds"):
+        extract_deb(raw)

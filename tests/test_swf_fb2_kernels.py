@@ -141,3 +141,13 @@ def test_fuzz_never_raises():
             mut[rng.randrange(len(mut))] = rng.randrange(256)
         r = extract_document("u", None, bytes(mut))
         assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+def test_swf_huge_declared_dict_contained():
+    # a crafted ZWS header declaring a 1 GiB LZMA dict must not make
+    # the worker allocate it — the clamp keeps decode correct (<=512
+    # bytes of output can't reference further back than 1 MiB)
+    bad = bytearray(build_swf(2))
+    struct.pack_into("<I", bad, 13, 1 << 30)
+    r = extract_swf(bytes(bad))
+    assert r.width_px == 300 and r.compression == "lzma"
