@@ -490,6 +490,29 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected == "application/postscript":
+            from .postscript import BODY_REFUSAL as _PS_REFUSAL
+            from .postscript import extract_ps
+
+            # DSC comment metadata; body refused by design (executing
+            # the program is the only way to get text — Tika 1.20 has
+            # no PS text parser either, kernels/postscript.py)
+            r = extract_ps(data)
+            md = {"Content-Type": [detected],
+                  "body-refusal": [_PS_REFUSAL]}
+            if r.version:
+                md["ps-dsc-version"] = [r.version]
+            if r.eps:
+                md["ps-eps"] = ["true"]
+            if r.dos_eps:
+                md["ps-dos-eps"] = ["true"]
+            for k, v in sorted(r.fields.items()):
+                md[f"ps-{k.lower()}"] = [v]
+            return res(detected=detected,
+                       text_extracted="" if cfg.parse_content else None,
+                       title=r.fields.get("Title"),
+                       metadata=md, status=STATUS_OK)
+
         if detected == "application/x-shockwave-flash":
             from .swf import extract_swf
 

@@ -54,6 +54,7 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"ID3", "audio/mpeg"),
     (b"\xff\xfb", "audio/mpeg"),
     (b"%!PS", "application/postscript"),
+    (b"\xc5\xd0\xd3\xc6", "application/postscript"),  # DOS EPS preview
     (b"{\\rtf", "application/rtf"),
     # any WARC version (Common Crawl ships 1.1 since 2018)
     (b"WARC/", "application/warc"),

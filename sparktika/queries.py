@@ -5535,6 +5535,48 @@ def extract_pnm_pcx_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_ps_meta",
+    """
+SELECT doc_id,
+       'PS Doc ' || doc_id AS title,
+       '3.0' AS dsc_version,
+       CASE WHEN doc_id % 2 = 0 THEN 'true' END AS eps,
+       CASE WHEN doc_id % 5 = 0 THEN 'true' END AS dos_eps,
+       CAST(1 + doc_id % 9 AS BIGINT) AS pages,
+       '0 0 ' || (100 + doc_id % 500) || ' ' || (200 + doc_id % 300)
+         AS bounding_box,
+       'application/postscript' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_ps_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostScript / EPS DSC metadata (kernels/postscript.py): header
+    comments (Title/Pages/BoundingBox/LanguageLevel) per the public
+    Adobe DSC 3.0 spec, DOS EPS binary preview headers unwrapped by
+    their offset/length words; the program body is refused by design
+    (Tika 1.20 has no PS text parser either — the refusal IS parity,
+    the DSC fields are beyond it)."""
+    from .synth import build_ps
+
+    ext = _kernel_pages(spark, sf_dir, build_ps, "ps")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.col("title"),
+        F.element_at(meta, "ps-dsc-version").getItem(0)
+         .alias("dsc_version"),
+        F.element_at(meta, "ps-eps").getItem(0).alias("eps"),
+        F.element_at(meta, "ps-dos-eps").getItem(0).alias("dos_eps"),
+        F.element_at(meta, "ps-pages").getItem(0)
+         .cast("long").alias("pages"),
+        F.element_at(meta, "ps-boundingbox").getItem(0)
+         .alias("bounding_box"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
     "extract_fb2_text",
     """
 SELECT doc_id,

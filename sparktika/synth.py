@@ -3958,6 +3958,30 @@ def build_lnk(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def build_ps(doc_id: int) -> bytes:
+    """PostScript / EPS (extract_ps_meta oracle): DSC header comments;
+    doc_id % 2 == 0 is EPSF, doc_id % 5 == 0 wraps in a DOS EPS binary
+    preview header."""
+    eps = " EPSF-3.0" if doc_id % 2 == 0 else ""
+    ps = (f"%!PS-Adobe-3.0{eps}\n"
+          f"%%Title: PS Doc {doc_id}\n"
+          f"%%Creator: synth-writer\n"
+          f"%%Pages: {1 + doc_id % 9}\n"
+          f"%%BoundingBox: 0 0 {100 + doc_id % 500} {200 + doc_id % 300}\n"
+          f"%%LanguageLevel: {1 + doc_id % 3}\n"
+          f"%%EndComments\n"
+          f"/Helvetica findfont 12 scalefont setfont\n"
+          f"72 720 moveto (never extracted {doc_id}) show\nshowpage\n"
+          ).encode()
+    if doc_id % 5 == 0:
+        import struct as _s
+
+        hdr = (b"\xc5\xd0\xd3\xc6" + _s.pack("<II", 32, len(ps))
+               + _s.pack("<IIII", 0, 0, 0, 0) + b"\x00" * 4)
+        return hdr + ps
+    return ps
+
+
 def build_fb2(doc_id: int) -> bytes:
     """FictionBook 2 e-book (extract_fb2_text oracle): title-info
     metadata + 1 + doc_id % 3 body sections."""

@@ -151,3 +151,52 @@ def test_swf_huge_declared_dict_contained():
     struct.pack_into("<I", bad, 13, 1 << 30)
     r = extract_swf(bytes(bad))
     assert r.width_px == 300 and r.compression == "lzma"
+
+
+# ------------------------------------------------------------ ps / eps
+
+def test_ps_dsc_fields_and_eps_flags():
+    from sparktika.kernels.postscript import extract_ps
+    from sparktika.synth import build_ps
+
+    r = extract_ps(build_ps(2))           # EPSF, plain (not DOS)
+    assert r.version == "3.0" and r.eps and not r.dos_eps
+    assert r.fields["Title"] == "PS Doc 2"
+    assert r.fields["Pages"] == "3"
+    r5 = extract_ps(build_ps(5))          # DOS EPS wrapper, not EPSF
+    assert r5.dos_eps and not r5.eps
+    assert r5.fields["BoundingBox"] == "0 0 105 205"
+
+
+def test_ps_body_never_extracted():
+    from sparktika.synth import build_ps
+
+    r = extract_document("u.ps", None, build_ps(4))
+    assert r.text_extracted == ""
+    assert "never extracted" not in (r.text_extracted or "")
+    assert r.metadata["body-refusal"]
+
+
+def test_ps_dos_eps_bad_offset_refuses():
+    from sparktika.kernels.errors import KernelError as KE
+    from sparktika.kernels.postscript import extract_ps
+
+    import struct
+    bad = b"\xc5\xd0\xd3\xc6" + struct.pack("<II", 99999, 10) + b"\x00" * 20
+    with pytest.raises(KE, match="out of bounds"):
+        extract_ps(bad)
+    r = extract_document("u.eps", None, bad)
+    assert r.status == "failed"
+
+
+def test_ps_fuzz_never_raises():
+    from sparktika.synth import build_ps
+
+    rng = random.Random(8326)
+    for i in range(120):
+        base = build_ps(i % 11)
+        mut = bytearray(base[:rng.randrange(1, len(base))])
+        for _ in range(rng.randrange(0, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        r = extract_document("u", None, bytes(mut))
+        assert r.status in ("ok", "failed", "unsupported", "truncated")
