@@ -291,6 +291,7 @@ def concat_chunk_map(
     context_len: int = 2048,
     n_shards: int = 32,
     shard_expr: "F.Column | None" = None,
+    token_counts: "F.Column | None" = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing MAP: documents are
     (logically) concatenated in key order within a deterministic shard
@@ -303,7 +304,11 @@ def concat_chunk_map(
     — a single Exchange on the shard id, no UDF, no iteration. At 100 TB
     the shard count bounds window-partition size; shards are
     independent, so skew is the hash's problem, not the operator's."""
-    toks = token_count_col(F.col(text_col))
+    # token accounting is pluggable: default whitespace counting (pure
+    # JVM); pass `token_counts` (e.g. the exact-BPE pandas_udf from
+    # pipeline/tokenize.py) to pack in real tokenizer tokens
+    toks = (token_counts if token_counts is not None
+            else token_count_col(F.col(text_col)))
     # default shard = xxhash64 (uniform at scale); callers needing a
     # cross-engine-reproducible layout pass their own expression
     shard = (shard_expr if shard_expr is not None

@@ -5535,6 +5535,73 @@ def extract_pnm_pcx_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_concat_chunks_bpe",
+    """
+WITH wt(word, n_tok) AS (VALUES
+       ('a', 1), ('agg', 1), ('batch', 4), ('big', 3), ('column', 6),
+       ('customer', 5), ('data', 3), ('dup', 2), ('fast', 2),
+       ('filter', 5), ('group', 4), ('hash', 2), ('join', 3), ('key', 3),
+       ('line', 3), ('merge', 3), ('order', 3), ('part', 2),
+       ('query', 4), ('row', 2), ('scan', 3), ('slow', 3), ('small', 3),
+       ('sort', 3), ('spark', 3), ('stream', 4), ('table', 2),
+       ('the', 3), ('value', 2), ('vector', 5), ('window', 4)),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+dt AS (SELECT doc_id,
+              CAST(sum(COALESCE(n_tok, length(word))) AS BIGINT) AS toks
+       FROM words LEFT JOIN wt USING (word) GROUP BY doc_id),
+t AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+             COALESCE(dt.toks, 0) AS n_tokens
+      FROM documents d LEFT JOIN dt USING (doc_id)),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM t)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS start_chunk,
+       CAST((CASE WHEN n_tokens > 0 THEN cum - 1
+                  ELSE cum - n_tokens END) // 512 AS BIGINT) AS end_chunk,
+       CAST((CASE WHEN n_tokens > 0 THEN cum - 1
+                  ELSE cum - n_tokens END) // 512
+            - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks
+FROM c
+""",
+)
+def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing in EXACT tokenizer tokens (the r7-verdict-item-10
+    upgrade applied to corpus_concat_chunks): the same single-Exchange
+    shard-window cumsum, but token counts come from the real BPE merge
+    walk (pipeline/tokenize.py pandas_udf) instead of whitespace
+    splitting — training-batch chunk boundaries land where the tokenizer
+    puts them, not where spaces do. Oracle per the DSIR precedent:
+    per-word ground-truth table (pinned by tests/test_tokenize.py) +
+    identical window algebra. Plan: map-only Arrow counting, then ONE
+    Exchange (plan-audited)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .pipeline.textstats import concat_chunk_map
+    from .pipeline.tokenize import text_token_counts
+
+    def fn(s: pd.Series) -> pd.Series:
+        return pd.Series(text_token_counts(s), dtype="int64")
+
+    toks = pandas_udf(fn, "long")
+    docs = _docs(spark, sf_dir)
+    out = concat_chunk_map(docs, "text", "doc_id", context_len=512,
+                           shard_expr=(F.col("doc_id") % 8).cast("long"),
+                           token_counts=toks(F.col("text")))
+    return out.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_chunk", "end_chunk", "n_chunks")
+
+
+@_register(
     "extract_ps_meta",
     """
 SELECT doc_id,

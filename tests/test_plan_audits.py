@@ -428,3 +428,15 @@ def test_r8_kernel_queries_stay_map_only(spark, query_name):
 
     plan = _plan(getattr(Q, query_name)(spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_bpe_packing_map_only_counting_one_exchange(spark):
+    """corpus_concat_chunks_bpe: Arrow token counting is map-only; the
+    only Exchange is the shard window (same shape as the whitespace
+    variant, plus exactly one ArrowEvalPython)."""
+    from sparktika.queries import corpus_concat_chunks_bpe
+
+    plan = _plan(corpus_concat_chunks_bpe(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
