@@ -490,6 +490,31 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=limited)
 
+        if detected in ("application/x-npy", "application/x-safetensors",
+                        "application/x-gguf"):
+            from .tensors import parse_gguf, parse_npy, parse_safetensors
+
+            # model/tensor artifacts (kernels/tensors.py): catalogue
+            # facts from headers only — weight payloads never read
+            tm = (parse_npy(data) if detected == "application/x-npy"
+                  else parse_safetensors(data)
+                  if detected == "application/x-safetensors"
+                  else parse_gguf(data))
+            md = {"Content-Type": [tm.mime],
+                  "tensor-count": [str(tm.n_tensors)]}
+            if tm.dtype:
+                md["tensor-dtype"] = [tm.dtype]
+            if tm.total_params is not None:
+                md["tensor-total-params"] = [str(tm.total_params)]
+            if tm.arch:
+                md["model-architecture"] = [tm.arch]
+            if tm.name:
+                md["model-name"] = [tm.name]
+            for k, v in sorted(tm.fields.items()):
+                md[k] = [v]
+            return res(detected=tm.mime, text_extracted="",
+                       title=tm.name, metadata=md, status=STATUS_OK)
+
         if detected == "application/postscript":
             from .postscript import BODY_REFUSAL as _PS_REFUSAL
             from .postscript import extract_ps

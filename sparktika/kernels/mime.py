@@ -99,6 +99,8 @@ _MAGIC: tuple[tuple[bytes, str], ...] = (
     (b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
     (b"Obj\x01", "application/avro"),
     (b".snd", "audio/basic"),  # Sun/NeXT audio
+    (b"\x93NUMPY", "application/x-npy"),
+    (b"GGUF", "application/x-gguf"),
     # AutoCAD DWG: per-version 6-byte signatures, the same closed set
     # Tika's mimetypes registry routes by (kernels/dwg.py)
     (b"AC1006", "image/vnd.dwg"),
@@ -236,6 +238,13 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
             and 1 <= data[3] <= 64:
         # SWF: ASCII signature gated on a plausible player version
         return "application/x-shockwave-flash"
+    if len(data) >= 10 and data[8:9] == b"{":
+        # SafeTensors is magic-less: bounded u64 header length + a
+        # leading '{' + a spec-required key in the header window
+        from .tensors import is_safetensors
+
+        if is_safetensors(data):
+            return "application/x-safetensors"
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"
     if data[:3] == b"070":

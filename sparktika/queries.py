@@ -5602,6 +5602,58 @@ def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_tensor_meta",
+    """
+SELECT doc_id,
+       ['application/x-npy','application/x-safetensors',
+        'application/x-gguf'][doc_id % 3 + 1] AS content_type_detected,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1
+            WHEN 1 THEN 1 + doc_id % 3
+            ELSE doc_id % 9 END AS BIGINT) AS n_tensors,
+       CASE doc_id % 3
+            WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN '<f4' ELSE '<i8' END
+            WHEN 1 THEN 'F32' END AS dtype,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN (1 + doc_id % 5) * (2 + doc_id % 7)
+            WHEN 1 THEN (1 + doc_id % 3) * 4 * (8 + doc_id % 4)
+            END AS BIGINT) AS total_params,
+       CASE WHEN doc_id % 3 = 2 THEN
+            CASE WHEN doc_id % 2 = 0 THEN 'llama' ELSE 'gpt2' END
+       END AS arch,
+       CASE WHEN doc_id % 3 IN (1, 2) THEN 'model ' || doc_id END
+         AS model_name,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_tensor_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model/tensor artifact cataloguing (kernels/tensors.py): NumPy
+    .npy headers (ast-literal NEP dict), SafeTensors JSON headers
+    (magic-less, consistency-gated on the bounded u64 length + leading
+    '{' + a spec key), and GGUF typed key-values (string/scalar KVs
+    surface, arrays skipped under caps) — architecture, dtype, exact
+    parameter counts, model names, all from headers; weight payloads
+    never read. Beyond Tika 1.20 parity (none of these formats existed
+    in 2019); core value for a training-data engine whose crawl space
+    is full of checkpoints."""
+    from .synth import build_tensor_artifact
+
+    ext = _kernel_pages(spark, sf_dir, build_tensor_artifact, "bin")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        "content_type_detected",
+        F.element_at(meta, "tensor-count").getItem(0)
+         .cast("long").alias("n_tensors"),
+        F.element_at(meta, "tensor-dtype").getItem(0).alias("dtype"),
+        F.element_at(meta, "tensor-total-params").getItem(0)
+         .cast("long").alias("total_params"),
+        F.element_at(meta, "model-architecture").getItem(0).alias("arch"),
+        F.element_at(meta, "model-name").getItem(0).alias("model_name"),
+        "status")
+
+
+@_register(
     "extract_ps_meta",
     """
 SELECT doc_id,

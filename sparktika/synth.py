@@ -3958,6 +3958,51 @@ def build_lnk(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def build_tensor_artifact(doc_id: int) -> bytes:
+    """Model/tensor artifacts (extract_tensor_meta oracle): .npy /
+    SafeTensors / GGUF rotating on doc_id % 3; weight payloads are
+    token zeros the kernel never reads."""
+    import json as _j
+    import struct as _s
+
+    kind = doc_id % 3
+    if kind == 0:  # NumPy NEP v1.0
+        dtype = "<f4" if doc_id % 2 == 0 else "<i8"
+        shape = (1 + doc_id % 5, 2 + doc_id % 7)
+        hdr = ("{'descr': '%s', 'fortran_order': False, 'shape': %r, }"
+               % (dtype, shape))
+        pad = 64 - (10 + len(hdr) + 1) % 64
+        hdr = hdr + " " * pad + "\n"
+        return (b"\x93NUMPY\x01\x00" + _s.pack("<H", len(hdr))
+                + hdr.encode() + b"\x00" * 16)
+    if kind == 1:  # SafeTensors
+        n = 1 + doc_id % 3
+        dim = 8 + doc_id % 4
+        hdr = {"__metadata__": {"name": f"model {doc_id}"}}
+        off = 0
+        for j in range(n):
+            size = 4 * 4 * dim
+            hdr[f"t{j}"] = {"dtype": "F32", "shape": [4, dim],
+                            "data_offsets": [off, off + size]}
+            off += size
+        js = _j.dumps(hdr, sort_keys=True).encode()
+        return _s.pack("<Q", len(js)) + js + b"\x00" * min(off, 64)
+    # GGUF v3
+    def gs(s: str) -> bytes:
+        b = s.encode()
+        return _s.pack("<Q", len(b)) + b
+
+    kvs = (gs("general.architecture") + _s.pack("<I", 8)
+           + gs("llama" if doc_id % 2 == 0 else "gpt2")
+           + gs("general.name") + _s.pack("<I", 8)
+           + gs(f"model {doc_id}")
+           + gs("general.quantization_version") + _s.pack("<II", 4, 2)
+           + gs("tokenizer.ggml.tokens") + _s.pack("<I", 9)
+           + _s.pack("<IQ", 8, 3) + gs("<s>") + gs("</s>") + gs("tok"))
+    return (b"GGUF" + _s.pack("<I", 3)
+            + _s.pack("<QQ", doc_id % 9, 4) + kvs)
+
+
 def build_ps(doc_id: int) -> bytes:
     """PostScript / EPS (extract_ps_meta oracle): DSC header comments;
     doc_id % 2 == 0 is EPSF, doc_id % 5 == 0 wraps in a DOS EPS binary
