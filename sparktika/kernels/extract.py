@@ -1719,6 +1719,23 @@ def extract_document(
             return res(detected=detected, status=STATUS_UNSUPPORTED,
                        error=f"OLE2 streams {sorted(streams)[:8]} have no v1 parser")
 
+        if detected == "image/vnd.djvu":
+            from .djvu import extract_djvu
+
+            # DjVu header facts (kernels/djvu.py): page count / dims /
+            # dpi; JB2/IW44 page decode out of scope by design
+            r = extract_djvu(data)
+            md = {"Content-Type": [detected],
+                  "djvu-kind": [r.kind],
+                  "djvu-pages": [str(r.n_pages)]}
+            if r.width is not None:
+                md["Image Width"] = [str(r.width)]
+                md["Image Height"] = [str(r.height)]
+            if r.dpi is not None:
+                md["djvu-dpi"] = [str(r.dpi)]
+            return res(detected=detected, text_extracted="",
+                       metadata=md, status=STATUS_OK)
+
         if detected.startswith("image/"):
             # Tika ImageParser behavior: dimensions into metadata from the
             # headers only (no pixel decode in the text pipeline), empty body

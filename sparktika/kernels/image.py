@@ -63,7 +63,29 @@ def sniff_image(data: bytes) -> str | None:
         return pnm
     if is_pcx(data):
         return "image/vnd.zbrush.pcx"
+    if is_tga(data):
+        return "image/x-tga"
     return None
+
+
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def is_tga(data: bytes) -> bool:
+    """Targa has NO leading magic; only v2 files (the ones with the
+    trailing 26-byte footer ending in TRUEVISION-XFILE.) are claimed —
+    plus header-consistency facts (legal colormap/image types)."""
+    if len(data) < 44 or data[-18:] != _TGA_FOOTER:
+        return False
+    return data[1] in (0, 1) and data[2] in (0, 1, 2, 3, 9, 10, 11)
+
+
+def tga_dimensions(data: bytes) -> tuple[int, int] | None:
+    w, h = struct.unpack_from("<HH", data, 12)
+    bpp = data[16]
+    if bpp not in (8, 15, 16, 24, 32):
+        return None
+    return w, h
 
 
 _PNM_MIMES = {b"1": "image/x-portable-bitmap",
@@ -1507,6 +1529,9 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
     if kind == "image/vnd.zbrush.pcx":
         x0, y0, x1, y1 = struct.unpack_from("<4H", data, 4)
         return ok(kind, x1 - x0 + 1, y1 - y0 + 1)
+    if kind == "image/x-tga":
+        dims = tga_dimensions(data)
+        return ok(kind, dims[0], dims[1]) if dims else None
     return None
 
 

@@ -245,6 +245,18 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_safetensors(data):
             return "application/x-safetensors"
+    if data[:4] == b"AT&T":
+        # DjVu: ASCII prefix gated on the FORM/DJVU|DJVM chunk shape
+        from .djvu import is_djvu
+
+        if is_djvu(data):
+            return "image/vnd.djvu"
+    if len(data) >= 44 and data[-18:] == b"TRUEVISION-XFILE.\x00":
+        # Targa v2: footer-gated (no leading magic)
+        from .image import is_tga
+
+        if is_tga(data):
+            return "image/x-tga"
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"
     if data[:3] == b"070":

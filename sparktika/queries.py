@@ -5602,6 +5602,52 @@ def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_djvu_tga_meta",
+    """
+SELECT doc_id,
+       ['image/vnd.djvu','image/vnd.djvu','image/x-tga']
+         [doc_id % 3 + 1] AS content_type_detected,
+       CASE doc_id % 3 WHEN 0 THEN 'single' WHEN 1 THEN 'bundled' END
+         AS kind,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1
+            WHEN 1 THEN 2 + doc_id % 7 END AS BIGINT) AS pages,
+       CAST(CASE WHEN doc_id % 3 IN (0, 2)
+            THEN 64 * (1 + doc_id % 4) END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 3 IN (0, 2)
+            THEN 48 * (1 + doc_id % 5) END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 300 END AS BIGINT) AS dpi,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_djvu_tga_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DjVu (kernels/djvu.py: AT&T/FORM chunk walk, INFO dims with the
+    spec's little-endian dpi quirk, DIRM component counts for bundled
+    docs; JB2/IW44 page decode out of scope by design) and Targa v2
+    (footer-gated — TGA has no leading magic, so only
+    TRUEVISION-XFILE-footed files are claimed, kernels/image.py).
+    Scanned-document archives carry .djvu widely; both beyond Tika 1.20
+    parity."""
+    from .synth import build_djvu_tga
+
+    ext = _kernel_pages(spark, sf_dir, build_djvu_tga, "img2")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        "content_type_detected",
+        F.element_at(meta, "djvu-kind").getItem(0).alias("kind"),
+        F.element_at(meta, "djvu-pages").getItem(0)
+         .cast("long").alias("pages"),
+        F.element_at(meta, "Image Width").getItem(0)
+         .cast("long").alias("width"),
+        F.element_at(meta, "Image Height").getItem(0)
+         .cast("long").alias("height"),
+        F.element_at(meta, "djvu-dpi").getItem(0)
+         .cast("long").alias("dpi"),
+        "status")
+
+
+@_register(
     "extract_tensor_meta",
     """
 SELECT doc_id,

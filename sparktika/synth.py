@@ -3958,6 +3958,32 @@ def build_lnk(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def build_djvu_tga(doc_id: int) -> bytes:
+    """DjVu / Targa (extract_djvu_tga_meta oracle), rotating on
+    doc_id % 3: single-page DjVu (INFO dims/dpi), bundled DjVu (DIRM
+    page count), TGA v2 (footer-gated dims)."""
+    import struct as _s
+
+    kind = doc_id % 3
+    w = 64 * (1 + doc_id % 4)
+    h = 48 * (1 + doc_id % 5)
+    if kind == 0:  # single-page DjVu
+        info = (_s.pack(">HH", w, h) + bytes((24, 0))
+                + _s.pack("<H", 300) + bytes((22, 1)))
+        inner = b"DJVU" + b"INFO" + _s.pack(">I", len(info)) + info
+        return b"AT&T" + b"FORM" + _s.pack(">I", len(inner)) + inner
+    if kind == 1:  # bundled DjVu
+        nfiles = 2 + doc_id % 7
+        dirm = bytes((0x81,)) + _s.pack(">H", nfiles) + b"\x00" * 8
+        inner = b"DJVM" + b"DIRM" + _s.pack(">I", len(dirm)) + dirm
+        return b"AT&T" + b"FORM" + _s.pack(">I", len(inner)) + inner
+    # TGA v2: uncompressed truecolor header + footer
+    hdr = bytes((0, 0, 2)) + b"\x00" * 9 + _s.pack("<HH", w, h) \
+        + bytes((24, 0))
+    footer = _s.pack("<II", 0, 0) + b"TRUEVISION-XFILE.\x00"
+    return hdr + b"\x00" * 32 + footer
+
+
 def build_tensor_artifact(doc_id: int) -> bytes:
     """Model/tensor artifacts (extract_tensor_meta oracle): .npy /
     SafeTensors / GGUF rotating on doc_id % 3; weight payloads are

@@ -85,3 +85,48 @@ def test_fuzz_never_raises():
             mut[rng.randrange(len(mut))] = rng.randrange(256)
         r = extract_document("u", None, bytes(mut))
         assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+# ----------------------------------------------------------- djvu/tga
+
+def test_djvu_single_and_bundled():
+    from sparktika.kernels.djvu import extract_djvu
+    from sparktika.synth import build_djvu_tga
+
+    r = extract_djvu(build_djvu_tga(0))
+    assert (r.kind, r.n_pages, r.width, r.height, r.dpi) \
+        == ("single", 1, 64, 48, 300)
+    r1 = extract_djvu(build_djvu_tga(1))
+    assert (r1.kind, r1.n_pages) == ("bundled", 3)
+
+
+def test_djvu_refusals():
+    from sparktika.kernels.djvu import extract_djvu, is_djvu
+
+    assert not is_djvu(b"AT&T but not a form at all" + b"\x00" * 20)
+    with pytest.raises(KernelError):
+        extract_djvu(b"AT&TFORM\x00\x00\x00\x08DJVUXXXX\x00\x00\x00\x00")
+
+
+def test_tga_footer_gate_and_dims():
+    from sparktika.kernels.image import is_tga, tga_dimensions
+    from sparktika.synth import build_djvu_tga
+
+    d = build_djvu_tga(2)
+    assert is_tga(d) and tga_dimensions(d) == (192, 144)
+    # no footer -> never claimed (TGA has no leading magic)
+    assert not is_tga(d[:-18])
+    assert detect_mime(d[:-18]) != "image/x-tga"
+
+
+def test_djvu_tga_fuzz_never_raises():
+    from sparktika.synth import build_djvu_tga
+
+    rng = random.Random(8328)
+    for i in range(150):
+        base = build_djvu_tga(i % 9)
+        mut = bytearray(base[:rng.randrange(1, len(base))])
+        for _ in range(rng.randrange(0, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        r = extract_document("u", None, bytes(mut))
+        assert r.status in ("ok", "failed", "unsupported", "truncated")
