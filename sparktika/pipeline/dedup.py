@@ -561,3 +561,41 @@ def drop_frequent_lines(
                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
                  .cast("long").alias("n_removed"))
             .withColumnRenamed("key", key_col))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    val_per_2_20: int = 104_857,   # ~10% of 2^20
+    n: int = 8,
+) -> DataFrame:
+    """Train/validation split that near-dup clusters can never straddle
+    — the eval-leakage guard of a training pipeline (Lee et al. 2022
+    showed dedup-unaware splits leak eval answers into training). Every
+    document resolves to a GROUP REPRESENTATIVE: its connected
+    component over the shared-n-gram graph (duplicate_clusters), or
+    itself when it shares no shingle. The split is then a deterministic
+    md5 ramp over the representative — floor(2^20 * share) hex
+    threshold, the corpus_temperature_sample idiom — so (a) all
+    near-dups land on the SAME side, (b) the split replays bit-for-bit
+    across engines and partitionings.
+
+    100-TB shape: the cluster table is the CC output (only docs that
+    share shingles; bounded by the dedup graph, not the corpus); the
+    rejoin is one key-partitioned join and the ramp is pure column
+    expressions — no driver state, no RNG."""
+    cl = duplicate_clusters(df, text_col, key_col, n=n)
+    thresh = F.format_string("%05x", F.lit(val_per_2_20))
+    rep = F.coalesce(F.col("cluster"), F.col(key_col)).cast("long")
+    out = (df.select(F.col(key_col))
+           .join(cl.withColumnRenamed("key", key_col), key_col, "left")
+           .withColumn("group_rep", rep)
+           .withColumn(
+               "split",
+               F.when(
+                   F.substring(
+                       F.md5(F.concat(F.col("group_rep").cast("string"),
+                                      F.lit(":split"))), 1, 5) < thresh,
+                   F.lit("val")).otherwise(F.lit("train"))))
+    return out.select(key_col, "group_rep", "split")

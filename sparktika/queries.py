@@ -5602,6 +5602,54 @@ def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_leakage_safe_split",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
+  WHERE len(t) >= 8),
+rep AS (
+  SELECT shingle, min(doc_id) AS root, count(*) AS n_docs
+  FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10000),
+star AS (
+  SELECT DISTINCT s.doc_id AS key, r.root
+  FROM sh s JOIN rep r USING (shingle) WHERE s.doc_id <> r.root),
+edges AS (
+  SELECT key AS src, root AS dst FROM star
+  UNION SELECT root, key FROM star),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+       FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(COALESCE(cl.cluster, d.doc_id) AS BIGINT) AS group_rep,
+       CASE WHEN substr(md5(CAST(COALESCE(cl.cluster, d.doc_id)
+                                 AS VARCHAR) || ':split'), 1, 5)
+                 < '19999'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cl USING (doc_id)
+""",
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (pipeline/dedup.py
+    leakage_safe_split): near-dup clusters (connected components over
+    the shared-8-gram graph) resolve to one representative; the split
+    is a bit-reproducible md5 ramp over the representative, so no
+    near-dup pair ever straddles train/val (the Lee et al. 2022
+    eval-contamination failure mode). Oracle = the recursive-CTE
+    cluster closure + the identical ramp expression; threshold '19999'
+    hex = floor(2^20 * 0.10)."""
+    return dedup.leakage_safe_split(_docs(spark, sf_dir), "text",
+                                    "doc_id")
+
+
+@_register(
     "extract_djvu_tga_meta",
     """
 SELECT doc_id,

@@ -1022,3 +1022,46 @@ def test_ivfpq_rejects_indivisible_subspaces(spark):
     cents = similarity.train_ivf_centroids(emb, n_centroids=4, iters=1)
     with pytest.raises(ValueError, match="must divide"):
         similarity.train_pq_codebooks(emb, cents, m=7)
+
+
+def test_leakage_safe_split_neardups_never_straddle(spark):
+    """Planted exact copies (and a transitive chain) must land on the
+    SAME side of the split — the whole point of the operator."""
+    from pyspark.sql import Row
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [Row(doc_id=i, text=f"unique doc {i} " + " ".join(
+        f"w{i}_{j}" for j in range(12))) for i in range(40)]
+    # copies 100/101/102 share the same text; 103 chains to 102 via a
+    # shared 8-gram but has a distinct tail
+    rows += [Row(doc_id=100, text=base + " one two three"),
+             Row(doc_id=101, text=base + " four five six"),
+             Row(doc_id=102, text=base + " seven eight nine"),
+             Row(doc_id=103, text="x0 x1 " + base)]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: (r.group_rep, r.split)
+           for r in similarity_or(df)}
+    reps = {out[k][0] for k in (100, 101, 102, 103)}
+    splits = {out[k][1] for k in (100, 101, 102, 103)}
+    assert len(reps) == 1 and len(splits) == 1, (reps, splits)
+    # uniques are their own representative
+    assert out[5][0] == 5
+
+
+def similarity_or(df):
+    from sparktika.pipeline.dedup import leakage_safe_split
+
+    return leakage_safe_split(df, "text", "doc_id").collect()
+
+
+def test_leakage_safe_split_reproducible_across_partitionings(spark):
+    from sparktika.pipeline.dedup import leakage_safe_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(map(tuple, leakage_safe_split(docs).collect()))
+    b = sorted(map(tuple,
+                   leakage_safe_split(docs.repartition(13)).collect()))
+    assert a == b
+    # both sides populated at the sf0.001 corpus
+    splits = {s for (_, _, s) in a}
+    assert splits == {"train", "val"}
