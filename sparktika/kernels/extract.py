@@ -1065,6 +1065,27 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected == "application/x-iso9660-image":
+            from .iso9660 import extract_iso
+
+            r = extract_iso(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline,
+                recurse=recurse_embedded)
+            md = {"Content-Type": ["application/x-iso9660-image"]}
+            md.update({k: [v] for k, v in r.metadata.items()
+                       if k != "Content-Type"})
+            if r.entries:
+                md["container-entries"] = [str(len(r.entries))]
+                md["iso-entry-names"] = list(r.entries)
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected == "application/vnd.ms-htmlhelp":
             from .chm import extract_chm
 

@@ -245,6 +245,10 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
 
         if is_safetensors(data):
             return "application/x-safetensors"
+    if len(data) > 16 * 2048 + 6 and data[16 * 2048 + 1:16 * 2048 + 6] \
+            == b"CD001":
+        # ISO 9660: descriptor magic lives at sector 16 (ECMA-119)
+        return "application/x-iso9660-image"
     if data[:4] == b"AT&T":
         # DjVu: ASCII prefix gated on the FORM/DJVU|DJVM chunk shape
         from .djvu import is_djvu

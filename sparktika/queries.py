@@ -5602,6 +5602,41 @@ def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_iso_text",
+    """
+SELECT doc_id,
+       'SYNTHVOL' || doc_id AS volume_id,
+       CAST(4 AS BIGINT) AS n_entries,
+       'note ' || (doc_id % 7) || chr(10)
+         || 'iso page ' || doc_id || chr(10)
+         || 'iso text ' || doc_id || ' line.' || chr(10) AS text,
+       'application/x-iso9660-image' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_iso_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 9660 disc images (kernels/iso9660.py, ECMA-119): PVD volume
+    id, recursive directory walk (loop/depth/entry-capped, both-endian
+    fields), members through the SAME router/budget semantics as
+    zip/tar/ar — text and HTML inside an image extract like any other
+    container member. Beyond Tika 1.20 parity (no ISO parser there);
+    software-archive crawls carry disc images widely."""
+    from .synth import build_iso
+
+    ext = _kernel_pages(spark, sf_dir, build_iso, "iso")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.element_at(meta, "iso-volume-id").getItem(0).alias("volume_id"),
+        F.element_at(meta, "container-entries").getItem(0)
+         .cast("long").alias("n_entries"),
+        F.col("text_extracted").alias("text"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
     "corpus_leakage_safe_split",
     r"""
 WITH RECURSIVE toks AS (

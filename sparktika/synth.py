@@ -3958,6 +3958,62 @@ def build_lnk(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def build_iso(doc_id: int) -> bytes:
+    """ISO 9660 image (extract_iso_text oracle): PVD + terminator at
+    sectors 16/17, root directory at 18 with a text file, an HTML file,
+    and a subdirectory holding another text file."""
+    import struct as _s
+
+    S = 2048
+
+    def rec(name: bytes, extent: int, size: int, flags: int) -> bytes:
+        ln = 33 + len(name)
+        ln += ln & 1
+        r = bytearray(ln)
+        r[0] = ln
+        r[2:6] = _s.pack("<I", extent)
+        r[6:10] = _s.pack(">I", extent)
+        r[10:14] = _s.pack("<I", size)
+        r[14:18] = _s.pack(">I", size)
+        r[25] = flags
+        r[28:30] = _s.pack("<H", 1)
+        r[30:32] = _s.pack(">H", 1)
+        r[32] = len(name)
+        r[33:33 + len(name)] = name
+        return bytes(r)
+
+    readme = f"iso text {doc_id} line.\n".encode()
+    page = (f"<html><body><p>iso page {doc_id}</p></body></html>"
+            ).encode()
+    note = f"note {doc_id % 7}\n".encode()
+    # sectors: 16 PVD, 17 terminator, 18 root dir, 19 subdir,
+    #          20 README.TXT, 21 PAGE.HTM, 22 NOTE.TXT
+    rootdir = (rec(b"\x00", 18, S, 2) + rec(b"\x01", 18, S, 2)
+               + rec(b"DOCS", 19, S, 2)
+               + rec(b"PAGE.HTM;1", 21, len(page), 0)
+               + rec(b"README.TXT;1", 20, len(readme), 0))
+    subdir = (rec(b"\x00", 19, S, 2) + rec(b"\x01", 18, S, 2)
+              + rec(b"NOTE.TXT;1", 22, len(note), 0))
+    pvd = bytearray(S)
+    pvd[0] = 1
+    pvd[1:6] = b"CD001"
+    pvd[6] = 1
+    vol = f"SYNTHVOL{doc_id}".encode().ljust(32)[:32]
+    pvd[40:72] = vol
+    pvd[156:156 + 34] = rec(b"\x00", 18, S, 2)
+    term = bytearray(S)
+    term[0] = 255
+    term[1:6] = b"CD001"
+    term[6] = 1
+
+    def sect(b: bytes) -> bytes:
+        return b + b"\x00" * (S - len(b) % S if len(b) % S else 0)
+
+    return (b"\x00" * (16 * S) + bytes(pvd) + bytes(term)
+            + sect(rootdir) + sect(subdir) + sect(readme) + sect(page)
+            + sect(note))
+
+
 def build_djvu_tga(doc_id: int) -> bytes:
     """DjVu / Targa (extract_djvu_tga_meta oracle), rotating on
     doc_id % 3: single-page DjVu (INFO dims/dpi), bundled DjVu (DIRM
