@@ -1065,6 +1065,30 @@ def extract_document(
                        metadata=md, status=status,
                        write_limit_reached=r.truncated)
 
+        if detected == "application/x-lha":
+            from .lha import BODY_REFUSAL as _LHA_REFUSAL
+            from .lha import extract_lha
+
+            r = extract_lha(
+                data, max_chars=cfg.max_chars,
+                max_ratio=cfg.max_inflate_ratio,
+                max_entry_bytes=cfg.max_inflate_bytes,
+                deadline=deadline,
+                recurse=recurse_embedded)
+            md = {"Content-Type": ["application/x-lha"],
+                  "container-entries": [str(len(r.entries))],
+                  "lha-stored": [str(r.n_stored)],
+                  "lha-compressed": [str(r.n_compressed)]}
+            if r.methods:
+                md["lha-methods"] = list(dict.fromkeys(r.methods))
+            if r.n_compressed:
+                md["body-refusal"] = [_LHA_REFUSAL]
+            status = STATUS_TRUNCATED if r.truncated else STATUS_OK
+            return res(detected=detected,
+                       text_extracted=r.text if cfg.parse_content else None,
+                       metadata=md, status=status,
+                       write_limit_reached=r.truncated)
+
         if detected == "application/x-iso9660-image":
             from .iso9660 import extract_iso
 

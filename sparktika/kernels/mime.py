@@ -249,6 +249,12 @@ def detect_mime(data: bytes, declared: str | None = None, url: str | None = None
             == b"CD001":
         # ISO 9660: descriptor magic lives at sector 16 (ECMA-119)
         return "application/x-iso9660-image"
+    if data[2:5] == b"-lh":
+        # LHA/LZH: offset-2 ASCII magic gated on method/level facts
+        from .lha import is_lha
+
+        if is_lha(data):
+            return "application/x-lha"
     if data[:4] == b"AT&T":
         # DjVu: ASCII prefix gated on the FORM/DJVU|DJVM chunk shape
         from .djvu import is_djvu

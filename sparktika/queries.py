@@ -5602,6 +5602,44 @@ def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_lha_text",
+    """
+SELECT doc_id,
+       'lha text ' || doc_id || '.' || chr(10) AS text,
+       CAST(3 AS BIGINT) AS n_entries,
+       CAST(1 AS BIGINT) AS n_stored,
+       CAST(1 AS BIGINT) AS n_compressed,
+       'application/x-lha' AS content_type_detected,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_lha_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LHA/LZH archives (kernels/lha.py): checksum-verified level-0/1
+    headers, stored (-lh0-) members through the shared container
+    router, compressed methods listed with an explicit refusal note
+    (sliding-window tables not in retrieved content — the WPD caution),
+    level-2 / extended-header chains refuse loudly. Tika 1.20 routes
+    .lzh by the same offset-2 magic but ships no extractor — extraction
+    is beyond that parity."""
+    from .synth import build_lha
+
+    ext = _kernel_pages(spark, sf_dir, build_lha, "lzh")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        F.col("text_extracted").alias("text"),
+        F.element_at(meta, "container-entries").getItem(0)
+         .cast("long").alias("n_entries"),
+        F.element_at(meta, "lha-stored").getItem(0)
+         .cast("long").alias("n_stored"),
+        F.element_at(meta, "lha-compressed").getItem(0)
+         .cast("long").alias("n_compressed"),
+        "content_type_detected",
+        "status")
+
+
+@_register(
     "extract_iso_text",
     """
 SELECT doc_id,

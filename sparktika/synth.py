@@ -3958,6 +3958,31 @@ def build_lnk(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def build_lha(doc_id: int) -> bytes:
+    """LHA/LZH archive (extract_lha_text oracle): a stored (-lh0-) text
+    member + a compressed (-lh5-) member the kernel lists but refuses +
+    a directory entry; header level alternates 0/1 on doc_id % 2."""
+    import hashlib as _h
+    import struct as _s
+
+    level = doc_id % 2
+
+    def member(method: bytes, name: bytes, body: bytes) -> bytes:
+        hdr = (method + _s.pack("<III", len(body), len(body), 0)
+               + bytes((0x20, level, len(name))) + name
+               + _s.pack("<H", 0))
+        if level == 1:
+            hdr += bytes((0x4D,)) + _s.pack("<H", 0)  # os 'M', no ext
+        return bytes((len(hdr), sum(hdr) & 0xFF)) + hdr + body
+
+    text = f"lha text {doc_id}.\n".encode()
+    blob = _h.blake2b(f"lha{doc_id}".encode(), digest_size=48).digest()
+    return (member(b"-lhd-", b"DOCS", b"")
+            + member(b"-lh0-", b"A.TXT", text)
+            + member(b"-lh5-", b"B.BIN", blob)
+            + b"\x00")
+
+
 def build_iso(doc_id: int) -> bytes:
     """ISO 9660 image (extract_iso_text oracle): PVD + terminator at
     sectors 16/17, root directory at 18 with a text file, an HTML file,

@@ -65,3 +65,50 @@ def test_fuzz_never_raises():
             mut[rng.randrange(16 * S, len(mut))] = rng.randrange(256)
         r = extract_document("u", None, bytes(mut))
         assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+# ------------------------------------------------------------- lha/lzh
+
+def test_lha_stored_extracts_compressed_refused():
+    from sparktika.kernels.lha import extract_lha
+    from sparktika.synth import build_lha
+
+    r = extract_lha(build_lha(4))
+    assert r.text == "lha text 4.\n"
+    assert r.entries == ["DOCS/", "A.TXT", "B.BIN"]
+    assert r.n_stored == 1 and r.n_compressed == 1
+    assert r.methods == ["-lh0-", "-lh5-"]
+
+
+def test_lha_checksum_and_level2():
+    from sparktika.kernels.lha import extract_lha, is_lha
+    from sparktika.synth import build_lha
+
+    bad = bytearray(build_lha(0))
+    bad[10] ^= 0xFF  # corrupt inside the first header
+    with pytest.raises(KernelError, match="checksum"):
+        extract_lha(bytes(bad))
+    lvl2 = bytearray(build_lha(0))
+    lvl2[2 + 18] = 2  # level byte of the first member
+    assert is_lha(bytes(lvl2))
+    with pytest.raises(KernelError, match="level-2"):
+        extract_lha(bytes(lvl2))
+
+
+def test_lha_gate_rejects_prose():
+    from sparktika.kernels.lha import is_lha
+
+    assert not is_lha(b"x -lha archives are neat- and this is prose " * 2)
+
+
+def test_lha_fuzz_never_raises():
+    from sparktika.synth import build_lha
+
+    rng = random.Random(8330)
+    for i in range(150):
+        base = build_lha(i % 6)
+        mut = bytearray(base[:rng.randrange(1, len(base))])
+        for _ in range(rng.randrange(0, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        r = extract_document("u", None, bytes(mut))
+        assert r.status in ("ok", "failed", "unsupported", "truncated")
