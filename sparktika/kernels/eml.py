@@ -159,6 +159,24 @@ def _decode_body(body: bytes, headers: dict[str, list[str]],
         return body.decode("cp1252", "replace")
 
 
+def split_multipart(body: bytes, boundary: str):
+    """RFC 2046 §5.1.1 part split, THE one multipart implementation
+    (shared with kernels/mhtml.py — the r8 review found the idiom
+    copy-pasted and re-unified it): the delimiter is CRLF + "--" +
+    boundary AT LINE START — a bare substring split shreds parts that
+    merely QUOTE the delimiter mid-line (r5 whole-repo review; replies
+    quoting a previous message's MIME structure are common). Yields
+    non-empty part bytes; a chunk starting with "--" closes the body."""
+    sep = b"--" + boundary.encode("ascii", "replace")
+    chunks = re.split(rb"(?:^|\r?\n)" + re.escape(sep), body)
+    for chunk in chunks[1:]:   # chunks[0] is the preamble
+        if chunk[:2] == b"--":
+            break
+        part = chunk.lstrip(b"\r\n")
+        if part:
+            yield part
+
+
 def _walk(data: bytes, out: list[str], result: EmlResult, depth: int,
           deadline: float | None = None,
           preparsed: tuple[dict, bytes] | None = None) -> None:
@@ -181,19 +199,8 @@ def _walk(data: bytes, out: list[str], result: EmlResult, depth: int,
         boundary = params.get("boundary")
         if not boundary:
             return
-        # RFC 2046 §5.1.1: the delimiter is CRLF + "--" + boundary AT
-        # LINE START — a bare substring split shreds parts that merely
-        # QUOTE the delimiter mid-line (r5 whole-repo review; replies
-        # quoting a previous message's MIME structure are common)
-        sep = b"--" + boundary.encode("ascii", "replace")
-        chunks = re.split(rb"(?:^|\r?\n)" + re.escape(sep), body)
-        # chunks[0] = preamble; a chunk starting with "--" closes the part
-        for chunk in chunks[1:]:
-            if chunk[:2] == b"--":
-                break
-            part = chunk.lstrip(b"\r\n")
-            if part:
-                _walk(part, out, result, depth + 1, deadline)
+        for part in split_multipart(body, boundary):
+            _walk(part, out, result, depth + 1, deadline)
         return
     disposition = (headers.get("content-disposition") or [""])[0]
     filename = params.get("name")

@@ -97,13 +97,55 @@ _PNM_MIMES = {b"1": "image/x-portable-bitmap",
 
 
 def sniff_pnm(data: bytes) -> str | None:
-    """Netpbm P1-P6 (public netpbm format docs): 'P' + digit +
-    whitespace. The 2-byte magic is weak ASCII, so the mandatory
-    whitespace separator gates it."""
-    if data[:1] == b"P" and data[1:2] in _PNM_MIMES \
-            and data[2:3] in b" \t\r\n":
-        return _PNM_MIMES[data[1:2]]
-    return None
+    """Netpbm P1-P6 (public netpbm format docs). The 2-byte ASCII magic
+    is weak — prose like 'P3 100 200 of our products...' must NOT be
+    eaten as an image (r8 review finding: that misroute silently
+    discarded a text document's entire body) — so detection requires
+    four consistent facts, the PCX/DBF convention: magic, a REAL
+    single-byte whitespace separator (tuple membership, so a 2-byte
+    file's empty slice can't pass), parseable in-range dims, and the
+    next token matching the format (a 1..65535 maxval for P2/P3/P5/P6;
+    a sample bit, comment, or EOF for P1/P4)."""
+    parsed = _pnm_parse(data)
+    return parsed[0] if parsed else None
+
+
+def _pnm_parse(data: bytes) -> tuple[str, int, int] | None:
+    if data[:1] != b"P" or data[1:2] not in _PNM_MIMES \
+            or data[2:3] not in (b" ", b"\t", b"\r", b"\n"):
+        return None
+    kind = data[1:2]
+    dims = pnm_dimensions(data)
+    if dims is None:
+        return None
+    (w, h), end = dims
+    if not (1 <= w <= 65_535 and 1 <= h <= 65_535):
+        return None
+    n = min(len(data), 4096)
+    pos = end
+    while pos < n and data[pos:pos + 1] in b" \t\r\n":
+        pos += 1
+    if kind in (b"1", b"4"):
+        # bitmap: sample data (ASCII bits for P1, raw for P4), a
+        # comment, or EOF follows the dims
+        if pos < n and data[pos:pos + 1] not in b"01#" \
+                and kind == b"1":
+            return None
+    else:
+        # graymap/pixmap: the maxval token must follow
+        tok_end = pos
+        while tok_end < n and data[tok_end:tok_end + 1].isdigit():
+            tok_end += 1
+        if tok_end == pos:
+            if data[pos:pos + 1] == b"#":
+                pass  # comment before maxval: plausible, keep
+            else:
+                return None
+        else:
+            maxval = int(data[pos:tok_end])
+            if not (1 <= maxval <= 65_535):
+                return None
+    return _PNM_MIMES[kind], w, h
 
 
 def is_pcx(data: bytes) -> bool:
@@ -120,9 +162,10 @@ def is_pcx(data: bytes) -> bool:
     return x1 >= x0 and y1 >= y0 and (x1 - x0 + 1) * (y1 - y0 + 1) > 0
 
 
-def pnm_dimensions(data: bytes) -> tuple[int, int] | None:
-    """width/height from the netpbm header token stream ('#' comments
-    run to end of line; tokens are whitespace-separated)."""
+def pnm_dimensions(data: bytes) -> tuple[tuple[int, int], int] | None:
+    """((width, height), position-after-height) from the netpbm header
+    token stream ('#' comments run to end of line; tokens are
+    whitespace-separated)."""
     toks: list[int] = []
     pos, n = 2, min(len(data), 4096)
     while pos < n and len(toks) < 2:
@@ -130,7 +173,7 @@ def pnm_dimensions(data: bytes) -> tuple[int, int] | None:
         if c == b"#":
             eol = data.find(b"\n", pos)
             pos = n if eol == -1 else eol + 1
-        elif c in b" \t\r\n":
+        elif c in (b" ", b"\t", b"\r", b"\n"):
             pos += 1
         elif c.isdigit():
             end = pos
@@ -141,7 +184,7 @@ def pnm_dimensions(data: bytes) -> tuple[int, int] | None:
         else:
             return None
     if len(toks) == 2:
-        return toks[0], toks[1]
+        return (toks[0], toks[1]), pos
     return None
 
 
@@ -1524,8 +1567,8 @@ def image_dimensions(data: bytes) -> tuple[str, int, int] | None:
         return ok(kind, best[0], best[1]) if best[0] else None
     if kind in ("image/x-portable-bitmap", "image/x-portable-graymap",
                 "image/x-portable-pixmap"):
-        dims = pnm_dimensions(data)
-        return ok(kind, dims[0], dims[1]) if dims else None
+        parsed = _pnm_parse(data)
+        return ok(kind, parsed[1], parsed[2]) if parsed else None
     if kind == "image/vnd.zbrush.pcx":
         x0, y0, x1, y1 = struct.unpack_from("<4H", data, 4)
         return ok(kind, x1 - x0 + 1, y1 - y0 + 1)

@@ -84,6 +84,11 @@ def extract_lha(
             raise KernelError(f"lha: unknown header level {level}")
         if pos + 2 + hsize > n:
             raise KernelError("lha: header size out of bounds")
+        # minimum base header: method(5)+sizes(8)+time(4)+attr(1)+
+        # level(1)+name_len(1)+crc(2) = 22; level 1 adds os(1)+next(2)
+        if hsize < (25 if level == 1 else 22):
+            raise KernelError(f"lha: header too small ({hsize}B) "
+                              f"for level {level}")
         hdr = data[pos + 2:pos + 2 + hsize]
         if sum(hdr) & 0xFF != checksum:
             raise KernelError("lha: header checksum mismatch")

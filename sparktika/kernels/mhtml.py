@@ -49,9 +49,12 @@ class MhtmlResult:
 def is_multipart_related(data: bytes) -> bool:
     """True when the top-level header block declares multipart/related
     (the mhtml shape). Called only after sniff_eml accepted the head,
-    so the header parse is on a known message-shaped payload."""
+    so the header parse is on a known message-shaped payload. The
+    window is generous (256 KB) so a saved page with kilobytes of X-*
+    headers before Content-Type doesn't fall off a size cliff into the
+    plain-email route (r8 review)."""
     try:
-        headers, _ = _parse_headers(data[:8192])
+        headers, _ = _parse_headers(data[:262144])
     except Exception:
         return False
     ctype, _ = _content_type(headers)
@@ -59,7 +62,6 @@ def is_multipart_related(data: bytes) -> bool:
 
 
 def extract_mhtml(data: bytes, deadline: float | None = None) -> MhtmlResult:
-    import re
     import time
 
     headers, body = _parse_headers(data)
@@ -78,16 +80,11 @@ def extract_mhtml(data: bytes, deadline: float | None = None) -> MhtmlResult:
     snap = headers.get("snapshot-content-location")
     if snap:
         res.snapshot_location = snap[0]
-    sep = b"--" + boundary.encode("ascii", "replace")
-    chunks = re.split(rb"(?:^|\r?\n)" + re.escape(sep), body)
+    from .eml import split_multipart
+
     texts: list[str] = []
     n_parts = 0
-    for chunk in chunks[1:]:
-        if chunk[:2] == b"--":
-            break
-        part = chunk.lstrip(b"\r\n")
-        if not part:
-            continue
+    for part in split_multipart(body, boundary):
         n_parts += 1
         if n_parts > _MAX_PARTS:
             raise KernelError("mhtml: part cap exceeded")

@@ -585,6 +585,11 @@ def leakage_safe_split(
     share shingles; bounded by the dedup graph, not the corpus); the
     rejoin is one key-partitioned join and the ramp is pure column
     expressions — no driver state, no RNG."""
+    if not (0 <= val_per_2_20 <= 0xFFFFF):
+        # a 6-hex-digit threshold compares lexicographically against a
+        # 5-char md5 substring and silently inverts the split fraction
+        raise ValueError(
+            f"val_per_2_20 must be in [0, 2^20-1], got {val_per_2_20}")
     cl = duplicate_clusters(df, text_col, key_col, n=n)
     thresh = F.format_string("%05x", F.lit(val_per_2_20))
     rep = F.coalesce(F.col("cluster"), F.col(key_col)).cast("long")

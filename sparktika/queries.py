@@ -5157,27 +5157,12 @@ def extract_dwg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     header text fields are refused with a queryable body-refusal entry
     (Tika 1.20 parity target is DWGParser via tika-parsers:1.20,
     reference build.gradle:24)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BinaryType
-
     from .synth import build_dwg
 
-    def payload_fn(ids: pd.Series) -> pd.Series:
-        return pd.Series([build_dwg(int(i)) for i in ids])
-
-    udf = pandas_udf(payload_fn, BinaryType())
-    docs = _docs(spark, sf_dir)
-    pages = docs.select(
-        F.concat(F.lit("https://files.example.com/"),
-                 F.col("doc_id").cast("string"),
-                 F.lit(".dwg")).alias("url"),
-        udf(F.col("doc_id")).alias("html"),
-    )
-    ext = extract_pages(pages, SYNTH_CONFIG)
+    ext = _kernel_pages(spark, sf_dir, build_dwg, "dwg")
     meta = F.col("metadata")
     return ext.select(
-        F.regexp_extract("url", r"/(\d+)\.dwg", 1)
-         .cast("long").alias("doc_id"),
+        "doc_id",
         F.element_at(meta, "dwg-version").getItem(0).alias("dwg_version"),
         F.element_at(meta, "dwg-release").getItem(0).alias("dwg_release"),
         "status",
@@ -5211,27 +5196,12 @@ def extract_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     title, AIFC compression fourcc, .au info strings. Exact-rational
     synth (invariant 10): 8000 Hz / frames = 800*(1 + id%3) makes
     duration_ms pure integer arithmetic in both engines."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BinaryType
-
     from .synth import build_audio_header
 
-    def payload_fn(ids: pd.Series) -> pd.Series:
-        return pd.Series([build_audio_header(int(i)) for i in ids])
-
-    udf = pandas_udf(payload_fn, BinaryType())
-    docs = _docs(spark, sf_dir)
-    pages = docs.select(
-        F.concat(F.lit("https://media.example.com/"),
-                 F.col("doc_id").cast("string"),
-                 F.lit(".audio")).alias("url"),
-        udf(F.col("doc_id")).alias("html"),
-    )
-    ext = extract_pages(pages, SYNTH_CONFIG)
+    ext = _kernel_pages(spark, sf_dir, build_audio_header, "audio")
     meta = F.col("metadata")
     return ext.select(
-        F.regexp_extract("url", r"/(\d+)\.audio", 1)
-         .cast("long").alias("doc_id"),
+        "doc_id",
         "content_type_detected",
         F.element_at(meta, "samplerate").getItem(0)
          .cast("long").alias("samplerate"),
@@ -5271,27 +5241,12 @@ def extract_mhtml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     tika-parsers:1.20, build.gradle:24); rendering the root HTML is
     beyond that parity. Webtext-core: browser 'save page as single
     file' output recurs in shared-drive crawls."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BinaryType
-
     from .synth import build_mhtml
 
-    def payload_fn(ids: pd.Series) -> pd.Series:
-        return pd.Series([build_mhtml(int(i)) for i in ids])
-
-    udf = pandas_udf(payload_fn, BinaryType())
-    docs = _docs(spark, sf_dir)
-    pages = docs.select(
-        F.concat(F.lit("https://files.example.com/"),
-                 F.col("doc_id").cast("string"),
-                 F.lit(".mht")).alias("url"),
-        udf(F.col("doc_id")).alias("html"),
-    )
-    ext = extract_pages(pages, SYNTH_CONFIG)
+    ext = _kernel_pages(spark, sf_dir, build_mhtml, "mht")
     meta = F.col("metadata")
     return ext.select(
-        F.regexp_extract("url", r"/(\d+)\.mht", 1)
-         .cast("long").alias("doc_id"),
+        "doc_id",
         F.element_at(meta, "title").getItem(0).alias("title"),
         F.element_at(meta, "snapshot-content-location").getItem(0)
          .alias("snapshot_location"),

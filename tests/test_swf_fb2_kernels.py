@@ -53,11 +53,28 @@ def test_swf_truncated_and_corrupt():
 # ------------------------------------------------------------- pnm/pcx
 
 def test_pnm_comment_and_whitespace_tokens():
-    assert pnm_dimensions(b"P2 # x\n# comment line\n 17\t42\n255\n") \
-        == (17, 42)
+    dims, _pos = pnm_dimensions(b"P2 # x\n# comment line\n 17\t42\n255\n")
+    assert dims == (17, 42)
     assert sniff_pnm(b"P6\n1 1\n255\n") == "image/x-portable-pixmap"
     assert sniff_pnm(b"P7\n") is None          # PAM not claimed
     assert sniff_pnm(b"P6x") is None           # no whitespace gate
+
+
+def test_pnm_gate_rejects_prose_and_short_files(r8_review=True):
+    """r8 review finding: 'P3 100 200 of our products...' prose must
+    stay text, and an exactly-2-byte b'P3' must not be claimed via the
+    empty-slice whitespace test."""
+    prose = b"P3 100 200 of our products shipped on time this quarter."
+    assert sniff_pnm(prose) is None
+    r = extract_document("https://x/report.txt", "text/plain", prose)
+    assert r.content_type_detected.startswith("text/plain")
+    assert "products shipped" in r.text_extracted
+    assert sniff_pnm(b"P3") is None
+    assert sniff_pnm(b"P1 5 7 words follow here") is None
+    # real images still claim (P1 bits / P3 maxval / comment-before-maxval)
+    assert sniff_pnm(b"P1\n5 7\n0101010") == "image/x-portable-bitmap"
+    assert sniff_pnm(b"P3 2 2\n255\n0 0 0") == "image/x-portable-pixmap"
+    assert sniff_pnm(b"P2 2 2\n# c\n15\n0") == "image/x-portable-graymap"
 
 
 def test_pcx_gate_rejects_text():
