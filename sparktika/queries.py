@@ -5557,6 +5557,58 @@ def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_diversity_simpson",
+    """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS num
+      FROM c)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_domains,
+       total AS n_docs,
+       num AS concentration_num,
+       CAST(total * (total - 1) AS BIGINT) AS concentration_den,
+       CAST(1000000 * num // (total * (total - 1)) AS BIGINT)
+         AS concentration_ppm,
+       CAST(1000000 - 1000000 * num // (total * (total - 1)) AS BIGINT)
+         AS diversity_ppm
+FROM t
+""",
+)
+def corpus_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain-diversity health metric: the Simpson concentration
+    index sum(n_i*(n_i-1)) / (N*(N-1)) — the probability two randomly
+    drawn documents share a source domain — reported as EXACT integer
+    numerator/denominator plus a floor-ppm (no float crosses engines;
+    the diversity complement is 1 - concentration). The curation use:
+    a rising concentration ppm across crawl snapshots means the corpus
+    is collapsing onto few domains and per-host caps need tightening.
+    One map-side-combined aggregation over a 1-column pruned scan; the
+    result is a single row."""
+    docs = _docs(spark, sf_dir)
+    c = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(
+        F.count("*").cast("long").alias("n_domains"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long")
+         .alias("concentration_num"))
+    return (t.withColumn(
+                "concentration_den",
+                (F.col("n_docs") * (F.col("n_docs") - 1)).cast("long"))
+            .withColumn(
+                "concentration_ppm",
+                F.expr("1000000 * concentration_num div "
+                       "concentration_den"))
+            .withColumn(
+                "diversity_ppm",
+                F.expr("1000000 - 1000000 * concentration_num div "
+                       "concentration_den"))
+            .select("n_domains", "n_docs", "concentration_num",
+                    "concentration_den", "concentration_ppm",
+                    "diversity_ppm"))
+
+
+@_register(
     "extract_lha_text",
     """
 SELECT doc_id,
