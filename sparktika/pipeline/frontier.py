@@ -25,7 +25,7 @@ allowed, per the RFC.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # escape every Java-regex metacharacter EXCEPT '*' (handled as the RFC
@@ -52,8 +52,9 @@ def _rule_regex(prefix):
     rules carry 1-2 wildcards). With k <= 3 the worst case is
     ~O(n^2 * m) per evil pair — bounded."""
     anchored = prefix.endswith("$")
-    body = F.when(anchored, F.expr(
-        "substring(prefix, 1, length(prefix) - 1)")).otherwise(prefix)
+    body = F.when(anchored,
+                  prefix.substr(F.lit(1), F.length(prefix) - 1)
+                  ).otherwise(prefix)
     body = F.regexp_replace(body, r"\*{2,}", "*")
     n_wild = F.length(body) - F.length(F.regexp_replace(body, r"\*", ""))
     esc = F.regexp_replace(body, _META_CLASS, r"\\$1")
@@ -71,28 +72,41 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     """urls: (url, host, path, ...); rules: (host, rule_type
     'allow'|'disallow', prefix). Returns urls + `allowed` boolean,
     filtered to allowed unless keep_denied. Duplicate input rows are
-    preserved (precedence ranks within a per-row id, not the url)."""
-    keyed = urls.withColumn("_uid", F.monotonically_increasing_id())
-    r = F.broadcast(rules.select(
-        "host", "rule_type", "prefix",
-        F.length("prefix").alias("_plen"),
-        F.col("prefix").contains("*")
-        .__or__(F.col("prefix").endswith("$")).alias("_wild"),
-        _rule_regex(F.col("prefix")).alias("_re")))
-    cond = (keyed["host"] == r["host"]) & (
-        F.when(r["_wild"], F.regexp_like(keyed["path"], r["_re"]))
-         .otherwise(keyed["path"].startswith(r["prefix"])))
-    joined = keyed.join(r, cond, "left").drop(r["host"])
-    w = Window.partitionBy("_uid").orderBy(
-        F.col("_plen").desc_nulls_last(),
-        # tie on length: allow wins (RFC 9309 §2.2.2)
-        F.when(F.col("rule_type") == "allow", 0).otherwise(1))
-    ranked = joined.withColumn("_rk", F.row_number().over(w))
-    decided = ranked.where(F.col("_rk") == 1).withColumn(
-        "allowed",
-        F.coalesce(F.col("rule_type") != "disallow", F.lit(True)))
-    out = decided.drop("rule_type", "prefix", "_plen", "_wild", "_re",
-                       "_rk", "_uid")
+    preserved.
+
+    Shuffle-free by construction (r8 review: the previous shape ranked
+    precedence with a Window over a per-row id, whose Exchange
+    round-tripped EVERY url row — the exact cost the broadcast design
+    claims to avoid): rules aggregate per host into an array SORTED by
+    RFC 9309 precedence (longest rule first, allow wins ties) on the
+    tiny broadcast side; each URL then takes the FIRST matching element
+    row-locally (higher-order filter + element_at). The urls side never
+    leaves its input partitioning — plan-pinned zero Exchange."""
+    # sort key: ascending sort_array => negate length for longest-first;
+    # allow (0) before disallow (1) on ties (RFC 9309 §2.2.2)
+    rule_struct = F.struct(
+        (-F.length("prefix")).alias("_negplen"),
+        F.when(F.col("rule_type") == "allow", 0).otherwise(1)
+         .alias("_arank"),
+        F.col("rule_type").alias("rtype"),
+        (F.col("prefix").contains("*")
+         | F.col("prefix").endswith("$")).alias("wild"),
+        _rule_regex(F.col("prefix")).alias("re"),
+        F.col("prefix").alias("prefix"))
+    per_host = (rules.groupBy("host")
+                .agg(F.sort_array(F.collect_list(rule_struct))
+                     .alias("_rules")))
+    joined = urls.join(F.broadcast(per_host), "host", "left")
+    path = F.col("path")
+    matched = F.filter(
+        F.col("_rules"),
+        lambda r: F.when(r["wild"], F.regexp_like(path, r["re"]))
+                   .otherwise(path.startswith(r["prefix"])))
+    best = F.get(matched, 0)  # NULL (never ANSI error) when no match
+    out = (joined.withColumn(
+               "allowed",
+               F.coalesce(best["rtype"] != "disallow", F.lit(True)))
+           .drop("_rules"))
     return out if keep_denied else out.where("allowed")
 
 

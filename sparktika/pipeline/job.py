@@ -63,7 +63,7 @@ def run_extraction_job(
     # parquet path; an Iceberg deployment gets the same guarantee from
     # snapshot isolation, and materializing 100 TB to executor storage
     # there would be a storage cliff.
-    if "/" in output_location or not tio.iceberg_available(spark):
+    if not tio.is_iceberg_location(spark, output_location):
         extracted = extracted.localCheckpoint(eager=True)
     tio.append_table(extracted, output_location)
     lineage = partition_metrics(extracted, run_id)

@@ -20,8 +20,17 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("docs_in"),
-            F.sum((F.col("status") == "ok").cast("long")).alias("docs_ok"),
+            # the three buckets PARTITION docs_in (r8 review: truncated/
+            # unsupported/oversize docs previously fell in neither ok nor
+            # failed, so a lineage row could show zero of each against a
+            # large docs_in). truncated IS a successful extraction (the
+            # doc produced text up to the cap).
+            F.sum((F.col("status").isin("ok", "truncated")).cast("long"))
+             .alias("docs_ok"),
             F.sum((F.col("status").isin("failed", "timeout")).cast("long")).alias("docs_failed"),
+            F.sum((~F.col("status").isin("ok", "truncated", "failed",
+                                         "timeout")).cast("long"))
+             .alias("docs_other"),
             F.sum("n_bytes_in").alias("bytes_in"),
             F.sum("n_chars_out").alias("chars_out"),
             F.sum("parse_ms").alias("wall_ms"),
@@ -30,7 +39,8 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
         )
         .withColumn("run_id", F.lit(run_id))
         .select("run_id", "partition_id", "docs_in", "docs_ok", "docs_failed",
-                "bytes_in", "chars_out", "wall_ms", "min_url", "max_url")
+                "docs_other", "bytes_in", "chars_out", "wall_ms", "min_url",
+                "max_url")
     )
 
 

@@ -28,10 +28,16 @@ def pending_pages(pages: DataFrame, done: DataFrame,
 def newest_per_url(pages: DataFrame) -> DataFrame:
     """Dedup re-crawls: keep the newest snapshot per url
     (row_number over (partition by url order by warc_ts desc) — the one
-    window the engine needs, SURVEY.md §2.B)."""
+    window the engine needs, SURVEY.md §2.B). Ties on warc_ts break on
+    a content hash (r8 review: without a total order, two recrawls
+    sharing a second-granularity timestamp were kept NONDETERMINISTICALLY
+    — the survivor could change across task retries/AQE replans, and
+    this choice decides which content gets extracted and committed;
+    cap_per_host got its total order in r5, this window never did)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64(F.col("html")).desc())
     return (
         pages.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -269,7 +269,9 @@ def test_metrics_partition_lineage_invariants(spark, pages):
     ext = extract_pages(pages, SYNTH_CONFIG, num_partitions=8)
     m = metrics.partition_metrics(ext, "test-run").collect()
     assert sum(r.docs_in for r in m) == pages.count()
-    assert all(r.docs_ok <= r.docs_in for r in m)
+    # the three buckets partition docs_in exactly (r8 review)
+    assert all(r.docs_ok + r.docs_failed + r.docs_other == r.docs_in
+               for r in m)
     assert all(r.min_url <= r.max_url for r in m)
     assert len(m) <= 8
     # salting spreads the corpus: no partition owns more than half the docs
@@ -1065,3 +1067,23 @@ def test_leakage_safe_split_reproducible_across_partitionings(spark):
     # both sides populated at the sf0.001 corpus
     splits = {s for (_, _, s) in a}
     assert splits == {"train", "val"}
+
+
+def test_table_exists_requires_committed_data(spark, tmp_path):
+    """r8 review (repro-confirmed failure mode): a run that crashes
+    mid-write leaves the output dir with only _temporary inside;
+    treating bare path existence as 'exists' bricked every later
+    resume. Only committed data (a _SUCCESS marker or a nonempty
+    non-hidden file) counts."""
+    import os
+
+    from sparktika.pipeline import io as tio
+
+    p = str(tmp_path / "crashed_out")
+    os.makedirs(os.path.join(p, "_temporary", "0"))
+    assert not tio.table_exists(spark, p)
+    # committed write flips it
+    spark.range(3).write.mode("overwrite").parquet(p)
+    assert tio.table_exists(spark, p)
+    # definitely-missing path stays False
+    assert not tio.table_exists(spark, str(tmp_path / "never_written"))
