@@ -8,11 +8,12 @@ chosen for 100 TB:
   explode to (host, rule_type, prefix) rows, then BROADCAST; the URL
   table never shuffles;
 - RFC 9309 precedence — the longest matching rule wins (octets of the
-  rule path, wildcards counted), allow wins ties — is a per-URL argmax
-  over the matched rules: a window over a unique per-input-row id
-  ordered by (rule length desc, allow first) after the broadcast join.
-  The join fans out only to the rules a URL actually matches, so the
-  exploded row count stays ~O(urls).
+  rule path, wildcards counted), allow wins ties — resolves ROW-LOCALLY:
+  each host's rules are pre-sorted by precedence inside the broadcast
+  array, so a URL's verdict is its first matching element (higher-order
+  filter + get). No join fan-out, no window, no Exchange of URL rows —
+  and the operator is STATELESS per row, so it composes unchanged with
+  Structured Streaming frontiers (pytest-pinned).
 - RFC 9309 §2.2.3 special characters: '*' in a rule path matches any
   span of octets; a TRAILING '$' anchors the match at the end of the
   path. Wildcard rules are translated ONCE (on the tiny broadcast

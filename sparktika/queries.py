@@ -1820,13 +1820,15 @@ WHERE CASE
 )
 def web_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-aware crawl-frontier filtering at scale: per-host rules
-    (parsed by kernels/robots.py from the synth robots corpus) explode
-    to (host, type, prefix) rows and BROADCAST; the URL table joins on
-    prefix-match without ever shuffling its own rows; RFC 9309
-    longest-match-wins (allow beats disallow on ties) is a per-URL
-    window argmax. Exercises every rule shape: disallow-all hosts,
-    numbered disallow prefixes, and the allow-override path that must
-    out-rank its shorter disallow."""
+    (parsed by kernels/robots.py from the synth robots corpus)
+    aggregate into precedence-SORTED per-host arrays and BROADCAST; the
+    URL table never shuffles — each URL's RFC 9309 verdict (longest
+    match wins, allow beats disallow on ties) is its first matching
+    array element, resolved row-locally (r8 review replaced the per-row
+    window argmax whose Exchange round-tripped every URL). Exercises
+    every rule shape: disallow-all hosts, numbered disallow prefixes,
+    and the allow-override path that must out-rank its shorter
+    disallow."""
     from .pipeline.frontier import robots_filter, rules_from_robots
     from .synth import build_robots
 

@@ -1087,3 +1087,38 @@ def test_table_exists_requires_committed_data(spark, tmp_path):
     assert tio.table_exists(spark, p)
     # definitely-missing path stays False
     assert not tio.table_exists(spark, str(tmp_path / "never_written"))
+
+
+def test_streaming_frontier_filter_matches_batch(spark):
+    """robots_filter is stateless per row since the r8 rewrite (no
+    window, no per-row id), so it composes UNCHANGED with a Structured
+    Streaming frontier: readStream -> robots_filter -> sink must equal
+    the batch result row-for-row."""
+    from sparktika.pipeline.frontier import robots_filter, rules_from_robots
+    from sparktika.synth import build_robots
+
+    rules = rules_from_robots(
+        [(f"h{h}", build_robots(h).decode()) for h in range(10)], spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+         .alias("host"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/private/1/page"))
+         .otherwise(F.lit("/public/page")).alias("path"))
+    batch = sorted(map(tuple, robots_filter(urls, rules).collect()))
+
+    tmp = tempfile.mkdtemp(prefix="sparktika_frontier_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    try:
+        urls.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(urls.schema).parquet(src)
+        q = (robots_filter(stream, rules)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+        assert streamed == batch and len(batch) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
