@@ -304,6 +304,45 @@ def extract_document(
                            else None,
                            metadata=md, status=status,
                            write_limit_reached=limited)
+            if r.root_tag and _xml_local(r.root_tag) == "abiword":
+                # AbiWord refinement (kernels/xmlroutes.py): body
+                # paragraphs only — dc.title stays OUT of the text
+                from .xmlroutes import ABW_MIME, parse_abiword
+
+                ab = parse_abiword(xtext, deadline=deadline)
+                text, limited = _cap_text(ab.text, cfg.max_chars)
+                md = {"Content-Type": [f"{ABW_MIME}; charset={cs}"],
+                      "Content-Encoding": [cs]}
+                if ab.title:
+                    md["title"] = [ab.title]
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected=ABW_MIME, charset_detected=cs,
+                           title=ab.title,
+                           text_extracted=text if cfg.parse_content
+                           else None,
+                           metadata=md, status=status,
+                           write_limit_reached=limited)
+            if r.root_tag and _xml_local(r.root_tag) == "gpx":
+                # GPX refinement (kernels/xmlroutes.py): structured
+                # point/track counts + names; the body is the name list
+                from .xmlroutes import GPX_MIME, parse_gpx
+
+                gp = parse_gpx(xtext, deadline=deadline)
+                text, limited = _cap_text("\n".join(gp.names),
+                                          cfg.max_chars)
+                md = {"Content-Type": [f"{GPX_MIME}; charset={cs}"],
+                      "Content-Encoding": [cs],
+                      "gpx-waypoints": [str(gp.n_waypoints)],
+                      "gpx-trackpoints": [str(gp.n_trackpoints)],
+                      "gpx-routepoints": [str(gp.n_routepoints)],
+                      "gpx-tracks": [str(gp.n_tracks)]}
+                status = STATUS_TRUNCATED if limited else STATUS_OK
+                return res(detected=GPX_MIME, charset_detected=cs,
+                           title=gp.names[0] if gp.names else None,
+                           text_extracted=text if cfg.parse_content
+                           else None,
+                           metadata=md, status=status,
+                           write_limit_reached=limited)
             if r.root_tag and _xml_local(r.root_tag) == "document":
                 # flat ODF (.fodt/.fods/.fodp): single-file XML whose
                 # root carries office:mimetype; reuse the ODF paragraph

@@ -5559,6 +5559,62 @@ def corpus_concat_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_abw_gpx",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'application/x-abiword'
+            ELSE 'application/gpx+xml' END AS content_type_detected,
+       CASE WHEN doc_id % 2 = 0 THEN 'Abi ' || doc_id
+            ELSE 'Ride ' || doc_id END AS title,
+       CASE WHEN doc_id % 2 = 0 THEN
+            'Abi para ' || doc_id || ' 0.'
+            || CASE WHEN doc_id % 3 >= 1
+                    THEN chr(10) || 'Abi para ' || doc_id || ' 1.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 3 >= 2
+                    THEN chr(10) || 'Abi para ' || doc_id || ' 2.'
+                    ELSE '' END
+       ELSE
+            'Ride ' || doc_id
+            || CASE WHEN doc_id % 4 >= 1
+                    THEN chr(10) || 'W' || doc_id || '_0' ELSE '' END
+            || CASE WHEN doc_id % 4 >= 2
+                    THEN chr(10) || 'W' || doc_id || '_1' ELSE '' END
+            || CASE WHEN doc_id % 4 >= 3
+                    THEN chr(10) || 'W' || doc_id || '_2' ELSE '' END
+            || chr(10) || 'Trk ' || doc_id
+       END AS text,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 4 END AS BIGINT)
+         AS n_waypoints,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 END AS BIGINT)
+         AS n_trackpoints,
+       'ok' AS status
+FROM documents
+""",
+)
+def extract_abw_gpx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AbiWord + GPX XML-root refinements (kernels/xmlroutes.py): .abw
+    body paragraphs render with dc.title kept OUT of the text (the
+    generic XML route smears it in); .gpx yields structured waypoint/
+    trackpoint counts and the name list as the body. Both beyond Tika
+    1.20 parity (no route for either there)."""
+    from .synth import build_abw_gpx
+
+    ext = _kernel_pages(spark, sf_dir, build_abw_gpx, "xmlx")
+    meta = F.col("metadata")
+    return ext.select(
+        "doc_id",
+        "content_type_detected",
+        F.col("title"),
+        F.col("text_extracted").alias("text"),
+        F.element_at(meta, "gpx-waypoints").getItem(0)
+         .cast("long").alias("n_waypoints"),
+        F.element_at(meta, "gpx-trackpoints").getItem(0)
+         .cast("long").alias("n_trackpoints"),
+        "status")
+
+
+@_register(
     "corpus_diversity_simpson",
     """
 WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n

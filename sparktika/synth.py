@@ -3958,6 +3958,29 @@ def build_lnk(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def build_abw_gpx(doc_id: int) -> bytes:
+    """AbiWord / GPX (extract_abw_gpx oracle), rotating on doc_id % 2:
+    .abw with a dc.title and 1 + doc_id % 3 paragraphs; .gpx with
+    doc_id % 4 waypoints and a 2-point track."""
+    if doc_id % 2 == 0:
+        paras = "".join(f"<p>Abi para {doc_id} {j}.</p>"
+                        for j in range(1 + doc_id % 3))
+        return (f'<?xml version="1.0"?>'
+                f'<abiword xmlns="http://www.abisource.com/awml.dtd">'
+                f'<metadata><m key="dc.title">Abi {doc_id}</m>'
+                f'<m key="dc.creator">synth</m></metadata>'
+                f"<section>{paras}</section></abiword>").encode()
+    wpts = "".join(
+        f'<wpt lat="{j}.5" lon="2.5"><name>W{doc_id}_{j}</name></wpt>'
+        for j in range(doc_id % 4))
+    return (f'<?xml version="1.0"?>'
+            f'<gpx version="1.1" creator="synth">'
+            f"<metadata><name>Ride {doc_id}</name></metadata>{wpts}"
+            f'<trk><name>Trk {doc_id}</name><trkseg>'
+            f'<trkpt lat="1" lon="2"/><trkpt lat="1.1" lon="2.1"/>'
+            f"</trkseg></trk></gpx>").encode()
+
+
 def build_lha(doc_id: int) -> bytes:
     """LHA/LZH archive (extract_lha_text oracle): a stored (-lh0-) text
     member + a compressed (-lh5-) member the kernel lists but refuses +

@@ -432,7 +432,8 @@ def test_ivfpq_zero_corpus_shuffle_single_encode(spark):
                                         "extract_tensor_meta",
                                         "extract_djvu_tga_meta",
                                         "extract_iso_text",
-                                        "extract_lha_text"])
+                                        "extract_lha_text",
+                                        "extract_abw_gpx"])
 def test_r8_kernel_queries_stay_map_only(spark, query_name):
     """r8 additions must stay in the map-only per-doc kernel shape."""
     from sparktika import queries as Q

@@ -217,3 +217,49 @@ def test_ps_fuzz_never_raises():
             mut[rng.randrange(len(mut))] = rng.randrange(256)
         r = extract_document("u", None, bytes(mut))
         assert r.status in ("ok", "failed", "unsupported", "truncated")
+
+
+# -------------------------------------------------------------- abw/gpx
+
+def test_abw_title_out_of_body():
+    from sparktika.synth import build_abw_gpx
+
+    r = extract_document("u.abw", None, build_abw_gpx(2))
+    assert r.title == "Abi 2"
+    assert "Abi 2" not in r.text_extracted.splitlines()[0] or \
+        r.text_extracted.startswith("Abi para")
+    assert r.text_extracted == ("Abi para 2 0.\nAbi para 2 1.\n"
+                                "Abi para 2 2.")
+    assert r.content_type_detected == "application/x-abiword"
+
+
+def test_gpx_counts_and_names():
+    from sparktika.kernels.xmlroutes import parse_gpx
+    from sparktika.synth import build_abw_gpx
+
+    g = parse_gpx(build_abw_gpx(3).decode())
+    assert g.n_waypoints == 3 and g.n_trackpoints == 2 and g.n_tracks == 1
+    assert g.names[0] == "Ride 3" and g.names[-1] == "Trk 3"
+
+
+def test_abw_gpx_wrong_root_refuses():
+    from sparktika.kernels.errors import KernelError as KE
+    from sparktika.kernels.xmlroutes import parse_abiword, parse_gpx
+
+    with pytest.raises(KE):
+        parse_abiword("<x><p>no</p></x>")
+    with pytest.raises(KE):
+        parse_gpx("<x/>")
+
+
+def test_abw_gpx_fuzz_never_raises():
+    from sparktika.synth import build_abw_gpx
+
+    rng = random.Random(8331)
+    for i in range(120):
+        base = build_abw_gpx(i % 9)
+        mut = bytearray(base[:rng.randrange(1, len(base))])
+        for _ in range(rng.randrange(0, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        r = extract_document("u", None, bytes(mut))
+        assert r.status in ("ok", "failed", "unsupported", "truncated")
