@@ -1,4 +1,4 @@
-"""The extraction stage: pages -> pages_extracted via mapInPandas.
+"""The extraction stage: pages -> pages_extracted via mapInArrow.
 
 Spark-first re-architecture of the reference's process pool
 (ref: client/TikaProcessPool.java:110-135): executor task slots replace
@@ -18,13 +18,25 @@ JVM-side conditional projection: rows over the size cap ship only a 1KB
 sniff head + their true byte count through Arrow and the kernel emits
 the skipped_oversize status row — one pass over `html`, no union, no
 second scan.
+
+r9 boundary optimization (guide §4.1/§4.2): the stage runs on
+`mapInArrow`, not `mapInPandas`. The kernel is row-oriented Python
+either way, but the batch envelope matters: the pandas path pays an
+Arrow->pandas object-block conversion on input and a per-column
+`Array.from_pandas` with type-inference/safe-cast on output — for this
+schema the nested `links` (array<struct<..,map>>) and `metadata`
+(map<string,array<string>>) columns made that the dominant cost at
+~0.4 ms/doc kernels. Building `pa.RecordBatch` directly against the
+pinned Arrow schema removed ~0.8 s of a 4.2 s 32-core wall
+(OPTIMIZATION_r09.md, interleaved A/B). Null true-size handling is also
+simpler: Arrow `to_pylist` yields honest `None`, no NaN reinterpretation.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
@@ -39,55 +51,66 @@ _OUT_COLS = [
 ]
 
 
+def _arrow_schema() -> "pa.Schema":
+    # derived from the one canonical schema so the two can never drift
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(EXTRACTED_SCHEMA)
+
+
 def make_extract_fn(cfg: ExtractConfig):
-    """Batch-iterator kernel for mapInPandas (the Spark analog of the
+    """Batch-iterator kernel for mapInArrow (the Spark analog of the
     reference's one-doc-per-accept server loop, ref: TikaForkMain.java:118-170,
     but batch-vectorized and cluster-parallel). Output batches are built
-    column-wise — per-row dict assembly measurably costs throughput at
-    1k-row Arrow batches."""
+    column-wise straight into typed pyarrow arrays — per-row dict assembly
+    and the pandas object-block round-trip both measurably cost throughput
+    at 256-row Arrow batches."""
+    arrow_schema = _arrow_schema()
 
-    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def extract_batches(
+        batches: Iterator["pa.RecordBatch"],
+    ) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            names = batch.schema.names
+            n = batch.num_rows
+            urls = batch.column(names.index("url")).to_pylist()
+            htmls = batch.column(names.index("html")).to_pylist()
             declared = (
-                pdf["content_type"] if "content_type" in pdf.columns
-                else [None] * len(pdf)
+                batch.column(names.index("content_type")).to_pylist()
+                if "content_type" in names else [None] * n
             )
             true_sizes = (
-                pdf["__n_bytes_full"] if "__n_bytes_full" in pdf.columns
-                else [None] * len(pdf)
+                batch.column(names.index("__n_bytes_full")).to_pylist()
+                if "__n_bytes_full" in names else [None] * n
             )
             cols: dict[str, list] = {c: [] for c in _OUT_COLS}
-            for u, ct, d, ts in zip(pdf["url"], declared, pdf["html"], true_sizes):
-                # NULL html makes length() NULL -> Arrow int64-with-null
-                # -> float NaN in pandas; `ts is None` is False for NaN
-                # and int(nan) raised out of the batch, killing the TASK
-                # for one poisoned row (r5 review). NaN != NaN test
-                # keeps the check cheap and dependency-free.
-                if ts is None or ts != ts:
-                    ts = None
+            ap = {c: cols[c].append for c in _OUT_COLS}
+            for u, ct, d, ts in zip(urls, declared, htmls, true_sizes):
                 r = extract_document(u, ct, d, cfg,
                                      true_size=None if ts is None else int(ts))
-                cols["url"].append(r.url)
-                cols["content_type_declared"].append(r.content_type_declared)
-                cols["content_type_detected"].append(r.content_type_detected)
-                cols["charset_detected"].append(r.charset_detected)
-                cols["text_extracted"].append(r.text_extracted)
-                cols["main_text"].append(r.main_text)
-                cols["title"].append(r.title)
-                cols["links"].append([
+                ap["url"](r.url)
+                ap["content_type_declared"](r.content_type_declared)
+                ap["content_type_detected"](r.content_type_detected)
+                ap["charset_detected"](r.charset_detected)
+                ap["text_extracted"](r.text_extracted)
+                ap["main_text"](r.main_text)
+                ap["title"](r.title)
+                ap["links"]([
                     {"type": l.type, "source_uri": l.source_uri,
                      "target_uri": l.target_uri, "title": l.title,
                      "anchor": l.anchor, "rel": l.rel, "params": l.params}
                     for l in r.links
                 ])
-                cols["metadata"].append(r.metadata)
-                cols["status"].append(r.status)
-                cols["error"].append(r.error)
-                cols["parse_ms"].append(r.parse_ms)
-                cols["n_bytes_in"].append(r.n_bytes_in)
-                cols["n_chars_out"].append(r.n_chars_out)
-                cols["write_limit_reached"].append(r.write_limit_reached)
-            yield pd.DataFrame(cols)
+                ap["metadata"](r.metadata)
+                ap["status"](r.status)
+                ap["error"](r.error)
+                ap["parse_ms"](r.parse_ms)
+                ap["n_bytes_in"](r.n_bytes_in)
+                ap["n_chars_out"](r.n_chars_out)
+                ap["write_limit_reached"](r.write_limit_reached)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in arrow_schema],
+                schema=arrow_schema)
 
     return extract_batches
 
@@ -120,7 +143,7 @@ def extract_pages(
     if num_partitions:
         # salt by unique url: defuses host-level byte skew (SURVEY.md §4.2)
         slim = slim.repartition(num_partitions, F.xxhash64("url"))
-    return slim.mapInPandas(make_extract_fn(cfg), EXTRACTED_SCHEMA)
+    return slim.mapInArrow(make_extract_fn(cfg), EXTRACTED_SCHEMA)
 
 
 def extract_pages_with_oversize_shortcircuit(

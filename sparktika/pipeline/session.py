@@ -35,6 +35,18 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-parallelism FLOOR (r9, guide §2.2/§6): without it a corpus
+        # that is small relative to the cluster splits into ~1 task per
+        # core (bytesPerCore = total/defaultParallelism), i.e. ONE wave —
+        # the slowest task sets the wall and any core-level slowdown is
+        # unamortized. 4x cores gives ~4 waves for load balancing; at
+        # 100-TB scale bytesPerCore exceeds maxPartitionBytes and this
+        # floor is a no-op (maxPartitionBytes keeps governing), so the
+        # setting is scale-adaptive, not local-tuned. Parameterized for
+        # cluster deployments via SPARK_GRAFT_SCAN_MIN_SPLITS.
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_SCAN_MIN_SPLITS",
+                               str(int(cpus) * 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

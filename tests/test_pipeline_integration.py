@@ -46,11 +46,11 @@ def test_oversize_shortcircuit_matches_kernel_path(spark, pages):
     from sparktika.pipeline.extract import make_extract_fn
 
     # reference behavior: full payloads through the kernel (cap applied
-    # kernel-side only) — bypass the JVM truncation via a raw mapInPandas
+    # kernel-side only) — bypass the JVM truncation via a raw mapInArrow
     from sparktika.pipeline.schema import EXTRACTED_SCHEMA
 
     full_path = (pages.select("url", "html")
-                 .mapInPandas(make_extract_fn(SYNTH_CONFIG), EXTRACTED_SCHEMA))
+                 .mapInArrow(make_extract_fn(SYNTH_CONFIG), EXTRACTED_SCHEMA))
     short_circuit = extract_pages(pages, SYNTH_CONFIG)
     keys = ["status", "content_type_detected"]
     a = {tuple(r[k] for k in keys): r["count"]
