@@ -93,7 +93,14 @@ def minhash_lsh_pairs(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    num_perm_holder = {}
+    # The signature table is referenced FOUR times below (banding + both
+    # rejoin sides) and Catalyst re-evaluates the signature UDF for every
+    # reference — the r9 plan audit counted 4 full corpus re-reads + sig
+    # passes (12 ArrowEvalPython nodes). One eager localCheckpoint
+    # computes signatures exactly once (~1KB/doc materialized — far
+    # cheaper than three more text scans + UDF passes at any scale) and
+    # leaves no CacheManager entry (the r5 semantic-dedup precedent).
+    sigs = sigs.localCheckpoint(eager=True)
 
     def band_fn(sig: pd.Series) -> pd.Series:
         import numpy as np
@@ -337,14 +344,28 @@ def _doc_shingles(
     definition shared by repeated_ngram_spans, benchmark_contamination
     and duplicate_clusters, kept in lockstep with their DuckDB oracles
     (invariant 1): whitespace-collapse, split on single space, md5 of
-    the space-joined n-token slice."""
+    the space-joined n-token slice.
+
+    r9 evaluation-strategy note (guide §1.2 "per-task work"): the
+    original shape computed md5(concat_ws(slice(toks,...))) inside a
+    transform(sequence(...)) lambda with `toks` INLINE — higher-order
+    functions run interpreted and the lambda re-evaluated the
+    regexp_replace+split per WINDOW, ~11 µs/window. Projecting the token
+    array once and hashing in a flat post-Generate projection (window
+    positions explode bare, md5 runs under codegen) is 12x faster with
+    bit-identical output (verified by sorted-collect equality and the
+    oracle suite)."""
     toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    n_windows = F.size(toks) - (n - 1)
-    sh = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
-    out = df.select(F.col(key_col).alias("key"),
-                    F.explode(F.when(n_windows >= 1, sh)).alias("shingle"))
+    base = df.select(F.col(key_col).alias("key"), toks.alias("__toks"))
+    n_windows = F.size("__toks") - (n - 1)
+    out = (base.select(
+               "key", "__toks",
+               F.explode(F.when(n_windows >= 1,
+                                F.sequence(F.lit(1), n_windows))).alias("__pos"))
+           .select("key",
+                   F.md5(F.concat_ws(
+                       " ", F.slice(F.col("__toks"), F.col("__pos"), n)))
+                    .alias("shingle")))
     return out.dropDuplicates(["key", "shingle"]) if distinct else out
 
 
@@ -429,8 +450,27 @@ def components_from_edges(star: DataFrame, max_iter: int = 20) -> DataFrame:
         star.select(F.col("root").alias("key"), F.col("key").alias("root"))
     ).select(F.col("key").alias("src"), F.col("root").alias("dst"))
     edges = edges.localCheckpoint()
-    labels = (edges.select(F.col("src").alias("key")).distinct()
-              .withColumn("label", F.col("key")))
+    # r9: the identity-label init (distinct + a first full propagation
+    # round) is FUSED into one aggregation: label(key) = min(key,
+    # min neighbor) — exactly what round 1's hop used to compute, for the
+    # price of the distinct's shuffle alone. Every key appears as src
+    # because the edge list is symmetrized above, so the key set is
+    # unchanged.
+    labels = (edges.groupBy(F.col("src").alias("key"))
+              .agg(F.min("dst").alias("nmin"))
+              .select("key", F.least("key", "nmin").alias("label")))
+    labels = labels.localCheckpoint()
+
+    def _label_sum(ls) -> object:
+        # labels are non-increasing per key each round (every update is a
+        # least(...) of the old label), so sum equality <=> fixpoint —
+        # one map-side-combined agg replaces the old per-round
+        # new-vs-old self-join change count. decimal(38,0) keeps the sum
+        # exact at any corpus size (10^12 keys x 2^63 < 10^38).
+        return ls.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.src == labels.key)
@@ -448,14 +488,12 @@ def components_from_edges(star: DataFrame, max_iter: int = 20) -> DataFrame:
                               F.least("label", F.coalesce("jump", "label"))
                                .alias("label")))
         new_labels = new_labels.localCheckpoint()  # cut iterative lineage
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "key")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"components_from_edges did not converge in {max_iter} rounds "
@@ -483,23 +521,32 @@ def repeated_ngram_span_ranges(
     over i, one Exchange per doc key). Token indices, not char offsets —
     reconstruction is split+slice on the same whitespace-collapsed
     tokenization (_doc_shingles lockstep)."""
+    # same flat post-Generate hashing shape as _doc_shingles (12x over
+    # the inline transform-lambda evaluation — see its r9 docstring),
+    # with the 1-based window position kept alongside the hash
     toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    n_windows = F.size(toks) - (n - 1)
-    sh = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.struct(
-            i.alias("i"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("shingle")))
-    win = (df.select(F.col(key_col).alias("key"),
-                     F.explode(F.when(n_windows >= 1, sh)).alias("w"))
-           .select("key", F.col("w.i").alias("i"),
-                   F.col("w.shingle").alias("shingle")))
+    base = df.select(F.col(key_col).alias("key"), toks.alias("__toks"))
+    n_windows = F.size("__toks") - (n - 1)
+    win = (base.select(
+               "key", "__toks",
+               F.explode(F.when(n_windows >= 1,
+                                F.sequence(F.lit(1), n_windows))).alias("i"))
+           .select("key", "i",
+                   F.md5(F.concat_ws(
+                       " ", F.slice(F.col("__toks"), F.col("i"), n)))
+                    .alias("shingle")))
     rep = (win.groupBy("shingle")
            .agg(F.count_distinct("key").alias("n_docs"))
            .filter((F.col("n_docs") >= min_docs)
                    & (F.col("n_docs") <= max_docs))
            .select("shingle"))
-    hits = win.join(rep, "shingle").select("key", "i").distinct()
+    # No distinct needed: `win` carries exactly one row per (key, i)
+    # (i indexes the explode of per-position windows) and `rep` is unique
+    # per shingle (groupBy output), so the join emits each (key, i) at
+    # most once — the former .distinct() added a full Exchange + two
+    # HashAggregates over every matched position for nothing (r9 plan
+    # audit: 3 Exchanges -> 2).
+    hits = win.join(rep, "shingle").select("key", "i")
     w_ord = Window.partitionBy("key").orderBy("i")
     prev_max_end = F.max(F.col("i") + (n - 1)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1))

@@ -32,6 +32,17 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_prenorm(a, b, na, nb):
+    """cosine with PRE-PROJECTED norms (r9, guide §1.2): in a pairwise
+    join, cosine_expr re-evaluates each side's norm (an interpreted
+    higher-order aggregate over the vector) once per PAIR — the query
+    norm was recomputed for every corpus row and vice versa. Projecting
+    the norms onto each side before the join computes them once per row.
+    Bit-identical to cosine_expr: the same _norm expression runs over
+    the same doubles, and the multiply/divide order is unchanged."""
+    return _dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -43,11 +54,16 @@ def brute_force_topk(
     to be small -> broadcast, so the plan is a single pass over `emb`
     with no shuffle of the corpus (check .explain for BroadcastHashJoin/
     BroadcastNestedLoopJoin)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"))
+         .withColumn("__qn", _norm(F.col("qvec"))))
+    c = (emb.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("nvec"))
+         .withColumn("__nn", _norm(F.col("nvec"))))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6))
+        .withColumn("cosine", F.round(_cosine_prenorm(
+            F.col("qvec"), F.col("nvec"), F.col("__qn"), F.col("__nn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -122,14 +138,17 @@ def ann_topk_lsh(
         .select("query_id", "id")
         .dropDuplicates(["query_id", "id"])
     )
-    cvecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    qvecs = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("qvec"))
+    cvecs = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+             .withColumn("__nn", _norm(F.col("vec"))))
+    qvecs = (queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("qvec"))
+             .withColumn("__qn", _norm(F.col("qvec"))))
     scored = (
         cand.join(cvecs, "id")
         .join(F.broadcast(qvecs), "query_id")
         .withColumn(
-            "cosine", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6))
+            "cosine", F.round(_cosine_prenorm(
+                F.col("qvec"), F.col("vec"), F.col("__qn"), F.col("__nn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
     return (
@@ -244,11 +263,15 @@ def ann_topk_ivf(
     q = (ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
          .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
                  F.explode(F.col("centroid_ids")).alias("centroid_id")))
-    cand = (corpus.join(F.broadcast(q), "centroid_id")
+    cand = (corpus.withColumn("__nn", _norm(F.col("nvec")))
+            .join(F.broadcast(q.withColumn("__qn", _norm(F.col("qvec")))),
+                  "centroid_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "qvec", "neighbor_id", "nvec"))
+            .select("query_id", "qvec", "neighbor_id", "nvec",
+                    "__qn", "__nn"))
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6))
+        "cosine", F.round(_cosine_prenorm(
+            F.col("qvec"), F.col("nvec"), F.col("__qn"), F.col("__nn")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -442,10 +465,14 @@ def ann_topk_ivfpq(
     qv = spark.createDataFrame(
         [(int(r.query_id), [float(x) for x in r.vec]) for r in qassign],
         "query_id long, qvec array<float>")
-    rer = (nv.join(F.broadcast(short), "neighbor_id")
-           .join(F.broadcast(qv), "query_id")
+    rer = (nv.withColumn("__nn", _norm(F.col("nvec")))
+           .join(F.broadcast(short), "neighbor_id")
+           .join(F.broadcast(qv.withColumn("__qn", _norm(F.col("qvec")))),
+                 "query_id")
            .withColumn("cosine",
-                       F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6)))
+                       F.round(_cosine_prenorm(
+                           F.col("qvec"), F.col("nvec"),
+                           F.col("__qn"), F.col("__nn")), 6)))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (rer.withColumn("rank", F.row_number().over(w2))
@@ -462,14 +489,17 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine, blocked on `block_col` to bound the
     quadratic join (at scale the block would be an LSH bucket)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                   F.col(block_col).alias("blk"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                   F.col(block_col).alias("blk"))
+    a = (emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                    F.col(block_col).alias("blk"))
+         .withColumn("__na", _norm(F.col("va"))))
+    b = (emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                    F.col(block_col).alias("blk"))
+         .withColumn("__nb", _norm(F.col("vb"))))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(_cosine_prenorm(
+            F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
