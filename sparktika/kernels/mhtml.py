@@ -52,9 +52,20 @@ def is_multipart_related(data: bytes) -> bool:
     so the header parse is on a known message-shaped payload. The
     window is generous (256 KB) so a saved page with kilobytes of X-*
     headers before Content-Type doesn't fall off a size cliff into the
-    plain-email route (r8 review)."""
+    plain-email route (r8 review).
+
+    r9 (ADVICE): every rfc822-sniffed document used to pay the full
+    header parse here just to be told it is a plain email. A cheap
+    C-speed substring prefilter on the bare token b"multipart" (a
+    single RFC 2045 token, so header folding can never split it —
+    filtering on the full "multipart/related" could) rejects the
+    dominant plain-email case before any parsing; multipart/mixed
+    emails still pay the parse, which is the price of exactness."""
+    head = data[:262144]
+    if b"multipart" not in head and b"MULTIPART" not in head.upper():
+        return False
     try:
-        headers, _ = _parse_headers(data[:262144])
+        headers, _ = _parse_headers(head)
     except Exception:
         return False
     ctype, _ = _content_type(headers)

@@ -207,6 +207,11 @@ def simhash_near_pairs(
     near-dup pair has 4 chunks = 4 chances to meet in a cold bucket, so
     recall loss is confined to pairs ONLY co-bucketed in hot chunks;
     `simhash_bucket_stats` exposes the capped buckets for logging."""
+    # r9: sh is referenced by the size aggregation plus both sides of the
+    # cold and hot candidate joins — without a checkpoint Catalyst
+    # re-evaluates the simhash UDF (a full text pass) for every
+    # reference. 16 bytes/doc materialized vs five corpus re-reads.
+    sh = sh.localCheckpoint(eager=True)
     chunks = _simhash_chunks(sh)
     sizes = chunks.groupBy("chunk_id", "chunk_val").agg(
         F.count("*").alias("bucket_n"))
@@ -289,6 +294,12 @@ def token_jaccard_pairs(
         toks = (toks.join(doc_freq, "tok")
                 .filter(F.col("__df") <= max_df)
                 .drop("__df"))
+    # r9: the surviving token table is referenced three times below
+    # (sizes + both self-join sides); checkpointing it stops Catalyst
+    # re-running the tokenize/explode (and the df-cut join) per
+    # reference. The materialized table is the same (key, tok) stream
+    # the self-join shuffles anyway.
+    toks = toks.localCheckpoint(eager=True)
     sizes = toks.groupBy("key").agg(F.count("*").alias("n_tok"))
     inter = (
         toks.alias("a")

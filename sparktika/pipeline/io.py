@@ -88,8 +88,14 @@ def table_exists(spark: SparkSession, location: str) -> bool:
         return False
     for st in fs.listStatus(path):
         name = st.getPath().getName()
+        # a non-hidden DIRECTORY also counts as committed data (r9,
+        # ADVICE): partitionBy layouts with _SUCCESS markers disabled
+        # (common on object stores) hold only partition dirs at the top
+        # level — reading that as 'first run' would silently disable the
+        # resume anti-join and duplicate committed rows. _temporary is
+        # excluded by the underscore filter.
         if name == "_SUCCESS" or (not name.startswith(("_", "."))
-                                  and st.getLen() > 0):
+                                  and (st.isDirectory() or st.getLen() > 0)):
             return True
     return False
 

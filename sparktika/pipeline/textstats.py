@@ -144,8 +144,14 @@ def line_repetition_stats(df: DataFrame, text_col: str = "text",
     its own lines, so this is a ZERO-SHUFFLE per-row computation — split +
     array_distinct + aggregate higher-order functions, all JVM-side. (The
     explode/groupBy formulation shuffles twice for no reason at 100 TB.)"""
-    arr = F.split(F.col(text_col), "\n")
-    distinct = F.array_distinct(arr)
+    # r9: project the split and array_distinct ONCE — referenced inline
+    # they re-evaluate per top-level expression (size/aggregate run
+    # interpreted, outside codegen CSE), i.e. ~5 splits per row
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.split(F.col(text_col), "\n").alias("__arr"))
+    base = base.withColumn("__dist", F.array_distinct(F.col("__arr")))
+    arr, distinct = F.col("__arr"), F.col("__dist")
 
     def chars(a):
         return F.aggregate(a, F.lit(0).cast("long"),
@@ -153,8 +159,8 @@ def line_repetition_stats(df: DataFrame, text_col: str = "text",
 
     total_chars = chars(arr)
     distinct_chars = chars(distinct)
-    return df.select(
-        F.col(key_col).alias("key"),
+    return base.select(
+        "key",
         F.size(arr).cast("bigint").alias("n_lines"),
         F.round(1.0 - F.size(distinct) / F.size(arr), 6).alias("dup_line_frac"),
         F.round((total_chars - distinct_chars) / total_chars.cast("double"), 6)

@@ -126,7 +126,7 @@ def stream_extract_pages(
     cfg: ExtractConfig | None = None,
 ):
     """Incremental extraction: readStream over a pages directory ->
-    mapInPandas kernel -> append sink, exactly-once via checkpoint.
+    mapInArrow kernel -> append sink, exactly-once via checkpoint.
     Returns the StreamingQuery (caller awaits/stops). This is the
     resumable-ingest path: new corpus drops extract incrementally with
     no re-scan of processed files."""

@@ -1087,6 +1087,18 @@ def test_table_exists_requires_committed_data(spark, tmp_path):
     assert tio.table_exists(spark, p)
     # definitely-missing path stays False
     assert not tio.table_exists(spark, str(tmp_path / "never_written"))
+    # r9 (ADVICE): committed partitionBy layout whose top level holds
+    # ONLY non-hidden partition directories (no _SUCCESS — markers
+    # disabled is common on object stores) must count as committed data
+    p2 = str(tmp_path / "partitioned_out")
+    (spark.range(4).withColumn("p", F.col("id") % 2)
+     .write.partitionBy("p").parquet(p2))
+    os.remove(os.path.join(p2, "_SUCCESS"))
+    assert tio.table_exists(spark, p2)
+    # while a dir holding only _temporary still reads as crashed/first-run
+    p3 = str(tmp_path / "crashed_only_tmp")
+    os.makedirs(os.path.join(p3, "_temporary"))
+    assert not tio.table_exists(spark, p3)
 
 
 def test_streaming_frontier_filter_matches_batch(spark):
