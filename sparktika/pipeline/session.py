@@ -34,19 +34,15 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # Scan-split floor deliberately left at Spark's default (=
+        # defaultParallelism): r9 measured a 4x-cores
+        # spark.sql.files.minPartitionNum floor interleaved — it bought
+        # ~5% on the shuffle-free extraction scan (better wave balancing
+        # under host steal) but cost the scan->Exchange window query
+        # 2.5x (~12 ms of per-task scan+shuffle-write overhead x 96
+        # extra tasks), a net loss for the suite. Details in
+        # OPTIMIZATION_r09.md §session.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Scan-parallelism FLOOR (r9, guide §2.2/§6): without it a corpus
-        # that is small relative to the cluster splits into ~1 task per
-        # core (bytesPerCore = total/defaultParallelism), i.e. ONE wave —
-        # the slowest task sets the wall and any core-level slowdown is
-        # unamortized. 4x cores gives ~4 waves for load balancing; at
-        # 100-TB scale bytesPerCore exceeds maxPartitionBytes and this
-        # floor is a no-op (maxPartitionBytes keeps governing), so the
-        # setting is scale-adaptive, not local-tuned. Parameterized for
-        # cluster deployments via SPARK_GRAFT_SCAN_MIN_SPLITS.
-        .config("spark.sql.files.minPartitionNum",
-                os.environ.get("SPARK_GRAFT_SCAN_MIN_SPLITS",
-                               str(int(cpus) * 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
